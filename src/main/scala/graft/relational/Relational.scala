@@ -1,0 +1,519 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** The relational query surface (t2 gate).
+  *
+  * The reference (nickksun/sfdc-cdc-aws) has no relational operators of its
+  * own — see SURVEY.md §2.7 — so this module generalizes its data-processing
+  * surface into the full relational algebra the driver's correctness gate
+  * exercises: scans, filter/project, all join kinds, hash aggregation,
+  * grouping sets, window functions, sorts/limits, set operations, and the
+  * scalar-function families (string/date/conditional/json).
+  *
+  * Correctness-by-construction decisions (DuckDB-oracle parity):
+  *  - Money arithmetic is done in DECIMAL(18,2) (exact, order-independent
+  *    under reassociation by parallel partial aggregation) and only cast to
+  *    DOUBLE at the very end — identical bits in Spark and DuckDB.
+  *  - No raw TIMESTAMP output columns (writer/reader tz-semantics differ);
+  *    cast to DATE or group on date_trunc cast to DATE.
+  *  - Every ORDER BY ... LIMIT has a total tie-break so the selected SET is
+  *    deterministic across engines.
+  *  - Derived integer columns are cast to BIGINT (Spark int vs DuckDB bigint).
+  *
+  * Scale posture (100 TB): every query is a declarative single DataFrame
+  * plan — Catalyst pushes filters/projections into the parquet scan, picks
+  * broadcast joins for the small dimensions (region/nation/supplier), and
+  * AQE handles skew. No collects, no driver-side loops.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def money(c: Column): Column = c.cast(DoubleType)
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** TPC-H Q1-style pricing summary: wide hash aggregation with exact
+    * decimal partial aggregation (map-side combine keeps the shuffle tiny:
+    * |groups| = 6 regardless of input scale). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("sum_disc_price"),
+        (money(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (money(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: 3-way join (customer ⋈ orders ⋈ lineitem) + top-N.
+    * customer side is dimension-sized → Catalyst broadcasts it; the
+    * ORDER BY..LIMIT compiles to TakeOrderedAndProject (no global sort). */
+  def q2MarketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("orderdate"),
+        col("o_orderpriority"))
+      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q2Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-06-01' AND l_shipdate > TIMESTAMP '1997-06-01'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q6-style: tight filter + single global aggregate. The three
+    * predicates all push into the parquet scan (PushedFilters). */
+  def q3RevenueFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= lit(0.05).cast(DoubleType) &&
+        col("l_discount") <= lit(0.07).cast(DoubleType) &&
+        col("l_quantity") < lit(24.0))
+      .agg(money(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q3Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** TPC-H Q4-style: EXISTS via left-semi join, then aggregate. Semi join
+    * shuffles only the key column — at 100 TB this is the cheapest way to
+    * express "orders having at least one qualifying lineitem". */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-07-01"))
+    val l = t(spark, dir, "lineitem").filter(col("l_quantity") > lit(45.0))
+      .select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-style: 6-way snowflake join down to revenue per nation.
+    * region/nation/supplier are broadcast; the only real shuffle is the
+    * orders⋈lineitem equi-join on orderkey + the final small aggregation. */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window function: top-3 orders per customer by price (dense ranking
+    * with a deterministic tie-break on orderkey). The window shuffles once
+    * on o_custkey — same partitioning a downstream per-customer op reuses. */
+  def q6WindowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q6Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Window function: running revenue per customer over time (cumulative
+    * frame). Exact decimal running sum, surfaced as double. */
+  def q7RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        money(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q7Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Grouping sets (ROLLUP) over status × priority: one pass, Catalyst
+    * expands to a single Expand + hash aggregate (no re-scan per set). */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val q8Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Set operation: customers active in both 1996 and 1997 (INTERSECT). */
+  def q9Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val y96 = o.filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      .select(col("o_custkey").as("custkey"))
+    val y97 = o.filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_custkey").as("custkey"))
+    y96.intersect(y97).orderBy(col("custkey"))
+  }
+
+  val q9Sql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |ORDER BY custkey""".stripMargin
+
+  /** Set operation: 1996 customers who lapsed in 1997 (EXCEPT). */
+  def q10Except(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val y96 = o.filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      .select(col("o_custkey").as("custkey"))
+    val y97 = o.filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_custkey").as("custkey"))
+    y96.except(y97).orderBy(col("custkey"))
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |ORDER BY custkey""".stripMargin
+
+  /** Multi-distinct aggregation (expands to a single grouping-set plan). */
+  def q11DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Conditional aggregation (TPC-H Q12 shape): CASE WHEN inside SUM. */
+  def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", lit(1L)).otherwise(lit(0L)))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", lit(1L)).otherwise(lit(0L)))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13-style: LEFT OUTER join + two-level aggregation (order-count
+    * distribution across customers, including zero-order customers). */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) x
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Anti join: customers with no orders at all (NOT EXISTS). */
+  def q14AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** GROUP BY ... HAVING: suppliers whose shipped revenue clears a bar. */
+  def q15Having(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    l.groupBy(col("l_suppkey"))
+      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+        .as("supplier_revenue"), count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 100)
+      .orderBy(col("supplier_revenue").desc, col("l_suppkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT l_suppkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS supplier_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 100
+      |ORDER BY supplier_revenue DESC, l_suppkey""".stripMargin
+
+  /** String-function battery: LIKE, UPPER, SUBSTR, ||, LENGTH. */
+  def q16StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    p.filter(col("p_name").like("%bolt%"))
+      .groupBy(col("p_brand"), upper(col("p_type")).as("type_u"))
+      .agg(count(lit(1)).as("cnt"),
+        min(substring(col("p_name"), 1, 5)).as("name5"),
+        max(concat(col("p_brand"), lit(":"), col("p_type"))).as("brand_type"),
+        sum(length(col("p_name")).cast(LongType)).as("name_chars"))
+      .orderBy(col("p_brand"), col("type_u"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, UPPER(p_type) AS type_u, COUNT(*) AS cnt,
+      |  MIN(SUBSTR(p_name, 1, 5)) AS name5,
+      |  MAX(p_brand || ':' || p_type) AS brand_type,
+      |  CAST(SUM(LENGTH(p_name)) AS BIGINT) AS name_chars
+      |FROM part WHERE p_name LIKE '%bolt%'
+      |GROUP BY p_brand, UPPER(p_type) ORDER BY p_brand, type_u""".stripMargin
+
+  /** TPC-H Q17-style: join against a per-group average (correlated-subquery
+    * semantics, expressed as a self-aggregate join so both sides shuffle on
+    * l_partkey once — no nested-loop re-evaluation). */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val avgQ = l.groupBy(col("l_partkey").as("pk"))
+      .agg((money(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+    l.join(avgQ, l("l_partkey") === avgQ("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg((money(sum(dec(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem JOIN (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
+      |WHERE l_quantity < avg_qty * 0.5""".stripMargin
+
+  /** TPC-H Q18-style: big orders — HAVING-filtered keys joined back to the
+    * fact + dimensions. The qualifying-key set is tiny → broadcast back. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val big = l.groupBy(col("l_orderkey").as("bk"))
+      .agg(money(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .filter(col("sum_qty") > 180.0)
+    o.join(broadcast(big), o("o_orderkey") === big("bk"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+      |  o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey AS bk, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 180.0) b
+      |  ON o_orderkey = bk
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Date functions: monthly revenue trend (date_trunc + year/month parts).
+    * Grouping on a DATE-cast truncation keeps output types portable. */
+  def q19MonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("revenue"))
+      .withColumn("yr", year(col("month")).cast(LongType))
+      .withColumn("mon", month(col("month")).cast(LongType))
+      .select(col("month"), col("yr"), col("mon"), col("n_orders"), col("revenue"))
+      .orderBy(col("month"))
+  }
+
+  val q19Sql: String =
+    """SELECT month, CAST(YEAR(month) AS BIGINT) AS yr, CAST(MONTH(month) AS BIGINT) AS mon,
+      |  n_orders, revenue
+      |FROM (SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |        COUNT(*) AS n_orders,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |      FROM orders GROUP BY 1) x
+      |ORDER BY month""".stripMargin
+
+  /** Full-outer join of per-year customer activity (exercises FULL OUTER +
+    * COALESCE null handling). */
+  def q20FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val a = o.filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      .groupBy(col("o_custkey").as("ck96")).agg(count(lit(1)).as("n96"))
+    val b = o.filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .groupBy(col("o_custkey").as("ck97")).agg(count(lit(1)).as("n97"))
+    a.join(b, a("ck96") === b("ck97"), "full_outer")
+      .select(coalesce(col("ck96"), col("ck97")).as("custkey"),
+        coalesce(col("n96"), lit(0L)).as("n96"),
+        coalesce(col("n97"), lit(0L)).as("n97"))
+      .orderBy(col("custkey"))
+  }
+
+  val q20Sql: String =
+    """SELECT COALESCE(ck96, ck97) AS custkey, COALESCE(n96, 0) AS n96, COALESCE(n97, 0) AS n97
+      |FROM (SELECT o_custkey AS ck96, COUNT(*) AS n96 FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1) a
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey AS ck97, COUNT(*) AS n97 FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1) b
+      |  ON ck96 = ck97
+      |ORDER BY custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_market_revenue" -> q2MarketRevenue,
+    "q3_revenue_filter" -> q3RevenueFilter,
+    "q4_order_priority" -> q4OrderPriority,
+    "q5_nation_revenue" -> q5NationRevenue,
+    "q6_window_top_orders" -> q6WindowTopOrders,
+    "q7_running_total" -> q7RunningTotal,
+    "q8_rollup" -> q8Rollup,
+    "q9_intersect" -> q9Intersect,
+    "q10_except" -> q10Except,
+    "q11_distinct_counts" -> q11DistinctCounts,
+    "q12_case_agg" -> q12CaseAgg,
+    "q13_cust_distribution" -> q13CustDistribution,
+    "q14_anti_join" -> q14AntiJoin,
+    "q15_having" -> q15Having,
+    "q16_string_funcs" -> q16StringFuncs,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
+    "q18_big_orders" -> q18BigOrders,
+    "q19_monthly_revenue" -> q19MonthlyRevenue,
+    "q20_full_outer" -> q20FullOuter)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_market_revenue" -> q2Sql,
+    "q3_revenue_filter" -> q3Sql,
+    "q4_order_priority" -> q4Sql,
+    "q5_nation_revenue" -> q5Sql,
+    "q6_window_top_orders" -> q6Sql,
+    "q7_running_total" -> q7Sql,
+    "q8_rollup" -> q8Sql,
+    "q9_intersect" -> q9Sql,
+    "q10_except" -> q10Sql,
+    "q11_distinct_counts" -> q11Sql,
+    "q12_case_agg" -> q12Sql,
+    "q13_cust_distribution" -> q13Sql,
+    "q14_anti_join" -> q14Sql,
+    "q15_having" -> q15Sql,
+    "q16_string_funcs" -> q16Sql,
+    "q17_small_qty_revenue" -> q17Sql,
+    "q18_big_orders" -> q18Sql,
+    "q19_monthly_revenue" -> q19Sql,
+    "q20_full_outer" -> q20Sql)
+}
