@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.{CdcDecode, CdcEnrich}
+
+/** End-to-end streaming wiring (SURVEY.md §3.4): the reference's two-process
+  * subscriber→Kinesis→Lambda topology collapses into ONE Structured
+  * Streaming query:
+  *
+  *   source(offsets ≡ replayId) → decode → explode/dedupe
+  *     → route(enrich ⋈ snapshot ∪ tombstones) → to_json → keyed file sink
+  *
+  * Offset semantics: the reference's replay map (`ReplayExtension.java:39-75`)
+  * and resubscribe-on-reconnect (`EmpConnector.java:286-299`) are exactly
+  * Structured Streaming's checkpointed offset WAL + restart-from-checkpoint;
+  * `replayFrom = -2 / -1` ≡ `startingOffsets = earliest / latest`.
+  *
+  * Rate semantics: BATCH_SIZE/INTERVAL (`worker/template.yaml:59-60`) map to
+  * `maxOffsetsPerTrigger`-style source options + `Trigger.ProcessingTime`.
+  *
+  * Partitioning: the reference keys Kinesis by entityName
+  * (`KinesisExample.java:105-108`) and prefixes S3 with `sfdc-cdc/`
+  * (`worker/template.yaml:112`); here that is `partitionBy("entityName")`
+  * on the file sink — same layout, shuffle-free (the sink writes each
+  * task's rows into per-entity files without a repartition; add
+  * `.repartition($"entityName")` only if small-file pressure demands it at
+  * scale).
+  */
+object CdcPipeline {
+
+  /** Config mirroring the reference's env contract
+    * (`worker/lambda/app.py:42-45`, `worker/template.yaml:56-60`). */
+  final case class Config(
+      batchSize: Int = 50,
+      intervalSecs: Int = 1,
+      outputPrefix: String = "sfdc-cdc",
+      startingOffsets: String = "earliest")
+
+  /** Transform shared by batch and streaming: raw envelope JSON strings →
+    * routed output rows. `snapshot` is the static lookup side. */
+  def transform(rawJson: DataFrame, snapshot: DataFrame): DataFrame = {
+    val decoded = CdcDecode.decodeJson(rawJson, col("value"))
+    val changes = CdcDecode.explodeIds(decoded)
+    CdcEnrich(changes, snapshot)
+  }
+
+  /** Serialize to the sink shape: one JSON line per record (K2/K3), keyed
+    * by entity for the partitioned layout (K1). */
+  def toJsonLines(routed: DataFrame): DataFrame =
+    routed.select(
+      col("attributes.type").as("entityName"),
+      to_json(struct(routed.columns.map(col): _*)).as("value"))
+
+  /** Full streaming query: call `.start()` on the result. */
+  def writer(
+      rawJson: DataFrame,
+      snapshot: DataFrame,
+      outputDir: String,
+      checkpointDir: String,
+      config: Config = Config()): DataStreamWriter[Row] =
+    toJsonLines(transform(rawJson, snapshot))
+      .writeStream
+      .format("json")
+      .option("path", s"$outputDir/${config.outputPrefix}")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("entityName")
+      .trigger(Trigger.ProcessingTime(s"${config.intervalSecs} seconds"))
+      .outputMode("append")
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CdcDecode, CdcEnrich}
+import graft.streaming.CdcPipeline
+
+/** Per-operator + end-to-end specs for the CDC pipeline, covering the
+  * reference semantics catalogued in SURVEY.md §2 (T1-T9, D1, J1) including
+  * the quirk decisions Q1 (clean tombstone ids), Q2 (UIND = changeType
+  * verbatim), Q6 (dedupe scope = one event only). */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthesized envelope in the reference's wire shape (same schema as the
+    * decoded fixture at reference worker/events/event.json:8). */
+  def envelope(replayId: Long, entity: String, changeType: String,
+      ids: Seq[String], body: String = "\"Name\":\"Acme\","): String = {
+    val idList = ids.map(i => "\"" + i + "\"").mkString(",")
+    s"""{"schema":"fp_1","payload":{$body"ChangeEventHeader":{""" +
+      s""""commitNumber":109179514333,"commitUser":"005xx","sequenceNumber":1,""" +
+      s""""entityName":"$entity","changeType":"$changeType","changedFields":[],""" +
+      s""""changeOrigin":"com/test","transactionKey":"tk-$replayId",""" +
+      s""""commitTimestamp":1583300894000,"recordIds":[$idList]}},""" +
+      s""""event":{"replayId":$replayId}}"""
+  }
+
+  def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  lazy val snapshot =
+    Seq(("001A", "Alice Corp", 10.5), ("001B", "Bob Ltd", 20.0), ("001C", "Cy Inc", 7.25))
+      .toDF("Id", "Name", "Balance")
+
+  test("T1+T2+T3: base64 decode, envelope parse, header projection") {
+    val raw = Seq(b64(envelope(381, "Account", "CREATE", Seq("001A")))).toDF("data")
+    val d = CdcDecode.decodeBase64(raw, col("data")).collect().head
+    assert(d.getAs[String]("entityName") == "Account")
+    assert(d.getAs[String]("changeType") == "CREATE")
+    assert(d.getAs[Long]("replayId") == 381L)
+    assert(d.getAs[String]("schema_fingerprint") == "fp_1")
+    assert(d.getAs[java.sql.Timestamp]("commitTimestamp").getTime == 1583300894000L)
+    assert(d.getAs[scala.collection.Seq[String]]("recordIds").toSeq == Seq("001A"))
+    assert(d.getAs[String]("payload_json").contains("\"Name\":\"Acme\""))
+  }
+
+  test("D1: recordIds dedupe is first-seen order-preserving, per event (Q6)") {
+    val raw = Seq(
+      envelope(1, "Account", "UPDATE", Seq("001B", "001A", "001B", "001A")),
+      envelope(2, "Account", "UPDATE", Seq("001A"))).toDF("value")
+    val decoded = CdcDecode.decodeJson(raw, col("value"))
+    val perEvent = decoded.select("replayId", "recordIds").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(perEvent(1L) == Seq("001B", "001A")) // first-seen order
+    // Q6: cross-event duplicates are NOT deduped — replay 2 still carries 001A
+    assert(perEvent(2L) == Seq("001A"))
+    assert(CdcDecode.explodeIds(decoded).count() == 3)
+  }
+
+  test("T7+T9+J1: routing, tombstone shape (Q1 clean id), inner-join drop") {
+    val raw = Seq(
+      envelope(1, "Account", "CREATE", Seq("001A")),
+      envelope(2, "Account", "UPDATE", Seq("001B", "001MISSING")),
+      envelope(3, "Account", "DELETE", Seq("001C"))).toDF("value")
+    val changes = CdcDecode.explodeIds(CdcDecode.decodeJson(raw, col("value")))
+    val out = CdcEnrich(changes, snapshot)
+
+    val rows = out.collect()
+    assert(rows.length == 3) // 001MISSING silently dropped (inner-join semantics)
+
+    val byId = rows.map(r => r.getAs[String]("Id") -> r).toMap
+    // Q2: UIND passes changeType through verbatim — CREATE stays CREATE
+    assert(byId("001A").getAs[String]("UIND") == "CREATE")
+    assert(byId("001A").getAs[String]("Name") == "Alice Corp")
+    assert(byId("001B").getAs[String]("UIND") == "UPDATE")
+    assert(byId("001B").getAs[Double]("Balance") == 20.0)
+    // tombstone: clean id (Q1), null snapshot fields, attributes.type set
+    val tomb = byId("001C")
+    assert(tomb.getAs[String]("UIND") == "DELETE")
+    assert(tomb.getAs[org.apache.spark.sql.Row]("attributes").getAs[String]("type") == "Account")
+    assert(tomb.isNullAt(tomb.fieldIndex("Name")))
+  }
+
+  test("J1 is point-in-time: enrichment sees CURRENT snapshot state, not as-of") {
+    // two updates to the same id: both emit the (single) current state
+    val raw = Seq(
+      envelope(1, "Account", "UPDATE", Seq("001A")),
+      envelope(2, "Account", "UPDATE", Seq("001A"))).toDF("value")
+    val changes = CdcDecode.explodeIds(CdcDecode.decodeJson(raw, col("value")))
+    val names = CdcEnrich(changes, snapshot).select("Name").as[String].collect()
+    assert(names.toSeq == Seq("Alice Corp", "Alice Corp"))
+  }
+
+  test("end-to-end streaming: MemoryStream → decode → route/enrich → sink rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val routed = CdcPipeline.transform(stream.toDF(), snapshot)
+    val q = CdcPipeline.toJsonLines(routed)
+      .writeStream.format("memory").queryName("cdc_out").outputMode("append").start()
+    try {
+      stream.addData(
+        envelope(1, "Account", "CREATE", Seq("001A")),
+        envelope(2, "Account", "DELETE", Seq("001B")))
+      q.processAllAvailable()
+      val batch1 = spark.table("cdc_out").collect()
+      assert(batch1.length == 2)
+      val vals = batch1.map(_.getAs[String]("value")).sorted
+      assert(vals.exists(v => v.contains("\"UIND\":\"CREATE\"") && v.contains("Alice Corp")))
+      assert(vals.exists(v => v.contains("\"UIND\":\"DELETE\"") && v.contains("\"Id\":\"001B\"")))
+      assert(batch1.forall(_.getAs[String]("entityName") == "Account"))
+
+      // incremental micro-batch: only new offsets processed
+      stream.addData(envelope(3, "Account", "UPDATE", Seq("001C")))
+      q.processAllAvailable()
+      assert(spark.table("cdc_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("typedBody: catalog re-typing of the dynamic payload (§1.3)") {
+    import org.apache.spark.sql.types._
+    val reg = new graft.model.EntitySchemaRegistry
+    reg.register("Account", StructType(Seq(StructField("Name", StringType))))
+    val raw = Seq(envelope(1, "Account", "CREATE", Seq("001A"))).toDF("value")
+    val d = CdcDecode.typedBody(CdcDecode.decodeJson(raw, col("value")), "Account", reg)
+    assert(d.select("body.Name").as[String].collect().head == "Acme")
+  }
+}
