@@ -1,0 +1,196 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` fixture (FIXTURES.md §B): per-document statistics, heuristic
+  * language ID, token counting, quality scoring, and content fingerprinting.
+  *
+  * The reference (nickksun/sfdc-cdc-aws) has no text operators — this module
+  * is part of the engine's LLM-data north star (SURVEY.md §7.1 step 7).
+  *
+  * Scale posture (100 TB): every operator here is a pure per-row map
+  * (columnar, no UDFs, no shuffle except the final small aggregate), so it
+  * scales linearly with input splits. Oracle parity: all derived doubles are
+  * ratios of exact integers computed in the identical operation order as the
+  * DuckDB SQL, so values are bit-identical.
+  */
+object TextAnalysis {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Whitespace word list — the shared tokenizer of this module. */
+  private val words: Column = split(col("text"), " ")
+
+  /** Per-source corpus statistics: document/word/char volumes and
+    * type-token-ish ratios. One map pass + a tiny hash aggregate. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("source"),
+        col("n_chars"),
+        size(words).cast(LongType).as("nw"),
+        size(array_distinct(words)).cast(LongType).as("ndw"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(col("ndw")).as("total_distinct_words"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        max(col("nw")).as("max_words"),
+        min(col("nw")).as("min_words"))
+      .orderBy(col("source"))
+
+  val textStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text,' '))) AS total_words,
+      |  SUM(len(list_distinct(string_split(text,' ')))) AS total_distinct_words,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  MAX(len(string_split(text,' '))) AS max_words,
+      |  MIN(len(string_split(text,' '))) AS min_words
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Heuristic language ID: stopword-marker voting (the classic fast n-gram
+    * LID reduced to its word-marker core — deterministic and engine-portable;
+    * a production LID would load larger char-n-gram profiles the same way).
+    * Emits the confusion matrix of predicted vs labeled language. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      size(filter(words, w => markers.map(w === _).reduce(_ || _))).cast(LongType)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val es = hits(Seq("el", "la", "de", "que"))
+    val fr = hits(Seq("le", "les", "des", "une"))
+    val de = hits(Seq("der", "und", "die", "nicht"))
+    val best = greatest(en, es, fr, de)
+    val pred = when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("de"))
+    t(spark, dir, "documents")
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langIdSql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text,' '), w -> w='the' OR w='and' OR w='of' OR w='is')) AS en,
+      |    len(list_filter(string_split(text,' '), w -> w='el' OR w='la' OR w='de' OR w='que')) AS es,
+      |    len(list_filter(string_split(text,' '), w -> w='le' OR w='les' OR w='des' OR w='une')) AS fr,
+      |    len(list_filter(string_split(text,' '), w -> w='der' OR w='und' OR w='die' OR w='nicht')) AS de
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN greatest(en,es,fr,de)=0 THEN 'und'
+      |       WHEN en=greatest(en,es,fr,de) THEN 'en'
+      |       WHEN es=greatest(en,es,fr,de) THEN 'es'
+      |       WHEN fr=greatest(en,es,fr,de) THEN 'fr'
+      |       ELSE 'de' END AS pred_lang,
+      |  COUNT(*) AS n_docs
+      |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation — the pre-tokenizer
+    * split most BPE vocabularies assume). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("source"),
+        size(words).cast(LongType).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast(LongType)
+          .as("re_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        (sum(col("re_tokens")).cast(DoubleType) / count(lit(1))).as("avg_re_tokens"))
+      .orderBy(col("source"))
+
+  val tokenCountSql: String =
+    """SELECT source,
+      |  SUM(len(string_split(text,' '))) AS total_ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_re_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE) / COUNT(*) AS avg_re_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Quality scoring: a deterministic composite of length saturation and
+    * lexical diversity, banded for filtering decisions. The score arithmetic
+    * (int-derived doubles, fixed operation order) is bit-identical across
+    * engines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(words).cast(DoubleType)
+    val ndw = size(array_distinct(words)).cast(DoubleType)
+    val score = least(nw / lit(80.0), lit(1.0)) * lit(0.5) + (ndw / nw) * lit(0.5)
+    val band = when(score >= 0.6, lit("high"))
+      .when(score >= 0.45, lit("medium"))
+      .otherwise(lit("low"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), score.as("quality"), band.as("band"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("quality")) / count(lit(1))).as("avg_quality"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .orderBy(col("band"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 80.0, 1.0) * 0.5 +
+      |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+      |     CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5 AS quality
+      |  FROM documents)
+      |SELECT CASE WHEN quality >= 0.6 THEN 'high'
+      |            WHEN quality >= 0.45 THEN 'medium'
+      |            ELSE 'low' END AS band,
+      |  COUNT(*) AS n_docs,
+      |  SUM(quality) / COUNT(*) AS avg_quality,
+      |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+      |FROM q GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** Content fingerprinting: a full-text digest plus a winnowing-style
+    * minimum over strided character-8-gram digests (the rolling-hash
+    * fingerprint family; md5 stands in for the rolling hash so the oracle
+    * computes the identical value — lexicographic min over fixed-width hex
+    * equals numeric min). Pure map; emits one fingerprint row per doc. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val gramHashes = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4)),
+      i => md5(col("text").substr(i, lit(8))))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        array_min(gramHashes).as("fp_min_gram"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_full,
+      |  list_aggregate(list_transform(generate_series(1, greatest(length(text)-7, 1), 4),
+      |    i -> md5(substr(text, i, 8))), 'min') AS fp_min_gram
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx1_text_stats" -> textStats,
+    "tx2_lang_id" -> langId,
+    "tx3_token_count" -> tokenCount,
+    "tx4_quality_score" -> qualityScore,
+    "tx5_fingerprint" -> fingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "tx1_text_stats" -> textStatsSql,
+    "tx2_lang_id" -> langIdSql,
+    "tx3_token_count" -> tokenCountSql,
+    "tx4_quality_score" -> qualityScoreSql,
+    "tx5_fingerprint" -> fingerprintSql)
+}
