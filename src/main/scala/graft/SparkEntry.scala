@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llmdata.TextAnalysis
+import graft.llmdata.{Dedup, Similarity, TextAnalysis}
 import graft.relational.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,10 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextAnalysis.oracle
+    Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
+      Similarity.oracle
 }

@@ -1,0 +1,353 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` and `embeddings` fixtures: exact, normalized-key, MinHash+LSH,
+  * SimHash banding, inverted-index n-gram Jaccard, and embedding-cosine
+  * near-dup. Part of the engine's LLM-data surface (SURVEY.md §7.1 step 7);
+  * the reference itself only dedupes record ids within one CDC event
+  * (SURVEY.md §2.3 D1 — `/root/reference/worker/lambda/app.py:64-72`).
+  *
+  * Scale posture (100 TB): no O(n²) pass except the explicitly-labelled
+  * exact baseline [[embeddingNearDup]]. Candidate generation is always a
+  * key-equality shuffle join (LSH band hash, SimHash block, shared shingle)
+  * so Spark partitions by the join key and each executor only sees its
+  * bucket; the expensive exact verification runs on candidates only.
+  *
+  * Oracle parity: hashes are md5 hex (identical string in both engines;
+  * lexicographic min over fixed-width hex == numeric min), set sizes are
+  * ints, and similarity ratios are int-derived doubles computed in the same
+  * operation order — all bit-identical vs DuckDB.
+  */
+object Dedup {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Distinct word-bigram shingles of a document. */
+  private def bigrams(w: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+
+  /** Distinct word-trigram shingles. */
+  private def trigrams(w: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup summary: content-hash groupBy. At scale this is one
+    * shuffle on the 32-byte digest (never on the document body). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keep_id"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("copies")).as("n_docs"),
+        (sum(col("copies")) - count(lit(1))).as("n_removed"))
+
+  val exactDedupSql: String =
+    """SELECT COUNT(*) AS n_unique, SUM(copies) AS n_docs,
+      |  SUM(copies) - COUNT(*) AS n_removed
+      |FROM (SELECT md5(text) AS content_hash, COUNT(*) AS copies,
+      |        MIN(doc_id) AS keep_id
+      |      FROM documents GROUP BY 1)""".stripMargin
+
+  /** Normalized-key dedup: key = digest of the sorted distinct word set
+    * (bag-of-words normalization). Keeps the lowest doc_id per group. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(concat_ws(" ", array_sort(array_distinct(words)))).as("norm_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .select(col("keep_id"), col("group_size"), col("norm_key"))
+      .orderBy(col("keep_id"))
+
+  val normalizedDedupSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size, norm_key
+      |FROM (SELECT doc_id,
+      |        md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS norm_key
+      |      FROM documents)
+      |GROUP BY norm_key ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------- MinHash+LSH
+
+  /** Number of MinHash functions and LSH banding (6 bands × 2 rows):
+    * catch probability at J=0.5 is 1-(1-0.25)^6 ≈ 0.82, at J=0.8 ≈ 0.999;
+    * background pairs (J≈0.05) almost never collide. */
+  private val NumHashes = 12
+  private val BandRows = 2
+  private val NumBands = NumHashes / BandRows
+  private val MinhashJaccardThreshold = 0.35
+
+  /** MinHash signature: per seed, the minimum md5 over shingles of the
+    * seed-tagged shingle (`md5(seed || ':' || gram)`). */
+  private def minhashSig(grams: Column): Seq[Column] =
+    (0 until NumHashes).map { s =>
+      array_min(transform(grams, g => md5(concat(lit(s.toString), lit(":"), g))))
+    }
+
+  /** MinHash + LSH near-dup pairs: sign → band → bucket-join candidates →
+    * exact bigram-Jaccard verification. The only shuffles are the band-hash
+    * self-join and the two candidate→signature lookups; all are key-equality
+    * joins that AQE can re-plan on skewed buckets. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), bigrams(words).as("grams"))
+    val sig = docs.select(col("doc_id"), col("grams"), array(minhashSig(col("grams")): _*).as("sig"))
+    val bandHashes = array((0 until NumBands).map { b =>
+      md5(concat((0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*))
+    }: _*)
+    val bands = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cands.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .filter(col("jaccard") >= MinhashJaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshSql: String = {
+    val sigList = (0 until NumHashes).map { s =>
+      s"list_aggregate(list_transform(g, x -> md5('$s:' || x)), 'min')"
+    }.mkString("[", ", ", "]")
+    val bandExprs = (0 until NumBands).map { b =>
+      s"md5(sig[${b * BandRows + 1}] || sig[${b * BandRows + 2}])"
+    }.mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-1),
+       |         i -> w[i] || ' ' || w[i+1])) AS g FROM w),
+       |sig AS (SELECT doc_id, g, $sigList AS sig FROM sh),
+       |bands AS (SELECT doc_id, band, $bandExprs[band+1] AS bh
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band)),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |  CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) AS jaccard
+       |FROM cands JOIN sh a ON cands.doc_a = a.doc_id
+       |           JOIN sh b ON cands.doc_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= $MinhashJaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over whitespace tokens (md5-derived bits, frequency
+    * weighted): pure per-row map — no shuffle at all. Emits the bit string
+    * per document. */
+  private def simhashBits: Column = {
+    val tokHash = transform(words, w => substring(md5(w), 1, 8))
+    val bitCols = (1 to 32).map { p =>
+      val ci = (p - 1) / 4 + 1 // hex char index, 1-based
+      val shift = 3 - (p - 1) % 4 // bit within nibble, MSB first
+      val vote = aggregate(col("_th"), lit(0L), (acc, h) => {
+        val nib = conv(substring(h, ci, 1), 16, 10).cast(LongType)
+        acc + when(pmod(shiftright(nib, shift), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))
+      })
+      when(vote > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bitCols: _*)
+  }
+
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs.withColumn("_th", transform(split(col("text"), " "), w => substring(md5(w), 1, 8)))
+      .withColumn("simhash", simhashBits)
+      .drop("_th")
+
+  /** Per-document SimHash signatures. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  val simhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, substr(md5(unnest(string_split(text,' '))), 1, 8) AS h
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, p,
+      |    SUM(CASE WHEN
+      |      floor((strpos('0123456789abcdef', substr(h, ((p-1)//4)+1, 1)) - 1)
+      |            // power(2, 3-((p-1)%4))) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS vote
+      |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,32)) AS p)
+      |  GROUP BY doc_id, p)
+      |SELECT doc_id,
+      |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: band the 32 bits into 4 blocks of 8; pairs
+    * agreeing on ≥1 block are candidates (pigeonhole: hamming ≤ 3 is always
+    * caught); verify hamming ≤ HammingMax. */
+  private val HammingMax = 3
+
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b => substring(col("simhash"), b * 8 + 1, 8)): _*))
+        .as(Seq("blk", "bv")))
+    val cands = blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sh_a"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("sh_b"))
+      .distinct()
+    val hamming = size(filter(sequence(lit(1), lit(32)),
+      i => col("sh_a").substr(i, lit(1)) =!= col("sh_b").substr(i, lit(1)))).cast(LongType)
+    cands.select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashNearDupSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, substr(md5(unnest(string_split(text,' '))), 1, 8) AS h
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, p,
+       |    SUM(CASE WHEN
+       |      floor((strpos('0123456789abcdef', substr(h, ((p-1)//4)+1, 1)) - 1)
+       |            // power(2, 3-((p-1)%4))) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,32)) AS p)
+       |  GROUP BY doc_id, p),
+       |sh AS (SELECT doc_id,
+       |         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+       |       FROM bits GROUP BY doc_id),
+       |blocks AS (SELECT doc_id, simhash, blk, substr(simhash, blk*8+1, 8) AS bv
+       |           FROM sh CROSS JOIN (SELECT unnest(generate_series(0,3)) AS blk)),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sh_a,
+       |                 y.doc_id AS doc_b, y.simhash AS sh_b
+       |          FROM blocks x JOIN blocks y
+       |            ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  len(list_filter(generate_series(1,32),
+       |    i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS hamming
+       |FROM cands
+       |WHERE len(list_filter(generate_series(1,32),
+       |    i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- n-gram Jaccard (exact)
+
+  private val TrigramJaccardThreshold = 0.1
+
+  /** Exact n-gram Jaccard dedup with inverted-index candidate generation:
+    * docs sharing ≥1 trigram shingle are candidates (a key-equality join on
+    * the shingle — the classic inverted index, shuffle-partitioned by
+    * shingle), then the exact Jaccard filter runs on candidates only. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), trigrams(words).as("grams"))
+    val inv = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val cands = inv.as("x").join(inv.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cands.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .filter(col("jaccard") >= TrigramJaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
+       |inv AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |  CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) AS jaccard
+       |FROM cands JOIN sh a ON cands.doc_a = a.doc_id
+       |           JOIN sh b ON cands.doc_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= $TrigramJaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  private val CosineThreshold = 0.4
+
+  /** Double-cast vector as a column (float32 → float64 BEFORE any
+    * arithmetic, so Spark and DuckDB do identical IEEE double ops). */
+  def vecD(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Left-fold dot product in index order — bit-identical across engines. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embedding near-dup pairs by cosine — the EXACT O(n²) baseline, kept
+    * deliberately as the ground truth the ANN path (Similarity.annLsh) is
+    * measured against. At 100 TB one runs the LSH variant; this one is for
+    * verification tiers and small slices. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  list_reduce(list_transform(generate_series(1,64), i -> a.v[i] * b.v[i]), (x,y) -> x+y) /
+       |  (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
+       |   sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_reduce(list_transform(generate_series(1,64), i -> a.v[i] * b.v[i]), (x,y) -> x+y) /
+       |      (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
+       |       sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> exactDedup,
+    "dd2_normalized_dedup" -> normalizedDedup,
+    "dd3_minhash_lsh" -> minhashLsh,
+    "dd4_simhash" -> simhash,
+    "dd5_simhash_neardup" -> simhashNearDup,
+    "dd6_ngram_jaccard" -> ngramJaccard,
+    "dd7_embedding_neardup" -> embeddingNearDup)
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" -> exactDedupSql,
+    "dd2_normalized_dedup" -> normalizedDedupSql,
+    "dd3_minhash_lsh" -> minhashLshSql,
+    "dd4_simhash" -> simhashSql,
+    "dd5_simhash_neardup" -> simhashNearDupSql,
+    "dd6_ngram_jaccard" -> ngramJaccardSql,
+    "dd7_embedding_neardup" -> embeddingNearDupSql)
+}

@@ -1,0 +1,219 @@
+package graft.llmdata
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` fixture (64-dim unit vectors):
+  * exact brute-force top-k as the ground-truth baseline, plus two scale
+  * paths — random-hyperplane LSH bucketing and an IVF-style coarse
+  * quantizer — that turn the O(n·q) scan into key-equality joins.
+  * LLM-data north star module (SURVEY.md §7.1 step 7).
+  *
+  * Scale posture (100 TB): the query set is broadcast (it is always small
+  * relative to the corpus); the corpus is never shuffled in ss1 (one scan +
+  * per-query top-k) and is shuffled only by bucket/cell key in ss2/ss3.
+  * Recall of the approximate paths vs the exact baseline is asserted in
+  * SimilaritySpec.
+  *
+  * Oracle parity: every float is cast to double BEFORE any arithmetic and
+  * every reduction is an index-ordered left fold, so Spark and DuckDB
+  * produce bit-identical doubles (see Dedup.dot/cosine).
+  */
+object Similarity {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Queries = vec_id < NumQueries; corpus = the rest. */
+  private val NumQueries = 10
+  private val TopK = 5
+  private val AnnTopK = 3
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), Dedup.vecD(col("embedding")).as("q"))
+
+  private val dotSql =
+    "list_reduce(list_transform(generate_series(1,64), i -> %s[i] * %s[i]), (x,y) -> x+y)"
+  private def cosSql(a: String, b: String): String = {
+    val d = dotSql.format(a, b)
+    val na = s"sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))"
+    val nb = s"sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y))"
+    s"$d / ($na * $nb)"
+  }
+
+  // ------------------------------------------------------ exact brute force
+
+  /** Exact top-k cosine neighbors per query: broadcast the query set, one
+    * scan of the corpus, per-query ranking. The ground truth for ss2/ss3. */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val scored = corpus(spark, dir).crossJoin(broadcast(queriesDf(spark, dir)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnBruteForceSql: String =
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+       |      FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("q", "v")} AS cos_sim
+       |           FROM c CROSS JOIN q)
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------- random-hyperplane LSH
+
+  private val NumHyperplanes = 8
+
+  /** Deterministic ±1 hyperplanes derived from md5("hp:<j>:<d>") — the same
+    * bytes any engine computes, so the oracle embeds identical constants. */
+  private[llmdata] val hyperplaneSigns: Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(NumHyperplanes, 64) { (j, d0) =>
+      val hex = md.digest(s"hp:$j:${d0 + 1}".getBytes(StandardCharsets.UTF_8))
+      // first hex nibble >= 8  <=>  top bit of first byte set
+      if ((hex(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  /** 8-bit LSH code of a (double-cast) vector column: sign pattern of the
+    * dot products with the fixed hyperplanes. Flat codegen-friendly
+    * arithmetic — no higher-order functions in this hot path. */
+  def lshCode(v: Column): Column = {
+    val bits = hyperplaneSigns.map { signs =>
+      val d = (1 to 64).map(i => lit(signs(i - 1)) * element_at(v, i)).reduce(_ + _)
+      when(d > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits.toIndexedSeq: _*)
+  }
+
+  private def lshCodeSql(v: String): String = {
+    val bits = hyperplaneSigns.map { signs =>
+      val lst = signs.mkString("[", ",", "]")
+      val d = s"list_reduce(list_transform(generate_series(1,64), i -> ($lst)[i] * $v[i]), (x,y) -> x+y)"
+      s"CASE WHEN $d > 0 THEN '1' ELSE '0' END"
+    }
+    bits.mkString(" || ")
+  }
+
+  /** ANN via LSH: bucket corpus and queries by 8-bit hyperplane code, rank
+    * only within the query's bucket. The corpus→bucket map is one pass; the
+    * search is a key-equality join on the code. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).withColumn("code", lshCode(col("v")))
+    val q = queriesDf(spark, dir).withColumn("code", lshCode(col("q")))
+    val scored = c.join(broadcast(q), "code")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annLshSql: String =
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |cc AS (SELECT vec_id, v, ${lshCodeSql("v")} AS code FROM c),
+       |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+       |      FROM embeddings WHERE vec_id < $NumQueries),
+       |qc AS (SELECT query_id, q, ${lshCodeSql("q")} AS code FROM q),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("q", "v")} AS cos_sim
+       |           FROM cc JOIN qc USING (code))
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= $AnnTopK ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------- IVF coarse quantizer
+
+  /** IVF-style ANN: coarse cells seeded by one exemplar per label (the
+    * lowest vec_id — deterministic, no float reduction across rows), every
+    * vector assigned to its nearest exemplar by cosine, queries search only
+    * their own cell. The two joins are broadcast (exemplars, queries). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val exemplarIds = t(spark, dir, "embeddings")
+      .groupBy(col("label").as("cell")).agg(min(col("vec_id")).as("exemplar_id"))
+    val exemplars = e.join(exemplarIds, e("vec_id") === exemplarIds("exemplar_id"))
+      .select(col("cell"), Dedup.vecD(col("embedding")).as("cv"))
+
+    def assign(df: DataFrame, vcol: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(exemplars))
+        .withColumn("cell_sim", Dedup.cosine(col(vcol), col("cv")))
+      val w = Window.partitionBy(col(s"_rid"))
+        .orderBy(col("cell_sim").desc, col("cell"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn", "cell_sim", "cv")
+    }
+
+    val c = assign(corpus(spark, dir).withColumn("_rid", col("vec_id")), "v")
+    val q = assign(queriesDf(spark, dir).withColumn("_rid", col("query_id")), "q")
+    val scored = c.join(broadcast(q.drop("_rid")), "cell")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |ex AS (SELECT label AS cell, v AS cv FROM e
+       |       WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)),
+       |ca AS (SELECT vec_id, v, cell FROM (
+       |         SELECT e.vec_id, e.v, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex WHERE e.vec_id >= $NumQueries) x WHERE rn = 1),
+       |qa AS (SELECT query_id, q, cell FROM (
+       |         SELECT e.vec_id AS query_id, e.v AS q, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex WHERE e.vec_id < $NumQueries) x WHERE rn = 1),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("q", "v")} AS cos_sim
+       |           FROM ca JOIN qa USING (cell))
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= $AnnTopK ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss1_knn_brute_force" -> knnBruteForce,
+    "ss2_ann_lsh" -> annLsh,
+    "ss3_ann_ivf" -> annIvf)
+
+  val oracle: Map[String, String] = Map(
+    "ss1_knn_brute_force" -> knnBruteForceSql,
+    "ss2_ann_lsh" -> annLshSql,
+    "ss3_ann_ivf" -> annIvfSql)
+}

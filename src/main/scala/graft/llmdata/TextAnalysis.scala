@@ -136,7 +136,11 @@ object TextAnalysis {
       .groupBy(col("band"))
       .agg(
         count(lit(1)).as("n_docs"),
-        (sum(col("quality")) / count(lit(1))).as("avg_quality"),
+        // Sum nano-scaled integers so the average is independent of
+        // partial-aggregation order (a raw double sum is only accidentally
+        // stable on a single split).
+        ((sum(round(col("quality") * lit(1e9)).cast(LongType)).cast(DoubleType) /
+          count(lit(1))) / lit(1e9)).as("avg_quality"),
         min(col("quality")).as("min_quality"),
         max(col("quality")).as("max_quality"))
       .orderBy(col("band"))
@@ -153,7 +157,7 @@ object TextAnalysis {
       |            WHEN quality >= 0.45 THEN 'medium'
       |            ELSE 'low' END AS band,
       |  COUNT(*) AS n_docs,
-      |  SUM(quality) / COUNT(*) AS avg_quality,
+      |  (CAST(SUM(CAST(round(quality * 1000000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*)) / 1000000000.0 AS avg_quality,
       |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
       |FROM q GROUP BY 1 ORDER BY band""".stripMargin
 
