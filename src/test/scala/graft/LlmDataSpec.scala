@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmdata.{Dedup, Similarity, TextAnalysis}
+
+/** Semantic invariants of the LLM-data operators (the DuckDB oracle gate
+  * checks engine parity; these check the operators mean what they claim). */
+class LlmDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup: exact summary is consistent and lossless on a dup-free corpus") {
+    val r = Dedup.exactDedup(spark, sf()).collect().head
+    assert(r.getAs[Long]("n_docs") == 500L)
+    assert(r.getAs[Long]("n_unique") + r.getAs[Long]("n_removed") == r.getAs[Long]("n_docs"))
+  }
+
+  test("dedup: minhash-LSH pairs are real near-dups and symmetric-free") {
+    val pairs = Dedup.minhashLsh(spark, sf()).collect()
+    assert(pairs.nonEmpty, "LSH should surface the planted near-dup pairs")
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("doc_a") < p.getAs[Long]("doc_b"))
+      assert(p.getAs[Double]("jaccard") >= 0.35 && p.getAs[Double]("jaccard") <= 1.0)
+    }
+  }
+
+  test("dedup: minhash-LSH achieves high recall vs exhaustive ngram-jaccard") {
+    // exhaustive bigram-jaccard ground truth at the same threshold
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text")
+    val grams = docs.select($"doc_id",
+      array_distinct(expr(
+        "transform(sequence(1, size(split(text,' '))-1), " +
+          "i -> concat(element_at(split(text,' '), i), ' ', element_at(split(text,' '), i+1)))"))
+        .as("g"))
+    val truth = grams.as("a").join(grams.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        (size(array_intersect($"a.g", $"b.g")).cast("double") /
+          size(array_union($"a.g", $"b.g")).cast("double")).as("j"))
+      .filter($"j" >= 0.35)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashLsh(spark, sf())
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(found.subsetOf(truth), "LSH+verify must not emit false positives")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${found.size}/${truth.size})")
+  }
+
+  test("dedup: simhash bit strings are 32 bits and stable across invocation") {
+    val a = Dedup.simhash(spark, sf()).collect()
+    val b = Dedup.simhash(spark, sf()).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getAs[String]("simhash").matches("[01]{32}")))
+  }
+
+  test("similarity: ANN results are never better than the exact baseline") {
+    val exact = Similarity.knnBruteForce(spark, sf())
+      .filter($"rank" === 1).select($"query_id", $"cos_sim".as("best")).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("best")).toMap
+    for (ann <- Seq(Similarity.annLsh(spark, sf()), Similarity.annIvf(spark, sf()))) {
+      val rows = ann.collect()
+      assert(rows.nonEmpty)
+      rows.filter(_.getAs[Long]("rank") == 1).foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        assert(r.getAs[Double]("cos_sim") <= exact(q) + 1e-12)
+      }
+    }
+  }
+
+  test("similarity: IVF recall@3 vs exact top-3 is useful") {
+    val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf3 = Similarity.annIvf(spark, sf())
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact3 & ivf3).size.toDouble / exact3.size
+    assert(recall >= 0.3, s"IVF recall@3 = $recall")
+  }
+
+  test("text: fingerprints are content-determined (equal text <=> equal fp)") {
+    val fp = TextAnalysis.fingerprint(spark, sf())
+    assert(fp.select("fp_full").distinct().count() == fp.count())
+    assert(fp.collect().forall(_.getAs[String]("fp_full").length == 32))
+  }
+}
