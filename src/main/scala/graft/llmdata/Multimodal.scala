@@ -1,0 +1,151 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
+  * plus partition-batched decode / feature-extract / resize / frame-sample
+  * operators. LLM-data north star module (SURVEY.md §7.1 step 7).
+  *
+  * The container has no image/audio codecs, so the DECODE step itself is a
+  * deterministic stand-in ([[StubCodec]]) — clearly marked; everything
+  * around it (binary column carriage, schema, partition-batched execution,
+  * feature schema) is the real Spark plumbing a codec would plug into.
+  *
+  * Scale posture (100 TB): media bytes never pass through a shuffle — all
+  * operators are per-partition maps; metadata-only queries project the
+  * binary column away so the parquet scan prunes it (check ReadSchema).
+  */
+object Multimodal {
+
+  /** One media object: opaque bytes + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      content: Array[Byte])
+
+  /** Extracted features (what a real codec would emit). */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int, // fake dims derived from content, deterministic
+      height: Int,
+      n_frames: Int,
+      mean_byte: Double)
+
+  /** STUB CODEC — deterministic stand-in for image/audio decode. A real
+    * deployment swaps `decode` for e.g. javax.imageio / ffmpeg bindings;
+    * the call shape (bytes → features, executed inside mapPartitions with
+    * per-partition reuse of the "decoder") is the part under test. */
+  object StubCodec {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.content.length
+      val w = 16 + (if (n == 0) 0 else java.lang.Byte.toUnsignedInt(r.content(0)) % 64)
+      val h = 16 + (if (n < 2) 0 else java.lang.Byte.toUnsignedInt(r.content(1)) % 64)
+      val frames = if (r.kind == "video") 1 + n / 64 else 1
+      var s = 0L
+      var i = 0
+      while (i < n) { s += java.lang.Byte.toUnsignedInt(r.content(i)); i += 1 }
+      MediaFeatures(r.media_id, r.kind, n.toLong, w, h, frames,
+        if (n == 0) 0.0 else s.toDouble / n)
+    }
+  }
+
+  /** Synthesize a media table from the documents fixture: text bytes stand
+    * in for encoded media; kind cycles by id. (No media fixtures ship with
+    * the testdata — the binary-column plumbing is what matters.) */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
+      col("text").cast(BinaryType).as("content"))
+
+  /** Partition-batched decode: the canonical pattern for codec UDFs — one
+    * `mapPartitions` so any expensive decoder state is initialized once per
+    * partition, not per row. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (e.g. native codec handle)
+      it.map(StubCodec.decode)
+    }
+  }
+
+  /** "Resize": truncate-or-keep the payload to `maxBytes` — the byte-level
+    * analogue of image downscale, as a pure column op (no JVM round-trip). */
+  def resize(media: DataFrame, maxBytes: Int): DataFrame =
+    media.withColumn("content",
+      when(octet_length(col("content")) > maxBytes,
+        substring(col("content"), 1, maxBytes)).otherwise(col("content")))
+
+  /** Frame sampling: every `stride`-th byte as a one-byte "frame" — the
+    * plumbing shape of video frame extraction (array out of binary). */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.withColumn("frames",
+      transform(
+        sequence(lit(1), greatest(floor(octet_length(col("content")) / stride), lit(1))
+          .cast(IntegerType)),
+        i => col("content").substr((i - 1) * stride + 1, lit(1))))
+
+  // ------------------------------------------------------- oracle queries
+
+  /** Metadata-only scan over the media table: byte sizes and header bytes
+    * per kind. The binary payload feeds octet_length/header only — at scale
+    * with real parquet media columns, the scan prunes everything else. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("kind"),
+        octet_length(col("content")).cast(LongType).as("n_bytes"),
+        lower(hex(substring(col("content"), 1, 4))).as("header"))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        countDistinct(col("header")).as("n_headers"))
+      .orderBy(col("kind"))
+
+  val binaryMetaSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    CAST(text AS BLOB) AS content,
+      |    lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS header
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n_media,
+      |  SUM(octet_length(content)) AS total_bytes,
+      |  MIN(octet_length(content)) AS min_bytes,
+      |  MAX(octet_length(content)) AS max_bytes,
+      |  COUNT(DISTINCT header) AS n_headers
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Decode + aggregate via the partition-batched stub codec. Not
+    * SQL-expressible (mapPartitions) → no oracle entry; the driver records
+    * a rows-only check and MultimodalSpec asserts the feature values. */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir).as[MediaRecord]
+    decodeFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"),
+        sum(col("n_frames").cast(LongType)).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_binary_meta" -> binaryMeta,
+    "mm2_feature_extract" -> featureExtract)
+
+  /** mm2 has no SQL equivalent (mapPartitions codec path). */
+  val oracle: Map[String, String] = Map(
+    "mm1_binary_meta" -> binaryMetaSql)
+}

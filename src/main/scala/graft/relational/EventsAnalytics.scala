@@ -1,0 +1,145 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` fixture — the batch twins of
+  * the streaming operators in graft.streaming (Spark's unified API runs the
+  * identical plan over readStream): tumbling-window aggregation, gap-based
+  * sessionization, and dynamic-JSON property extraction (the same
+  * schema-on-read pattern as the CDC payload body, SURVEY.md §1.3).
+  *
+  * Oracle parity: timestamps never appear raw in output (epoch millis or
+  * DATE casts only); double sums go through DECIMAL.
+  */
+object EventsAnalytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Tumbling 1-day windows per event type: the batch form of
+    * `groupBy(window($"ts", "1 day"), $"event_type")`. */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  val tumblingWindowSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag + cumulative
+    * session counter — one shuffle on user_id that both window passes
+    * reuse. The streaming twin is flatMapGroupsWithState (EventSessionize).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    val withGap = t(spark, dir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    withGap
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("end_ms") - col("start_ms")).as("total_session_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ms,
+      |    SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM g),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MIN(ms) AS start_ms, MAX(ms) AS end_ms
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  MAX(n_events) AS max_session_events,
+      |  SUM(end_ms - start_ms) AS total_session_ms
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Dynamic JSON property extraction — `props` is schema-on-read exactly
+    * like the CDC entity body: get_json_object pulls a typed field out. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Top event per user-day by value (dedup-to-best, a common training-data
+    * reduction): window rank over (user, day). */
+  def topEventPerUserDay(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), date_trunc("day", col("ts")))
+      .orderBy(col("value").desc, col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val topEventPerUserDaySql: String =
+    """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  event_id, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id, date_trunc('day', ts)
+      |        ORDER BY value DESC, event_id) AS rn
+      |      FROM events) x
+      |WHERE rn = 1 ORDER BY user_id, day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev1_tumbling_window" -> tumblingWindow,
+    "ev2_sessionize" -> sessionize,
+    "ev3_json_props" -> jsonProps,
+    "ev4_top_event_per_user_day" -> topEventPerUserDay)
+
+  val oracle: Map[String, String] = Map(
+    "ev1_tumbling_window" -> tumblingWindowSql,
+    "ev2_sessionize" -> sessionizeSql,
+    "ev3_json_props" -> jsonPropsSql,
+    "ev4_top_event_per_user_day" -> topEventPerUserDaySql)
+}

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -15,8 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
+    // nanos (spark.sql.legacy.parquet.nanosAsLong=true, set by every
+    // session builder in this project); surface it as a micros timestamp,
+    // which is exactly what DuckDB's reader yields for the same file.
+    // DIV is integral (no double round-trip — ns values exceed 2^53).
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case None => df
+    }
+  }
 
   /** Register every fixture as a temp view so `spark.sql` text stays
     * close to the DuckDB oracle dialect. Idempotent. */
