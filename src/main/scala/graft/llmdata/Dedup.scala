@@ -304,7 +304,15 @@ object Dedup {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composable higher-order-function form — kept as the readable reference
+    * implementation and the A/B baseline for the native expression. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen expression (bit-identical to
+    * [[cosineHof]] — same widen-to-double, same left-to-right accumulation
+    * — but runs inside WholeStageCodegen instead of interpreted lambdas). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Embedding near-dup pairs by cosine — the EXACT O(n²) baseline, kept
     * deliberately as the ground truth the ANN path (Similarity.annLsh) is

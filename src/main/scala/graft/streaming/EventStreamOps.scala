@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch event analytics (EventsAnalytics): the same
+  * logical operations expressed over an unbounded source. The reference has
+  * no aggregations at all (SURVEY.md §2.7); these are the idiomatic-Spark
+  * upgrades its architecture points at — watermarked window aggregation and
+  * custom session state via flatMapGroupsWithState.
+  *
+  * Scale posture: windowed aggregation shuffles once on (window, type) with
+  * partial aggregation map-side; session state is partitioned by user_id
+  * and lives in the state store (RocksDB at scale), so state size is
+  * O(active users), not O(events).
+  */
+object EventStreamOps {
+
+  /** Watermarked tumbling-window counts per event type. Late events beyond
+    * the watermark are dropped — the documented divergence from the
+    * reference's accept-everything posture (SURVEY.md §2.7). */
+  def windowedCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, nEvents: Long)
+
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** Gap-based streaming sessionization: one state entry per user; a
+    * session closes either when a later event opens the next one or when
+    * the EVENT-TIME timeout fires (watermark passes last-event + gap).
+    * Event-time timeout means batches only run when data arrives — no
+    * empty-batch spin — and session closure is replay-deterministic
+    * (batch twin: EventsAnalytics.sessionize). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.last, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close via watermark once the gap has provably elapsed
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmdata.Multimodal
+import graft.llmdata.Multimodal.MediaRecord
+
+/** Multimodal plumbing: binary carriage, stub-codec decode, resize, frame
+  * sampling. The codec itself is a deterministic stand-in (no image libs in
+  * this environment); these tests pin the plumbing semantics. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Seq(
+    MediaRecord(1L, "image", Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)),
+    MediaRecord(2L, "video", "x".getBytes.flatMap(b => Array.fill(130)(b)),
+    ), MediaRecord(3L, "audio", Array.empty[Byte])).toDS()
+
+  test("decodeFeatures: deterministic stub decode via mapPartitions") {
+    val f = Multimodal.decodeFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).n_bytes == 8L)
+    assert(f(1L).width == 16 + 10 % 64 && f(1L).height == 16 + 20 % 64)
+    assert(f(1L).n_frames == 1)
+    assert(f(2L).n_frames == 1 + 130 / 64) // video: frame per 64 bytes
+    assert(f(3L).n_bytes == 0L && f(3L).mean_byte == 0.0)
+  }
+
+  test("resize caps payload size, keeps smaller payloads intact") {
+    val out = Multimodal.resize(media.toDF(), maxBytes = 16)
+      .select($"media_id", octet_length($"content")).as[(Long, Int)].collect().toMap
+    assert(out(1L) == 8 && out(2L) == 16 && out(3L) == 0)
+  }
+
+  test("sampleFrames emits one frame per stride bytes") {
+    val out = Multimodal.sampleFrames(media.toDF().filter($"media_id" === 2L), stride = 13)
+      .select(size($"frames")).as[Int].collect().head
+    assert(out == 10) // 130 bytes / 13
+  }
+
+  test("media table from fixtures: binary column + metadata query agree") {
+    val meta = Multimodal.binaryMeta(spark, sf()).collect()
+    assert(meta.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
+    assert(meta.map(_.getAs[Long]("n_media")).sum == 500L)
+  }
+}
