@@ -1,0 +1,245 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftColumn}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM helpers shared by the native text-hash expressions and the generated
+  * code (static calls keep the expressions inside WholeStageCodegen without
+  * inlining the md5 loops into generated Java). Semantics are EXACTLY the
+  * composable-column forms they replace (md5 hex, lexicographic min,
+  * MSB-first bits) so results stay bit-identical with the DuckDB oracles.
+  */
+object TextHashUtil {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5(): MessageDigest = MessageDigest.getInstance("MD5")
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 32-bit SimHash over the token array: per token, the first 4 bytes of
+    * md5(token) vote bit-wise (MSB first); emits the '0'/'1' bit string.
+    * Identical to: per p in 1..32, sum over tokens of ±1 from the p-th bit
+    * of the first 8 hex chars of md5(token). */
+  def simhash32(tokens: ArrayData): UTF8String = {
+    val votes = new Array[Int](32)
+    val d = md5()
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        d.reset()
+        val h = d.digest(tokens.getUTF8String(t).getBytes)
+        var p = 0
+        while (p < 32) {
+          val bit = (h(p / 8) >> (7 - p % 8)) & 1
+          votes(p) += (if (bit == 1) 1 else -1)
+          p += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Byte](32)
+    var p = 0
+    while (p < 32) {
+      out(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** MinHash signature: element s is min over grams of
+    * md5(s + ":" + gram) as hex (lexicographic min == numeric min on
+    * fixed-width hex). */
+  def minhashSig(grams: ArrayData, numHashes: Int): ArrayData = {
+    val d = md5()
+    val mins = new Array[String](numHashes)
+    val n = grams.numElements()
+    var s = 0
+    while (s < numHashes) {
+      val prefix = (s.toString + ":").getBytes(StandardCharsets.US_ASCII)
+      var best: String = null
+      var g = 0
+      while (g < n) {
+        if (!grams.isNullAt(g)) {
+          d.reset()
+          d.update(prefix)
+          val hex = toHex(d.digest(grams.getUTF8String(g).getBytes))
+          if (best == null || hex.compareTo(best) < 0) best = hex
+        }
+        g += 1
+      }
+      mins(s) = best
+      s += 1
+    }
+    new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)))
+  }
+
+  /** Count of positions where the (equal-length) strings differ; compares
+    * raw UTF-8 bytes — exact for the ASCII bit strings it is used on. */
+  def hamming(a: UTF8String, b: UTF8String): Long = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var d = math.abs(ab.length - bb.length).toLong
+    var i = 0
+    while (i < n) {
+      if (ab(i) != bb(i)) d += 1
+      i += 1
+    }
+    d
+  }
+
+  /** Jaccard similarity of two distinct-element string arrays. */
+  def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) set.add(a.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    var j = 0
+    while (j < nb) {
+      if (!b.isNullAt(j) && set.contains(b.getUTF8String(j))) inter += 1
+      j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+/** Native 32-bit SimHash of a token array — replaces 32 interpreted
+  * `aggregate` higher-order calls per row with one JVM loop (SURVEY.md §7.3
+  * rationale; bit parity asserted by the dd4/dd5 oracle checks). */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextHashUtil.simhash32(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashUtil.simhash32($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Native MinHash signature of a shingle array (k seed-tagged md5 minima).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(grams: Any): Any =
+    TextHashUtil.minhashSig(grams.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextHashUtil.minhashSig($a, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Native hamming distance between equal-length strings (bit strings here).
+  * Replaces `size(filter(sequence(1,n), i -> substr(a,i,1) <> substr(b,i,1)))`
+  * — per-character interpreted lambdas over millions of candidate pairs. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashUtil.hamming($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Jaccard similarity of two distinct-element string arrays:
+  * |A∩B| / (|A|+|B|-|A∩B|) in one hash-set pass — identical integer counts
+  * (and the identical final double division) as
+  * `size(array_intersect)/size(array_union)` on distinct inputs. */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"jaccard requires (array<string>, array<string>), got " +
+        s"${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.jaccardDistinct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashUtil.jaccardDistinct($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points. */
+object TextHashFunctions {
+  def simhash32(tokens: Column): Column =
+    GraftColumn.of(SimHash32(GraftColumn.expr(tokens)))
+  def minhashSig(grams: Column, numHashes: Int): Column =
+    GraftColumn.of(MinHashSignature(GraftColumn.expr(grams), numHashes))
+  def hamming(a: Column, b: Column): Column =
+    GraftColumn.of(HammingDistance(GraftColumn.expr(a), GraftColumn.expr(b)))
+  def jaccard(a: Column, b: Column): Column =
+    GraftColumn.of(JaccardSimilarity(GraftColumn.expr(a), GraftColumn.expr(b)))
+}

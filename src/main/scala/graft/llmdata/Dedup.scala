@@ -31,19 +31,31 @@ object Dedup {
 
   private val words: Column = split(col("text"), " ")
 
-  /** Distinct word-bigram shingles of a document. */
+  /** Distinct word-bigram shingles of a document. IMPORTANT: `w` must be a
+    * materialized array column, not the `split(...)` expression itself —
+    * Spark re-evaluates a non-trivial lambda-referenced expression on every
+    * `element_at`, turning shingling O(words²) per row (measured 8× the
+    * whole-query cost at sf0.1). */
   private def bigrams(w: Column): Column =
     array_distinct(transform(sequence(lit(1), size(w) - 1),
       i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
 
-  /** Distinct word-trigram shingles. */
+  /** Distinct word-trigram shingles (same materialization caveat). */
   private def trigrams(w: Column): Column =
     array_distinct(transform(sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
 
+  /** documents → (doc_id, grams): words materialized once, then shingled. */
+  private def gramsOf(df: DataFrame, n: Int): DataFrame = {
+    val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
+    df.withColumn("_w", words).select(col("doc_id"), sh.as("grams"))
+  }
+
+  /** Exact Jaccard on distinct shingle arrays — native one-pass expression
+    * (same counts and division as size(array_intersect)/size(array_union),
+    * which interpreted to two hash-set builds per candidate pair). */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) /
-      size(array_union(a, b)).cast(DoubleType)
+    graft.functions.TextHashFunctions.jaccard(a, b)
 
   // ---------------------------------------------------------------- exact
 
@@ -92,24 +104,27 @@ object Dedup {
   private val MinhashJaccardThreshold = 0.35
 
   /** MinHash signature: per seed, the minimum md5 over shingles of the
-    * seed-tagged shingle (`md5(seed || ':' || gram)`). */
-  private def minhashSig(grams: Column): Seq[Column] =
-    (0 until NumHashes).map { s =>
-      array_min(transform(grams, g => md5(concat(lit(s.toString), lit(":"), g))))
-    }
+    * seed-tagged shingle (`md5(seed || ':' || gram)`) — computed by the
+    * native MinHashSignature expression (one JVM loop instead of k
+    * interpreted array_min(transform(...)) passes; bit-identical). */
+  private def minhashSig(grams: Column): Column =
+    graft.functions.TextHashFunctions.minhashSig(grams, NumHashes)
 
   /** MinHash + LSH near-dup pairs: sign → band → bucket-join candidates →
     * exact bigram-Jaccard verification. The only shuffles are the band-hash
     * self-join and the two candidate→signature lookups; all are key-equality
     * joins that AQE can re-plan on skewed buckets. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), bigrams(words).as("grams"))
-    val sig = docs.select(col("doc_id"), col("grams"), array(minhashSig(col("grams")): _*).as("sig"))
+    val docs = gramsOf(t(spark, dir, "documents"), 2)
+    val sig = docs.select(col("doc_id"), col("grams"), minhashSig(col("grams")).as("sig"))
     val bandHashes = array((0 until NumBands).map { b =>
       md5(concat((0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*))
     }: _*)
-    val bands = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    // posexplode_outer: plain posexplode makes Catalyst push a
+    // size(..)>0 filter to the scan with the full (expensive) signature
+    // expression inlined — evaluated 2 extra times per row. Outer explode
+    // emits a null row instead, which the equi-join drops anyway.
+    val bands = sig.select(col("doc_id"), posexplode_outer(bandHashes).as(Seq("band", "bh")))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -153,26 +168,13 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash over whitespace tokens (md5-derived bits, frequency
-    * weighted): pure per-row map — no shuffle at all. Emits the bit string
-    * per document. */
-  private def simhashBits: Column = {
-    val tokHash = transform(words, w => substring(md5(w), 1, 8))
-    val bitCols = (1 to 32).map { p =>
-      val ci = (p - 1) / 4 + 1 // hex char index, 1-based
-      val shift = 3 - (p - 1) % 4 // bit within nibble, MSB first
-      val vote = aggregate(col("_th"), lit(0L), (acc, h) => {
-        val nib = conv(substring(h, ci, 1), 16, 10).cast(LongType)
-        acc + when(pmod(shiftright(nib, shift), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))
-      })
-      when(vote > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bitCols: _*)
-  }
-
+    * weighted): pure per-row map — no shuffle at all. Computed by the
+    * native SimHash32 expression (one JVM loop; the composable form — 32
+    * interpreted `aggregate` folds over the token hashes — benchmarked 60×
+    * slower at sf0.1). */
   def simhashOf(docs: DataFrame): DataFrame =
-    docs.withColumn("_th", transform(split(col("text"), " "), w => substring(md5(w), 1, 8)))
-      .withColumn("simhash", simhashBits)
-      .drop("_th")
+    docs.withColumn("simhash",
+      graft.functions.TextHashFunctions.simhash32(split(col("text"), " ")))
 
   /** Per-document SimHash signatures. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
@@ -204,7 +206,7 @@ object Dedup {
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhash(spark, dir)
     val blocks = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b => substring(col("simhash"), b * 8 + 1, 8)): _*))
+      posexplode_outer(array((0 until 4).map(b => substring(col("simhash"), b * 8 + 1, 8)): _*))
         .as(Seq("blk", "bv")))
     val cands = blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
@@ -212,8 +214,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sh_a"),
         col("y.doc_id").as("doc_b"), col("y.simhash").as("sh_b"))
       .distinct()
-    val hamming = size(filter(sequence(lit(1), lit(32)),
-      i => col("sh_a").substr(i, lit(1)) =!= col("sh_b").substr(i, lit(1)))).cast(LongType)
+    val hamming = graft.functions.TextHashFunctions.hamming(col("sh_a"), col("sh_b"))
     cands.select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -257,9 +258,10 @@ object Dedup {
     * the shingle — the classic inverted index, shuffle-partitioned by
     * shingle), then the exact Jaccard filter runs on candidates only. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), trigrams(words).as("grams"))
-    val inv = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val docs = gramsOf(t(spark, dir, "documents"), 3)
+    // explode_outer: see minhashLsh — avoids re-evaluating the shingle
+    // expression inside a pushed-down size(..)>0 filter.
+    val inv = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
     val cands = inv.as("x").join(inv.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
