@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -123,7 +123,17 @@ case class ReplayOffset(replayId: Long) extends Offset {
 }
 
 class CdcReplayMicroBatchStream(topic: String, replayFrom: Long, batchSize: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow pins the tip at query start; batches then step
+    * toward it under the batchSize cap (without this, the engine would
+    * snapshot the FIRST capped offset as the final target and stop after
+    * one batch). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(ReplayBus.tip(topic))
 
   /** Used only when no checkpoint exists — afterwards the WAL resumes,
     * mirroring the reference's resubscribe-with-saved-offsets (S5). */
@@ -138,10 +148,11 @@ class CdcReplayMicroBatchStream(topic: String, replayFrom: Long, batchSize: Long
     * events are never skipped, just deferred to the next trigger. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ReplayOffset].replayId
+    val tip = availableNowTarget.getOrElse(ReplayBus.tip(topic))
     // saturating add: from + MaxValue would overflow into a bogus negative
     // offset that differs from `start` on every poll (= infinite batches)
     val cap = from + batchSize
-    ReplayOffset(math.min(ReplayBus.tip(topic), if (cap < from) Long.MaxValue else cap))
+    ReplayOffset(math.min(tip, if (cap < from) Long.MaxValue else cap))
   }
 
   override def getDefaultReadLimit: ReadLimit =

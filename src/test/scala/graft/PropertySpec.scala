@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{CdcDecode, CdcEnrich}
+import graft.sources.ReplayBus
+
+/** Property-based invariants (SURVEY.md §5 implication list):
+  *  - dedupe idempotence and first-seen order
+  *  - batching invariance: pipeline output is independent of batchSize
+  *  - replay determinism: a kill+restart yields the same output set
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-scalacheck runner (scalatestplus isn't in the offline cache). */
+  private def checkProp(p: Prop, minTests: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val idGen = Gen.oneOf((1 to 8).map(i => f"001$i%03d"))
+  private val idsGen = Gen.nonEmptyListOf(idGen)
+
+  def envelope(replayId: Long, changeType: String, ids: Seq[String]): String = {
+    val idList = ids.map(i => "\"" + i + "\"").mkString(",")
+    s"""{"schema":"fp","payload":{"ChangeEventHeader":{"commitNumber":1,""" +
+      s""""commitUser":"u","sequenceNumber":1,"entityName":"Account",""" +
+      s""""changeType":"$changeType","changedFields":[],"changeOrigin":"t",""" +
+      s""""transactionKey":"tk-$replayId","commitTimestamp":1583300894000,""" +
+      s""""recordIds":[$idList]}},"event":{"replayId":$replayId}}"""
+  }
+
+  test("property: recordIds dedupe is idempotent and first-seen ordered") {
+    checkProp(Prop.forAll(idsGen) { ids =>
+      val raw = Seq(envelope(1, "UPDATE", ids)).toDF("value")
+      val out = CdcDecode.decodeJson(raw, col("value"))
+        .select("recordIds").as[Seq[String]].collect().head
+      // first-seen order (scala distinct is first-seen ordered), then
+      // idempotence: decoding the deduped list again changes nothing
+      val again = CdcDecode.decodeJson(
+        Seq(envelope(2, "UPDATE", out)).toDF("value"), col("value"))
+        .select("recordIds").as[Seq[String]].collect().head
+      out == ids.distinct && again == out
+    })
+  }
+
+  lazy val snapshot = (1 to 8).map(i => (f"001$i%03d", s"Name$i", i * 1.5))
+    .toDF("Id", "Name", "Balance")
+
+  test("property: routed output is a function of the change set (no order dependence)") {
+    checkProp(Prop.forAll(Gen.listOfN(3, idsGen), Gen.listOfN(3, idsGen)) { (a, b) =>
+      val evs = (a.map(("UPDATE", _)) ++ b.map(("DELETE", _))).zipWithIndex
+        .map { case ((ct, ids), i) => envelope(i + 1, ct, ids) }
+      def run(order: Seq[String]): Set[String] = {
+        val changes = CdcDecode.explodeIds(
+          CdcDecode.decodeJson(order.toDF("value"), col("value")))
+        CdcEnrich(changes, snapshot)
+          .select(to_json(struct(col("Id"), col("UIND")))).as[String]
+          .collect().toSet
+      }
+      run(evs) == run(evs.reverse)
+    }, minTests = 10)
+  }
+
+  test("property: streaming output set is independent of batchSize (B1/B4)") {
+    val topic = "t_prop_batch"
+    val events = (1 to 17).map(i => envelope(i, if (i % 3 == 0) "DELETE" else "UPDATE",
+      Seq(f"001${i % 8 + 1}%03d")))
+
+    def run(batchSize: Int): Set[String] = {
+      ReplayBus.clear(topic)
+      events.foreach(e => ReplayBus.publish(topic, e))
+      val name = s"prop_b$batchSize"
+      val raw = spark.readStream.format("cdc-replay")
+        .option("topic", topic).option("replayFrom", "-2")
+        .option("batchSize", batchSize.toString).load()
+      val routed = graft.streaming.CdcPipeline.transform(raw, snapshot)
+      val q = graft.streaming.CdcPipeline.toJsonLines(routed)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).select("value").as[String].collect().toSet
+    }
+
+    val full = run(1000)
+    assert(run(1) == full)
+    assert(run(4) == full)
+    assert(full.nonEmpty)
+  }
+
+  test("property: kill + restart from checkpoint replays to the same output set") {
+    val topic = "t_prop_replay"
+    ReplayBus.clear(topic)
+    val ckpt = Files.createTempDirectory("prop_ckpt").toString
+    val out = Files.createTempDirectory("prop_out").toString
+    val mk = (i: Int) => envelope(i, if (i % 4 == 0) "DELETE" else "CREATE",
+      Seq(f"001${i % 8 + 1}%03d"))
+
+    def run(): Unit = {
+      val raw = spark.readStream.format("cdc-replay")
+        .option("topic", topic).option("replayFrom", "-2")
+        .option("batchSize", "2").load()
+      val routed = graft.streaming.CdcPipeline.transform(raw, snapshot)
+      val q = graft.streaming.CdcPipeline.toJsonLines(routed)
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    (1 to 5).foreach(i => ReplayBus.publish(topic, mk(i)))
+    run() // first run consumes 1..5
+    (6 to 9).foreach(i => ReplayBus.publish(topic, mk(i)))
+    run() // "restart": resumes from WAL, consumes 6..9 only
+
+    // oracle: one batch run over all events
+    val all = (1 to 9).map(mk)
+    val expected = graft.streaming.CdcPipeline.toJsonLines(
+      graft.streaming.CdcPipeline.transform(
+        all.toDF("value"), snapshot))
+      .select("value").as[String].collect().toSeq.sorted
+    val got = spark.read.json(out).select("value").as[String].collect().toSeq.sorted
+    assert(got == expected)
+  }
+}
