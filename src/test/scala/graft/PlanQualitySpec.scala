@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.llmdata.{Dedup, Similarity}
+import graft.relational.Relational
+
+/** Physical-plan quality gates — the 100 TB posture, asserted, not hoped:
+  * filters reach the parquet scan, column pruning holds, dimension joins
+  * broadcast, top-k compiles to TakeOrderedAndProject, and the vector hot
+  * path stays inside WholeStageCodegen. A regression in any of these is a
+  * scale bug even while results stay correct. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q3: all three predicates push into the parquet scan") {
+    val p = plan(Relational.q3RevenueFilter(spark, sf()))
+    assert(p.contains("PushedFilters:"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q1: scan reads only the columns the query needs (pruning)") {
+    val p = plan(Relational.q1PricingSummary(spark, sf()))
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"), read)
+  }
+
+  test("q5: snowflake dimensions broadcast; no cartesian products anywhere") {
+    val p = plan(Relational.q5NationRevenue(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the only sort-merge-or-shuffle join keys are the fact-fact orderkey
+    assert(p.contains("Exchange") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("q2: ORDER BY + LIMIT compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q2MarketRevenue(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("knn: native cosine stays inside WholeStageCodegen; query side broadcasts") {
+    val df = Similarity.knnBruteForce(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("cosine_sim"), "native expression expected in plan")
+    // pre-execution AQE plans don't render codegen spans — check with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cg = Similarity.knnBruteForce(spark, sf()).queryExecution
+        .explainString(ExplainMode.fromString("codegen"))
+      assert(!cg.contains("Found 0 WholeStageCodegen"), cg.take(200))
+      assert(cg.contains("cosine_sim") || cg.contains("CosineSimilarity"),
+        "cosine must appear in generated code")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("minhash LSH: candidate generation is a key-equality join, not a cross join") {
+    val p = plan(Dedup.minhashLsh(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidates must come from an equi-join on (band, hash)")
+  }
+
+  test("cdc enrichment: the changed-id side is the broadcast build side") {
+    import spark.implicits._
+    val snapshot = Seq(("001A", "n")).toDF("Id", "Name")
+    val changes = Seq(("001A", "Account", "CREATE")).toDF("Id", "entityName", "changeType")
+    val p = plan(graft.operators.CdcEnrich(changes, snapshot))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+  }
+}
