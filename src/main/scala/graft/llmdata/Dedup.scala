@@ -343,7 +343,49 @@ object Dedup {
        |       sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------- KMV distinct-count sketch
+
+  private val KmvK = 256
+
+  /** Corpus-wide distinct-shingle count via the KMV sketch Aggregator
+    * (graft.functions.KmvDistinct) next to the exact count — the sketch is
+    * deterministic (set-minimum), so even the ESTIMATE hash-matches the
+    * DuckDB oracle computing the same k minima. At 100 TB the sketch path
+    * shuffles O(k) per partition instead of every distinct shingle. */
+  def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = gramsOf(t(spark, dir, "documents"), 3)
+    val inv = docs.select(explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+    inv.agg(
+      graft.functions.KmvDistinct.kmvDistinct(md5(col("gram")), KmvK).as("kmv_estimate"),
+      countDistinct(col("gram")).as("exact_distinct"))
+      .select(col("kmv_estimate"), col("exact_distinct"),
+        ((col("kmv_estimate") - col("exact_distinct")) / col("exact_distinct"))
+          .as("rel_error"))
+  }
+
+  val kmvDistinctShinglesSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
+       |inv AS (SELECT unnest(g) AS gram FROM sh),
+       |h AS (SELECT DISTINCT md5(gram) AS hv FROM inv),
+       |mins AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK),
+       |kth AS (SELECT max(hv) AS kh FROM mins),
+       |est AS (SELECT CASE WHEN (SELECT count(*) FROM mins) < $KmvK
+       |          THEN CAST((SELECT count(*) FROM mins) AS DOUBLE)
+       |          ELSE ($KmvK - 1) * power(16.0, 12.0) /
+       |            (SELECT list_reduce(list_transform(generate_series(1,12),
+       |              i -> CAST(strpos('0123456789abcdef', substr(kh,i,1)) - 1 AS DOUBLE)
+       |                   * power(16.0, CAST(12 - i AS DOUBLE))), (x,y) -> x+y)
+       |             FROM kth) END AS kmv_estimate)
+       |SELECT kmv_estimate,
+       |  (SELECT count(*) FROM h) AS exact_distinct,
+       |  (kmv_estimate - (SELECT count(*) FROM h)) / (SELECT count(*) FROM h) AS rel_error
+       |FROM est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd8_kmv_distinct" -> kmvDistinctShingles,
     "dd1_exact_dedup" -> exactDedup,
     "dd2_normalized_dedup" -> normalizedDedup,
     "dd3_minhash_lsh" -> minhashLsh,
@@ -353,6 +395,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd8_kmv_distinct" -> kmvDistinctShinglesSql,
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_normalized_dedup" -> normalizedDedupSql,
     "dd3_minhash_lsh" -> minhashLshSql,

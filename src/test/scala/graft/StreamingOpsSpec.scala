@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStreamOps
@@ -38,6 +39,37 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows("2024-01-01 10:00:00") == 2L)
       assert(rows("2024-01-01 11:00:00") == 1L)
     } finally q.stop()
+  }
+
+  test("unified API: streaming window counts over the events fixture match batch") {
+    import org.apache.spark.sql.types._
+    val dir = sf()
+    // file-stream the fixture with the same nanos→micros conversion the
+    // batch loader applies (Tables.load)
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file-stream source wants a directory; stage the fixture into one
+    val staged = java.nio.file.Files.createTempDirectory("ev_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStreamOps.windowedCounts(stream, "1 day", "0 seconds")
+      .writeStream.format("memory").queryName("ev_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ev_stream")
+      .select($"window_start".cast("date").cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    val batch = graft.relational.EventsAnalytics.tumblingWindow(spark, dir)
+      .select($"day".cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
   }
 
   test("sessionize: gap splits sessions; in-batch ordering is by (ts, id)") {
