@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.relational.{EventsAnalytics, Relational}
+import graft.relational.{EventsAnalytics, Relational, SqlSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EventsAnalytics.queries
+      Similarity.queries ++ Multimodal.queries ++ EventsAnalytics.queries ++
+      SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Multimodal.oracle ++ EventsAnalytics.oracle
+      Similarity.oracle ++ Multimodal.oracle ++ EventsAnalytics.oracle ++
+      SqlSurface.oracle
 }

@@ -57,4 +57,18 @@ object CdcEnrich {
   def apply(changes: DataFrame, snapshot: DataFrame): DataFrame =
     enriched(changes, snapshot)
       .unionByName(tombstones(changes), allowMissingColumns = true)
+
+  /** Multi-entity route — the Q7 generalization (SURVEY.md §2.9): one
+    * micro-batch WILL mix entities (the reference's per-event dict could
+    * not, `worker/lambda/app.py:65-72`), so each entity's changes join its
+    * own snapshot; different entities have different schemas, so the
+    * branches union by name with nulls for columns an entity lacks.
+    * Tombstones for ALL entities (even unregistered ones) are emitted. */
+  def multiEntity(changes: DataFrame, snapshots: Map[String, DataFrame]): DataFrame = {
+    val enrichedBranches = snapshots.toSeq.sortBy(_._1).map { case (entity, snap) =>
+      enriched(changes.filter(col("entityName") === entity), snap)
+    }
+    val all = enrichedBranches :+ tombstones(changes)
+    all.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
 }

@@ -120,6 +120,26 @@ class CdcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multiEntity: one micro-batch mixing entities routes each to its snapshot (Q7)") {
+    val accounts = Seq(("001A", "Alice Corp", 10.5)).toDF("Id", "Name", "Balance")
+    val contacts = Seq(("003X", "carol@x.io")).toDF("Id", "Email")
+    val raw = Seq(
+      envelope(1, "Account", "UPDATE", Seq("001A")),
+      envelope(2, "Contact", "UPDATE", Seq("003X")),
+      envelope(3, "Case", "DELETE", Seq("500Z"))).toDF("value")
+    val changes = CdcDecode.explodeIds(CdcDecode.decodeJson(raw, col("value")))
+    val out = CdcEnrich.multiEntity(changes,
+      Map("Account" -> accounts, "Contact" -> contacts))
+    val rows = out.collect().map(r =>
+      r.getAs[org.apache.spark.sql.Row]("attributes").getAs[String]("type") -> r).toMap
+    assert(rows.size == 3)
+    assert(rows("Account").getAs[String]("Name") == "Alice Corp")
+    assert(rows("Contact").getAs[String]("Email") == "carol@x.io")
+    assert(rows("Contact").isNullAt(rows("Contact").fieldIndex("Name"))) // schema union
+    assert(rows("Case").getAs[String]("UIND") == "DELETE") // unregistered entity tombstone
+    assert(rows("Case").getAs[String]("Id") == "500Z")
+  }
+
   test("typedBody: catalog re-typing of the dynamic payload (§1.3)") {
     import org.apache.spark.sql.types._
     val reg = new graft.model.EntitySchemaRegistry
