@@ -87,26 +87,15 @@ object Similarity {
   private val NumHyperplanes = 8
 
   /** Deterministic ±1 hyperplanes derived from md5("hp:<j>:<d>") — the same
-    * bytes any engine computes, so the oracle embeds identical constants. */
-  private[llmdata] val hyperplaneSigns: Array[Array[Double]] = {
-    val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(NumHyperplanes, 64) { (j, d0) =>
-      val hex = md.digest(s"hp:$j:${d0 + 1}".getBytes(StandardCharsets.UTF_8))
-      // first hex nibble >= 8  <=>  top bit of first byte set
-      if ((hex(0) & 0x80) != 0) 1.0 else -1.0
-    }
-  }
+    * bytes any engine computes, so the oracle embeds identical constants
+    * (shared with the native expression). */
+  private[llmdata] def hyperplaneSigns: Array[Array[Double]] =
+    graft.functions.HyperplaneLsh.signs
 
-  /** 8-bit LSH code of a (double-cast) vector column: sign pattern of the
-    * dot products with the fixed hyperplanes. Flat codegen-friendly
-    * arithmetic — no higher-order functions in this hot path. */
-  def lshCode(v: Column): Column = {
-    val bits = hyperplaneSigns.map { signs =>
-      val d = (1 to 64).map(i => lit(signs(i - 1)) * element_at(v, i)).reduce(_ + _)
-      when(d > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits.toIndexedSeq: _*)
-  }
+  /** 8-bit LSH code via the native HyperplaneLshCode expression. (The
+    * composable form — 8×64 `lit(sign) * element_at` terms — was a ~1000-
+    * node tree whose analysis/codegen time dominated the query.) */
+  def lshCode(v: Column): Column = graft.functions.LshFunctions.lshCode(v)
 
   private def lshCodeSql(v: String): String = {
     val bits = hyperplaneSigns.map { signs =>
