@@ -343,6 +343,45 @@ object Dedup {
        |       sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Embedding near-dup AT SCALE: candidates are pairs sharing an IVF
+    * coarse cell (Similarity.ivfCells — a key-equality join on the cell),
+    * verified by exact cosine. The subset of [[embeddingNearDup]]'s pairs
+    * whose members quantize to the same cell; at 100 TB this is the
+    * runnable variant (per-cell self-joins instead of O(n²)). */
+  def ivfNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Similarity.ivfCells(spark, dir)
+    val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val ivfNearDupSql: String = {
+    val cos = "list_reduce(list_transform(generate_series(1,64), i -> %s[i] * %s[i]), (x,y) -> x+y)" +
+      " / (sqrt(list_reduce(list_transform(%s, x -> x*x), (x,y) -> x+y))" +
+      " * sqrt(list_reduce(list_transform(%s, x -> x*x), (x,y) -> x+y)))"
+    val cellCos = cos.format("e.v", "ex.cv", "e.v", "ex.cv")
+    val pairCos = cos.format("va", "vb", "va", "vb")
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |ex AS (SELECT label AS cell, v AS cv FROM e
+       |       WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)),
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |            SELECT e.vec_id, e.v, ex.cell,
+       |              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $cellCos DESC, ex.cell) AS rn
+       |            FROM e CROSS JOIN ex) x WHERE rn = 1),
+       |pairs AS (SELECT a.vec_id AS vec_a, a.v AS va, b.vec_id AS vec_b, b.v AS vb
+       |          FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, $pairCos AS cos_sim
+       |FROM pairs
+       |WHERE $pairCos >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ------------------------------------------- KMV distinct-count sketch
 
   private val KmvK = 256
@@ -386,6 +425,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd8_kmv_distinct" -> kmvDistinctShingles,
+    "dd9_ivf_neardup" -> ivfNearDup,
     "dd1_exact_dedup" -> exactDedup,
     "dd2_normalized_dedup" -> normalizedDedup,
     "dd3_minhash_lsh" -> minhashLsh,
@@ -396,6 +436,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dd8_kmv_distinct" -> kmvDistinctShinglesSql,
+    "dd9_ivf_neardup" -> ivfNearDupSql,
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_normalized_dedup" -> normalizedDedupSql,
     "dd3_minhash_lsh" -> minhashLshSql,

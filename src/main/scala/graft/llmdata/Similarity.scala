@@ -144,21 +144,38 @@ object Similarity {
     * lowest vec_id — deterministic, no float reduction across rows), every
     * vector assigned to its nearest exemplar by cosine, queries search only
     * their own cell. The two joins are broadcast (exemplars, queries). */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Exemplar-seeded coarse cells (one per label, lowest vec_id). */
+  private def exemplarsOf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val exemplarIds = t(spark, dir, "embeddings")
       .groupBy(col("label").as("cell")).agg(min(col("vec_id")).as("exemplar_id"))
-    val exemplars = e.join(exemplarIds, e("vec_id") === exemplarIds("exemplar_id"))
+    e.join(exemplarIds, e("vec_id") === exemplarIds("exemplar_id"))
       .select(col("cell"), Dedup.vecD(col("embedding")).as("cv"))
+  }
 
-    def assign(df: DataFrame, vcol: String): DataFrame = {
-      val scored = df.crossJoin(broadcast(exemplars))
-        .withColumn("cell_sim", Dedup.cosine(col(vcol), col("cv")))
-      val w = Window.partitionBy(col(s"_rid"))
-        .orderBy(col("cell_sim").desc, col("cell"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .drop("rn", "cell_sim", "cv")
-    }
+  /** Nearest-exemplar assignment: adds a `cell` column to (.., `vcol`). */
+  private def assignCells(df: DataFrame, vcol: String, exemplars: DataFrame): DataFrame = {
+    val scored = df.crossJoin(broadcast(exemplars))
+      .withColumn("cell_sim", Dedup.cosine(col(vcol), col("cv")))
+    val w = Window.partitionBy(col("_rid"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "cell_sim", "cv")
+  }
+
+  /** All embeddings with their IVF cell — (vec_id, v, cell). Used by the
+    * IVF search here and the cell-bucketed near-dup (Dedup.ivfNearDup). */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    val all = t(spark, dir, "embeddings")
+      .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
+    assignCells(all.withColumn("_rid", col("vec_id")), "v",
+      exemplarsOf(spark, dir)).drop("_rid")
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val exemplars = exemplarsOf(spark, dir)
+    def assign(df: DataFrame, vcol: String): DataFrame =
+      assignCells(df, vcol, exemplars)
 
     val c = assign(corpus(spark, dir).withColumn("_rid", col("vec_id")), "v")
     val q = assign(queriesDf(spark, dir).withColumn("_rid", col("query_id")), "q")

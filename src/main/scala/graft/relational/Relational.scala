@@ -473,7 +473,37 @@ object Relational {
       |  ON ck96 = ck97
       |ORDER BY custkey""".stripMargin
 
+  /** Window-function battery: lag/lead/first_value over an ordered frame
+    * plus ntile quartiles over a second ordering — both windows share the
+    * o_custkey partitioning, so the plan shuffles once and sorts twice. */
+  def q26WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").filter(col("o_custkey") < 200)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w2 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"),
+      first(col("o_orderkey")).over(w).as("first_order"),
+      ntile(4).over(w2).cast(LongType).as("spend_quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q26Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_orderkey, 1) OVER w AS prev_order,
+      |  LEAD(o_orderkey, 1) OVER w AS next_order,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      |  CAST(NTILE(4) OVER w2 AS BIGINT) AS spend_quartile
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_window_funcs" -> q26WindowFuncs,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_market_revenue" -> q2MarketRevenue,
     "q3_revenue_filter" -> q3RevenueFilter,
@@ -496,6 +526,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q26_window_funcs" -> q26Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_market_revenue" -> q2Sql,
     "q3_revenue_filter" -> q3Sql,
