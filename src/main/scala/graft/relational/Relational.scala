@@ -502,8 +502,27 @@ object Relational {
       |       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Pivot: revenue by returnflag spread over linestatus columns. Spark's
+    * `pivot` with explicit values compiles to a single hash aggregate of
+    * conditional sums — the oracle states that desugaring directly. */
+  def q27Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    l.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(money(sum(dec(col("l_extendedprice")))))
+      .withColumnRenamed("F", "rev_f").withColumnRenamed("O", "rev_o")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q27Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_window_funcs" -> q26WindowFuncs,
+    "q27_pivot" -> q27Pivot,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_market_revenue" -> q2MarketRevenue,
     "q3_revenue_filter" -> q3RevenueFilter,
@@ -527,6 +546,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q26_window_funcs" -> q26Sql,
+    "q27_pivot" -> q27Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_market_revenue" -> q2Sql,
     "q3_revenue_filter" -> q3Sql,

@@ -48,6 +48,18 @@ object CdcPipeline {
     CdcEnrich(changes, snapshot)
   }
 
+  /** Duplicate-DELIVERY suppression: at-least-once transports (the
+    * reference's bus + Kinesis hop, quirk Q8) can redeliver the same
+    * replayId; dropping repeats within the watermark upgrades the pipeline
+    * to effectively-once WITHOUT violating Q6 (same-id CHANGES still pass —
+    * the key is the event's replayId, not the record id). State is bounded
+    * by the watermark horizon. Apply to the decoded stream before routing.
+    */
+  def dedupeRedeliveries(decoded: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    decoded
+      .withWatermark("commitTimestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("replayId")
+
   /** Serialize to the sink shape: one JSON line per record (K2/K3), keyed
     * by entity for the partitioned layout (K1). */
   def toJsonLines(routed: DataFrame): DataFrame =
