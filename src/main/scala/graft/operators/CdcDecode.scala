@@ -59,6 +59,17 @@ object CdcDecode {
   def explodeIds(decoded: DataFrame): DataFrame =
     decoded.withColumn("Id", explode(col("recordIds"))).drop("recordIds")
 
+  /** Dead-letter split: rows whose envelope failed to parse (no
+    * entityName/changeType after from_json) go to a quarantine branch
+    * instead of vanishing — the idiomatic upgrade of the reference's
+    * swallow-and-log (quirk Q8, `KinesisExample.java:143-147`). Both
+    * branches are filters over the same decode, so the scan is shared. */
+  def partitionValid(decoded: DataFrame): (DataFrame, DataFrame) = {
+    val bad = col("entityName").isNull || col("changeType").isNull ||
+      col("recordIds").isNull
+    (decoded.filter(!bad), decoded.filter(bad))
+  }
+
   /** §1.3 catalog re-typing: parse the dynamic body with the entity's
     * registered schema (the cached `describe()` — fixes quirk Q5). Only
     * valid on a single-entity slice, like the reference's per-entity loop. */

@@ -140,6 +140,19 @@ class CdcSpec extends SparkSpec {
     assert(rows("Case").getAs[String]("Id") == "500Z")
   }
 
+  test("partitionValid: malformed envelopes quarantine instead of vanishing (Q8 upgrade)") {
+    val raw = Seq(
+      envelope(1, "Account", "CREATE", Seq("001A")),
+      """{"this is": "not a cdc envelope"}""",
+      """not even json""").toDF("value")
+    val decoded = CdcDecode.decodeJson(raw, col("value"))
+    val (valid, quarantined) = CdcDecode.partitionValid(decoded)
+    assert(valid.count() == 1)
+    assert(quarantined.count() == 2)
+    // quarantined rows keep the raw value for offline inspection/replay
+    assert(quarantined.select("value").as[String].collect().forall(_.nonEmpty))
+  }
+
   test("typedBody: catalog re-typing of the dynamic payload (§1.3)") {
     import org.apache.spark.sql.types._
     val reg = new graft.model.EntitySchemaRegistry
