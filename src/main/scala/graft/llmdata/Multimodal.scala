@@ -141,11 +141,35 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Frame-sampling statistics per kind (stride 16): pure column math over
+    * the binary payload — the count the sampleFrames array would have. */
+  def frameStats(spark: SparkSession, dir: String): DataFrame = {
+    val frames = greatest(floor(octet_length(col("content")) / 16), lit(1))
+      .cast(LongType)
+    mediaTable(spark, dir)
+      .select(col("kind"), frames.as("n_frames"))
+      .groupBy(col("kind"))
+      .agg(sum(col("n_frames")).as("total_frames"),
+        max(col("n_frames")).as("max_frames"),
+        min(col("n_frames")).as("min_frames"))
+      .orderBy(col("kind"))
+  }
+
+  val frameStatsSql: String =
+    """WITH m AS (SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    greatest(octet_length(CAST(text AS BLOB)) // 16, 1) AS n_frames
+      |  FROM documents)
+      |SELECT kind, SUM(n_frames) AS total_frames,
+      |  MAX(n_frames) AS max_frames, MIN(n_frames) AS min_frames
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_binary_meta" -> binaryMeta,
-    "mm2_feature_extract" -> featureExtract)
+    "mm2_feature_extract" -> featureExtract,
+    "mm3_frame_stats" -> frameStats)
 
   /** mm2 has no SQL equivalent (mapPartitions codec path). */
   val oracle: Map[String, String] = Map(
-    "mm1_binary_meta" -> binaryMetaSql)
+    "mm1_binary_meta" -> binaryMetaSql,
+    "mm3_frame_stats" -> frameStatsSql)
 }

@@ -1,6 +1,7 @@
 package graft.llmdata
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -184,7 +185,51 @@ object TextAnalysis {
       |    i -> md5(substr(text, i, 8))), 'min') AS fp_min_gram
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms per document (rational idf = N/df, no log — log()
+    * last-ulp behavior differs across libm implementations, which would
+    * break oracle parity; the ranking is monotone-equivalent).
+    * Two shuffles: docfreq aggregation + the term-score ranking window. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = docs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tc"))
+      .withColumn("nw", sum(col("tc")).over(Window.partitionBy(col("doc_id"))))
+    val df_ = docs.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = t(spark, dir, "documents").count().toDouble
+    val scored = tf.join(df_, "term")
+      .withColumn("tfidf",
+        (col("tc").cast(DoubleType) / col("nw").cast(DoubleType)) *
+          (lit(n) / col("df").cast(DoubleType)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM terms GROUP BY doc_id, term),
+      |tfn AS (SELECT doc_id, term, tc,
+      |          SUM(tc) OVER (PARTITION BY doc_id) AS nw FROM tf),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    (CAST(tc AS DOUBLE) / CAST(nw AS DOUBLE)) * ((SELECT n FROM n) / CAST(df.df AS DOUBLE)) AS tfidf
+      |  FROM tfn JOIN df USING (term))
+      |SELECT doc_id, rank, term, tfidf FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored) x
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx6_tfidf_top_terms" -> tfidfTopTerms,
     "tx1_text_stats" -> textStats,
     "tx2_lang_id" -> langId,
     "tx3_token_count" -> tokenCount,
@@ -192,6 +237,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx6_tfidf_top_terms" -> tfidfTopTermsSql,
     "tx1_text_stats" -> textStatsSql,
     "tx2_lang_id" -> langIdSql,
     "tx3_token_count" -> tokenCountSql,

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.llmdata.{Dedup, TextAnalysis}
+import graft.relational.{EventsAnalytics, Relational}
+
+/** Results must not depend on input split boundaries — the single-file
+  * fixtures scan as one partition, which can MASK partial-aggregation
+  * order dependence that a real cluster would expose. Shrinking
+  * maxPartitionBytes forces many input splits; every oracle-checked query
+  * family with reduction risk must produce identical rows. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val risky: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
+    Seq(
+      "q1_pricing_summary" -> Relational.q1PricingSummary _,
+      "tx4_quality_score" -> TextAnalysis.qualityScore _,
+      "dd8_kmv_distinct" -> Dedup.kmvDistinctShingles _,
+      "ev1_tumbling_window" -> EventsAnalytics.tumblingWindow _,
+      "ev2_sessionize" -> EventsAnalytics.sessionize _,
+      "dd3_minhash_lsh" -> Dedup.minhashLsh _)
+
+  test("oracle-sensitive queries are invariant to input split size") {
+    for ((name, fn) <- risky) {
+      val whole = rows(fn(spark, sf()))
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384") // 16 KB
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      try {
+        val split = rows(fn(spark, sf()))
+        assert(split == whole, s"$name differs under small input splits")
+      } finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    }
+  }
+}
