@@ -72,6 +72,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("QueryObserver: listener surfaces lifecycle and per-batch progress (§3.3)") {
+    implicit val ctx = spark.sqlContext
+    val obs = graft.streaming.QueryObserver.attach(spark)
+    val stream = MemoryStream[Event]
+    val q = stream.toDF().groupBy($"event_type").count()
+      .writeStream.format("memory").queryName("obs_out").outputMode("complete").start()
+    try {
+      stream.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      // listener delivery is async — wait briefly for the progress event
+      val deadline = System.currentTimeMillis() + 10000
+      while (!obs.batches.exists(b => b.queryName == "obs_out" && b.numInputRows == 2) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(obs.started >= 1)
+      assert(obs.batches.exists(b => b.queryName == "obs_out" && b.numInputRows == 2))
+    } finally {
+      q.stop()
+      graft.streaming.QueryObserver.detach(spark, obs)
+    }
+  }
+
   test("dedupeRedeliveries: same replayId delivered twice emits once; distinct events pass") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[String]
