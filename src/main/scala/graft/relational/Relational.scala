@@ -520,9 +520,25 @@ object Relational {
       |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q6's semantics through the bounded-heap TopK Aggregator instead of a
+    * window: O(k) state per group through the partial-agg shuffle, no full
+    * per-partition sort. Shares q6's oracle — the two operators must be
+    * row-identical. */
+  def q6bTopKAggregator(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode_outer(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), col("e.id").as("o_orderkey"),
+        col("e.score").as("o_totalprice"), (col("pos") + 1).cast(LongType).as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_window_funcs" -> q26WindowFuncs,
     "q27_pivot" -> q27Pivot,
+    "q6b_topk_aggregator" -> q6bTopKAggregator,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_market_revenue" -> q2MarketRevenue,
     "q3_revenue_filter" -> q3RevenueFilter,
@@ -547,6 +563,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q26_window_funcs" -> q26Sql,
     "q27_pivot" -> q27Sql,
+    "q6b_topk_aggregator" -> q6Sql, // must be row-identical to the window form
+
     "q1_pricing_summary" -> q1Sql,
     "q2_market_revenue" -> q2Sql,
     "q3_revenue_filter" -> q3Sql,
