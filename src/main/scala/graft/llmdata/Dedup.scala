@@ -45,10 +45,14 @@ object Dedup {
     array_distinct(transform(sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
 
-  /** documents → (doc_id, grams): words materialized once, then shingled. */
+  /** documents → (doc_id, grams): words materialized once, then shingled.
+    * The result is persisted: every consumer self-joins it (bands × bands,
+    * inv × inv, plus two candidate→grams lookups), and without a cache
+    * Spark recomputes the shingling per branch. At 100 TB the equivalent
+    * is materializing the shingle table once per corpus snapshot. */
   private def gramsOf(df: DataFrame, n: Int): DataFrame = {
     val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
-    df.withColumn("_w", words).select(col("doc_id"), sh.as("grams"))
+    df.withColumn("_w", words).select(col("doc_id"), sh.as("grams")).persist()
   }
 
   /** Exact Jaccard on distinct shingle arrays — native one-pass expression

@@ -228,8 +228,48 @@ object TextAnalysis {
       |  FROM scored) x
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Full quality-signal battery per language: length, punctuation ratio,
+    * and stopword ratio — the classic pre-filter trio for web-scale corpus
+    * cleaning. All ratios are int-derived doubles in fixed op order. */
+  def qualitySignals(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast(DoubleType)
+    val nPunct = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast(DoubleType)
+    val nWords = size(words).cast(DoubleType)
+    val nStop = size(filter(words,
+      w => Seq("the", "and", "of", "is", "a", "to").map(w === _).reduce(_ || _)))
+      .cast(DoubleType)
+    t(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        (nPunct / nChars).as("punct_ratio"),
+        (nStop / nWords).as("stopword_ratio"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("punct_ratio")).as("max_punct_ratio"),
+        min(col("stopword_ratio")).as("min_stopword_ratio"),
+        max(col("stopword_ratio")).as("max_stopword_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  val qualitySignalsSql: String =
+    """WITH q AS (
+      |  SELECT lang, n_chars,
+      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) /
+      |      CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |    CAST(len(list_filter(string_split(text,' '),
+      |        w -> w='the' OR w='and' OR w='of' OR w='is' OR w='a' OR w='to')) AS DOUBLE) /
+      |      CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |  MAX(punct_ratio) AS max_punct_ratio,
+      |  MIN(stopword_ratio) AS min_stopword_ratio,
+      |  MAX(stopword_ratio) AS max_stopword_ratio
+      |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx6_tfidf_top_terms" -> tfidfTopTerms,
+    "tx7_quality_signals" -> qualitySignals,
     "tx1_text_stats" -> textStats,
     "tx2_lang_id" -> langId,
     "tx3_token_count" -> tokenCount,
@@ -238,6 +278,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "tx6_tfidf_top_terms" -> tfidfTopTermsSql,
+    "tx7_quality_signals" -> qualitySignalsSql,
     "tx1_text_stats" -> textStatsSql,
     "tx2_lang_id" -> langIdSql,
     "tx3_token_count" -> tokenCountSql,
