@@ -18,7 +18,7 @@ import graft.sources.Tables
   * relative to the corpus); the corpus is never shuffled in ss1 (one scan +
   * per-query top-k) and is shuffled only by bucket/cell key in ss2/ss3.
   * Recall of the approximate paths vs the exact baseline is asserted in
-  * SimilaritySpec.
+  * LlmDataSpec.
   *
   * Oracle parity: every float is cast to double BEFORE any arithmetic and
   * every reduction is an index-ordered left fold, so Spark and DuckDB

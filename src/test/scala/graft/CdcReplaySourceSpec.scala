@@ -100,6 +100,35 @@ class CdcReplaySourceSpec extends SparkSpec {
     assert(vals.distinct.length == vals.length)
   }
 
+  test("CdcPipeline.writer: partitioned-by-entity JSON sink layout (K1∘K3)") {
+    val topic = "t_writer"
+    ReplayBus.clear(topic)
+    def env(id: Long, entity: String, ct: String, rid: String): String =
+      s"""{"schema":"fp","payload":{"ChangeEventHeader":{"commitNumber":1,""" +
+        s""""commitUser":"u","sequenceNumber":1,"entityName":"$entity",""" +
+        s""""changeType":"$ct","changedFields":[],"changeOrigin":"t",""" +
+        s""""transactionKey":"tk","commitTimestamp":1583300894000,""" +
+        s""""recordIds":["$rid"]}},"event":{"replayId":$id}}"""
+    ReplayBus.publish(topic, env(1, "Account", "CREATE", "001A"))
+    ReplayBus.publish(topic, env(2, "Contact", "DELETE", "003X"))
+    val snapshot = Seq(("001A", "Alice Corp")).toDF("Id", "Name")
+    val out = Files.createTempDirectory("writer_out").toString
+    val ckpt = Files.createTempDirectory("writer_ckpt").toString
+    val q = graft.streaming.CdcPipeline.writer(
+        readTopic(topic, "replayFrom" -> "-2"), snapshot, out, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // reference layout: <out>/sfdc-cdc/entityName=<entity>/*.json
+    val base = new java.io.File(s"$out/sfdc-cdc")
+    val dirs = base.listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_ == "_spark_metadata").sorted
+    assert(dirs.toSeq == Seq("entityName=Account", "entityName=Contact"))
+    val rows = spark.read.json(s"$out/sfdc-cdc").select("value").as[String].collect()
+    assert(rows.length == 2)
+    assert(rows.exists(v => v.contains("Alice Corp") && v.contains("\"UIND\":\"CREATE\"")))
+    assert(rows.exists(v => v.contains("\"Id\":\"003X\"") && v.contains("\"UIND\":\"DELETE\"")))
+  }
+
   test("end-to-end: cdc-replay source through the CDC pipeline") {
     val topic = "t_pipeline"
     ReplayBus.clear(topic)
