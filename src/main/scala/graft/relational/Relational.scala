@@ -326,10 +326,12 @@ object Relational {
       |  GROUP BY c_custkey) x
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
-  /** Anti join: customers with no orders at all (NOT EXISTS). */
+  /** Anti join: customers with no orders since 1998-03 (NOT EXISTS) —
+    * windowed so the result is non-empty at every scale factor. */
   def q14AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
-    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1998-03-01")).select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
@@ -337,7 +339,8 @@ object Relational {
 
   val q14Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-03-01')
       |ORDER BY c_custkey""".stripMargin
 
   /** GROUP BY ... HAVING: suppliers whose shipped revenue clears a bar. */

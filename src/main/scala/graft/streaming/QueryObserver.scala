@@ -19,8 +19,10 @@ final class QueryObserver extends StreamingQueryListener {
       durationMs: Long)
 
   private val stats = new ConcurrentLinkedQueue[BatchStat]()
-  @volatile var started: Int = 0
-  @volatile var terminated: Int = 0
+  private val startedN = new java.util.concurrent.atomic.AtomicInteger
+  private val terminatedN = new java.util.concurrent.atomic.AtomicInteger
+  def started: Int = startedN.get
+  def terminated: Int = terminatedN.get
 
   def batches: Seq[BatchStat] = {
     val it = stats.iterator()
@@ -29,7 +31,7 @@ final class QueryObserver extends StreamingQueryListener {
     b.result()
   }
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit = started += 1
+  override def onQueryStarted(event: QueryStartedEvent): Unit = startedN.incrementAndGet()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
@@ -40,7 +42,7 @@ final class QueryObserver extends StreamingQueryListener {
 
   override def onQueryIdle(event: QueryIdleEvent): Unit = ()
 
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = terminated += 1
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = terminatedN.incrementAndGet()
 }
 
 object QueryObserver {

@@ -1,0 +1,24 @@
+package graft
+
+/** The driver's smoke contract: SparkEntry.entry returns rows on sf0.001,
+  * and every query has either an oracle or a documented rows-only check. */
+class EntrySpec extends SparkSpec {
+
+  test("entry: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key names a query; only mapPartitions ops lack oracles") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
+    assert((q -- o) == Set("mm2_feature_extract"), s"missing oracles: ${q -- o}")
+  }
+
+  test("all queries run on sf0.001 and return rows") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, fn) =>
+      fn(spark, sf()).count() == 0
+    }.map(_._1)
+    assert(empty.isEmpty, s"queries with empty results at sf0.001: $empty")
+  }
+}
