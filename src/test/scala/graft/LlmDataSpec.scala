@@ -68,6 +68,18 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("similarity: multiprobe LSH recall dominates single-bucket LSH") {
+    val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      (df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet & exact3).size
+        .toDouble / exact3.size
+    val single = recall(Similarity.annLsh(spark, sf()))
+    val multi = recall(Similarity.annLshMultiprobe(spark, sf()))
+    assert(multi >= single, s"multiprobe $multi < single-bucket $single")
+    assert(multi > 0)
+  }
+
   test("similarity: IVF recall@3 vs exact top-3 is useful") {
     val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
