@@ -39,7 +39,7 @@ object CdcDecode {
       .withColumn("_env", env)
       .withColumn("payload_json", get_json_object(jsonCol, "$.payload"))
       .select(
-        raw.columns.map(col) ++ Seq(
+        raw.columns.map(col).toIndexedSeq ++ Seq(
           col("_env.schema").as("schema_fingerprint"),
           col("_env.event.replayId").as("replayId"),
           col("_env.payload.ChangeEventHeader.entityName").as("entityName"),

@@ -65,7 +65,7 @@ object CdcPipeline {
   def toJsonLines(routed: DataFrame): DataFrame =
     routed.select(
       col("attributes.type").as("entityName"),
-      to_json(struct(routed.columns.map(col): _*)).as("value"))
+      to_json(struct(routed.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Full streaming query: call `.start()` on the result. */
   def writer(
