@@ -131,13 +131,46 @@ object EventsAnalytics {
       |      FROM events) x
       |WHERE rn = 1 ORDER BY user_id, day""".stripMargin
 
+  /** Ordered funnel (view → click → purchase): each stage's timestamp must
+    * follow the previous stage's FIRST occurrence. Three small aggregations
+    * over the same user partitioning — Catalyst reuses the shuffle. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ms") > col("v_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ms") > col("c_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+    // one distributed plan, no driver-side actions
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS v_ms FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(ms) AS c_ms FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ms > v_ms GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(ms) AS p_ms FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ms > c_ms GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev5_funnel" -> funnel,
     "ev1_tumbling_window" -> tumblingWindow,
     "ev2_sessionize" -> sessionize,
     "ev3_json_props" -> jsonProps,
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev5_funnel" -> funnelSql,
     "ev1_tumbling_window" -> tumblingWindowSql,
     "ev2_sessionize" -> sessionizeSql,
     "ev3_json_props" -> jsonPropsSql,
