@@ -267,9 +267,32 @@ object TextAnalysis {
       |  MAX(stopword_ratio) AS max_stopword_ratio
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic stratified sampling: within each language, take the 20
+    * documents with the smallest md5(doc_id) — a reproducible, seedable,
+    * cluster-stable sample (rand()-based sampling is neither replayable nor
+    * partition-stable). One shuffle on the stratum key. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) x
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx6_tfidf_top_terms" -> tfidfTopTerms,
     "tx7_quality_signals" -> qualitySignals,
+    "tx8_stratified_sample" -> stratifiedSample,
     "tx1_text_stats" -> textStats,
     "tx2_lang_id" -> langId,
     "tx3_token_count" -> tokenCount,
@@ -279,6 +302,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "tx6_tfidf_top_terms" -> tfidfTopTermsSql,
     "tx7_quality_signals" -> qualitySignalsSql,
+    "tx8_stratified_sample" -> stratifiedSampleSql,
     "tx1_text_stats" -> textStatsSql,
     "tx2_lang_id" -> langIdSql,
     "tx3_token_count" -> tokenCountSql,
