@@ -140,6 +140,29 @@ class CdcSpec extends SparkSpec {
     assert(rows("Case").getAs[String]("Id") == "500Z")
   }
 
+  test("materialize: change log compacts to latest state; DELETE tombstones drop rows") {
+    import graft.operators.CdcMaterialize
+    val log = Seq(
+      // (entity, id, uind, commitNumber, seq, replay, name)
+      ("Account", "001A", "CREATE", 10L, 1, 1L, "v1"),
+      ("Account", "001A", "UPDATE", 20L, 1, 2L, "v2"),
+      ("Account", "001B", "CREATE", 10L, 1, 3L, "b1"),
+      ("Account", "001B", "DELETE", 30L, 1, 4L, null),
+      ("Account", "001C", "CREATE", 10L, 1, 5L, "c1"),
+      ("Account", "001C", "DELETE", 20L, 1, 6L, null),
+      ("Account", "001C", "CREATE", 30L, 1, 7L, "c2"), // undelete pattern
+      ("Contact", "001A", "CREATE", 5L, 1, 8L, "contact-a")) // same Id, other entity
+      .toDF("entityName", "Id", "UIND", "commitNumber", "sequenceNumber", "replayId", "Name")
+    val state = CdcMaterialize.latestState(log)
+      .select("entityName", "Id", "Name").as[(String, String, String)]
+      .collect().toSet
+    assert(state == Set(
+      ("Account", "001A", "v2"), // latest update wins
+      ("Account", "001C", "c2"), // resurrection after delete
+      ("Contact", "001A", "contact-a"))) // keys are (entity, Id)
+    // 001B stays deleted
+  }
+
   test("partitionValid: malformed envelopes quarantine instead of vanishing (Q8 upgrade)") {
     val raw = Seq(
       envelope(1, "Account", "CREATE", Seq("001A")),
