@@ -23,15 +23,49 @@ import graft.model.CdcModel.ChangeType
   */
 object CdcMaterialize {
 
-  /** `changes`: rows with entityName, Id, UIND (changeType), commitNumber,
-    * sequenceNumber, replayId + the record payload columns. Returns the
-    * live rows only (latest change per key, tombstoned keys dropped). */
-  def latestState(changes: DataFrame): DataFrame = {
+  /** Latest change per (entityName, Id) INCLUDING tombstones — the durable
+    * compaction state. Tombstones must be retained so a late-arriving
+    * change that is OLDER than the delete cannot resurrect the row. */
+  def latestStateAll(changes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("entityName"), col("Id"))
       .orderBy(col("commitNumber").desc, col("sequenceNumber").desc, col("replayId").desc)
     changes
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("UIND") =!= ChangeType.Delete)
+      .filter(col("_rn") === 1)
       .drop("_rn")
+  }
+
+  /** `changes`: rows with entityName, Id, UIND (changeType), commitNumber,
+    * sequenceNumber, replayId + the record payload columns. Returns the
+    * live rows only (latest change per key, tombstoned keys dropped). */
+  def latestState(changes: DataFrame): DataFrame =
+    latestStateAll(changes).filter(col("UIND") =!= ChangeType.Delete)
+
+  /** Streaming upsert via foreachBatch — the sink-side extension point
+    * (SURVEY.md §2.8): each micro-batch merges into the parquet state dir
+    * by unioning the existing state (re-tagged as lowest precedence) with
+    * the batch's changes and re-compacting. With a transactional table
+    * format the body becomes a MERGE INTO; the read-compact-overwrite here
+    * is the format-agnostic rendering (single-writer assumption, as with
+    * any foreachBatch upsert). */
+  def foreachBatchUpsert(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val tmp = s"$stateDir.staging-$batchId"
+    val existing =
+      try Some(spark.read.parquet(stateDir)) catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(st) =>
+        // existing rows were already compacted; they keep their original
+        // clock columns so a late-arriving older change cannot regress them
+        latestStateAll(st.unionByName(batch, allowMissingColumns = true))
+      case None => latestStateAll(batch)
+    }
+    merged.write.mode("overwrite").parquet(tmp)
+    // swap: parquet overwrite of the dir we are reading is not safe in-place
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 }

@@ -163,6 +163,32 @@ class CdcSpec extends SparkSpec {
     // 001B stays deleted
   }
 
+  test("materialize streaming: foreachBatch upsert maintains state across batches") {
+    import graft.operators.CdcMaterialize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(String, String, String, Long, Int, Long, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc_state").toString + "/state"
+    val cols = Seq("entityName", "Id", "UIND", "commitNumber", "sequenceNumber", "replayId", "Name")
+    val q = stream.toDF().toDF(cols: _*)
+      .writeStream.foreachBatch(CdcMaterialize.foreachBatchUpsert(stateDir) _)
+      .outputMode("append").start()
+    try {
+      stream.addData(("Account", "001A", "CREATE", 10L, 1, 1L, "v1"),
+        ("Account", "001B", "CREATE", 10L, 1, 2L, "b1"))
+      q.processAllAvailable()
+      stream.addData(("Account", "001A", "UPDATE", 20L, 1, 3L, "v2"),
+        ("Account", "001B", "DELETE", 20L, 1, 4L, null),
+        // late change OLDER than 001B's delete must NOT resurrect it
+        ("Account", "001B", "UPDATE", 15L, 1, 5L, "late"))
+      q.processAllAvailable()
+      val live = spark.read.parquet(stateDir)
+        .filter($"UIND" =!= "DELETE")
+        .select("Id", "Name").as[(String, String)].collect().toSet
+      assert(live == Set(("001A", "v2")))
+    } finally q.stop()
+  }
+
   test("partitionValid: malformed envelopes quarantine instead of vanishing (Q8 upgrade)") {
     val raw = Seq(
       envelope(1, "Account", "CREATE", Seq("001A")),
