@@ -57,14 +57,29 @@ object CdcModel {
 /** Per-entity schema catalog — the Spark-side equivalent of the reference's
   * `describe()` metadata call (`worker/lambda/app.py:115-118`), with the
   * caching the reference lacks (quirk Q5: it re-fetched per batch).
-  * Thread-safe; registered once per entity, consulted by the decode stage
-  * to re-type dynamic payload bodies.
+  *
+  * Schema EVOLUTION: the wire envelope carries a schema fingerprint
+  * (`"schema": "8_j4..."` — SURVEY.md §1.3) that the reference ignores;
+  * here a schema may additionally be registered per (entity, fingerprint),
+  * so in-flight events from before a field was added re-type with the
+  * schema they were written with. Lookup falls back fingerprint → entity.
+  * Thread-safe; consulted by the decode stage.
   */
 final class EntitySchemaRegistry {
   private val schemas = TrieMap.empty[String, StructType]
+  private val byFingerprint = TrieMap.empty[(String, String), StructType]
+
   def register(entity: String, schema: StructType): Unit = schemas.put(entity, schema)
+  def register(entity: String, fingerprint: String, schema: StructType): Unit =
+    byFingerprint.put((entity, fingerprint), schema)
+
   def get(entity: String): Option[StructType] = schemas.get(entity)
+  def get(entity: String, fingerprint: String): Option[StructType] =
+    byFingerprint.get((entity, fingerprint)).orElse(schemas.get(entity))
+
   def fields(entity: String): Seq[String] =
     schemas.get(entity).map(_.fieldNames.toSeq).getOrElse(Seq.empty)
   def entities: Seq[String] = schemas.keys.toSeq.sorted
+  def fingerprints(entity: String): Seq[String] =
+    byFingerprint.keys.collect { case (e, f) if e == entity => f }.toSeq.sorted
 }

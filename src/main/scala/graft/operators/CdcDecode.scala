@@ -82,4 +82,27 @@ object CdcDecode {
         decoded.filter(col("entityName") === entity)
           .withColumn("body", from_json(col("payload_json"), MapType(StringType, StringType)))
     }
+
+  /** Schema-evolution-aware re-typing: events re-type with the schema
+    * registered for THEIR fingerprint (falling back to the entity's current
+    * schema), then union by name — new fields are null on old-schema rows.
+    * This is what carrying the wire fingerprint (ignored by the reference)
+    * buys: an in-flight mix of schema versions decodes losslessly. */
+  def typedBodyEvolving(
+      decoded: DataFrame, entity: String, registry: EntitySchemaRegistry): DataFrame = {
+    val slice = decoded.filter(col("entityName") === entity)
+    val fps = registry.fingerprints(entity)
+    if (fps.isEmpty) typedBody(decoded, entity, registry)
+    else {
+      val known = fps.map { fp =>
+        val schema = registry.get(entity, fp).get
+        slice.filter(col("schema_fingerprint") === fp)
+          .withColumn("body", from_json(col("payload_json"), schema))
+      }
+      val rest = slice.filter(!col("schema_fingerprint").isin(fps: _*))
+        .withColumn("body", from_json(col("payload_json"),
+          registry.get(entity).getOrElse(MapType(StringType, StringType))))
+      (known :+ rest).reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+  }
 }

@@ -202,6 +202,33 @@ class CdcSpec extends SparkSpec {
     assert(quarantined.select("value").as[String].collect().forall(_.nonEmpty))
   }
 
+  test("typedBodyEvolving: fingerprint-keyed schemas decode a mixed-version stream") {
+    import org.apache.spark.sql.types._
+    val reg = new graft.model.EntitySchemaRegistry
+    reg.register("Account", "fp_v1", StructType(Seq(StructField("Name", StringType))))
+    reg.register("Account", "fp_v2", StructType(Seq(
+      StructField("Name", StringType), StructField("Tier", StringType))))
+    reg.register("Account", StructType(Seq( // current schema, for unknown fps
+      StructField("Name", StringType), StructField("Tier", StringType))))
+    def env(fp: String, body: String, id: Long) =
+      s"""{"schema":"$fp","payload":{$body"ChangeEventHeader":{"commitNumber":1,""" +
+        s""""commitUser":"u","sequenceNumber":1,"entityName":"Account","changeType":"UPDATE",""" +
+        s""""changedFields":[],"changeOrigin":"t","transactionKey":"tk",""" +
+        s""""commitTimestamp":1583300894000,"recordIds":["001A"]}},"event":{"replayId":$id}}"""
+    val raw = Seq(
+      env("fp_v1", "\"Name\":\"Old\",", 1),
+      env("fp_v2", "\"Name\":\"New\",\"Tier\":\"gold\",", 2),
+      env("fp_v3", "\"Name\":\"Unknown\",\"Tier\":\"silver\",", 3)).toDF("value")
+    val typed = CdcDecode.typedBodyEvolving(
+      CdcDecode.decodeJson(raw, col("value")), "Account", reg)
+      .select($"replayId", $"body.Name", $"body.Tier").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(typed.toSeq == Seq(
+      (1L, "Old", null), // v1 schema has no Tier → null, not an error
+      (2L, "New", "gold"),
+      (3L, "Unknown", "silver"))) // unknown fp → current entity schema
+  }
+
   test("typedBody: catalog re-typing of the dynamic payload (§1.3)") {
     import org.apache.spark.sql.types._
     val reg = new graft.model.EntitySchemaRegistry
