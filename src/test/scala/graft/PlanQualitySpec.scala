@@ -67,6 +67,14 @@ class PlanQualitySpec extends SparkSpec {
       "LSH candidates must come from an equi-join on (band, hash)")
   }
 
+  test("ann paths: multiprobe LSH and IVF near-dup stay on equi-joins") {
+    for (df <- Seq(Similarity.annLshMultiprobe(spark, sf()),
+        Dedup.ivfNearDup(spark, sf()))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), "candidate generation must not be a cross join")
+    }
+  }
+
   test("cdc enrichment: the changed-id side is the broadcast build side") {
     import spark.implicits._
     val snapshot = Seq(("001A", "n")).toDF("Id", "Name")
