@@ -386,6 +386,36 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Cross-modal near-dup validation: the MinHash+LSH text pairs joined
+    * with the embedding cosine of the same ids (doc_id ≡ vec_id in the
+    * fixtures) — the standard second signal before dropping a "duplicate"
+    * at scale. Two broadcast lookups against the small pair set. */
+  def crossmodalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val ea = e.select(col("vec_id").as("doc_a"), col("v").as("va"))
+    val eb = e.select(col("vec_id").as("doc_b"), col("v").as("vb"))
+    pairs.join(ea, "doc_a").join(eb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val crossmodalNearDupSql: String = {
+    val cos = "list_reduce(list_transform(generate_series(1,64), i -> va[i] * vb[i]), (x,y) -> x+y)" +
+      " / (sqrt(list_reduce(list_transform(va, x -> x*x), (x,y) -> x+y))" +
+      " * sqrt(list_reduce(list_transform(vb, x -> x*x), (x,y) -> x+y)))"
+    s"""WITH pairs AS (${minhashLshSql.replace("ORDER BY doc_a, doc_b", "")}),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings)
+       |SELECT doc_a, doc_b, jaccard, $cos AS cos_sim
+       |FROM pairs
+       |JOIN (SELECT vec_id AS doc_a, v AS va FROM e) USING (doc_a)
+       |JOIN (SELECT vec_id AS doc_b, v AS vb FROM e) USING (doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------- KMV distinct-count sketch
 
   private val KmvK = 256
@@ -430,6 +460,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd8_kmv_distinct" -> kmvDistinctShingles,
     "dd9_ivf_neardup" -> ivfNearDup,
+    "dd10_crossmodal_neardup" -> crossmodalNearDup,
     "dd1_exact_dedup" -> exactDedup,
     "dd2_normalized_dedup" -> normalizedDedup,
     "dd3_minhash_lsh" -> minhashLsh,
@@ -441,6 +472,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dd8_kmv_distinct" -> kmvDistinctShinglesSql,
     "dd9_ivf_neardup" -> ivfNearDupSql,
+    "dd10_crossmodal_neardup" -> crossmodalNearDupSql,
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_normalized_dedup" -> normalizedDedupSql,
     "dd3_minhash_lsh" -> minhashLshSql,
