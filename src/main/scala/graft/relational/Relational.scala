@@ -538,9 +538,32 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Supplier revenue through the SALTED join (graft.operators.SkewJoin):
+    * the skewed fact side is salted, the dimension replicated — and the
+    * oracle is the PLAIN join, proving result equivalence through the gate.
+    */
+  def q28SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val s = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin.salted(l, s, "suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        money(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q28Sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_window_funcs" -> q26WindowFuncs,
     "q27_pivot" -> q27Pivot,
+    "q28_salted_join" -> q28SaltedJoin,
     "q6b_topk_aggregator" -> q6bTopKAggregator,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_market_revenue" -> q2MarketRevenue,
@@ -566,6 +589,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q26_window_funcs" -> q26Sql,
     "q27_pivot" -> q27Sql,
+    "q28_salted_join" -> q28Sql, // oracle is the PLAIN join (equivalence)
     "q6b_topk_aggregator" -> q6Sql, // must be row-identical to the window form
 
     "q1_pricing_summary" -> q1Sql,
