@@ -162,8 +162,34 @@ object EventsAnalytics {
       |       (SELECT COUNT(*) FROM c) AS n_click_after_view,
       |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin
 
+  /** Weekly retention cohorts: users grouped by first-seen week; how many
+    * were active again exactly k weeks later. Two aggregations over the
+    * user partitioning + one small (cohort, offset) rollup. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("week"))
+      .distinct()
+    val first = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(first, "user_id")
+      .withColumn("week_offset", datediff(col("week"), col("cohort_week")) / 7)
+      .groupBy(col("cohort_week"), col("week_offset").cast(LongType).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH e AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |           FROM events),
+      |f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev5_funnel" -> funnel,
+    "ev6_retention" -> retention,
     "ev1_tumbling_window" -> tumblingWindow,
     "ev2_sessionize" -> sessionize,
     "ev3_json_props" -> jsonProps,
@@ -171,6 +197,7 @@ object EventsAnalytics {
 
   val oracle: Map[String, String] = Map(
     "ev5_funnel" -> funnelSql,
+    "ev6_retention" -> retentionSql,
     "ev1_tumbling_window" -> tumblingWindowSql,
     "ev2_sessionize" -> sessionizeSql,
     "ev3_json_props" -> jsonPropsSql,

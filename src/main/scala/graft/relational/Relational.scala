@@ -560,7 +560,37 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL): per-occurrence
+    * semantics, unlike the distinct q9/q10 forms. */
+  def q29SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val a = l.filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+      .select(col("l_suppkey").as("suppkey"))
+    val b = l.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("suppkey"))
+    val ex = a.exceptAll(b).groupBy(col("suppkey")).agg(count(lit(1)).as("n_except"))
+    val in = a.intersectAll(b).groupBy(col("suppkey")).agg(count(lit(1)).as("n_intersect"))
+    ex.join(in, Seq("suppkey"), "full_outer")
+      .select(col("suppkey"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+      .orderBy(col("suppkey"))
+  }
+
+  val q29Sql: String =
+    """WITH a AS (SELECT l_suppkey AS suppkey FROM lineitem
+      |           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'),
+      |b AS (SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |ex AS (SELECT suppkey, COUNT(*) AS n_except FROM (
+      |         SELECT suppkey FROM a EXCEPT ALL SELECT suppkey FROM b) GROUP BY suppkey),
+      |i AS (SELECT suppkey, COUNT(*) AS n_intersect FROM (
+      |        SELECT suppkey FROM a INTERSECT ALL SELECT suppkey FROM b) GROUP BY suppkey)
+      |SELECT suppkey, COALESCE(n_except, 0) AS n_except,
+      |  COALESCE(n_intersect, 0) AS n_intersect
+      |FROM ex FULL OUTER JOIN i USING (suppkey)
+      |ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_set_ops_all" -> q29SetOpsAll,
     "q26_window_funcs" -> q26WindowFuncs,
     "q27_pivot" -> q27Pivot,
     "q28_salted_join" -> q28SaltedJoin,
@@ -590,6 +620,7 @@ object Relational {
     "q26_window_funcs" -> q26Sql,
     "q27_pivot" -> q27Sql,
     "q28_salted_join" -> q28Sql, // oracle is the PLAIN join (equivalence)
+    "q29_set_ops_all" -> q29Sql,
     "q6b_topk_aggregator" -> q6Sql, // must be row-identical to the window form
 
     "q1_pricing_summary" -> q1Sql,
