@@ -17,7 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // One DataFrame per (session, table): the logical plan (schema + file
+  // listing) is immutable and reusable across queries, avoiding a parquet
+  // footer read per query; physical planning (split sizes, pushdown) still
+  // happens per action under the current session conf.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      read(spark, dir, name))
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
     // nanos (spark.sql.legacy.parquet.nanosAsLong=true, set by every
