@@ -75,8 +75,8 @@ object Dedup {
         (sum(col("copies")) - count(lit(1))).as("n_removed"))
 
   val exactDedupSql: String =
-    """SELECT COUNT(*) AS n_unique, SUM(copies) AS n_docs,
-      |  SUM(copies) - COUNT(*) AS n_removed
+    """SELECT COUNT(*) AS n_unique, CAST(SUM(copies) AS BIGINT) AS n_docs,
+      |  CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_removed
       |FROM (SELECT md5(text) AS content_hash, COUNT(*) AS copies,
       |        MIN(doc_id) AS keep_id
       |      FROM documents GROUP BY 1)""".stripMargin
@@ -257,15 +257,31 @@ object Dedup {
 
   private val TrigramJaccardThreshold = 0.1
 
+  /** Posting-list document-frequency cap: shingles shared by more than this
+    * many documents are dropped from candidate generation. Without it one
+    * hot stop-shingle shared by k docs creates a k² candidate bucket — the
+    * classic inverted-index scale killer. Hot shingles carry no near-dup
+    * signal (true near-dups share many RARE shingles), so the cap changes
+    * candidates, not confirmed pairs, in practice. Mirrored in the oracle. */
+  private val ShingleDfCap = 20
+
   /** Exact n-gram Jaccard dedup with inverted-index candidate generation:
     * docs sharing ≥1 trigram shingle are candidates (a key-equality join on
     * the shingle — the classic inverted index, shuffle-partitioned by
-    * shingle), then the exact Jaccard filter runs on candidates only. */
+    * shingle), then the exact Jaccard filter runs on candidates only.
+    * Posting lists are DF-capped ([[ShingleDfCap]]); the window count
+    * partitions by `gram`, the same key the self-join shuffles on, so the
+    * cap adds no extra shuffle. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(t(spark, dir, "documents"), 3)
     // explode_outer: see minhashLsh — avoids re-evaluating the shingle
     // expression inside a pushed-down size(..)>0 filter.
-    val inv = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    val invAll = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    val inv = invAll
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .filter(col("df") <= ShingleDfCap)
+      .drop("df")
     val cands = inv.as("x").join(inv.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -283,7 +299,10 @@ object Dedup {
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
-       |inv AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       |inv_all AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       |inv AS (SELECT doc_id, gram FROM (
+       |          SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+       |          FROM inv_all) WHERE df <= $ShingleDfCap),
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |          FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b,

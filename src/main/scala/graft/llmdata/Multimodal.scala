@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,15 +118,18 @@ object Multimodal {
       |    lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS header
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n_media,
-      |  SUM(octet_length(content)) AS total_bytes,
+      |  CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,
       |  MIN(octet_length(content)) AS min_bytes,
       |  MAX(octet_length(content)) AS max_bytes,
       |  COUNT(DISTINCT header) AS n_headers
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
-  /** Decode + aggregate via the partition-batched stub codec. Not
-    * SQL-expressible (mapPartitions) → no oracle entry; the driver records
-    * a rows-only check and MultimodalSpec asserts the feature values. */
+  /** Decode + aggregate via the partition-batched stub codec. The decode
+    * step runs in mapPartitions (the codec-state shape), but its OUTPUT is
+    * plain arithmetic over the payload bytes — so it is oracle-checkable:
+    * [[featureExtractSql]] reproduces the stub math in SQL, and
+    * [[featureExtractExpr]] is an all-expression twin that MultimodalSpec
+    * asserts row-identical to this path. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir).as[MediaRecord]
@@ -140,6 +143,55 @@ object Multimodal {
         sum(col("n_frames").cast(LongType)).as("total_frames"))
       .orderBy(col("kind"))
   }
+
+  /** Expression-form twin of [[featureExtract]]: the same stub-codec math
+    * as pure Catalyst column ops (no JVM round-trip). Used by the spec to
+    * cross-check the mapPartitions path; at scale this form is preferable
+    * whenever the "codec" is arithmetic (stays inside codegen). */
+  def featureExtractExpr(spark: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("content")).cast(LongType)
+    // unsigned first/second byte: hex two chars -> int (avoids signed getbyte)
+    def byteAt(pos: Int): Column =
+      when(n >= pos, conv(substring(hex(col("content")), 2 * pos - 1, 2), 16, 10)
+        .cast(IntegerType)).otherwise(lit(0))
+    val width = (lit(16) + when(n === 0, 0).otherwise(pmod(byteAt(1), lit(64))))
+      .cast(IntegerType)
+    val height = (lit(16) + when(n < 2, 0).otherwise(pmod(byteAt(2), lit(64))))
+      .cast(IntegerType)
+    val frames = when(col("kind") === "video", lit(1L) + floor(n / 64))
+      .otherwise(lit(1L)).cast(LongType)
+    mediaTable(spark, dir)
+      .select(col("kind"), n.as("n_bytes"), width.as("width"),
+        height.as("height"), frames.as("n_frames"))
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"),
+        sum(col("n_frames")).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+
+  /** DuckDB oracle for mm2: the stub-codec math in SQL. The fixture text is
+    * ASCII (asserted by MultimodalSpec), so character positions == byte
+    * positions and `ord` == unsigned byte. */
+  val featureExtractSql: String =
+    """WITH m AS (SELECT
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |    octet_length(CAST(text AS BLOB)) AS n,
+      |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+      |    CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1
+      |  FROM documents),
+      |f AS (SELECT kind, n,
+      |    CAST(16 + (CASE WHEN n = 0 THEN 0 ELSE b0 % 64 END) AS INT) AS width,
+      |    CAST(16 + (CASE WHEN n < 2 THEN 0 ELSE b1 % 64 END) AS INT) AS height,
+      |    CASE WHEN kind = 'video' THEN 1 + n // 64 ELSE 1 END AS n_frames
+      |  FROM m)
+      |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n) AS BIGINT) AS total_bytes,
+      |  MAX(width) AS max_width, MAX(height) AS max_height,
+      |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
+      |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
   /** Frame-sampling statistics per kind (stride 16): pure column math over
     * the binary payload — the count the sampleFrames array would have. */
@@ -159,7 +211,7 @@ object Multimodal {
     """WITH m AS (SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
       |    greatest(octet_length(CAST(text AS BLOB)) // 16, 1) AS n_frames
       |  FROM documents)
-      |SELECT kind, SUM(n_frames) AS total_frames,
+      |SELECT kind, CAST(SUM(n_frames) AS BIGINT) AS total_frames,
       |  MAX(n_frames) AS max_frames, MIN(n_frames) AS min_frames
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
@@ -168,8 +220,8 @@ object Multimodal {
     "mm2_feature_extract" -> featureExtract,
     "mm3_frame_stats" -> frameStats)
 
-  /** mm2 has no SQL equivalent (mapPartitions codec path). */
   val oracle: Map[String, String] = Map(
     "mm1_binary_meta" -> binaryMetaSql,
+    "mm2_feature_extract" -> featureExtractSql,
     "mm3_frame_stats" -> frameStatsSql)
 }

@@ -49,8 +49,8 @@ object TextAnalysis {
 
   val textStatsSql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(string_split(text,' '))) AS total_words,
-      |  SUM(len(list_distinct(string_split(text,' ')))) AS total_distinct_words,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_words,
+      |  CAST(SUM(len(list_distinct(string_split(text,' ')))) AS BIGINT) AS total_distinct_words,
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
       |  MAX(len(string_split(text,' '))) AS max_words,
       |  MIN(len(string_split(text,' '))) AS min_words
@@ -116,8 +116,8 @@ object TextAnalysis {
 
   val tokenCountSql: String =
     """SELECT source,
-      |  SUM(len(string_split(text,' '))) AS total_ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_re_tokens,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_re_tokens,
       |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE) / COUNT(*) AS avg_re_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
@@ -197,11 +197,14 @@ object TextAnalysis {
       .withColumn("nw", sum(col("tc")).over(Window.partitionBy(col("doc_id"))))
     val df_ = docs.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = t(spark, dir, "documents").count().toDouble
-    val scored = tf.join(df_, "term")
+    // corpus size as a broadcast 1-row aggregate (ev5 pattern) — keeps the
+    // whole query one lazy DAG instead of an eager driver-side count() scan
+    val n = t(spark, dir, "documents")
+      .agg(count(lit(1)).cast(DoubleType).as("n_total"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
         (col("tc").cast(DoubleType) / col("nw").cast(DoubleType)) *
-          (lit(n) / col("df").cast(DoubleType)))
+          (col("n_total") / col("df").cast(DoubleType)))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -261,7 +264,7 @@ object TextAnalysis {
       |        w -> w='the' OR w='and' OR w='of' OR w='is' OR w='a' OR w='to')) AS DOUBLE) /
       |      CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio
       |  FROM documents)
-      |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  MAX(punct_ratio) AS max_punct_ratio,
       |  MIN(stopword_ratio) AS min_stopword_ratio,
       |  MAX(stopword_ratio) AS max_stopword_ratio

@@ -83,7 +83,7 @@ object EventsAnalytics {
       |  FROM s GROUP BY user_id, session_id)
       |SELECT user_id, COUNT(*) AS n_sessions,
       |  MAX(n_events) AS max_session_events,
-      |  SUM(end_ms - start_ms) AS total_session_ms
+      |  CAST(SUM(end_ms - start_ms) AS BIGINT) AS total_session_ms
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Dynamic JSON property extraction — `props` is schema-on-read exactly
@@ -101,7 +101,7 @@ object EventsAnalytics {
       .orderBy(col("event_type"))
 
   val jsonPropsSql: String =
-    """SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+    """SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |      FROM events)

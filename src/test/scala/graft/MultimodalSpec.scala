@@ -37,6 +37,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out == 10) // 130 bytes / 13
   }
 
+  test("featureExtract: expression twin is row-identical to mapPartitions path") {
+    val codec = Multimodal.featureExtract(spark, sf()).collect().toSeq
+    val expr = Multimodal.featureExtractExpr(spark, sf()).collect().toSeq
+    assert(codec == expr)
+  }
+
+  test("fixture text is ASCII (oracle relies on char position == byte position)") {
+    val nonAscii = graft.sources.Tables.load(spark, sf(), "documents")
+      .filter(octet_length($"text") =!= length($"text")).count()
+    assert(nonAscii == 0L)
+  }
+
   test("media table from fixtures: binary column + metadata query agree") {
     val meta = Multimodal.binaryMeta(spark, sf()).collect()
     assert(meta.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
