@@ -8,11 +8,11 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key names a query; only mapPartitions ops lack oracles") {
+  test("every oracle key names a query and every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
-    assert((q -- o) == Set("mm2_feature_extract"), s"missing oracles: ${q -- o}")
+    assert((q -- o).isEmpty, s"missing oracles: ${q -- o}")
   }
 
   test("all queries run on sf0.001 and return rows") {
