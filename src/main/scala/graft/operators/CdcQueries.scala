@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.EntitySchemaRegistry
+import graft.sources.Tables
+
+/** Driver-gated batch renderings of the CDC pipeline (SURVEY.md §2.2-§2.4).
+  *
+  * The streaming pipeline (`graft.streaming.CdcPipeline`) is covered by
+  * ScalaTest, but the driver's DuckDB oracle gate only sees batch
+  * `SparkEntry.queries` — so these queries run the SAME operator objects
+  * (`CdcDecode`, `CdcEnrich`, `CdcMaterialize` — Spark's unified Dataset
+  * API means the batch and streaming plans share the code path) over
+  * envelopes synthesized deterministically from the `customer` fixture:
+  * each customer row becomes one transport record, `to_json` → `base64`,
+  * exactly the wire shape of the reference's Kinesis payload
+  * (`worker/lambda/app.py:51-55`). The oracle rebuilds the same envelope
+  * with DuckDB JSON/base64 functions and decodes it with `from_base64` +
+  * JSON path extraction, so BOTH engines round-trip the full
+  * encode→decode path and must agree bit-exact on every header field.
+  *
+  * Fixture semantics per customer key k:
+  *  - changeType: k%4 → CREATE/UPDATE/DELETE/UNDELETE (quirk Q2: UIND
+  *    passes through verbatim)
+  *  - recordIds: k%7==0 → duplicated id (exercises D1 first-seen dedupe);
+  *    k%5==0 → second id `002k` absent from the snapshot (exercises the
+  *    enrichment inner-join drop, `app.py:101`); else a single id
+  *  - changedFields: non-empty only for UPDATE (T3 header projection)
+  */
+object CdcQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private val k: Column = col("c_custkey")
+  private def ks: Column = k.cast(StringType)
+
+  private val changeType: Column =
+    when(k % 4 === 0, "CREATE").when(k % 4 === 1, "UPDATE")
+      .when(k % 4 === 2, "DELETE").otherwise("UNDELETE")
+
+  private val recordIds: Column = {
+    val id1 = concat(lit("001"), ks)
+    val id2 = concat(lit("002"), ks)
+    when(k % 7 === 0, array(id1, id1))
+      .when(k % 5 === 0, array(id1, id2))
+      .otherwise(array(id1))
+  }
+
+  private val changedFields: Column =
+    when(k % 4 === 1, array(lit("c_name"), lit("c_acctbal")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** One synthetic base64 transport record per customer row (the
+    * `kinesis.data` shape). `bodyFields` are the dynamic entity body —
+    * to_json drops null fields (default ignoreNullFields), so a null body
+    * column is ABSENT from the wire JSON, as on a real schema-v1 event. */
+  private def synthRaw(customer: DataFrame, fp: Column, bodyFields: Seq[Column]): DataFrame = {
+    val header = struct(
+      (k * 10).as("commitNumber"),
+      concat(lit("u"), (k % 5).cast(StringType)).as("commitUser"),
+      (lit(1) + k % 3).cast(IntegerType).as("sequenceNumber"),
+      lit("Customer").as("entityName"),
+      changeType.as("changeType"),
+      changedFields.as("changedFields"),
+      lit("api").as("changeOrigin"),
+      concat(lit("tk-"), ks).as("transactionKey"),
+      (lit(1583300894000L) + k * 1000).as("commitTimestamp"),
+      recordIds.as("recordIds"))
+    val env = struct(
+      fp.as("schema"),
+      struct(bodyFields :+ header.as("ChangeEventHeader"): _*).as("payload"),
+      struct((k + 10).as("replayId")).as("event"))
+    customer.select(base64(to_json(env).cast(BinaryType)).as("data"))
+  }
+
+  private def custName: Column = concat(lit("Cust-"), ks)
+
+  /** Decoded + exploded change rows (T1 base64 → T2 JSON → T3 headers →
+    * D1 id dedupe → T5 explode), dead letters split off (quirk Q8). */
+  private def changes(spark: SparkSession, dir: String): DataFrame = {
+    val raw = synthRaw(t(spark, dir, "customer"), lit("fp_v1"), Seq(custName.as("Name")))
+    val (good, _) = CdcDecode.partitionValid(
+      CdcDecode.decodeBase64(raw, col("data")).drop("data"))
+    CdcDecode.explodeIds(good)
+  }
+
+  // ------------------------------------------------------------ cdc1
+
+  /** T1+T2+T3+D1+T5 under the oracle gate: every envelope header field
+    * survives the base64+JSON round trip bit-exact. */
+  def decodeHeaders(spark: SparkSession, dir: String): DataFrame =
+    changes(spark, dir).select(
+      col("Id").as("record_id"),
+      col("entityName").as("entity_name"),
+      col("changeType").as("change_type"),
+      col("commitNumber").as("commit_number"),
+      col("sequenceNumber").as("sequence_number"),
+      unix_millis(col("commitTimestamp")).as("commit_ts_ms"),
+      col("transactionKey").as("transaction_key"),
+      col("replayId").as("replay_id"),
+      col("schema_fingerprint"),
+      array_join(col("changedFields"), ",").as("changed_fields"),
+      get_json_object(col("payload_json"), "$.Name").as("name"))
+      .orderBy(col("record_id"), col("replay_id"))
+
+  // ------------------------------------------------------------ cdc2
+
+  /** T9 routing + J1 broadcast enrichment + T6 UIND append + T7 tombstones
+    * (`worker/lambda/app.py:75-113`): DELETEs become tombstones with null
+    * snapshot columns; everything else inner-joins the current snapshot
+    * (ids missing there — the `002k` ids — are silently dropped). */
+  def routeEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = t(spark, dir, "customer").select(
+      concat(lit("001"), ks).as("Id"),
+      col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    CdcEnrich(changes(spark, dir), snapshot)
+      .select(
+        col("attributes.type").as("attr_type"),
+        col("Id").as("record_id"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        col("UIND").as("uind"))
+      .orderBy(col("record_id"), col("uind"))
+  }
+
+  // ------------------------------------------------------------ cdc3
+
+  /** Log compaction (SURVEY.md §1.4): three change versions per key where
+    * the LAST-arriving version (v2) is commit-older than an earlier one —
+    * latest-state must rank by the envelope clock (commitNumber,
+    * sequenceNumber, replayId), not arrival, and tombstoned keys drop. */
+  def materializeLatest(spark: SparkSession, dir: String): DataFrame = {
+    val log = t(spark, dir, "customer").select(col("c_custkey").as("k"))
+      .withColumn("v", explode(array(lit(0), lit(1), lit(2))))
+      .select(
+        lit("Customer").as("entityName"),
+        concat(lit("001"), col("k").cast(StringType)).as("Id"),
+        (col("k") * 100 + when(col("v") === 2, 1).otherwise(2)).as("commitNumber"),
+        (col("v") + 1).cast(IntegerType).as("sequenceNumber"),
+        (col("k") * 10 + col("v")).as("replayId"),
+        when(col("v") === 1,
+          when(col("k") % 3 === 0, "DELETE").otherwise("UPDATE"))
+          .when(col("v") === 0, "CREATE").otherwise("UPDATE").as("UIND"),
+        concat(lit("Cust-"), col("k").cast(StringType), lit("-v"),
+          col("v").cast(StringType)).as("name"),
+        (col("k") * 10 + col("v")).as("payload_val"))
+    CdcMaterialize.latestState(log)
+      .select(
+        col("Id").as("record_id"), col("UIND").as("uind"),
+        col("commitNumber").as("commit_number"),
+        col("sequenceNumber").as("sequence_number"),
+        col("replayId").as("replay_id"), col("name"), col("payload_val"))
+      .orderBy(col("record_id"))
+  }
+
+  // ------------------------------------------------------------ cdc4
+
+  /** S10 schema evolution under the gate: two schema fingerprints coexist
+    * in one batch (fp_v1 body = {Name}, fp_v2 body = {Name, Tier}); the
+    * registry re-types each event with the schema it was WRITTEN with, and
+    * v1 rows surface null Tier after the union-by-name. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val fp = when(k % 2 === 0, "fp_v1").otherwise("fp_v2")
+    val tier = when(k % 2 === 1, concat(lit("T"), (k % 3).cast(StringType)))
+    val raw = synthRaw(t(spark, dir, "customer"), fp,
+      Seq(custName.as("Name"), tier.as("Tier")))
+    val decoded = CdcDecode.explodeIds(
+      CdcDecode.decodeBase64(raw, col("data")).drop("data"))
+    val registry = new EntitySchemaRegistry
+    val v1 = StructType(Seq(StructField("Name", StringType)))
+    val v2 = StructType(Seq(
+      StructField("Name", StringType), StructField("Tier", StringType)))
+    registry.register("Customer", v2)
+    registry.register("Customer", "fp_v1", v1)
+    registry.register("Customer", "fp_v2", v2)
+    CdcDecode.typedBodyEvolving(decoded, "Customer", registry)
+      .select(
+        col("Id").as("record_id"),
+        col("schema_fingerprint"),
+        col("body.Name").as("name"),
+        col("body.Tier").as("tier"))
+      .orderBy(col("record_id"))
+  }
+
+  // ------------------------------------------------------- oracle SQL
+
+  /** Shared oracle prefix: synthesize the identical envelope with DuckDB
+    * struct→JSON, base64-encode, then DECODE it back (from_base64 + JSON
+    * paths) — the oracle exercises the same wire round trip as Spark. */
+  private val synthHdrSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey AS k, 'Cust-' || c_custkey AS name,
+      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE'
+      |         WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END AS change_type,
+      |    CASE WHEN c_custkey % 7 = 0 THEN ['001' || c_custkey, '001' || c_custkey]
+      |         WHEN c_custkey % 5 = 0 THEN ['001' || c_custkey, '002' || c_custkey]
+      |         ELSE ['001' || c_custkey] END AS record_ids,
+      |    CASE WHEN c_custkey % 4 = 1 THEN ['c_name','c_acctbal'] ELSE [] END AS changed_fields
+      |  FROM customer),
+      |env AS (
+      |  SELECT base64(encode(CAST(to_json({
+      |    'schema': 'fp_v1',
+      |    'payload': {'Name': name, 'ChangeEventHeader': {
+      |       'commitNumber': k*10, 'commitUser': 'u' || (k%5),
+      |       'sequenceNumber': CAST(1 + k%3 AS INT),
+      |       'entityName': 'Customer', 'changeType': change_type,
+      |       'changedFields': changed_fields, 'changeOrigin': 'api',
+      |       'transactionKey': 'tk-' || k,
+      |       'commitTimestamp': 1583300894000 + k*1000, 'recordIds': record_ids
+      |    }}, 'event': {'replayId': k + 10}
+      |  }) AS VARCHAR))) AS data FROM src),
+      |dec AS (SELECT decode(from_base64(data)) AS j FROM env),
+      |hdr AS (SELECT
+      |   j->>'$.schema' AS schema_fingerprint,
+      |   CAST(j->'$.event.replayId' AS BIGINT) AS replay_id,
+      |   j->>'$.payload.ChangeEventHeader.entityName' AS entity_name,
+      |   j->>'$.payload.ChangeEventHeader.changeType' AS change_type,
+      |   CAST(j->'$.payload.ChangeEventHeader.commitNumber' AS BIGINT) AS commit_number,
+      |   CAST(j->'$.payload.ChangeEventHeader.sequenceNumber' AS INT) AS sequence_number,
+      |   CAST(j->'$.payload.ChangeEventHeader.commitTimestamp' AS BIGINT) AS commit_ts_ms,
+      |   j->>'$.payload.ChangeEventHeader.transactionKey' AS transaction_key,
+      |   coalesce(array_to_string(
+      |     CAST(j->'$.payload.ChangeEventHeader.changedFields' AS VARCHAR[]), ','), '') AS changed_fields,
+      |   list_distinct(CAST(j->'$.payload.ChangeEventHeader.recordIds' AS VARCHAR[])) AS record_ids,
+      |   j->>'$.payload.Name' AS name
+      | FROM dec)""".stripMargin
+
+  val decodeHeadersSql: String = synthHdrSql +
+    """
+      |SELECT unnest(record_ids) AS record_id, entity_name, change_type,
+      |  commit_number, sequence_number, commit_ts_ms, transaction_key,
+      |  replay_id, schema_fingerprint, changed_fields, name
+      |FROM hdr ORDER BY record_id, replay_id""".stripMargin
+
+  val routeEnrichSql: String = synthHdrSql +
+    """,
+      |chg AS (SELECT unnest(record_ids) AS record_id, change_type FROM hdr),
+      |snap AS (SELECT '001' || c_custkey AS record_id, c_name, c_acctbal, c_mktsegment
+      |         FROM customer)
+      |SELECT 'Customer' AS attr_type, chg.record_id, s.c_name, s.c_acctbal,
+      |  s.c_mktsegment, chg.change_type AS uind
+      |FROM chg JOIN snap s USING (record_id) WHERE chg.change_type <> 'DELETE'
+      |UNION ALL
+      |SELECT 'Customer', record_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS VARCHAR), 'DELETE'
+      |FROM chg WHERE change_type = 'DELETE'
+      |ORDER BY record_id, uind""".stripMargin
+
+  val materializeLatestSql: String =
+    """WITH src AS (SELECT c_custkey AS k, unnest([0,1,2]) AS v FROM customer),
+      |log AS (SELECT '001' || k AS record_id,
+      |  k*100 + CASE WHEN v = 2 THEN 1 ELSE 2 END AS commit_number,
+      |  CAST(v + 1 AS INT) AS sequence_number, k*10 + v AS replay_id,
+      |  CASE WHEN v = 1 THEN (CASE WHEN k % 3 = 0 THEN 'DELETE' ELSE 'UPDATE' END)
+      |       WHEN v = 0 THEN 'CREATE' ELSE 'UPDATE' END AS uind,
+      |  'Cust-' || k || '-v' || v AS name, k*10 + v AS payload_val
+      |  FROM src),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY record_id
+      |  ORDER BY commit_number DESC, sequence_number DESC, replay_id DESC) AS rn FROM log)
+      |SELECT record_id, uind, commit_number, sequence_number, replay_id, name, payload_val
+      |FROM ranked WHERE rn = 1 AND uind <> 'DELETE' ORDER BY record_id""".stripMargin
+
+  val schemaEvolutionSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey AS k, 'Cust-' || c_custkey AS name,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'fp_v1' ELSE 'fp_v2' END AS fp,
+      |    CASE WHEN c_custkey % 2 = 1 THEN 'T' || (c_custkey % 3) END AS tier,
+      |    CASE WHEN c_custkey % 7 = 0 THEN ['001' || c_custkey, '001' || c_custkey]
+      |         WHEN c_custkey % 5 = 0 THEN ['001' || c_custkey, '002' || c_custkey]
+      |         ELSE ['001' || c_custkey] END AS record_ids
+      |  FROM customer),
+      |env AS (
+      |  SELECT base64(encode(CAST(to_json({
+      |    'schema': fp,
+      |    'payload': {'Name': name, 'Tier': tier, 'ChangeEventHeader': {
+      |       'recordIds': record_ids}},
+      |    'event': {'replayId': k + 10}
+      |  }) AS VARCHAR))) AS data FROM src),
+      |dec AS (SELECT decode(from_base64(data)) AS j FROM env),
+      |hdr AS (SELECT
+      |   j->>'$.schema' AS schema_fingerprint,
+      |   list_distinct(CAST(j->'$.payload.ChangeEventHeader.recordIds' AS VARCHAR[])) AS record_ids,
+      |   j->>'$.payload.Name' AS name,
+      |   j->>'$.payload.Tier' AS tier
+      | FROM dec)
+      |SELECT unnest(record_ids) AS record_id, schema_fingerprint, name, tier
+      |FROM hdr ORDER BY record_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc1_decode" -> decodeHeaders,
+    "cdc2_route_enrich" -> routeEnrich,
+    "cdc3_materialize" -> materializeLatest,
+    "cdc4_schema_evolution" -> schemaEvolution)
+
+  val oracle: Map[String, String] = Map(
+    "cdc1_decode" -> decodeHeadersSql,
+    "cdc2_route_enrich" -> routeEnrichSql,
+    "cdc3_materialize" -> materializeLatestSql,
+    "cdc4_schema_evolution" -> schemaEvolutionSql)
+}
