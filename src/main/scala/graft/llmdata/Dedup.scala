@@ -49,11 +49,22 @@ object Dedup {
     * The result is persisted: every consumer self-joins it (bands × bands,
     * inv × inv, plus two candidate→grams lookups), and without a cache
     * Spark recomputes the shingling per branch. At 100 TB the equivalent
-    * is materializing the shingle table once per corpus snapshot. */
-  private def gramsOf(df: DataFrame, n: Int): DataFrame = {
-    val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
-    df.withColumn("_w", words).select(col("doc_id"), sh.as("grams")).persist()
-  }
+    * is materializing the shingle table once per corpus snapshot.
+    *
+    * Keyed per (session, dir, n) like Tables.load — a bare `.persist()`
+    * here pinned a FRESH shingle table per call (dd3/dd6/dd8/dd10 ×
+    * every query run), a session-lifetime storage leak that degraded
+    * everything sharing the executor heap. The cache bounds pinned
+    * storage to one table per (dir, shingle width). */
+  private val gramsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+
+  private def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame =
+    gramsCache.getOrElseUpdate((System.identityHashCode(spark), dir, n), {
+      val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
+      t(spark, dir, "documents").withColumn("_w", words)
+        .select(col("doc_id"), sh.as("grams")).persist()
+    })
 
   /** Exact Jaccard on distinct shingle arrays — native one-pass expression
     * (same counts and division as size(array_intersect)/size(array_union),
@@ -119,7 +130,7 @@ object Dedup {
     * self-join and the two candidate→signature lookups; all are key-equality
     * joins that AQE can re-plan on skewed buckets. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = gramsOf(t(spark, dir, "documents"), 2)
+    val docs = gramsOf(spark, dir, 2)
     val sig = docs.select(col("doc_id"), col("grams"), minhashSig(col("grams")).as("sig"))
     val bandHashes = array((0 until NumBands).map { b =>
       md5(concat((0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*))
@@ -257,31 +268,46 @@ object Dedup {
 
   private val TrigramJaccardThreshold = 0.1
 
-  /** Posting-list document-frequency cap: shingles shared by more than this
-    * many documents are dropped from candidate generation. Without it one
-    * hot stop-shingle shared by k docs creates a k² candidate bucket — the
-    * classic inverted-index scale killer. Hot shingles carry no near-dup
-    * signal (true near-dups share many RARE shingles), so the cap changes
-    * candidates, not confirmed pairs, in practice. Mirrored in the oracle. */
+  /** Posting-list document-frequency cap: per shingle, only the
+    * [[ShingleDfCap]] LOWEST doc_ids stay in candidate generation. Without
+    * a cap one hot stop-shingle shared by k docs creates a k² candidate
+    * bucket — the classic inverted-index scale killer. SAMPLING the
+    * posting list (rather than dropping it outright) means a boilerplate
+    * cluster larger than the cap still generates within-cluster candidate
+    * pairs among its sampled members; docs of such a cluster sharing ONLY
+    * capped shingles with each other can still escape — the documented
+    * recall trade for bounding the bucket at cap². Mirrored in the oracle
+    * (row_number over gram ordered by doc_id). */
   private val ShingleDfCap = 20
 
   /** Exact n-gram Jaccard dedup with inverted-index candidate generation:
     * docs sharing ≥1 trigram shingle are candidates (a key-equality join on
     * the shingle — the classic inverted index, shuffle-partitioned by
     * shingle), then the exact Jaccard filter runs on candidates only.
-    * Posting lists are DF-capped ([[ShingleDfCap]]); the window count
-    * partitions by `gram`, the same key the self-join shuffles on, so the
-    * cap adds no extra shuffle. */
+    *
+    * The DF cap ([[ShingleDfCap]]) is applied WITHOUT sorting the full
+    * inverted index (a window over every (doc, shingle) row full-sorted
+    * the index and was the slowest query in the battery): a map-side-
+    * combined `groupBy(gram).count()` finds the hot grams — a tiny set by
+    * construction — which split the index via two BROADCAST joins: cold
+    * postings (≤ cap, the overwhelming majority) pass through untouched
+    * with no shuffle, and only the hot slice pays a per-gram top-cap
+    * window. Logically identical to ranking every posting list. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = gramsOf(t(spark, dir, "documents"), 3)
+    val docs = gramsOf(spark, dir, 3)
     // explode_outer: see minhashLsh — avoids re-evaluating the shingle
     // expression inside a pushed-down size(..)>0 filter.
     val invAll = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-    val inv = invAll
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
-      .filter(col("df") <= ShingleDfCap)
-      .drop("df")
+    val hot = invAll.groupBy(col("gram")).count()
+      .filter(col("count") > ShingleDfCap).select(col("gram"))
+    val cold = invAll.join(broadcast(hot), Seq("gram"), "left_anti")
+    val hotSampled = invAll.join(broadcast(hot), Seq("gram"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram")).orderBy(col("doc_id"))))
+      .filter(col("_rn") <= ShingleDfCap)
+      .drop("_rn")
+    val inv = cold.unionByName(hotSampled)
     val cands = inv.as("x").join(inv.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -300,9 +326,8 @@ object Dedup {
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
        |inv_all AS (SELECT doc_id, unnest(g) AS gram FROM sh),
-       |inv AS (SELECT doc_id, gram FROM (
-       |          SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
-       |          FROM inv_all) WHERE df <= $ShingleDfCap),
+       |inv AS (SELECT doc_id, gram FROM inv_all
+       |        QUALIFY row_number() OVER (PARTITION BY gram ORDER BY doc_id) <= $ShingleDfCap),
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |          FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b,
@@ -445,7 +470,7 @@ object Dedup {
     * DuckDB oracle computing the same k minima. At 100 TB the sketch path
     * shuffles O(k) per partition instead of every distinct shingle. */
   def kmvDistinctShingles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = gramsOf(t(spark, dir, "documents"), 3)
+    val docs = gramsOf(spark, dir, 3)
     val inv = docs.select(explode_outer(col("grams")).as("gram"))
       .filter(col("gram").isNotNull)
     inv.agg(

@@ -114,7 +114,7 @@ object Multimodal {
   val binaryMetaSql: String =
     """WITH m AS (SELECT doc_id AS media_id,
       |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-      |    CAST(text AS BLOB) AS content,
+      |    encode(text) AS content,
       |    lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS header
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n_media,
@@ -150,9 +150,11 @@ object Multimodal {
     * whenever the "codec" is arithmetic (stays inside codegen). */
   def featureExtractExpr(spark: SparkSession, dir: String): DataFrame = {
     val n = octet_length(col("content")).cast(LongType)
-    // unsigned first/second byte: hex two chars -> int (avoids signed getbyte)
+    // unsigned byte at pos: slice the ONE needed byte first, then hex it —
+    // hexing the whole payload to read a prefix was O(payload) per row
+    // with a 2× transient string (avoids signed getbyte either way)
     def byteAt(pos: Int): Column =
-      when(n >= pos, conv(substring(hex(col("content")), 2 * pos - 1, 2), 16, 10)
+      when(n >= pos, conv(hex(substring(col("content"), pos, 1)), 16, 10)
         .cast(IntegerType)).otherwise(lit(0))
     val width = (lit(16) + when(n === 0, 0).otherwise(pmod(byteAt(1), lit(64))))
       .cast(IntegerType)
@@ -173,15 +175,18 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
-  /** DuckDB oracle for mm2: the stub-codec math in SQL. The fixture text is
-    * ASCII (asserted by MultimodalSpec), so character positions == byte
-    * positions and `ord` == unsigned byte. */
+  /** DuckDB oracle for mm2: the stub-codec math in SQL, byte-based
+    * (`encode` → UTF-8 bytes, hex-pair prefix → unsigned byte) so parity
+    * holds even if fixtures gain non-ASCII text — `ord`/`substr` would
+    * read code points where Spark reads raw bytes. */
   val featureExtractSql: String =
     """WITH m AS (SELECT
       |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-      |    octet_length(CAST(text AS BLOB)) AS n,
-      |    CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
-      |    CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1
+      |    octet_length(encode(text)) AS n,
+      |    CASE WHEN octet_length(encode(text)) >= 1
+      |      THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) ELSE 0 END AS b0,
+      |    CASE WHEN octet_length(encode(text)) >= 2
+      |      THEN CAST('0x' || substr(hex(encode(text)), 3, 2) AS INT) ELSE 0 END AS b1
       |  FROM documents),
       |f AS (SELECT kind, n,
       |    CAST(16 + (CASE WHEN n = 0 THEN 0 ELSE b0 % 64 END) AS INT) AS width,
@@ -209,7 +214,7 @@ object Multimodal {
 
   val frameStatsSql: String =
     """WITH m AS (SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-      |    greatest(octet_length(CAST(text AS BLOB)) // 16, 1) AS n_frames
+      |    greatest(octet_length(encode(text)) // 16, 1) AS n_frames
       |  FROM documents)
       |SELECT kind, CAST(SUM(n_frames) AS BIGINT) AS total_frames,
       |  MAX(n_frames) AS max_frames, MIN(n_frames) AS min_frames

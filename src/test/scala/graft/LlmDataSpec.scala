@@ -9,6 +9,18 @@ import graft.llmdata.{Dedup, Similarity, TextAnalysis}
 class LlmDataSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedup: pinned storage is bounded — repeated query builds reuse one shingle cache") {
+    Dedup.minhashLsh(spark, sf()).count()
+    Dedup.ngramJaccard(spark, sf()).count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    Dedup.ngramJaccard(spark, sf()).count()
+    Dedup.kmvDistinctShingles(spark, sf()).count()
+    Dedup.minhashLsh(spark, sf()).count()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 == after1,
+      s"persisted RDD count grew across repeated queries: $after1 -> $after2")
+  }
+
   test("dedup: exact summary is consistent and lossless on a dup-free corpus") {
     val r = Dedup.exactDedup(spark, sf()).collect().head
     assert(r.getAs[Long]("n_docs") == 500L)
