@@ -156,6 +156,27 @@ object CdcQueries {
       .orderBy(col("record_id"))
   }
 
+  // ------------------------------------------------------------ cdc5
+
+  /** T8/T11 sink serialization under the gate: the pipeline's own
+    * `toJsonLines` (the shape written to the keyed file sink) vs DuckDB
+    * building the identical compact JSON text. Null fields are OMITTED by
+    * to_json, so tombstones serialize to the reference's narrower
+    * `{attributes, Id, UIND}` shape while enriched rows carry the full
+    * record — the oracle renders each branch with its own struct.
+    * Snapshot columns here are string/int only: JSON double formatting is
+    * engine-specific, and the sink contract is exercised by shape, not by
+    * float text. */
+  def serializeSink(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = t(spark, dir, "customer").select(
+      concat(lit("001"), ks).as("Id"),
+      col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    graft.streaming.CdcPipeline.toJsonLines(
+      CdcEnrich(changes(spark, dir), snapshot))
+      .select(col("entityName").as("entity_name"), col("value").as("json_line"))
+      .orderBy(col("json_line"))
+  }
+
   // ------------------------------------------------------------ cdc4
 
   /** S10 schema evolution under the gate: two schema fingerprints coexist
@@ -249,6 +270,23 @@ object CdcQueries {
       |FROM chg WHERE change_type = 'DELETE'
       |ORDER BY record_id, uind""".stripMargin
 
+  val serializeSinkSql: String = synthHdrSql +
+    """,
+      |chg AS (SELECT unnest(record_ids) AS record_id, change_type FROM hdr),
+      |snap AS (SELECT '001' || c_custkey AS record_id, c_name, c_nationkey, c_mktsegment
+      |         FROM customer),
+      |enr AS (SELECT 'Customer' AS entity_name,
+      |   CAST(to_json({'attributes': {'type': 'Customer'}, 'Id': chg.record_id,
+      |     'c_name': s.c_name, 'c_nationkey': s.c_nationkey,
+      |     'c_mktsegment': s.c_mktsegment, 'UIND': chg.change_type}) AS VARCHAR) AS json_line
+      | FROM chg JOIN snap s USING (record_id) WHERE chg.change_type <> 'DELETE'),
+      |tomb AS (SELECT 'Customer' AS entity_name,
+      |   CAST(to_json({'attributes': {'type': 'Customer'}, 'Id': record_id,
+      |     'UIND': 'DELETE'}) AS VARCHAR) AS json_line
+      | FROM chg WHERE change_type = 'DELETE')
+      |SELECT * FROM (SELECT * FROM enr UNION ALL SELECT * FROM tomb)
+      |ORDER BY json_line""".stripMargin
+
   val materializeLatestSql: String =
     """WITH src AS (SELECT c_custkey AS k, unnest([0,1,2]) AS v FROM customer),
       |log AS (SELECT '001' || k AS record_id,
@@ -293,11 +331,13 @@ object CdcQueries {
     "cdc1_decode" -> decodeHeaders,
     "cdc2_route_enrich" -> routeEnrich,
     "cdc3_materialize" -> materializeLatest,
-    "cdc4_schema_evolution" -> schemaEvolution)
+    "cdc4_schema_evolution" -> schemaEvolution,
+    "cdc5_serialize_sink" -> serializeSink)
 
   val oracle: Map[String, String] = Map(
     "cdc1_decode" -> decodeHeadersSql,
     "cdc2_route_enrich" -> routeEnrichSql,
     "cdc3_materialize" -> materializeLatestSql,
-    "cdc4_schema_evolution" -> schemaEvolutionSql)
+    "cdc4_schema_evolution" -> schemaEvolutionSql,
+    "cdc5_serialize_sink" -> serializeSinkSql)
 }

@@ -75,6 +75,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("dd6: DF cap does not sort the full inverted index — hot-gram split broadcasts") {
+    val p = plan(Dedup.ngramJaccard(spark, sf()))
+    // the cold path must reach the self-join without a Window; the only
+    // Window sits on the hot slice, downstream of a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), "hot/cold split must broadcast the hot-gram set")
+    assert(p.contains("Window") && p.contains("row_number"),
+      "hot slice keeps cap-lowest doc_ids via row_number")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("cdc enrichment: the changed-id side is the broadcast build side") {
     import spark.implicits._
     val snapshot = Seq(("001A", "n")).toDF("Id", "Name")
