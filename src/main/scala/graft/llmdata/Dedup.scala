@@ -66,6 +66,16 @@ object Dedup {
         .select(col("doc_id"), sh.as("grams")).persist()
     })
 
+  /** Release this session's pinned shingle tables (e.g. before a phase
+    * that needs the storage memory, or after a dedup pass completes).
+    * Subsequent queries transparently rebuild the cache. */
+  def uncacheShingles(spark: SparkSession): Unit = {
+    val id = System.identityHashCode(spark)
+    gramsCache.keys.filter(_._1 == id).foreach { key =>
+      gramsCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Exact Jaccard on distinct shingle arrays — native one-pass expression
     * (same counts and division as size(array_intersect)/size(array_union),
     * which interpreted to two hash-set builds per candidate pair). */

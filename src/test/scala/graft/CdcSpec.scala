@@ -163,6 +163,23 @@ class CdcSpec extends SparkSpec {
     // 001B stays deleted
   }
 
+  test("materialize: idempotent under redelivery and insensitive to arrival order") {
+    import graft.operators.CdcMaterialize
+    val log = Seq(
+      ("Account", "001A", "CREATE", 10L, 1, 1L, "v1"),
+      ("Account", "001A", "UPDATE", 20L, 1, 2L, "v2"),
+      ("Account", "001B", "CREATE", 10L, 1, 3L, "b1"),
+      ("Account", "001B", "DELETE", 30L, 1, 4L, null))
+      .toDF("entityName", "Id", "UIND", "commitNumber", "sequenceNumber", "replayId", "Name")
+    val once = CdcMaterialize.latestState(log).collect().toSet
+    // at-least-once transport: the whole log redelivered is a no-op
+    val redelivered = CdcMaterialize.latestState(log.union(log)).collect().toSet
+    assert(redelivered == once)
+    // compaction ranks by the envelope clock, not arrival order
+    val shuffled = CdcMaterialize.latestState(log.orderBy(rand(42))).collect().toSet
+    assert(shuffled == once)
+  }
+
   test("materialize streaming: foreachBatch upsert maintains state across batches") {
     import graft.operators.CdcMaterialize
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

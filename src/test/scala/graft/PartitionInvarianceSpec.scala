@@ -22,19 +22,28 @@ class PartitionInvarianceSpec extends SparkSpec {
       "dd8_kmv_distinct" -> Dedup.kmvDistinctShingles _,
       "ev1_tumbling_window" -> EventsAnalytics.tumblingWindow _,
       "ev2_sessionize" -> EventsAnalytics.sessionize _,
-      "dd3_minhash_lsh" -> Dedup.minhashLsh _)
+      "dd3_minhash_lsh" -> Dedup.minhashLsh _,
+      "dd6_ngram_jaccard" -> Dedup.ngramJaccard _,
+      "cdc1_decode" -> graft.operators.CdcQueries.decodeHeaders _,
+      "cdc2_route_enrich" -> graft.operators.CdcQueries.routeEnrich _,
+      "cdc3_materialize" -> graft.operators.CdcQueries.materializeLatest _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
+      // drop the session shingle cache so the dedup queries actually
+      // re-scan under the shrunken split size instead of reusing storage
+      Dedup.uncacheShingles(spark)
       val whole = rows(fn(spark, sf()))
       spark.conf.set("spark.sql.files.maxPartitionBytes", "16384") // 16 KB
       spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      Dedup.uncacheShingles(spark)
       try {
         val split = rows(fn(spark, sf()))
         assert(split == whole, s"$name differs under small input splits")
       } finally {
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
         spark.conf.unset("spark.sql.files.openCostInBytes")
+        Dedup.uncacheShingles(spark)
       }
     }
   }
