@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmdata.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.CdcQueries
 import graft.relational.{EventsAnalytics, Relational, SqlSurface}
 
@@ -25,12 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventsAnalytics.queries ++
-      SqlSurface.queries ++ CdcQueries.queries
+      SqlSurface.queries ++ CdcQueries.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ EventsAnalytics.oracle ++
-      SqlSurface.oracle ++ CdcQueries.oracle
+      SqlSurface.oracle ++ CdcQueries.oracle ++ Curation.oracle
 }

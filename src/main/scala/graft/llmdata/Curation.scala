@@ -1,0 +1,130 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** End-to-end corpus curation — the composed form of the pipeline a
+  * 100 TB training-data run actually executes, demonstrating that the
+  * engine's operators chain inside ONE lazy DAG (no materialization
+  * between stages): language-ID → quality scoring → exact dedup →
+  * deterministic stratified sampling → per-stratum accounting.
+  *
+  * Scale posture: three shuffles total — the content-hash dedup window
+  * (high-cardinality key, no skew), the (lang, band) stratum window, and
+  * the final tiny aggregate. Everything upstream is a single map pass
+  * over the scan. The stratum window has only |langs|×|bands| partitions;
+  * at extreme scale swap the row_number for the bounded-heap TopKByScore
+  * aggregator (graft.functions) to avoid sorting whole strata — the
+  * md5-ranked sample is deliberately rand()-free so it is replayable and
+  * partition-stable either way.
+  */
+object Curation {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private val words: Column = split(col("text"), " ")
+
+  private val SampleK = 25
+
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    // language-ID marker voting (tx2's heuristic, inlined so the whole
+    // pipeline stays one projection until the first window)
+    def hits(markers: Seq[String]): Column =
+      size(filter(words, w => markers.map(w === _).reduce(_ || _))).cast(LongType)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val es = hits(Seq("el", "la", "de", "que"))
+    val fr = hits(Seq("le", "les", "des", "une"))
+    val de = hits(Seq("der", "und", "die", "nicht"))
+    val best = greatest(en, es, fr, de)
+    val pred = when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("de"))
+    // quality composite (tx4's arithmetic: int-derived doubles, fixed
+    // operation order — bit-identical across engines)
+    val nw = size(words).cast(DoubleType)
+    val ndw = size(array_distinct(words)).cast(DoubleType)
+    val quality = least(nw / lit(80.0), lit(1.0)) * lit(0.5) + (ndw / nw) * lit(0.5)
+
+    val feats = t(spark, dir, "documents").select(
+      col("doc_id"),
+      pred.as("pred_lang"),
+      quality.as("quality"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast(LongType).as("re_tokens"),
+      md5(col("text")).as("content_hash"))
+
+    // exact dedup: canonical copy = lowest doc_id per content hash
+    val canon = feats
+      .withColumn("_dup_rn", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("_dup_rn") === 1)
+
+    // filter gate: identified language + quality floor, then band
+    val kept = canon
+      .filter(col("pred_lang") =!= "und" && col("quality") >= 0.45)
+      .withColumn("band", when(col("quality") >= 0.6, lit("high")).otherwise(lit("medium")))
+
+    // deterministic md5-ranked sample of SampleK docs per stratum
+    val sampled = kept.withColumn("_s_rn", row_number().over(
+      Window.partitionBy(col("pred_lang"), col("band"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))))
+
+    sampled.groupBy(col("pred_lang"), col("band"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("re_tokens")).as("total_tokens"),
+        sum(when(col("_s_rn") <= SampleK, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("_s_rn") <= SampleK, col("re_tokens"))).as("sample_tokens"),
+        // nano-scaled integer sum: the average must not depend on
+        // partial-aggregation order (see tx4)
+        ((sum(round(col("quality") * lit(1e9)).cast(LongType)).cast(DoubleType) /
+          count(lit(1))) / lit(1e9)).as("avg_quality"))
+      .orderBy(col("pred_lang"), col("band"))
+  }
+
+  val corpusCurationSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(en,es,fr,de)=0 THEN 'und'
+       |         WHEN en=greatest(en,es,fr,de) THEN 'en'
+       |         WHEN es=greatest(en,es,fr,de) THEN 'es'
+       |         WHEN fr=greatest(en,es,fr,de) THEN 'fr'
+       |         ELSE 'de' END AS pred_lang,
+       |    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 80.0, 1.0) * 0.5 +
+       |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+       |     CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5 AS quality,
+       |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+       |    md5(text) AS content_hash
+       |  FROM (SELECT doc_id, text,
+       |    len(list_filter(string_split(text,' '), w -> w='the' OR w='and' OR w='of' OR w='is')) AS en,
+       |    len(list_filter(string_split(text,' '), w -> w='el' OR w='la' OR w='de' OR w='que')) AS es,
+       |    len(list_filter(string_split(text,' '), w -> w='le' OR w='les' OR w='des' OR w='une')) AS fr,
+       |    len(list_filter(string_split(text,' '), w -> w='der' OR w='und' OR w='die' OR w='nicht')) AS de
+       |  FROM documents)),
+       |canon AS (SELECT * FROM f
+       |  QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1),
+       |kept AS (SELECT *, CASE WHEN quality >= 0.6 THEN 'high' ELSE 'medium' END AS band
+       |  FROM canon WHERE pred_lang <> 'und' AND quality >= 0.45),
+       |s AS (SELECT *, row_number() OVER (PARTITION BY pred_lang, band
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srn FROM kept)
+       |SELECT pred_lang, band, COUNT(*) AS n_kept,
+       |  CAST(SUM(re_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN srn <= $SampleK THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN srn <= $SampleK THEN re_tokens END) AS BIGINT) AS sample_tokens,
+       |  (CAST(SUM(CAST(round(quality * 1000000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*))
+       |    / 1000000000.0 AS avg_quality
+       |FROM s GROUP BY 1, 2 ORDER BY pred_lang, band""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur1_corpus_curation" -> corpusCuration)
+
+  val oracle: Map[String, String] = Map(
+    "cur1_corpus_curation" -> corpusCurationSql)
+}
