@@ -177,6 +177,49 @@ object CdcQueries {
       .orderBy(col("json_line"))
   }
 
+  // ------------------------------------------------------------ cdc6
+
+  /** Q7 multi-entity routing under the gate (`CdcEnrich.multiEntity`):
+    * one batch mixes Customer and Supplier envelopes; each entity's
+    * changes join its OWN snapshot, branches union by name with nulls for
+    * columns the other entity lacks, and tombstones are emitted for both.
+    * (The reference's per-event dict could not mix entities —
+    * `worker/lambda/app.py:65-72`.) */
+  def multiEntityRoute(spark: SparkSession, dir: String): DataFrame = {
+    val sk = col("s_suppkey")
+    val suppHeader = struct(
+      (sk * 10).as("commitNumber"),
+      (lit(1)).cast(IntegerType).as("sequenceNumber"),
+      lit("Supplier").as("entityName"),
+      when(sk % 4 === 0, "CREATE").when(sk % 4 === 1, "UPDATE")
+        .when(sk % 4 === 2, "DELETE").otherwise("UNDELETE").as("changeType"),
+      (lit(1583300894000L) + sk * 1000).as("commitTimestamp"),
+      array(concat(lit("S01"), sk.cast(StringType))).as("recordIds"))
+    val suppEnv = struct(
+      lit("fp_s1").as("schema"),
+      struct(concat(lit("Supp-"), sk.cast(StringType)).as("Name"),
+        suppHeader.as("ChangeEventHeader")).as("payload"),
+      struct((sk + 20).as("replayId")).as("event"))
+    val suppRaw = t(spark, dir, "supplier")
+      .select(base64(to_json(suppEnv).cast(BinaryType)).as("data"))
+    val custRaw = synthRaw(t(spark, dir, "customer"), lit("fp_v1"), Seq(custName.as("Name")))
+
+    val decoded = CdcDecode.explodeIds(
+      CdcDecode.decodeBase64(custRaw.unionByName(suppRaw), col("data")).drop("data"))
+    val custSnap = t(spark, dir, "customer").select(
+      concat(lit("001"), ks).as("Id"), col("c_name"), col("c_mktsegment"))
+    val suppSnap = t(spark, dir, "supplier").select(
+      concat(lit("S01"), sk.cast(StringType)).as("Id"), col("s_name"))
+    CdcEnrich.multiEntity(decoded,
+      Map("Customer" -> custSnap, "Supplier" -> suppSnap))
+      .select(
+        col("attributes.type").as("attr_type"),
+        col("Id").as("record_id"),
+        col("c_name"), col("c_mktsegment"), col("s_name"),
+        col("UIND").as("uind"))
+      .orderBy(col("record_id"), col("uind"))
+  }
+
   // ------------------------------------------------------------ cdc4
 
   /** S10 schema evolution under the gate: two schema fingerprints coexist
@@ -287,6 +330,40 @@ object CdcQueries {
       |SELECT * FROM (SELECT * FROM enr UNION ALL SELECT * FROM tomb)
       |ORDER BY json_line""".stripMargin
 
+  val multiEntityRouteSql: String = synthHdrSql +
+    """,
+      |senv AS (SELECT base64(encode(CAST(to_json({
+      |    'schema': 'fp_s1',
+      |    'payload': {'Name': 'Supp-' || s_suppkey, 'ChangeEventHeader': {
+      |       'commitNumber': s_suppkey*10, 'sequenceNumber': 1,
+      |       'entityName': 'Supplier',
+      |       'changeType': CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'CREATE'
+      |         WHEN 1 THEN 'UPDATE' WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END,
+      |       'commitTimestamp': 1583300894000 + s_suppkey*1000,
+      |       'recordIds': ['S01' || s_suppkey]}},
+      |    'event': {'replayId': s_suppkey + 20}}) AS VARCHAR))) AS data FROM supplier),
+      |sdec AS (SELECT decode(from_base64(data)) AS j FROM senv),
+      |shdr AS (SELECT j->>'$.payload.ChangeEventHeader.changeType' AS change_type,
+      |  list_distinct(CAST(j->'$.payload.ChangeEventHeader.recordIds' AS VARCHAR[])) AS record_ids
+      |  FROM sdec),
+      |cchg AS (SELECT unnest(record_ids) AS record_id, change_type FROM hdr),
+      |schg AS (SELECT unnest(record_ids) AS record_id, change_type FROM shdr),
+      |csnap AS (SELECT '001' || c_custkey AS record_id, c_name, c_mktsegment FROM customer),
+      |ssnap AS (SELECT 'S01' || s_suppkey AS record_id, s_name FROM supplier)
+      |SELECT 'Customer' AS attr_type, c.record_id, s.c_name, s.c_mktsegment,
+      |  CAST(NULL AS VARCHAR) AS s_name, c.change_type AS uind
+      |FROM cchg c JOIN csnap s USING (record_id) WHERE c.change_type <> 'DELETE'
+      |UNION ALL
+      |SELECT 'Supplier', c.record_id, NULL, NULL, s.s_name, c.change_type
+      |FROM schg c JOIN ssnap s USING (record_id) WHERE c.change_type <> 'DELETE'
+      |UNION ALL
+      |SELECT 'Customer', record_id, NULL, NULL, NULL, 'DELETE'
+      |FROM cchg WHERE change_type = 'DELETE'
+      |UNION ALL
+      |SELECT 'Supplier', record_id, NULL, NULL, NULL, 'DELETE'
+      |FROM schg WHERE change_type = 'DELETE'
+      |ORDER BY record_id, uind""".stripMargin
+
   val materializeLatestSql: String =
     """WITH src AS (SELECT c_custkey AS k, unnest([0,1,2]) AS v FROM customer),
       |log AS (SELECT '001' || k AS record_id,
@@ -332,12 +409,14 @@ object CdcQueries {
     "cdc2_route_enrich" -> routeEnrich,
     "cdc3_materialize" -> materializeLatest,
     "cdc4_schema_evolution" -> schemaEvolution,
-    "cdc5_serialize_sink" -> serializeSink)
+    "cdc5_serialize_sink" -> serializeSink,
+    "cdc6_multi_entity" -> multiEntityRoute)
 
   val oracle: Map[String, String] = Map(
     "cdc1_decode" -> decodeHeadersSql,
     "cdc2_route_enrich" -> routeEnrichSql,
     "cdc3_materialize" -> materializeLatestSql,
     "cdc4_schema_evolution" -> schemaEvolutionSql,
-    "cdc5_serialize_sink" -> serializeSinkSql)
+    "cdc5_serialize_sink" -> serializeSinkSql,
+    "cdc6_multi_entity" -> multiEntityRouteSql)
 }
