@@ -249,6 +249,35 @@ object CdcQueries {
       .orderBy(col("record_id"))
   }
 
+  // ------------------------------------------------------------ cdc7
+
+  /** As-of enrichment (the temporal upgrade of J1's point-in-time lookup):
+    * each change joins the snapshot VERSION in effect at its commit time,
+    * not the current state — the operator Spark lacks natively, rendered
+    * join-free by [[AsOfJoin.asOfBackward]] (one shuffle) and verified
+    * against DuckDB's native ASOF JOIN. Version histories are synthesized
+    * 3-deep per customer; k%5 keys shift their history 100 s later so some
+    * changes predate every version (the ASOF inner-drop case). */
+  def asOfEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val base = lit(1583300000000L)
+    val vshift = when(k % 5 === 0, 100000L).otherwise(0L)
+    val versions = t(spark, dir, "customer")
+      .withColumn("v", explode(array(lit(0), lit(1), lit(2))))
+      .select(
+        concat(lit("001"), ks).as("record_id"),
+        (base + k * 1000 + col("v") * 300000 + vshift).as("ts"),
+        concat(lit("Cust-"), ks, lit("-v"), col("v").cast(StringType)).as("version_name"))
+    val changeLog = t(spark, dir, "customer").select(
+      concat(lit("001"), ks).as("record_id"),
+      (base + k * 1000 + (k % 4) * 250000).as("ts"),
+      changeType.as("change_type"))
+    AsOfJoin.asOfBackward(changeLog, versions, Seq("record_id"), "ts")
+      .filter(col("version_name").isNotNull)
+      .select(col("record_id"), col("ts").as("change_ts"),
+        col("change_type"), col("version_name"))
+      .orderBy(col("record_id"))
+  }
+
   // ------------------------------------------------------- oracle SQL
 
   /** Shared oracle prefix: synthesize the identical envelope with DuckDB
@@ -404,13 +433,31 @@ object CdcQueries {
       |SELECT unnest(record_ids) AS record_id, schema_fingerprint, name, tier
       |FROM hdr ORDER BY record_id""".stripMargin
 
+  val asOfEnrichSql: String =
+    """WITH v AS (
+      |  SELECT '001' || c_custkey AS record_id,
+      |    1583300000000 + c_custkey*1000 + x.v*300000 +
+      |      CASE WHEN c_custkey % 5 = 0 THEN 100000 ELSE 0 END AS vts,
+      |    'Cust-' || c_custkey || '-v' || x.v AS version_name
+      |  FROM customer, (SELECT unnest([0,1,2]) AS v) x),
+      |chg AS (
+      |  SELECT '001' || c_custkey AS record_id,
+      |    1583300000000 + c_custkey*1000 + (c_custkey%4)*250000 AS change_ts,
+      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE'
+      |         WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END AS change_type
+      |  FROM customer)
+      |SELECT chg.record_id, chg.change_ts, chg.change_type, v.version_name
+      |FROM chg ASOF JOIN v ON chg.record_id = v.record_id AND chg.change_ts >= v.vts
+      |ORDER BY chg.record_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc1_decode" -> decodeHeaders,
     "cdc2_route_enrich" -> routeEnrich,
     "cdc3_materialize" -> materializeLatest,
     "cdc4_schema_evolution" -> schemaEvolution,
     "cdc5_serialize_sink" -> serializeSink,
-    "cdc6_multi_entity" -> multiEntityRoute)
+    "cdc6_multi_entity" -> multiEntityRoute,
+    "cdc7_asof_enrich" -> asOfEnrich)
 
   val oracle: Map[String, String] = Map(
     "cdc1_decode" -> decodeHeadersSql,
@@ -418,5 +465,6 @@ object CdcQueries {
     "cdc3_materialize" -> materializeLatestSql,
     "cdc4_schema_evolution" -> schemaEvolutionSql,
     "cdc5_serialize_sink" -> serializeSinkSql,
-    "cdc6_multi_entity" -> multiEntityRouteSql)
+    "cdc6_multi_entity" -> multiEntityRouteSql,
+    "cdc7_asof_enrich" -> asOfEnrichSql)
 }
