@@ -589,7 +589,35 @@ object Relational {
       |FROM ex FULL OUTER JOIN i USING (suppkey)
       |ORDER BY suppkey""".stripMargin
 
+  /** Point-in-interval range join via graft.operators.RangeJoin: event ids
+    * against per-customer intervals. A raw BETWEEN predicate would plan as
+    * BroadcastNestedLoopJoin (O(points × intervals)); the bucketized form
+    * is an equi-join on the bin (asserted in PlanQualitySpec). The oracle
+    * is DuckDB's native range join over the same predicate. */
+  def q30RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val intervals = t(spark, dir, "customer").select(
+      col("c_custkey").as("ckey"),
+      (col("c_custkey") * 6).as("lo"),
+      (col("c_custkey") * 6 + 10 + (col("c_custkey") % 5) * 8).as("hi"))
+    val points = t(spark, dir, "events").select(col("event_id"))
+    graft.operators.RangeJoin.bucketed(points, intervals, "event_id", "lo", "hi", 32L)
+      .groupBy(col("ckey"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("ckey"))
+  }
+
+  val q30Sql: String =
+    """SELECT c_custkey AS ckey, COUNT(*) AS n_events,
+      |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+      |FROM customer c JOIN events e
+      |  ON e.event_id >= c.c_custkey*6
+      | AND e.event_id <= c.c_custkey*6 + 10 + (c.c_custkey%5)*8
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_range_join" -> q30RangeJoin,
     "q29_set_ops_all" -> q29SetOpsAll,
     "q26_window_funcs" -> q26WindowFuncs,
     "q27_pivot" -> q27Pivot,
@@ -617,6 +645,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q30_range_join" -> q30Sql,
     "q26_window_funcs" -> q26Sql,
     "q27_pivot" -> q27Sql,
     "q28_salted_join" -> q28Sql, // oracle is the PLAIN join (equivalence)

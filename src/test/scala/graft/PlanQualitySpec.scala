@@ -85,6 +85,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q30: bucketized range join is an equi-join, not a nested loop") {
+    val p = plan(Relational.q30RangeJoin(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must go through the bin equi-join")
+    // the exact BETWEEN filter exists, but only over per-bin candidates
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
   test("cdc enrichment: the changed-id side is the broadcast build side") {
     import spark.implicits._
     val snapshot = Seq(("001A", "n")).toDF("Id", "Name")
