@@ -15,6 +15,18 @@ class EntrySpec extends SparkSpec {
     assert((q -- o).isEmpty, s"missing oracles: ${q -- o}")
   }
 
+  test("module query maps are disjoint (a name collision silently drops a query)") {
+    import graft.llmdata.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+    import graft.operators.CdcQueries
+    import graft.relational.{EventsAnalytics, Relational, SqlSurface}
+    val modules = Seq(
+      Relational.queries, TextAnalysis.queries, Dedup.queries,
+      Similarity.queries, Multimodal.queries, EventsAnalytics.queries,
+      SqlSurface.queries, CdcQueries.queries, Curation.queries)
+    assert(modules.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name across modules")
+  }
+
   test("all queries run on sf0.001 and return rows") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, fn) =>
       fn(spark, sf()).count() == 0
