@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -187,7 +187,48 @@ object EventsAnalytics {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Heavy hitters via the Count-Min sketch Aggregator
+    * (graft.functions.CountMinSketch) next to exact counts: the sketch
+    * aggregates into a fixed 4×64 cell matrix (one 2 KB array per
+    * partition shuffles, not the key universe) and the per-key point
+    * estimate — min over depth rows of the md5-addressed cells — always
+    * upper-bounds the exact count. Deterministic (order-independent
+    * sums + fixed md5 buckets), so even the ESTIMATE is oracle-gated. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinSketch
+    val d = CountMinSketch.DefaultDepth
+    val w = CountMinSketch.DefaultWidth
+    val ev = t(spark, dir, "events")
+    val sketch = ev.agg(CountMinSketch.countMin(col("event_type")).as("cells"))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
+    def bucket(i: Int): Column =
+      conv(substring(md5(concat(lit(s"$i:"), col("event_type"))), 1, 15), 16, 10)
+        .cast(LongType) % w
+    val est = least((0 until d).map(i =>
+      element_at(col("cells"), (lit(i * w) + bucket(i) + 1).cast(IntegerType))): _*)
+    exact.crossJoin(broadcast(sketch))
+      .select(col("event_type"), col("exact_count"), est.as("cms_estimate"),
+        (est - col("exact_count")).as("overcount"))
+      .orderBy(col("event_type"))
+  }
+
+  val cmsHeavyHittersSql: String =
+    """WITH dx AS (SELECT unnest([0,1,2,3]) AS i),
+      |cells AS (SELECT i, b, CAST(COUNT(*) AS BIGINT) AS v FROM (
+      |    SELECT dx.i AS i,
+      |      CAST(('0x' || substr(md5(dx.i || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS b
+      |    FROM events, dx) GROUP BY 1, 2),
+      |keys AS (SELECT event_type, COUNT(*) AS exact_count FROM events GROUP BY 1),
+      |kb AS (SELECT event_type, exact_count, dx.i AS i,
+      |    CAST(('0x' || substr(md5(dx.i || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS b
+      |  FROM keys, dx)
+      |SELECT kb.event_type, kb.exact_count, MIN(c.v) AS cms_estimate,
+      |  MIN(c.v) - kb.exact_count AS overcount
+      |FROM kb JOIN cells c ON kb.i = c.i AND kb.b = c.b
+      |GROUP BY 1, 2 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev7_cms_heavy_hitters" -> cmsHeavyHitters,
     "ev5_funnel" -> funnel,
     "ev6_retention" -> retention,
     "ev1_tumbling_window" -> tumblingWindow,
@@ -196,6 +237,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev7_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "ev5_funnel" -> funnelSql,
     "ev6_retention" -> retentionSql,
     "ev1_tumbling_window" -> tumblingWindowSql,

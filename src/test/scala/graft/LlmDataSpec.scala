@@ -21,6 +21,18 @@ class LlmDataSpec extends SparkSpec {
       s"persisted RDD count grew across repeated queries: $after1 -> $after2")
   }
 
+  test("cms: point estimates upper-bound exact counts; exact when collision-free") {
+    val r = graft.relational.EventsAnalytics.cmsHeavyHitters(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("cms_estimate") >= row.getAs[Long]("exact_count"))
+      assert(row.getAs[Long]("overcount") >= 0L)
+    }
+    // 5 event types across 4x64 cells: astronomically unlikely to collide
+    // in every depth row, so at least one key should estimate exactly
+    assert(r.exists(_.getAs[Long]("overcount") == 0L))
+  }
+
   test("dedup: exact summary is consistent and lossless on a dup-free corpus") {
     val r = Dedup.exactDedup(spark, sf()).collect().head
     assert(r.getAs[Long]("n_docs") == 500L)

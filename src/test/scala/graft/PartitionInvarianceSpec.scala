@@ -23,6 +23,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ev1_tumbling_window" -> EventsAnalytics.tumblingWindow _,
       "ev2_sessionize" -> EventsAnalytics.sessionize _,
       "dd3_minhash_lsh" -> Dedup.minhashLsh _,
+      "ev7_cms_heavy_hitters" -> EventsAnalytics.cmsHeavyHitters _,
       "dd6_ngram_jaccard" -> Dedup.ngramJaccard _,
       "cdc1_decode" -> graft.operators.CdcQueries.decodeHeaders _,
       "cdc2_route_enrich" -> graft.operators.CdcQueries.routeEnrich _,
