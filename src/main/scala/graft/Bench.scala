@@ -26,9 +26,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // small untimed run first: the first streaming query in a JVM pays
-    // session + codegen warm-up that would otherwise be billed as ingest
-    val epsFresh = try { cdcThroughput(spark, 5000); cdcThroughput(spark) }
-      catch { case _: Throwable => -1.0 }
+    // session + codegen warm-up that would otherwise be billed as ingest;
+    // then best-of-2 (the eps analogue of the queries' min-of-2)
+    val epsFresh = try {
+      cdcThroughput(spark, 5000)
+      math.max(cdcThroughput(spark), cdcThroughput(spark))
+    } catch { case _: Throwable => -1.0 }
 
     val errors = scala.collection.mutable.Map.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
