@@ -511,7 +511,67 @@ object Dedup {
        |  (kmv_estimate - (SELECT count(*) FROM h)) / (SELECT count(*) FROM h) AS rel_error
        |FROM est""".stripMargin
 
+  // --------------------------------------------- dedup cluster assignment
+
+  /** Near-dup CLUSTER assignment — the step that turns pairwise matches
+    * into delete decisions at 100 TB: connected components over the dd3
+    * pair graph, cluster id = min doc_id in the component (so "keep the
+    * canonical copy, drop the rest" is `doc_id != cluster_id`).
+    *
+    * Min-label propagation (the Pregel pattern): each iteration joins
+    * labels across edges and takes the per-node min; `localCheckpoint`
+    * truncates the growing lineage. The driver loop is the documented
+    * exception to "no driver-side loops" — iteration count is the
+    * component DIAMETER (near-dup clusters are tiny and dense, 2-4
+    * hops), not the data size, and each step is a distributed join.
+    * Deterministic (min is order-independent), so the whole clustering
+    * hash-matches a DuckDB recursive-CTE transitive closure. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    try {
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 50) {
+        val neigh = edges.join(labels, edges("doc_b") === labels("node"))
+          .select(edges("doc_a").as("node"), col("label"))
+        val updated = labels.unionByName(neigh)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        changed = updated.join(
+            labels.withColumnRenamed("label", "old"), Seq("node"))
+          .filter(col("label") =!= col("old")).count()
+        labels = updated
+        iters += 1
+      }
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          (count(lit(1)) - 1).as("n_removed"))
+        .orderBy(col("cluster_id"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |reach AS (
+       |  SELECT node AS src, node AS dst FROM n
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+       |),
+       |lab AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT cluster_id, COUNT(*) AS n_members,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+       |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd11_dedup_clusters" -> dedupClusters,
     "dd8_kmv_distinct" -> kmvDistinctShingles,
     "dd9_ivf_neardup" -> ivfNearDup,
     "dd10_crossmodal_neardup" -> crossmodalNearDup,
@@ -524,6 +584,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd11_dedup_clusters" -> dedupClustersSql,
     "dd8_kmv_distinct" -> kmvDistinctShinglesSql,
     "dd9_ivf_neardup" -> ivfNearDupSql,
     "dd10_crossmodal_neardup" -> crossmodalNearDupSql,

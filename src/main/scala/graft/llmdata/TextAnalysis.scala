@@ -292,7 +292,46 @@ object TextAnalysis {
       |  FROM documents) x
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  /** Token-window chunking — the pre-training segmentation step: each
+    * document splits into windows of [[ChunkSize]] tokens at [[Stride]]
+    * (overlap = ChunkSize - Stride), the last window truncated. Pure
+    * map + generator (zero shuffle — at 100 TB chunking is a scan-side
+    * transform); emits per-chunk token count + content digest. */
+  private val ChunkSize = 32
+  private val Stride = 24
+
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val nw = size(col("_w"))
+    // last chunk index: ceil((n_words - ChunkSize) / Stride), floored at 0
+    val lastIdx = greatest(
+      ceil((nw.cast(DoubleType) - ChunkSize) / Stride), lit(0L))
+    val chunks = transform(sequence(lit(0L), lastIdx),
+      i => concat_ws(" ", slice(col("_w"), (i * Stride + 1).cast(IntegerType), lit(ChunkSize))))
+    t(spark, dir, "documents")
+      .withColumn("_w", words)
+      .select(col("doc_id"), posexplode_outer(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast(LongType).as("n_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkWindowsSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |c0 AS (SELECT doc_id, w,
+       |    unnest(generate_series(0,
+       |      greatest(CAST(ceil((len(w) - $ChunkSize) / $Stride.0) AS BIGINT), 0))) AS chunk_idx
+       |  FROM w),
+       |c AS (SELECT doc_id, chunk_idx,
+       |    array_to_string(w[(chunk_idx*$Stride + 1):(chunk_idx*$Stride + $ChunkSize)], ' ') AS chunk
+       |  FROM c0)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+       |  md5(chunk) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx9_chunk_windows" -> chunkWindows,
     "tx6_tfidf_top_terms" -> tfidfTopTerms,
     "tx7_quality_signals" -> qualitySignals,
     "tx8_stratified_sample" -> stratifiedSample,
@@ -303,6 +342,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx9_chunk_windows" -> chunkWindowsSql,
     "tx6_tfidf_top_terms" -> tfidfTopTermsSql,
     "tx7_quality_signals" -> qualitySignalsSql,
     "tx8_stratified_sample" -> stratifiedSampleSql,
