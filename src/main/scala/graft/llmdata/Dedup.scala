@@ -66,13 +66,17 @@ object Dedup {
         .select(col("doc_id"), sh.as("grams")).persist()
     })
 
-  /** Release this session's pinned shingle tables (e.g. before a phase
-    * that needs the storage memory, or after a dedup pass completes).
-    * Subsequent queries transparently rebuild the cache. */
+  /** Release this session's pinned dedup caches (shingle tables + the
+    * confirmed minhash-pair set) — e.g. before a phase that needs the
+    * storage memory, or after a dedup pass completes. Subsequent queries
+    * transparently rebuild them. */
   def uncacheShingles(spark: SparkSession): Unit = {
     val id = System.identityHashCode(spark)
     gramsCache.keys.filter(_._1 == id).foreach { key =>
       gramsCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
+    pairsCache.keys.filter(_._1 == id).foreach { key =>
+      pairsCache.remove(key).foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -138,8 +142,20 @@ object Dedup {
   /** MinHash + LSH near-dup pairs: sign → band → bucket-join candidates →
     * exact bigram-Jaccard verification. The only shuffles are the band-hash
     * self-join and the two candidate→signature lookups; all are key-equality
-    * joins that AQE can re-plan on skewed buckets. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * joins that AQE can re-plan on skewed buckets.
+    *
+    * The confirmed-pair set is tiny (hundreds of rows for thousands of
+    * docs) but costs the full sign+band+verify pass, and dd10/dd11 build
+    * on it — so it is persisted per (session, dir) like the shingle
+    * cache ("materialize once per corpus snapshot"). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+      minhashLshUncached(spark, dir).persist())
+
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(spark, dir, 2)
     val sig = docs.select(col("doc_id"), col("grams"), minhashSig(col("grams")).as("sig"))
     val bandHashes = array((0 until NumBands).map { b =>
