@@ -307,36 +307,37 @@ object Dedup {
   private val ShingleDfCap = 20
 
   /** Exact n-gram Jaccard dedup with inverted-index candidate generation:
-    * docs sharing ≥1 trigram shingle are candidates (a key-equality join on
-    * the shingle — the classic inverted index, shuffle-partitioned by
-    * shingle), then the exact Jaccard filter runs on candidates only.
+    * docs sharing ≥1 trigram shingle are candidates, then the exact
+    * Jaccard filter runs on candidates only.
     *
-    * The DF cap ([[ShingleDfCap]]) is applied WITHOUT sorting the full
-    * inverted index (a window over every (doc, shingle) row full-sorted
-    * the index and was the slowest query in the battery): a map-side-
-    * combined `groupBy(gram).count()` finds the hot grams — a tiny set by
-    * construction — which split the index via two BROADCAST joins: cold
-    * postings (≤ cap, the overwhelming majority) pass through untouched
-    * with no shuffle, and only the hot slice pays a per-gram top-cap
-    * window. Logically identical to ranking every posting list. */
+    * ONE shuffle builds the capped posting lists — `groupBy(gram)` with
+    * `sort_array ∘ collect_list` sliced to [[ShingleDfCap]] (identical
+    * semantics to ranking every posting list by doc_id; the per-group
+    * sort is local, never a full-index sort). Candidate pairs then come
+    * straight off each capped list (i<j positions of a sorted array ⇒
+    * doc_a < doc_b), so each gram emits each pair ONCE — no
+    * inverted-index self-join, no df² bucket probe; the pair count per
+    * gram is bounded by C(cap,2). Skew note: a degenerate stop-shingle
+    * concentrates its (capped) posting build in one task — the same
+    * concentration a window/self-join would have, bounded by the cap. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(spark, dir, 3)
     // explode_outer: see minhashLsh — avoids re-evaluating the shingle
     // expression inside a pushed-down size(..)>0 filter.
     val invAll = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-    val hot = invAll.groupBy(col("gram")).count()
-      .filter(col("count") > ShingleDfCap).select(col("gram"))
-    val cold = invAll.join(broadcast(hot), Seq("gram"), "left_anti")
-    val hotSampled = invAll.join(broadcast(hot), Seq("gram"))
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("gram")).orderBy(col("doc_id"))))
-      .filter(col("_rn") <= ShingleDfCap)
-      .drop("_rn")
-    val inv = cold.unionByName(hotSampled)
-    val cands = inv.as("x").join(inv.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val postings = invAll.filter(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, ShingleDfCap).as("docs"))
+    val n = size(col("docs"))
+    // guard: sequence(1, 0) would generate DESCENDING [1, 0] — emit no
+    // pairs for single-doc postings instead
+    val pairGen = when(n >= 2, flatten(transform(
+      sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => struct(element_at(col("docs"), i).as("doc_a"),
+          element_at(col("docs"), j).as("doc_b"))))))
+    val cands = postings.select(explode_outer(pairGen).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))

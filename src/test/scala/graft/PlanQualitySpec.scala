@@ -75,14 +75,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("dd6: DF cap does not sort the full inverted index — hot-gram split broadcasts") {
+  test("dd6: candidates come off capped posting lists — no self-join, no full-index sort") {
     val p = plan(Dedup.ngramJaccard(spark, sf()))
-    // the cold path must reach the self-join without a Window; the only
-    // Window sits on the hot slice, downstream of a broadcast hash join
-    assert(p.contains("BroadcastHashJoin"), "hot/cold split must broadcast the hot-gram set")
-    assert(p.contains("Window") && p.contains("row_number"),
-      "hot slice keeps cap-lowest doc_ids via row_number")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "the DF cap must not rank via a window sort")
+    // pair generation is expression-level off collect_list postings; the
+    // only joins left are the two candidate->grams equi-lookups
+    assert(p.contains("collect_list"), p.linesIterator.take(30).mkString("\n"))
   }
 
   test("q30: bucketized range join is an equi-join, not a nested loop") {
