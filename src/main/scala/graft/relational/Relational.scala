@@ -616,7 +616,42 @@ object Relational {
       | AND e.event_id <= c.c_custkey*6 + 10 + (c.c_custkey%5)*8
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact discrete percentiles per group — selection, not interpolation:
+    * pXX = the value at rank ceil(p·n) in the group's sort order, so no
+    * float arithmetic touches the data (`approx_percentile`/interpolating
+    * `percentile` would both break engine parity). One shuffle: the rank
+    * and count windows share the same partitioning. The rank index is
+    * computed as ceil(p·n) in IEEE double on BOTH engines, so even its
+    * last-ulp behavior agrees. Scale: exact per-group sort — the honest
+    * cost of exact percentiles; at extreme cardinality swap in a sketch. */
+  def q31Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val cw = Window.partitionBy(col("event_type"))
+    val ranked = t(spark, dir, "events").select(
+      col("event_type"), col("value"),
+      row_number().over(w).cast(LongType).as("rn"),
+      count(lit(1)).over(cw).as("n"))
+    def pick(p: Double): Column =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val q31Sql: String =
+    """WITH r AS (SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, MAX(n) AS n_events,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT) THEN value END) AS p99
+      |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_percentiles" -> q31Percentiles,
     "q30_range_join" -> q30RangeJoin,
     "q29_set_ops_all" -> q29SetOpsAll,
     "q26_window_funcs" -> q26WindowFuncs,
@@ -645,6 +680,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q31_percentiles" -> q31Sql,
     "q30_range_join" -> q30Sql,
     "q26_window_funcs" -> q26Sql,
     "q27_pivot" -> q27Sql,
