@@ -45,7 +45,12 @@ object Bench {
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       (timeOnce(name, fn), timeOnce(name, fn)) match {
         case (Some(a), Some(b)) => Some(name -> math.min(a, b))
-        case (one, two) => one.orElse(two).map(name -> _)
+        case (one, two) =>
+          val r = one.orElse(two).map(name -> _)
+          // one run succeeded: report its (single-sample) timing and drop
+          // the transient failure — a query must not appear in BOTH maps
+          if (r.isDefined) errors.remove(name)
+          r
       }
     }
 

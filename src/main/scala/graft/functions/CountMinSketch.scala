@@ -28,12 +28,24 @@ object CountMinSketch {
   /** Deterministic bucket: first 60 bits of md5("i:key") mod width —
     * reproducible as `('0x' || substr(md5(...), 1, 15))::BIGINT % w` in
     * DuckDB and `conv(substring(md5(...), 1, 15), 16, 10) % w` in Spark
-    * SQL (60 bits fit a signed long; md5 of UTF-8 agrees everywhere). */
+    * SQL (60 bits fit a signed long; md5 of UTF-8 agrees everywhere).
+    * Hot-path form: the digest instance is reused per thread and the 60
+    * bits come straight off the first 8 digest bytes ((b0..b7 big-endian)
+    * >>> 4 ≡ parseLong(hex.take(15), 16)) — no hex string, no formatter;
+    * this runs d times per input row inside the Aggregator's reduce. */
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def bucket(depth: Int, key: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$depth:$key".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width).toInt
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s"$depth:$key".getBytes("UTF-8"))
+    var bits = 0L
+    var i = 0
+    while (i < 8) { bits = (bits << 8) | (d(i) & 0xffL); i += 1 }
+    ((bits >>> 4) % width).toInt
   }
 
   final case class Buf(cells: Array[Long])

@@ -56,11 +56,15 @@ object Dedup {
     * every query run), a session-lifetime storage leak that degraded
     * everything sharing the executor heap. The cache bounds pinned
     * storage to one table per (dir, shingle width). */
+  // keyed by the session OBJECT (reference equality via the tuple), not
+  // identityHashCode — hash values can collide across sessions, which
+  // would hand one session a DataFrame bound to another's (possibly
+  // stopped) SparkContext
   private val gramsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
   private def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame =
-    gramsCache.getOrElseUpdate((System.identityHashCode(spark), dir, n), {
+    gramsCache.getOrElseUpdate((spark, dir, n), {
       val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
       t(spark, dir, "documents").withColumn("_w", words)
         .select(col("doc_id"), sh.as("grams")).persist()
@@ -71,11 +75,10 @@ object Dedup {
     * storage memory, or after a dedup pass completes. Subsequent queries
     * transparently rebuild them. */
   def uncacheShingles(spark: SparkSession): Unit = {
-    val id = System.identityHashCode(spark)
-    gramsCache.keys.filter(_._1 == id).foreach { key =>
+    gramsCache.keys.filter(_._1 eq spark).foreach { key =>
       gramsCache.remove(key).foreach(_.unpersist(blocking = false))
     }
-    pairsCache.keys.filter(_._1 == id).foreach { key =>
+    pairsCache.keys.filter(_._1 eq spark).foreach { key =>
       pairsCache.remove(key).foreach(_.unpersist(blocking = false))
     }
   }
@@ -149,11 +152,11 @@ object Dedup {
     * on it — so it is persisted per (session, dir) like the shingle
     * cache ("materialize once per corpus snapshot"). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+    pairsCache.getOrElseUpdate((spark, dir),
       minhashLshUncached(spark, dir).persist())
 
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(spark, dir, 2)
@@ -564,6 +567,10 @@ object Dedup {
         labels = updated
         iters += 1
       }
+      // a non-converged result is WRONG (components split arbitrarily),
+      // not approximate — fail loudly rather than return it
+      require(changed == 0,
+        s"dedupClusters did not converge in $iters iterations (component diameter > $iters)")
       labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           (count(lit(1)) - 1).as("n_removed"))

@@ -115,7 +115,7 @@ object Multimodal {
     """WITH m AS (SELECT doc_id AS media_id,
       |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
       |    encode(text) AS content,
-      |    lower(hex(CAST(substr(text, 1, 4) AS BLOB))) AS header
+      |    lower(substr(hex(encode(text)), 1, 8)) AS header
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n_media,
       |  CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,

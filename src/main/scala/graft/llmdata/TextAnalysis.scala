@@ -308,6 +308,9 @@ object TextAnalysis {
     val chunks = transform(sequence(lit(0L), lastIdx),
       i => concat_ws(" ", slice(col("_w"), (i * Stride + 1).cast(IntegerType), lit(ChunkSize))))
     t(spark, dir, "documents")
+      // null text: Spark's concat_ws would swallow the null into "" while
+      // the oracle keeps NULL — skip null docs identically on both sides
+      .filter(col("text").isNotNull)
       .withColumn("_w", words)
       .select(col("doc_id"), posexplode_outer(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
@@ -317,7 +320,8 @@ object TextAnalysis {
   }
 
   val chunkWindowsSql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+       |       WHERE text IS NOT NULL),
        |c0 AS (SELECT doc_id, w,
        |    unnest(generate_series(0,
        |      greatest(CAST(ceil((len(w) - $ChunkSize) / $Stride.0) AS BIGINT), 0))) AS chunk_idx

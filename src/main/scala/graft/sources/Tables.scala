@@ -20,12 +20,14 @@ object Tables {
   // One DataFrame per (session, table): the logical plan (schema + file
   // listing) is immutable and reusable across queries, avoiding a parquet
   // footer read per query; physical planning (split sizes, pushdown) still
-  // happens per action under the current session conf.
+  // happens per action under the current session conf. Keyed by the
+  // session OBJECT (reference equality) — identity hash codes can collide
+  // across sessions.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+    cache.getOrElseUpdate((spark, dir, name),
       read(spark, dir, name))
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
