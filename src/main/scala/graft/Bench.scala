@@ -27,11 +27,13 @@ object Bench {
 
     // small untimed run first: the first streaming query in a JVM pays
     // session + codegen warm-up that would otherwise be billed as ingest;
-    // then best-of-2 (the eps analogue of the queries' min-of-2)
-    val epsFresh = try {
-      cdcThroughput(spark, 5000)
-      math.max(cdcThroughput(spark), cdcThroughput(spark))
-    } catch { case _: Throwable => -1.0 }
+    // then best-of-2 (the eps analogue of the queries' min-of-2). Each run
+    // fails independently — one transient failure must not discard a
+    // valid sample from the other run.
+    def epsOnce(n: Int): Double =
+      try cdcThroughput(spark, n) catch { case _: Throwable => -1.0 }
+    epsOnce(5000)
+    val epsFresh = math.max(epsOnce(50000), epsOnce(50000))
 
     val errors = scala.collection.mutable.Map.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {

@@ -54,6 +54,10 @@ object CountMinSketch {
     override def zero: Buf = Buf(new Array[Long](d * w))
 
     override def reduce(b: Buf, key: String): Buf = {
+      // null keys are EXCLUDED (interpolating would count them under the
+      // literal string "null"; the SQL estimate path and the oracle both
+      // treat null keys as null) — callers filter nulls on the exact side
+      if (key == null) return b
       var i = 0
       while (i < d) { b.cells(i * w + bucket(i, key, w)) += 1L; i += 1 }
       b

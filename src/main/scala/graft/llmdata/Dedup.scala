@@ -31,19 +31,26 @@ object Dedup {
 
   private val words: Column = split(col("text"), " ")
 
+  private val noGrams: Column = array().cast(ArrayType(StringType))
+
   /** Distinct word-bigram shingles of a document. IMPORTANT: `w` must be a
     * materialized array column, not the `split(...)` expression itself —
     * Spark re-evaluates a non-trivial lambda-referenced expression on every
     * `element_at`, turning shingling O(words²) per row (measured 8× the
-    * whole-query cost at sf0.1). */
+    * whole-query cost at sf0.1). The size guard matters: `sequence(1, 0)`
+    * counts DOWN through 0 and `element_at(w, 0)` throws under ANSI —
+    * a one-word document must yield an empty shingle set (as DuckDB's
+    * empty `generate_series(1, 0)` does), not an error. */
   private def bigrams(w: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+    when(size(w) >= 2, array_distinct(transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
+      .otherwise(noGrams)
 
-  /** Distinct word-trigram shingles (same materialization caveat). */
+  /** Distinct word-trigram shingles (same materialization + guard caveats). */
   private def trigrams(w: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    when(size(w) >= 3, array_distinct(transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(noGrams)
 
   /** documents → (doc_id, grams): words materialized once, then shingled.
     * The result is persisted: every consumer self-joins it (bands × bands,
@@ -63,12 +70,17 @@ object Dedup {
   private val gramsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-  private def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame =
+  private def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    // entries of stopped sessions: the context (and its storage) is gone;
+    // drop the strong references so dead sessions don't pin the heap
+    gramsCache.keys.filter(_._1.sparkContext.isStopped).foreach(gramsCache.remove)
+    pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
     gramsCache.getOrElseUpdate((spark, dir, n), {
       val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
       t(spark, dir, "documents").withColumn("_w", words)
         .select(col("doc_id"), sh.as("grams")).persist()
     })
+  }
 
   /** Release this session's pinned dedup caches (shingle tables + the
     * confirmed minhash-pair set) — e.g. before a phase that needs the
@@ -540,10 +552,13 @@ object Dedup {
     *
     * Min-label propagation (the Pregel pattern): each iteration joins
     * labels across edges and takes the per-node min; `localCheckpoint`
-    * truncates the growing lineage. The driver loop is the documented
-    * exception to "no driver-side loops" — iteration count is the
-    * component DIAMETER (near-dup clusters are tiny and dense, 2-4
-    * hops), not the data size, and each step is a distributed join.
+    * truncates the growing lineage (its per-iteration blocks — a few KB
+    * of labels each — are reclaimed by Spark's ContextCleaner once the
+    * intermediate frames become unreachable, the standard cost of
+    * iterative Spark). The driver loop is the documented exception to
+    * "no driver-side loops" — iteration count is the component DIAMETER
+    * (near-dup clusters are tiny and dense, 2-4 hops), not the data
+    * size, and each step is a distributed join.
     * Deterministic (min is order-independent), so the whole clustering
     * hash-matches a DuckDB recursive-CTE transitive closure. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {

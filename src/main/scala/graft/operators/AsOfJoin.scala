@@ -36,6 +36,12 @@ object AsOfJoin {
       tsCol: String): DataFrame = {
     val rPayload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val leftCols = left.columns
+    val clash = rPayload.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"right payload columns must not collide with left columns: ${clash.mkString(", ")}")
+    val reserved = Set("_side", "_r", "_l", "_asof")
+    require((leftCols ++ right.columns).forall(!reserved.contains(_)),
+      s"inputs must not carry reserved columns ${reserved.mkString(", ")}")
     // pack the right payload into one struct so a single null-skipping
     // `last` carries all of it; left rows contribute null structs
     val rTagged = right.select(

@@ -33,6 +33,8 @@ object RangeJoin {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "inputs must not carry a _bin column (it would be silently overwritten)")
     def bin(c: Column): Column = floor(c / binWidth).cast(LongType)
     val ivb = intervals.withColumn("_bin",
       explode(sequence(bin(col(loCol)), bin(col(hiCol)))))

@@ -198,7 +198,9 @@ object EventsAnalytics {
     import graft.functions.CountMinSketch
     val d = CountMinSketch.DefaultDepth
     val w = CountMinSketch.DefaultWidth
-    val ev = t(spark, dir, "events")
+    // null keys excluded on every path: the Aggregator skips them, so the
+    // exact side and the oracle must too (all three agree by construction)
+    val ev = t(spark, dir, "events").filter(col("event_type").isNotNull)
     val sketch = ev.agg(CountMinSketch.countMin(col("event_type")).as("cells"))
     val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
     def bucket(i: Int): Column =
@@ -217,8 +219,9 @@ object EventsAnalytics {
       |cells AS (SELECT i, b, CAST(COUNT(*) AS BIGINT) AS v FROM (
       |    SELECT dx.i AS i,
       |      CAST(('0x' || substr(md5(dx.i || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS b
-      |    FROM events, dx) GROUP BY 1, 2),
-      |keys AS (SELECT event_type, COUNT(*) AS exact_count FROM events GROUP BY 1),
+      |    FROM events, dx WHERE event_type IS NOT NULL) GROUP BY 1, 2),
+      |keys AS (SELECT event_type, COUNT(*) AS exact_count FROM events
+      |         WHERE event_type IS NOT NULL GROUP BY 1),
       |kb AS (SELECT event_type, exact_count, dx.i AS i,
       |    CAST(('0x' || substr(md5(dx.i || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS b
       |  FROM keys, dx)

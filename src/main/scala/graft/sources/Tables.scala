@@ -26,9 +26,13 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // opportunistic eviction: entries of stopped sessions would otherwise
+    // stay strongly reachable for the JVM lifetime
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     cache.getOrElseUpdate((spark, dir, name),
       read(spark, dir, name))
+  }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

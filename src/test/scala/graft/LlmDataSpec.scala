@@ -33,6 +33,24 @@ class LlmDataSpec extends SparkSpec {
     assert(r.exists(_.getAs[Long]("overcount") == 0L))
   }
 
+  test("dedup: degenerate docs (one word, empty text) don't crash shingle consumers") {
+    // sequence(1, 0) counts DOWN without the size guard and element_at(w, 0)
+    // throws under ANSI — exercised only by docs shorter than the shingle
+    val dir = java.nio.file.Files.createTempDirectory("graft-tiny").toString
+    Seq(
+      (1L, "solo", "en", "web", 4L),
+      (2L, "", "en", "web", 0L),
+      (3L, "two words", "en", "web", 9L),
+      (4L, "a full three word doc", "en", "web", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.llmdata.Dedup.uncacheShingles(spark)
+    assert(Dedup.ngramJaccard(spark, dir).count() >= 0)
+    assert(Dedup.minhashLsh(spark, dir).count() >= 0)
+    assert(Dedup.kmvDistinctShingles(spark, dir).count() == 1)
+    graft.llmdata.Dedup.uncacheShingles(spark)
+  }
+
   test("dedup: exact summary is consistent and lossless on a dup-free corpus") {
     val r = Dedup.exactDedup(spark, sf()).collect().head
     assert(r.getAs[Long]("n_docs") == 500L)
