@@ -170,7 +170,9 @@ object Dedup {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, bh) LSH band table over bigram shingles — shared by
+    * the self-join (dd3) and incremental (dd12) candidate generators. */
+  private def bandedDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(spark, dir, 2)
     val sig = docs.select(col("doc_id"), col("grams"), minhashSig(col("grams")).as("sig"))
     val bandHashes = array((0 until NumBands).map { b =>
@@ -180,7 +182,12 @@ object Dedup {
     // size(..)>0 filter to the scan with the full (expensive) signature
     // expression inlined — evaluated 2 extra times per row. Outer explode
     // emits a null row instead, which the equi-join drops anyway.
-    val bands = sig.select(col("doc_id"), posexplode_outer(bandHashes).as(Seq("band", "bh")))
+    sig.select(col("doc_id"), posexplode_outer(bandHashes).as(Seq("band", "bh")))
+  }
+
+  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
+    val docs = gramsOf(spark, dir, 2)
+    val bands = bandedDocs(spark, dir)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -195,13 +202,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val sigListSql: String = (0 until NumHashes).map { s =>
+    s"list_aggregate(list_transform(g, x -> md5('$s:' || x)), 'min')"
+  }.mkString("[", ", ", "]")
+
+  private val bandExprsSql: String = (0 until NumBands).map { b =>
+    s"md5(sig[${b * BandRows + 1}] || sig[${b * BandRows + 2}])"
+  }.mkString("[", ", ", "]")
+
   val minhashLshSql: String = {
-    val sigList = (0 until NumHashes).map { s =>
-      s"list_aggregate(list_transform(g, x -> md5('$s:' || x)), 'min')"
-    }.mkString("[", ", ", "]")
-    val bandExprs = (0 until NumBands).map { b =>
-      s"md5(sig[${b * BandRows + 1}] || sig[${b * BandRows + 2}])"
-    }.mkString("[", ", ", "]")
+    val sigList = sigListSql
+    val bandExprs = bandExprsSql
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-1),
        |         i -> w[i] || ' ' || w[i+1])) AS g FROM w),
@@ -543,6 +554,72 @@ object Dedup {
        |  (kmv_estimate - (SELECT count(*) FROM h)) / (SELECT count(*) FROM h) AS rel_error
        |FROM est""".stripMargin
 
+  // ------------------------------------------------- incremental dedup
+
+  /** Incremental dedup — the production admission shape: a small INCOMING
+    * batch (doc_id % 10 == 0, standing in for a new crawl slice) checked
+    * against the EXISTING corpus (everything else). Exact content matches
+    * drop first, then minhash-band near-dups verified by exact Jaccard
+    * (dd3's thresholds). Plan shape for 100 TB: the incoming side is
+    * small, so ITS hash set and band table are the broadcast build sides
+    * — the existing corpus is scanned once and never self-joined, which
+    * is what makes per-slice admission O(corpus scan), not O(corpus²).
+    * Incoming-vs-incoming duplicates are deliberately not checked here
+    * (that is dd1/dd3's job on the slice itself). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isIncoming = col("doc_id") % 10 === 0
+    val hashed = t(spark, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+    val incoming = hashed.filter(isIncoming)
+    val existingH = hashed.filter(!isIncoming).select(col("h")).distinct()
+    val exactDup = incoming.join(existingH, Seq("h"), "left_semi").select(col("doc_id"))
+    val bands = bandedDocs(spark, dir)
+    val cand = bands.filter(!isIncoming).as("x")
+      .join(broadcast(bands.filter(isIncoming).as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("y.doc_id").as("in_id"), col("x.doc_id").as("ex_id"))
+      .distinct()
+    val docs = gramsOf(spark, dir, 2)
+    val gi = docs.select(col("doc_id").as("in_id"), col("grams").as("grams_in"))
+    val ge = docs.select(col("doc_id").as("ex_id"), col("grams").as("grams_ex"))
+    val nearDup = cand.join(gi, "in_id").join(ge, "ex_id")
+      .filter(jaccard(col("grams_in"), col("grams_ex")) >= MinhashJaccardThreshold)
+      .select(col("in_id").as("doc_id")).distinct()
+    incoming.select(col("doc_id"))
+      .join(exactDup.withColumn("_e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("_n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_e") === 1, "exact_dup")
+          .when(col("_n") === 1, "near_dup")
+          .otherwise("admitted").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-1),
+       |         i -> w[i] || ' ' || w[i+1])) AS g FROM w),
+       |h AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |inc AS (SELECT doc_id, h FROM h WHERE doc_id % 10 = 0),
+       |exact_dup AS (SELECT doc_id FROM inc
+       |  WHERE h IN (SELECT h FROM h WHERE doc_id % 10 <> 0)),
+       |sig AS (SELECT doc_id, g, $sigListSql AS sig FROM sh),
+       |bands AS (SELECT doc_id, band, $bandExprsSql[band+1] AS bh
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band)),
+       |cand AS (SELECT DISTINCT y.doc_id AS in_id, x.doc_id AS ex_id
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |         WHERE y.doc_id % 10 = 0 AND x.doc_id % 10 <> 0),
+       |near_dup AS (SELECT DISTINCT in_id AS doc_id FROM cand
+       |  JOIN sh a ON cand.in_id = a.doc_id JOIN sh b ON cand.ex_id = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |        CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= $MinhashJaccardThreshold)
+       |SELECT i.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'admitted' END AS status
+       |FROM inc i LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
+       |           LEFT JOIN near_dup n ON i.doc_id = n.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
   // --------------------------------------------- dedup cluster assignment
 
   /** Near-dup CLUSTER assignment — the step that turns pairwise matches
@@ -610,6 +687,7 @@ object Dedup {
        |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd12_incremental_dedup" -> incrementalDedup,
     "dd11_dedup_clusters" -> dedupClusters,
     "dd8_kmv_distinct" -> kmvDistinctShingles,
     "dd9_ivf_neardup" -> ivfNearDup,
@@ -623,6 +701,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd12_incremental_dedup" -> incrementalDedupSql,
     "dd11_dedup_clusters" -> dedupClustersSql,
     "dd8_kmv_distinct" -> kmvDistinctShinglesSql,
     "dd9_ivf_neardup" -> ivfNearDupSql,

@@ -93,6 +93,12 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("ShuffledHashJoin"))
   }
 
+  test("dd12: the incoming slice is the broadcast side; corpus is never self-joined") {
+    val p = plan(Dedup.incrementalDedup(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), "incoming bands must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cdc enrichment: the changed-id side is the broadcast build side") {
     import spark.implicits._
     val snapshot = Seq(("001A", "n")).toDF("Id", "Name")
