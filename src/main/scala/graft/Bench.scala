@@ -63,8 +63,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    // sorted by name: the driver truncates long log tails, and hash order
+    // hid the historically-slowest queries (dd6 in r3) behind the cut
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // CDC pipeline throughput (events/s): end-to-end decode→route→enrich
     // over the in-memory replay source. The reference's implied ceiling is

@@ -34,12 +34,12 @@ object TextHashUtil {
     new String(out)
   }
 
-  /** 32-bit SimHash over the token array: per token, the first 4 bytes of
+  /** SimHash over the token array: per token, the first nbits/8 bytes of
     * md5(token) vote bit-wise (MSB first); emits the '0'/'1' bit string.
-    * Identical to: per p in 1..32, sum over tokens of ±1 from the p-th bit
-    * of the first 8 hex chars of md5(token). */
-  def simhash32(tokens: ArrayData): UTF8String = {
-    val votes = new Array[Int](32)
+    * Identical to: per p in 1..nbits, sum over tokens of ±1 from the p-th
+    * bit of the first nbits/4 hex chars of md5(token). nbits ≤ 128. */
+  def simhashBits(tokens: ArrayData, nbits: Int): UTF8String = {
+    val votes = new Array[Int](nbits)
     val d = md5()
     val n = tokens.numElements()
     var t = 0
@@ -48,7 +48,7 @@ object TextHashUtil {
         d.reset()
         val h = d.digest(tokens.getUTF8String(t).getBytes)
         var p = 0
-        while (p < 32) {
+        while (p < nbits) {
           val bit = (h(p / 8) >> (7 - p % 8)) & 1
           votes(p) += (if (bit == 1) 1 else -1)
           p += 1
@@ -56,14 +56,17 @@ object TextHashUtil {
       }
       t += 1
     }
-    val out = new Array[Byte](32)
+    val out = new Array[Byte](nbits)
     var p = 0
-    while (p < 32) {
+    while (p < nbits) {
       out(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
       p += 1
     }
     UTF8String.fromBytes(out)
   }
+
+  def simhash32(tokens: ArrayData): UTF8String = simhashBits(tokens, 32)
+  def simhash64(tokens: ArrayData): UTF8String = simhashBits(tokens, 64)
 
   /** MinHash signature: element s is min over grams of
     * md5(s + ":" + gram) as hex (lexicographic min == numeric min on
@@ -127,27 +130,31 @@ object TextHashUtil {
   }
 }
 
-/** Native 32-bit SimHash of a token array — replaces 32 interpreted
-  * `aggregate` higher-order calls per row with one JVM loop (SURVEY.md §7.3
-  * rationale; bit parity asserted by the dd4/dd5 oracle checks). */
-case class SimHash32(child: Expression) extends UnaryExpression {
+/** Native SimHash of a token array (bit width 32 or 64) — replaces nbits
+  * interpreted `aggregate` higher-order calls per row with one JVM loop
+  * (SURVEY.md §7.3 rationale; bit parity asserted by the dd4/dd5 oracle
+  * checks). 64-bit is the scale default: banded 4×16 it yields 65,536
+  * bucket values per block vs 32-bit's 256, keeping near-dup candidate
+  * buckets O(n/65536) instead of O(n/256). */
+case class SimHashBits(child: Expression, nbits: Int) extends UnaryExpression {
+  require(nbits == 32 || nbits == 64, s"simhash width must be 32 or 64, got $nbits")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash32 requires array<string>, got ${t.catalogString}")
+      s"simhash$nbits requires array<string>, got ${t.catalogString}")
   }
 
   override def dataType: DataType = StringType
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = s"simhash$nbits"
 
   override def nullSafeEval(tokens: Any): Any =
-    TextHashUtil.simhash32(tokens.asInstanceOf[ArrayData])
+    TextHashUtil.simhashBits(tokens.asInstanceOf[ArrayData], nbits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashUtil.simhash32($a)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashUtil.simhashBits($a, $nbits)")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
 }
 
@@ -235,7 +242,9 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 /** Column-API entry points. */
 object TextHashFunctions {
   def simhash32(tokens: Column): Column =
-    GraftColumn.of(SimHash32(GraftColumn.expr(tokens)))
+    GraftColumn.of(SimHashBits(GraftColumn.expr(tokens), 32))
+  def simhash64(tokens: Column): Column =
+    GraftColumn.of(SimHashBits(GraftColumn.expr(tokens), 64))
   def minhashSig(grams: Column, numHashes: Int): Column =
     GraftColumn.of(MinHashSignature(GraftColumn.expr(grams), numHashes))
   def hamming(a: Column, b: Column): Column =

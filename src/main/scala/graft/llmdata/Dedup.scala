@@ -147,6 +147,17 @@ object Dedup {
   private val NumBands = NumHashes / BandRows
   private val MinhashJaccardThreshold = 0.35
 
+  /** Per-band-bucket cap — the dd6 posting-list trick applied to banded
+    * candidate generation (MinHash bands here, SimHash blocks in dd5): only
+    * the [[BandBucketCap]] LOWEST doc_ids of a bucket generate candidate
+    * pairs, so even a degenerate bucket (e.g. near-empty docs all hashing
+    * to one signature) is bounded at C(cap,2) pairs instead of bucket².
+    * Sampling (not dropping) keeps within-bucket pairs of oversized
+    * duplicate clusters among the sampled members — members beyond the cap
+    * escape only if they share no OTHER band, the documented recall trade.
+    * Mirrored in the oracles (row_number over (band, hash) by doc_id). */
+  private val BandBucketCap = 50
+
   /** MinHash signature: per seed, the minimum md5 over shingles of the
     * seed-tagged shingle (`md5(seed || ':' || gram)`) — computed by the
     * native MinHashSignature expression (one JVM loop instead of k
@@ -187,11 +198,17 @@ object Dedup {
 
   private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(spark, dir, 2)
-    val bands = bandedDocs(spark, dir)
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val buckets = bandedDocs(spark, dir).groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs"))
+    val n = size(col("docs"))
+    // sequence(1, 0) counts DOWN — single-doc buckets must emit no pairs
+    val pairGen = when(n >= 2, flatten(transform(
+      sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => struct(element_at(col("docs"), i).as("doc_a"),
+          element_at(col("docs"), j).as("doc_b"))))))
+    val cands = buckets.select(explode_outer(pairGen).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
@@ -219,8 +236,10 @@ object Dedup {
        |sig AS (SELECT doc_id, g, $sigList AS sig FROM sh),
        |bands AS (SELECT doc_id, band, $bandExprs[band+1] AS bh
        |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band)),
+       |capped AS (SELECT doc_id, band, bh FROM bands
+       |           QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $BandBucketCap),
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM bands x JOIN bands y
+       |          FROM capped x JOIN capped y
        |            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
@@ -234,14 +253,24 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash over whitespace tokens (md5-derived bits, frequency
+  /** SimHash width and banding: 64 bits in 4 blocks of 16. The block key
+    * space per band is 2^16 = 65,536 values, so a uniform corpus spreads
+    * each block's buckets to ~n/65536 docs (32-bit 4×8 banding capped out
+    * at 256 values per block — O(n²/256) candidate pairs, the round-3
+    * scale finding). Pigeonhole: hamming ≤ SimHashBlocks-1 = 3 always
+    * shares ≥1 full block, so banding loses nothing under [[HammingMax]]. */
+  private val SimHashWidth = 64
+  private val SimHashBlocks = 4
+  private val BlockBits = SimHashWidth / SimHashBlocks
+
+  /** 64-bit SimHash over whitespace tokens (md5-derived bits, frequency
     * weighted): pure per-row map — no shuffle at all. Computed by the
-    * native SimHash32 expression (one JVM loop; the composable form — 32
+    * native SimHashBits expression (one JVM loop; the composable form —
     * interpreted `aggregate` folds over the token hashes — benchmarked 60×
-    * slower at sf0.1). */
+    * slower at sf0.1 already at 32 bits). */
   def simhashOf(docs: DataFrame): DataFrame =
     docs.withColumn("simhash",
-      graft.functions.TextHashFunctions.simhash32(split(col("text"), " ")))
+      graft.functions.TextHashFunctions.simhash64(split(col("text"), " ")))
 
   /** Per-document SimHash signatures. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
@@ -249,47 +278,12 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
-  val simhashSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, substr(md5(unnest(string_split(text,' '))), 1, 8) AS h
-      |  FROM documents),
-      |bits AS (
-      |  SELECT doc_id, p,
-      |    SUM(CASE WHEN
-      |      floor((strpos('0123456789abcdef', substr(h, ((p-1)//4)+1, 1)) - 1)
-      |            // power(2, 3-((p-1)%4))) % 2 = 1
-      |      THEN 1 ELSE -1 END) AS vote
-      |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,32)) AS p)
-      |  GROUP BY doc_id, p)
-      |SELECT doc_id,
-      |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
-      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** SimHash near-dup pairs: band the 32 bits into 4 blocks of 8; pairs
-    * agreeing on ≥1 block are candidates (pigeonhole: hamming ≤ 3 is always
-    * caught); verify hamming ≤ HammingMax. */
-  private val HammingMax = 3
-
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir)
-    val blocks = sh.select(col("doc_id"), col("simhash"),
-      posexplode_outer(array((0 until 4).map(b => substring(col("simhash"), b * 8 + 1, 8)): _*))
-        .as(Seq("blk", "bv")))
-    val cands = blocks.as("x").join(blocks.as("y"),
-        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sh_a"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("sh_b"))
-      .distinct()
-    val hamming = graft.functions.TextHashFunctions.hamming(col("sh_a"), col("sh_b"))
-    cands.select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
-      .filter(col("hamming") <= HammingMax)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  val simhashNearDupSql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, substr(md5(unnest(string_split(text,' '))), 1, 8) AS h
+  /** Shared oracle CTEs computing the 64-bit signature: per token the
+    * first 16 hex chars of md5 (= 64 bits MSB-first), per bit position a
+    * ±1 vote sum — the exact bit math of TextHashUtil.simhashBits. */
+  private val simhashShSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, substr(md5(unnest(string_split(text,' '))), 1, ${SimHashWidth / 4}) AS h
        |  FROM documents),
        |bits AS (
        |  SELECT doc_id, p,
@@ -297,23 +291,71 @@ object Dedup {
        |      floor((strpos('0123456789abcdef', substr(h, ((p-1)//4)+1, 1)) - 1)
        |            // power(2, 3-((p-1)%4))) % 2 = 1
        |      THEN 1 ELSE -1 END) AS vote
-       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,32)) AS p)
+       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,$SimHashWidth)) AS p)
        |  GROUP BY doc_id, p),
        |sh AS (SELECT doc_id,
        |         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
-       |       FROM bits GROUP BY doc_id),
-       |blocks AS (SELECT doc_id, simhash, blk, substr(simhash, blk*8+1, 8) AS bv
-       |           FROM sh CROSS JOIN (SELECT unnest(generate_series(0,3)) AS blk)),
-       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sh_a,
-       |                 y.doc_id AS doc_b, y.simhash AS sh_b
-       |          FROM blocks x JOIN blocks y
+       |       FROM bits GROUP BY doc_id)""".stripMargin
+
+  val simhashSql: String =
+    s"""WITH $simhashShSql
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Max hamming distance for a verified near-dup pair. With 4 blocks the
+    * pigeonhole guarantee covers exactly hamming ≤ 3; on 64 bits that is a
+    * STRICTER similarity bar than 3-of-32 (≈95.3% vs ≈90.6% bit agreement)
+    * — near-identical documents (the dedup target) stay well under it. */
+  private val HammingMax = 3
+
+  /** SimHash near-dup pairs: band the 64 bits into 4 blocks of 16; pairs
+    * agreeing on ≥1 full block are candidates (pigeonhole: hamming ≤ 3 is
+    * always caught); verify hamming ≤ [[HammingMax]].
+    *
+    * Candidate generation is ONE shuffle — `groupBy(blk, bv)` with capped
+    * sorted posting lists, pairs off each list (i<j of a sorted array ⇒
+    * doc_a < doc_b) — no band self-join, every bucket bounded by the cap. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(spark, dir)
+    val blocks = sh.select(col("doc_id"),
+      posexplode_outer(array((0 until SimHashBlocks).map(b =>
+        substring(col("simhash"), b * BlockBits + 1, BlockBits)): _*))
+        .as(Seq("blk", "bv")))
+    val buckets = blocks.groupBy(col("blk"), col("bv"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs"))
+    val n = size(col("docs"))
+    val pairGen = when(n >= 2, flatten(transform(
+      sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => struct(element_at(col("docs"), i).as("doc_a"),
+          element_at(col("docs"), j).as("doc_b"))))))
+    val cands = buckets.select(explode_outer(pairGen).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val hamming = graft.functions.TextHashFunctions.hamming(col("sh_a"), col("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashNearDupSql: String =
+    s"""WITH $simhashShSql,
+       |blocks AS (SELECT doc_id, simhash, blk, substr(simhash, blk*$BlockBits+1, $BlockBits) AS bv
+       |           FROM sh CROSS JOIN (SELECT unnest(generate_series(0,${SimHashBlocks - 1})) AS blk)),
+       |capped AS (SELECT doc_id, blk, bv FROM blocks
+       |           QUALIFY row_number() OVER (PARTITION BY blk, bv ORDER BY doc_id) <= $BandBucketCap),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM capped x JOIN capped y
        |            ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b,
-       |  len(list_filter(generate_series(1,32),
-       |    i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS hamming
-       |FROM cands
-       |WHERE len(list_filter(generate_series(1,32),
-       |    i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) <= $HammingMax
+       |  len(list_filter(generate_series(1,$SimHashWidth),
+       |    i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS hamming
+       |FROM cands JOIN sh a ON cands.doc_a = a.doc_id
+       |           JOIN sh b ON cands.doc_b = b.doc_id
+       |WHERE len(list_filter(generate_series(1,$SimHashWidth),
+       |    i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------- n-gram Jaccard (exact)

@@ -70,14 +70,17 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style: 3-way join (customer ⋈ orders ⋈ lineitem) + top-N.
-    * customer side is dimension-sized → Catalyst broadcasts it; the
-    * ORDER BY..LIMIT compiles to TakeOrderedAndProject (no global sort). */
+    * customer ROWS SCALE WITH SF, so no broadcast hint — a hint overrides
+    * AQE's size check and becomes a multi-GB build at 100×. AQE/file stats
+    * pick BroadcastHashJoin while the filtered side fits (asserted in
+    * PlanQualitySpec at test SF). The ORDER BY..LIMIT compiles to
+    * TakeOrderedAndProject (no global sort). */
   def q2MarketRevenue(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(spark, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01"))
     val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("orderdate"),
         col("o_orderpriority"))
       .agg(money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
@@ -140,8 +143,11 @@ object Relational {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** TPC-H Q5-style: 6-way snowflake join down to revenue per nation.
-    * region/nation/supplier are broadcast; the only real shuffle is the
-    * orders⋈lineitem equi-join on orderkey + the final small aggregation. */
+    * Only the FIXED-CARDINALITY dims (region=5, nation=25) carry broadcast
+    * hints; customer and supplier scale with SF, so AQE decides for them —
+    * at small SF it still broadcasts (file stats under the threshold), at
+    * 100× it shuffles instead of OOMing the driver on a forced multi-GB
+    * build. The only unavoidable shuffle is orders⋈lineitem on orderkey. */
   def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val r = t(spark, dir, "region")
     val n = t(spark, dir, "nation")
@@ -151,8 +157,8 @@ object Relational {
       .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
     val l = t(spark, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
         c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -403,7 +409,10 @@ object Relational {
       |WHERE l_quantity < avg_qty * 0.5""".stripMargin
 
   /** TPC-H Q18-style: big orders — HAVING-filtered keys joined back to the
-    * fact + dimensions. The qualifying-key set is tiny → broadcast back. */
+    * fact + dimensions. The qualifying-key set and customer both GROW WITH
+    * SF, so neither side is hint-broadcast: AQE sees the post-HAVING size
+    * at runtime and broadcasts only while it actually fits (the hint
+    * variant force-collected a linearly-growing set onto the driver). */
   def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
     val l = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
@@ -411,8 +420,8 @@ object Relational {
     val big = l.groupBy(col("l_orderkey").as("bk"))
       .agg(money(sum(dec(col("l_quantity")))).as("sum_qty"))
       .filter(col("sum_qty") > 180.0)
-    o.join(broadcast(big), o("o_orderkey") === big("bk"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(big, o("o_orderkey") === big("bk"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast(DateType).as("orderdate"),
         col("o_totalprice"), col("sum_qty"))

@@ -89,11 +89,11 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${found.size}/${truth.size})")
   }
 
-  test("dedup: simhash bit strings are 32 bits and stable across invocation") {
+  test("dedup: simhash bit strings are 64 bits and stable across invocation") {
     val a = Dedup.simhash(spark, sf()).collect()
     val b = Dedup.simhash(spark, sf()).collect()
     assert(a.sameElements(b))
-    assert(a.forall(_.getAs[String]("simhash").matches("[01]{32}")))
+    assert(a.forall(_.getAs[String]("simhash").matches("[01]{64}")))
   }
 
   test("similarity: ANN results are never better than the exact baseline") {

@@ -45,6 +45,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("broadcast hints only on fixed-cardinality dims — SF-scaling tables left to AQE") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintCount(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // a hint overrides AQE's size check: on customer / the q18 qualifying
+    // set (both grow with SF) it becomes a forced multi-GB build at 100×
+    assert(hintCount(Relational.q2MarketRevenue(spark, sf())) == 0,
+      "q2 must not hint-broadcast customer")
+    assert(hintCount(Relational.q18BigOrders(spark, sf())) == 0,
+      "q18 must not hint-broadcast the HAVING set or customer")
+    assert(hintCount(Relational.q5NationRevenue(spark, sf())) == 2,
+      "q5 hints exactly nation + region (fixed 25/5 rows)")
+  }
+
+  test("q18: AQE chooses broadcast for the qualifying set at test SF without a hint") {
+    val df = Relational.q18BigOrders(spark, sf())
+    df.collect() // drive AQE to the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "expected AQE to pick a broadcast join at this scale:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("knn: native cosine stays inside WholeStageCodegen; query side broadcasts") {
     val df = Similarity.knnBruteForce(spark, sf())
     val p = plan(df)
@@ -61,10 +84,23 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("minhash LSH: candidate generation is a key-equality join, not a cross join") {
+  test("minhash LSH: candidates come off capped band buckets — no self-join, no window") {
     val p = plan(Dedup.minhashLsh(spark, sf()))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "LSH candidates must come from an equi-join on (band, hash)")
+      "LSH candidates must come off capped (band, hash) buckets")
+    assert(!p.contains("Window"), "the bucket cap must not rank via a window sort")
+    assert(p.contains("collect_list"), "capped posting lists expected")
+  }
+
+  test("dd5: simhash bands are 4 x 16-bit blocks off capped buckets") {
+    val p = plan(Dedup.simhashNearDup(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "the bucket cap must not rank via a window sort")
+    assert(p.contains("collect_list"), "capped posting lists expected")
+    // 64-bit signature banded 4 x 16: the last block reads bits 49..64 —
+    // a regression to 8-bit blocks (256 bucket values) would show ", 8)"
+    assert(p.contains("49, 16)"), "expected 16-bit band keys over a 64-bit signature")
+    assert(!p.contains("substring(simhash") || !p.contains(", 8)"))
   }
 
   test("ann paths: multiprobe LSH and IVF near-dup stay on equi-joins") {
