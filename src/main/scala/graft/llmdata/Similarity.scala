@@ -190,7 +190,7 @@ object Similarity {
   /** IVF-style ANN: coarse cells seeded by one exemplar per label (the
     * lowest vec_id — deterministic, no float reduction across rows), every
     * vector assigned to its nearest exemplar by cosine, queries search only
-    * their own cell. The two joins are broadcast (exemplars, queries). */
+    * their own cell. The only join is the broadcast cell-equality search. */
   /** Exemplar-seeded coarse cells (one per label, lowest vec_id). */
   private def exemplarsOf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -200,14 +200,25 @@ object Similarity {
       .select(col("cell"), Dedup.vecD(col("embedding")).as("cv"))
   }
 
-  /** Nearest-exemplar assignment: adds a `cell` column to (.., `vcol`). */
+  /** Nearest-exemplar assignment as a SCAN-SIDE expression: the exemplar
+    * set (one row per label — the IVF "codebook", always tiny relative to
+    * the corpus) is collected once at build time and folded into the plan
+    * as literals; `greatest` over (sim, -idx) structs is the argmax, with
+    * the same tie-break as ORDER BY sim DESC, cell ASC (struct comparison
+    * is lexicographic; idx is the rank of the cell in ascending order).
+    * Zero shuffle and zero extra rows — the previous crossJoin +
+    * row_number variant shuffled and sorted the ENTIRE corpus keyed by its
+    * own row id just to take this per-row argmax over a broadcast side. */
   private def assignCells(df: DataFrame, vcol: String, exemplars: DataFrame): DataFrame = {
-    val scored = df.crossJoin(broadcast(exemplars))
-      .withColumn("cell_sim", Dedup.cosine(col(vcol), col("cv")))
-    val w = Window.partitionBy(col("_rid"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "cell_sim", "cv")
+    val ex = exemplars.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(ex.nonEmpty, "IVF assignment requires at least one exemplar")
+    val scored = ex.zipWithIndex.map { case ((_, cv), i) =>
+      struct(Dedup.cosine(col(vcol), lit(cv)).as("s"), lit(-i).as("ni"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    val cellOf = element_at(lit(ex.map(_._1)), lit(1) - best.getField("ni"))
+    df.withColumn("cell", cellOf)
   }
 
   /** All embeddings with their IVF cell — (vec_id, v, cell). Used by the
@@ -215,18 +226,14 @@ object Similarity {
   def ivfCells(spark: SparkSession, dir: String): DataFrame = {
     val all = t(spark, dir, "embeddings")
       .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
-    assignCells(all.withColumn("_rid", col("vec_id")), "v",
-      exemplarsOf(spark, dir)).drop("_rid")
+    assignCells(all, "v", exemplarsOf(spark, dir))
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val exemplars = exemplarsOf(spark, dir)
-    def assign(df: DataFrame, vcol: String): DataFrame =
-      assignCells(df, vcol, exemplars)
-
-    val c = assign(corpus(spark, dir).withColumn("_rid", col("vec_id")), "v")
-    val q = assign(queriesDf(spark, dir).withColumn("_rid", col("query_id")), "q")
-    val scored = c.join(broadcast(q.drop("_rid")), "cell")
+    val c = assignCells(corpus(spark, dir), "v", exemplars)
+    val q = assignCells(queriesDf(spark, dir), "q", exemplars)
+    val scored = c.join(broadcast(q), "cell")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Dedup.cosine(col("q"), col("v")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))

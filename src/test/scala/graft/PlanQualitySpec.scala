@@ -103,6 +103,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("substring(simhash") || !p.contains(", 8)"))
   }
 
+  test("ss3/dd9: IVF cell assignment is scan-side — zero shuffle, no window") {
+    val p = plan(Similarity.ivfCells(spark, sf()))
+    assert(!p.contains("Window"), "assignment must not rank via a window sort")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "cell assignment must be zero-shuffle:\n" + p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("cosine_sim"), "native cosine expected in the argmax")
+  }
+
   test("ann paths: multiprobe LSH and IVF near-dup stay on equi-joins") {
     for (df <- Seq(Similarity.annLshMultiprobe(spark, sf()),
         Dedup.ivfNearDup(spark, sf()))) {
