@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -13,14 +15,27 @@ import graft.functions.{CosineSimilarity, DotProduct}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    def reg(name: String, clazz: Class[_], build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        build))
+
+    reg("cosine_sim", classOf[CosineSimilarity], args => CosineSimilarity(args(0), args(1)))
+    reg("dot_product", classOf[DotProduct], args => DotProduct(args(0), args(1)))
+    reg("simhash32", classOf[SimHashBits], args => SimHashBits(args(0), 32))
+    reg("simhash64", classOf[SimHashBits], args => SimHashBits(args(0), 64))
+    reg("minhash_sig", classOf[MinHashSignature],
+      args => MinHashSignature(args(0), intArg(args(1), "minhash_sig")))
+    reg("hamming", classOf[HammingDistance], args => HammingDistance(args(0), args(1)))
+    reg("jaccard", classOf[JaccardSimilarity], args => JaccardSimilarity(args(0), args(1)))
+    reg("lsh_code", classOf[HyperplaneLshCode], args => HyperplaneLshCode(args(0)))
   }
 }

@@ -90,10 +90,8 @@ object CdcQueries {
 
   // ------------------------------------------------------------ cdc1
 
-  /** T1+T2+T3+D1+T5 under the oracle gate: every envelope header field
-    * survives the base64+JSON round trip bit-exact. */
-  def decodeHeaders(spark: SparkSession, dir: String): DataFrame =
-    changes(spark, dir).select(
+  private def headerProjection(changeRows: DataFrame): DataFrame =
+    changeRows.select(
       col("Id").as("record_id"),
       col("entityName").as("entity_name"),
       col("changeType").as("change_type"),
@@ -106,6 +104,37 @@ object CdcQueries {
       array_join(col("changedFields"), ",").as("changed_fields"),
       get_json_object(col("payload_json"), "$.Name").as("name"))
       .orderBy(col("record_id"), col("replay_id"))
+
+  /** T1+T2+T3+D1+T5 under the oracle gate: every envelope header field
+    * survives the base64+JSON round trip bit-exact. */
+  def decodeHeaders(spark: SparkSession, dir: String): DataFrame =
+    headerProjection(changes(spark, dir))
+
+  // ------------------------------------------------------------ cdc8
+
+  /** Batch/backfill read of the bus — the reference's retention window
+    * exists precisely so a consumer can reprocess a replayId range
+    * (`subscriber/cloudformation/subscriber.yaml:39`). The cdc1 wire
+    * records are PUBLISHED onto an in-memory topic, re-read with
+    * `spark.read.format("cdc-replay")` (the sharded batch scan), and fed
+    * through the same decode chain — so the records must survive
+    * publish → sharded batch scan → decode bit-exact against cdc1's
+    * oracle. The driver-side publish loop is transport fixture machinery
+    * (the wire must originate outside the plan for the read path to be
+    * exercised), not operator dataflow. */
+  def batchReplayDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ReplayBus
+    val topic = s"/data/backfill:$dir"
+    val raw = synthRaw(t(spark, dir, "customer"), lit("fp_v1"), Seq(custName.as("Name")))
+    ReplayBus.clear(topic)
+    raw.collect().foreach(r => ReplayBus.publish(topic, r.getString(0)))
+    val bus = spark.read.format("cdc-replay")
+      .option("topic", topic).option("numShards", "8").load()
+      .select(col("value")) // envelope carries its own replayId (k+10)
+    val (good, _) = CdcDecode.partitionValid(
+      CdcDecode.decodeBase64(bus, col("value")).drop("value"))
+    headerProjection(CdcDecode.explodeIds(good))
+  }
 
   // ------------------------------------------------------------ cdc2
 
@@ -457,7 +486,8 @@ object CdcQueries {
     "cdc4_schema_evolution" -> schemaEvolution,
     "cdc5_serialize_sink" -> serializeSink,
     "cdc6_multi_entity" -> multiEntityRoute,
-    "cdc7_asof_enrich" -> asOfEnrich)
+    "cdc7_asof_enrich" -> asOfEnrich,
+    "cdc8_batch_replay" -> batchReplayDecode)
 
   val oracle: Map[String, String] = Map(
     "cdc1_decode" -> decodeHeadersSql,
@@ -466,5 +496,7 @@ object CdcQueries {
     "cdc4_schema_evolution" -> schemaEvolutionSql,
     "cdc5_serialize_sink" -> serializeSinkSql,
     "cdc6_multi_entity" -> multiEntityRouteSql,
-    "cdc7_asof_enrich" -> asOfEnrichSql)
+    "cdc7_asof_enrich" -> asOfEnrichSql,
+    // same oracle as cdc1: the batch-scan path must not change one byte
+    "cdc8_batch_replay" -> decodeHeadersSql)
 }

@@ -99,21 +99,92 @@ class CdcReplayTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"cdc-replay:$topic"
   override def schema(): StructType = CdcReplayTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CdcReplayTable.schema
+        /** Batch/backfill read over a replayId range — the reference's
+          * retention-window reprocessing (its bus keeps 24 h of events
+          * precisely so a consumer can re-read a range,
+          * `subscriber/cloudformation/subscriber.yaml:39`). Defaults read
+          * everything up to the tip observed at planning time. */
         override def toBatch: Batch =
-          throw new UnsupportedOperationException("streaming-only source")
+          new CdcReplayBatch(
+            topic,
+            opts.getLong("replayFrom", ReplayBus.ReplayFromEarliest),
+            opts.getLong("replayUntil", ReplayBus.ReplayFromTip),
+            opts.getInt("numShards", CdcReplaySharding.DefaultShards))
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcReplayMicroBatchStream(
             topic,
             opts.getLong("replayFrom", ReplayBus.ReplayFromEarliest),
-            opts.getLong("batchSize", Long.MaxValue))
+            opts.getLong("batchSize", Long.MaxValue),
+            opts.getInt("numShards", CdcReplaySharding.DefaultShards))
       }
     }
+}
+
+/** Range sharding shared by the batch and micro-batch scans: split
+  * (from, until] into at most `numShards` contiguous replayId sub-ranges,
+  * mirroring the reference's per-shard Kinesis parallelism (shard count at
+  * `subscriber/cloudformation/subscriber.yaml:10-13`). Ordering contract =
+  * Kinesis's: replayIds are ascending WITHIN a partition; there is no
+  * cross-partition order (downstream stages that need one sort, as the CDC
+  * materializer already does). Without this, every decode of a trigger
+  * landed on ONE task until the first exchange — invisible at local[32]
+  * with small batches, the ingest bottleneck on a cluster. */
+object CdcReplaySharding {
+  val DefaultShards: Int = 4
+
+  def plan(topic: String, from: Long, until: Long, numShards: Int): Array[InputPartition] = {
+    val range = until - from
+    if (range <= 0L) Array.empty
+    else {
+      val n = math.max(1L, math.min(numShards.toLong, range)).toInt
+      Array.tabulate(n) { i =>
+        CdcReplayPartition(topic, from + range * i / n, from + range * (i + 1) / n)
+      }
+    }
+  }
+}
+
+/** One reader per contiguous replayId sub-range. */
+class CdcReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CdcReplayPartition]
+    val events = ReplayBus.range(cp.topic, cp.from, cp.until).iterator
+    new PartitionReader[InternalRow] {
+      private var cur: ReplayBus.BusEvent = _
+      override def next(): Boolean =
+        if (events.hasNext) { cur = events.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow(cur.replayId, UTF8String.fromString(cur.value))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Batch scan of a published replayId range: (replayFrom, replayUntil],
+  * with the -2/-1 sentinels meaning earliest/tip (resolved at planning
+  * time). Backfill path for reprocessing retained bus history. */
+class CdcReplayBatch(topic: String, replayFrom: Long, replayUntil: Long, numShards: Int)
+    extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val from = replayFrom match {
+      case ReplayBus.ReplayFromEarliest => 0L
+      case ReplayBus.ReplayFromTip => ReplayBus.tip(topic)
+      case id => id
+    }
+    val until =
+      if (replayUntil < 0L) ReplayBus.tip(topic) else replayUntil
+    CdcReplaySharding.plan(topic, from, until, numShards)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReplayReaderFactory
 }
 
 /** Offset = last consumed replayId (the reference's per-topic replay map
@@ -122,7 +193,9 @@ case class ReplayOffset(replayId: Long) extends Offset {
   override def json(): String = replayId.toString
 }
 
-class CdcReplayMicroBatchStream(topic: String, replayFrom: Long, batchSize: Long)
+class CdcReplayMicroBatchStream(
+    topic: String, replayFrom: Long, batchSize: Long,
+    numShards: Int = CdcReplaySharding.DefaultShards)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -165,27 +238,18 @@ class CdcReplayMicroBatchStream(topic: String, replayFrom: Long, batchSize: Long
 
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
 
+  /** Sharded: one micro-batch fans out over up to `numShards` contiguous
+    * replayId sub-ranges (see [[CdcReplaySharding]]), so decode work is
+    * parallel from the source instead of serialized on one task. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(CdcReplayPartition(
+    CdcReplaySharding.plan(
       topic,
       start.asInstanceOf[ReplayOffset].replayId,
-      end.asInstanceOf[ReplayOffset].replayId))
+      end.asInstanceOf[ReplayOffset].replayId,
+      numShards)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val cp = p.asInstanceOf[CdcReplayPartition]
-        val events = ReplayBus.range(cp.topic, cp.from, cp.until).iterator
-        new PartitionReader[InternalRow] {
-          private var cur: ReplayBus.BusEvent = _
-          override def next(): Boolean =
-            if (events.hasNext) { cur = events.next(); true } else false
-          override def get(): InternalRow =
-            InternalRow(cur.replayId, UTF8String.fromString(cur.value))
-          override def close(): Unit = ()
-        }
-      }
-    }
+    new CdcReplayReaderFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

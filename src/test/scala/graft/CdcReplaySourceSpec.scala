@@ -100,6 +100,46 @@ class CdcReplaySourceSpec extends SparkSpec {
     assert(vals.distinct.length == vals.length)
   }
 
+  test("batch read: spark.read over a published range, sharded, complete") {
+    val topic = "t_batchread"
+    ReplayBus.clear(topic)
+    (1 to 20).foreach(i => ReplayBus.publish(topic, s"e$i"))
+    val df = spark.read.format("cdc-replay")
+      .option("topic", topic).option("numShards", "4").load()
+    assert(df.rdd.getNumPartitions == 4, "range must split into numShards partitions")
+    // per-partition ordering contract (Kinesis-style): ascending within a
+    // shard, contiguous ranges, union covers everything exactly once
+    val perPart = df.select("replayId").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect()
+    perPart.foreach(p => assert(p == p.sorted, s"shard not ordered: $p"))
+    assert(perPart.flatten.sorted.toSeq == (1L to 20L))
+    // explicit sub-range backfill: (5, 15]
+    val sub = spark.read.format("cdc-replay")
+      .option("topic", topic).option("replayFrom", "5").option("replayUntil", "15")
+      .load().select("value").as[String].collect().sorted
+    assert(sub.toSeq == (6 to 15).map(i => s"e$i").sorted)
+  }
+
+  test("batch read: more shards than events degrades to one partition per event") {
+    val topic = "t_batchsmall"
+    ReplayBus.clear(topic)
+    (1 to 3).foreach(i => ReplayBus.publish(topic, s"e$i"))
+    val df = spark.read.format("cdc-replay")
+      .option("topic", topic).option("numShards", "8").load()
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 3)
+  }
+
+  test("micro-batch sharding: a capped trigger fans out and loses nothing") {
+    val topic = "t_shardstream"
+    ReplayBus.clear(topic)
+    (1 to 17).foreach(i => ReplayBus.publish(topic, s"e$i"))
+    drain(topic, "src_shard", "replayFrom" -> "-2", "batchSize" -> "8", "numShards" -> "4")
+    val got = spark.table("src_shard").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 17L))
+    assert(got.map(_._2).toSeq == (1 to 17).map(i => s"e$i"))
+  }
+
   test("CdcPipeline.writer: partitioned-by-entity JSON sink layout (K1∘K3)") {
     val topic = "t_writer"
     ReplayBus.clear(topic)

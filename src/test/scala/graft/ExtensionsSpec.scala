@@ -39,6 +39,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
   }
 
+  test("text-hash and lsh expressions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT simhash32(array('a','b')) AS s32,
+        |       simhash64(array('a','b')) AS s64,
+        |       minhash_sig(array('a','b'), 4) AS mh,
+        |       hamming('0011', '0101') AS h,
+        |       jaccard(array('a','b'), array('b','c')) AS j""".stripMargin)
+      .collect().head
+    assert(r.getString(0).matches("[01]{32}"))
+    assert(r.getString(1).matches("[01]{64}"))
+    // simhash64's first 32 bits use the same md5-prefix votes as simhash32
+    assert(r.getString(1).startsWith(r.getString(0)))
+    assert(r.getSeq[String](2).length == 4)
+    assert(r.getLong(3) == 2L)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-12)
+    val code = spark.sql(
+      "SELECT lsh_code(array_repeat(1.0D, 64)) AS c").collect().head.getString(0)
+    assert(code.matches("[01]{8}"))
+  }
+
+  test("minhash_sig rejects a non-literal hash count") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), length('xx'))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("type check rejects non-array arguments with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT cosine_sim('x', 'y')").collect()
