@@ -728,7 +728,69 @@ object Dedup {
        |  CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
        |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  // -------------------------------------------------- decontamination
+
+  /** Eval-set slice: every 20th doc plays the held-out benchmark whose
+    * n-grams must not leak into training data. */
+  private val EvalMod = 20
+  private val ContaminationThreshold = 0.5
+
+  /** Benchmark decontamination (dd13): flag training documents whose
+    * trigram-shingle CONTAINMENT in the eval set's gram union crosses
+    * [[ContaminationThreshold]] — the standard test-set-overlap guard an
+    * LLM data pipeline runs before training (n-gram containment, as in
+    * GPT-3/C4-style dataset audits).
+    *
+    * Scale shape: the eval gram union is DISTINCT grams of a benchmark —
+    * small by construction — so it BROADCASTS; the corpus side is one
+    * explode + broadcast semi-count + map-side-combinable groupBy. The
+    * corpus is never self-joined and never shuffled by gram. Shares the
+    * cached shingle table with dd6 ([[gramsOf]]). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = gramsOf(spark, dir, 3)
+    val isEval = col("doc_id") % EvalMod === 0
+    val evalGrams = g.filter(isEval)
+      .select(explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull).distinct()
+    val corpus = g.filter(!isEval)
+    val shared = corpus.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_shared"), lit(0L)).cast(DoubleType) / col("n_grams"))
+          .otherwise(lit(0.0)).as("containment"))
+      .withColumn("contaminated", col("containment") >= ContaminationThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, greatest(len(w)-2, 0)),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
+       |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % $EvalMod = 0),
+       |corp AS (SELECT doc_id, g FROM sh WHERE doc_id % $EvalMod <> 0),
+       |cg AS (SELECT doc_id, unnest(g) AS gram FROM corp),
+       |shared AS (SELECT doc_id, count(*) AS n_shared FROM cg JOIN ev USING (gram)
+       |           GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CASE WHEN len(c.g) > 0
+       |    THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(c.g)
+       |    ELSE 0.0 END AS containment,
+       |  CASE WHEN len(c.g) > 0
+       |    THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(c.g)
+       |    ELSE 0.0 END >= $ContaminationThreshold AS contaminated
+       |FROM corp c LEFT JOIN shared s USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd13_decontaminate" -> decontaminate,
     "dd12_incremental_dedup" -> incrementalDedup,
     "dd11_dedup_clusters" -> dedupClusters,
     "dd8_kmv_distinct" -> kmvDistinctShingles,
@@ -743,6 +805,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd13_decontaminate" -> decontaminateSql,
     "dd12_incremental_dedup" -> incrementalDedupSql,
     "dd11_dedup_clusters" -> dedupClustersSql,
     "dd8_kmv_distinct" -> kmvDistinctShinglesSql,

@@ -334,7 +334,121 @@ object TextAnalysis {
        |  md5(chunk) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------- repeated-span removal (tx10)
+
+  /** Boilerplate span width (words): the corpus-dedup unit. */
+  private val BoilerChunk = 8
+
+  /** C4-style repeated-span removal (tx10): documents split into
+    * NON-overlapping [[BoilerChunk]]-word chunks; every chunk VALUE
+    * survives exactly once in the corpus — at its first occurrence, the
+    * minimum (doc_id, pos) — and all later instances are dropped, then
+    * each document is reassembled from its surviving chunks in order
+    * (C4's repeated-three-sentence-span dedup, re-expressed over the
+    * word-soup fixture).
+    *
+    * Scale shape: first-occurrence is `groupBy(chunk).min(key)` with the
+    * location encoded in ONE bigint — a map-side-combinable MIN, not a
+    * window sort, so a corpus-hot boilerplate chunk costs one combiner
+    * cell per task instead of a sorted partition. Two shuffles total
+    * (chunk key, then doc reassembly), both linear in chunk count. */
+  def repeatedChunkRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = ceil(size(col("_w")).cast(DoubleType) / BoilerChunk).cast(IntegerType)
+    val chunks = transform(sequence(lit(1), nChunks),
+      i => concat_ws(" ", slice(col("_w"), ((i - 1) * BoilerChunk + 1), lit(BoilerChunk))))
+    val inst = t(spark, dir, "documents")
+      .withColumn("_w", words)
+      .select(col("doc_id"), posexplode_outer(chunks).as(Seq("pos0", "chunk")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("chunk"))
+    // location key: pos is bounded by words/BoilerChunk << 1e6, so
+    // (doc_id, pos) packs into one bigint and MIN is a plain agg
+    val locKey = col("doc_id") * 1000000L + col("pos")
+    val first = inst.groupBy(col("chunk").as("c")).agg(min(locKey).as("first_key"))
+    val kept = inst.join(first, inst("chunk") === col("c") && locKey === col("first_key"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk"))).as("clean"))
+    inst.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repeatedChunkRemovalSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |i0 AS (SELECT doc_id, w, unnest(generate_series(1,
+       |         CAST(ceil(len(w) / $BoilerChunk.0) AS BIGINT))) AS pos FROM w),
+       |inst AS (SELECT doc_id, pos,
+       |    array_to_string(w[((pos-1)*$BoilerChunk + 1):(pos*$BoilerChunk)], ' ') AS chunk
+       |  FROM i0),
+       |firsts AS (SELECT chunk, min(doc_id*1000000 + pos) AS first_key
+       |           FROM inst GROUP BY chunk),
+       |kept AS (SELECT i.doc_id, count(*) AS n_kept,
+       |           string_agg(i.chunk, ' ' ORDER BY i.pos) AS clean
+       |         FROM inst i JOIN firsts f
+       |           ON i.chunk = f.chunk AND i.doc_id*1000000 + i.pos = f.first_key
+       |         GROUP BY i.doc_id),
+       |stats AS (SELECT doc_id, count(*) AS n_chunks FROM inst GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_chunks,
+       |  CAST(s.n_chunks - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(k.clean, '') AS clean_text
+       |FROM stats s LEFT JOIN kept k USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------- PII redaction (tx11)
+
+  /** Both regexes stay inside the RE2 ∩ java.util.regex common dialect
+    * (character classes + bounded repetition only) so Spark and DuckDB
+    * match identical spans. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val LongNumRe = "[0-9]{5,}"
+
+  /** PII redaction (tx11): scrub emails and long digit runs from text —
+    * the scan-side scrub every training-data pipeline runs. The fixture
+    * corpus carries no PII, so a deterministic synthetic tail (an email
+    * derived from doc_id, a digit run of doc_id²) is appended IDENTICALLY
+    * in both engines before redaction; counts come from the pre-redaction
+    * match sets. Pure per-row map — zero shuffle at any scale. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val tainted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@example.com ref "),
+      (col("doc_id") * col("doc_id")).cast(StringType))
+    t(spark, dir, "documents")
+      .withColumn("_t", tainted)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("_t"), lit(EmailRe), lit(0))).cast(LongType)
+          .as("n_emails"),
+        size(regexp_extract_all(
+          regexp_replace(col("_t"), EmailRe, "[EMAIL]"), lit(LongNumRe), lit(0)))
+          .cast(LongType).as("n_long_nums"),
+        regexp_replace(
+          regexp_replace(col("_t"), EmailRe, "[EMAIL]"), LongNumRe, "[NUM]")
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref '
+       |      || CAST(doc_id*doc_id AS VARCHAR) AS t
+       |  FROM documents),
+       |e AS (SELECT doc_id, t,
+       |    regexp_replace(t, '$EmailRe', '[EMAIL]', 'g') AS t1 FROM m)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$LongNumRe')) AS BIGINT) AS n_long_nums,
+       |  regexp_replace(t1, '$LongNumRe', '[NUM]', 'g') AS redacted
+       |FROM e ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx10_repeated_chunks" -> repeatedChunkRemoval,
+    "tx11_pii_redact" -> piiRedact,
     "tx9_chunk_windows" -> chunkWindows,
     "tx6_tfidf_top_terms" -> tfidfTopTerms,
     "tx7_quality_signals" -> qualitySignals,
@@ -346,6 +460,8 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx10_repeated_chunks" -> repeatedChunkRemovalSql,
+    "tx11_pii_redact" -> piiRedactSql,
     "tx9_chunk_windows" -> chunkWindowsSql,
     "tx6_tfidf_top_terms" -> tfidfTopTermsSql,
     "tx7_quality_signals" -> qualitySignalsSql,

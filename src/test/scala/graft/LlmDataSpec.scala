@@ -96,6 +96,53 @@ class LlmDataSpec extends SparkSpec {
     assert(a.forall(_.getAs[String]("simhash").matches("[01]{64}")))
   }
 
+  test("dd13: eval docs are excluded; containment is a valid fraction") {
+    val r = Dedup.decontaminate(spark, sf()).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("doc_id") % 20 != 0), "eval slice must not appear")
+    r.foreach { row =>
+      val c = row.getAs[Double]("containment")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(row.getAs[Boolean]("contaminated") == (c >= 0.5))
+      assert(row.getAs[Long]("n_shared") <= row.getAs[Long]("n_grams"))
+    }
+  }
+
+  test("tx10: every chunk value survives exactly once; untouched docs round-trip") {
+    val out = TextAnalysis.repeatedChunkRemoval(spark, sf())
+    val rows = out.collect()
+    val totalChunks = rows.map(_.getAs[Long]("n_chunks")).sum
+    val removed = rows.map(_.getAs[Long]("n_removed")).sum
+    val distinctChunks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { row =>
+        val w = row.getString(1).split(" ", -1)
+        w.grouped(8).map(_.mkString(" "))
+      }.distinct.length
+    assert(totalChunks - removed == distinctChunks,
+      s"kept=${totalChunks - removed} distinct=$distinctChunks")
+    // a doc with nothing removed reassembles to its original text
+    val orig = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val untouched = rows.filter(_.getAs[Long]("n_removed") == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { row =>
+      assert(row.getAs[String]("clean_text") == orig(row.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("tx11: redaction removes every email and long digit run") {
+    val rows = TextAnalysis.piiRedact(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val red = row.getAs[String]("redacted")
+      assert(!red.contains("@"), s"email survived: $red")
+      assert(red.contains("[EMAIL]"))
+      assert(row.getAs[Long]("n_emails") >= 1L)
+      assert(!"[0-9]{5,}".r.findFirstIn(red).isDefined, s"digit run survived: $red")
+    }
+  }
+
   test("similarity: ANN results are never better than the exact baseline") {
     val exact = Similarity.knnBruteForce(spark, sf())
       .filter($"rank" === 1).select($"query_id", $"cos_sim".as("best")).collect()

@@ -119,6 +119,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("tx10: first-occurrence is a plain MIN agg — no window sort") {
+    val p = plan(graft.llmdata.TextAnalysis.repeatedChunkRemoval(spark, sf()))
+    assert(!p.contains("Window"), "first-occurrence must be groupBy.min, not row_number")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dd13: the eval gram set is the broadcast side; corpus never self-joins") {
+    val p = plan(Dedup.decontaminate(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), "eval grams must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dd6: candidates come off capped posting lists — no self-join, no full-index sort") {
     val p = plan(Dedup.ngramJaccard(spark, sf()))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
