@@ -75,11 +75,16 @@ object Dedup {
     // drop the strong references so dead sessions don't pin the heap
     gramsCache.keys.filter(_._1.sparkContext.isStopped).foreach(gramsCache.remove)
     pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
-    gramsCache.getOrElseUpdate((spark, dir, n), {
-      val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
-      t(spark, dir, "documents").withColumn("_w", words)
-        .select(col("doc_id"), sh.as("grams")).persist()
-    })
+    gramsCache.getOrElseUpdate((spark, dir, n),
+      gramsOfDocs(t(spark, dir, "documents"), n).persist())
+  }
+
+  /** Shingle an arbitrary (doc_id, text) frame — the uncached form behind
+    * [[gramsOf]], usable on non-fixture frames (e.g. a streaming
+    * micro-batch in [[admitAgainst]]). */
+  private def gramsOfDocs(docs: DataFrame, n: Int): DataFrame = {
+    val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
+    docs.withColumn("_w", words).select(col("doc_id"), sh.as("grams"))
   }
 
   /** Release this session's pinned dedup caches (shingle tables + the
@@ -183,9 +188,12 @@ object Dedup {
 
   /** (doc_id, band, bh) LSH band table over bigram shingles — shared by
     * the self-join (dd3) and incremental (dd12) candidate generators. */
-  private def bandedDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = gramsOf(spark, dir, 2)
-    val sig = docs.select(col("doc_id"), col("grams"), minhashSig(col("grams")).as("sig"))
+  private def bandedDocs(spark: SparkSession, dir: String): DataFrame =
+    bandedOf(gramsOf(spark, dir, 2))
+
+  /** (doc_id, grams) → one row per (doc_id, band, band-hash). */
+  private def bandedOf(grams: DataFrame): DataFrame = {
+    val sig = grams.select(col("doc_id"), minhashSig(col("grams")).as("sig"))
     val bandHashes = array((0 until NumBands).map { b =>
       md5(concat((0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*))
     }: _*)
@@ -610,19 +618,35 @@ object Dedup {
     * (that is dd1/dd3's job on the slice itself). */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val isIncoming = col("doc_id") % 10 === 0
-    val hashed = t(spark, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
-    val incoming = hashed.filter(isIncoming)
-    val existingH = hashed.filter(!isIncoming).select(col("h")).distinct()
-    val exactDup = incoming.join(existingH, Seq("h"), "left_semi").select(col("doc_id"))
-    val bands = bandedDocs(spark, dir)
-    val cand = bands.filter(!isIncoming).as("x")
-      .join(broadcast(bands.filter(isIncoming).as("y")),
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val g = gramsOf(spark, dir, 2) // cached shingle table, shared with dd3
+    admitImpl(docs.filter(!isIncoming), g.filter(!isIncoming),
+      docs.filter(isIncoming), g.filter(isIncoming))
+  }
+
+  /** Free-standing admission operator — dd12's dataflow over ARBITRARY
+    * (doc_id, text) frames instead of the fixture split, so it composes
+    * into a streaming pipeline: call per micro-batch from `foreachBatch`
+    * with the accumulated corpus as `corpus` and the batch as `incoming`
+    * (StreamingOpsSpec drives exactly that). Same plan shape: the
+    * incoming slice is the broadcast build side, the corpus is scanned
+    * once and never self-joined. */
+  def admitAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame =
+    admitImpl(corpus, gramsOfDocs(corpus, 2), incoming, gramsOfDocs(incoming, 2))
+
+  private def admitImpl(
+      corpus: DataFrame, corpusGrams: DataFrame,
+      incoming: DataFrame, incomingGrams: DataFrame): DataFrame = {
+    val inH = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    val existingH = corpus.select(md5(col("text")).as("h")).distinct()
+    val exactDup = inH.join(existingH, Seq("h"), "left_semi").select(col("doc_id"))
+    val cand = bandedOf(corpusGrams).as("x")
+      .join(broadcast(bandedOf(incomingGrams).as("y")),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("y.doc_id").as("in_id"), col("x.doc_id").as("ex_id"))
       .distinct()
-    val docs = gramsOf(spark, dir, 2)
-    val gi = docs.select(col("doc_id").as("in_id"), col("grams").as("grams_in"))
-    val ge = docs.select(col("doc_id").as("ex_id"), col("grams").as("grams_ex"))
+    val gi = incomingGrams.select(col("doc_id").as("in_id"), col("grams").as("grams_in"))
+    val ge = corpusGrams.select(col("doc_id").as("ex_id"), col("grams").as("grams_ex"))
     val nearDup = cand.join(gi, "in_id").join(ge, "ex_id")
       .filter(jaccard(col("grams_in"), col("grams_ex")) >= MinhashJaccardThreshold)
       .select(col("in_id").as("doc_id")).distinct()

@@ -50,6 +50,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  private val tokenGen = Gen.nonEmptyListOf(Gen.oneOf(
+    "key", "agg", "row", "scan", "table", "value", "part", "hash"))
+
+  test("property: simhash is token-order invariant and deterministic (64 and 32 bit)") {
+    checkProp(Prop.forAll(tokenGen) { tokens =>
+      val df = Seq(tokens.mkString(" "), scala.util.Random.shuffle(tokens).mkString(" "))
+        .toDF("text")
+        .select(
+          graft.functions.TextHashFunctions.simhash64(split(col("text"), " ")).as("s64"),
+          graft.functions.TextHashFunctions.simhash32(split(col("text"), " ")).as("s32"))
+      val rows = df.collect()
+      // simhash votes are a sum over tokens — permutation cannot change it;
+      // and the 64-bit signature's prefix IS the 32-bit signature (same
+      // md5-derived votes, longer prefix of the digest)
+      rows(0).getString(0) == rows(1).getString(0) &&
+        rows(0).getString(1) == rows(1).getString(1) &&
+        rows(0).getString(0).startsWith(rows(0).getString(1))
+    })
+  }
+
+  test("property: minhash signature of a superset never exceeds the subset elementwise") {
+    checkProp(Prop.forAll(tokenGen, tokenGen) { (a, extra) =>
+      val sup = (a ++ extra).distinct
+      val df = Seq((a.distinct, sup)).toDF("ga", "gb").select(
+        graft.functions.TextHashFunctions.minhashSig(col("ga"), 8).as("sa"),
+        graft.functions.TextHashFunctions.minhashSig(col("gb"), 8).as("sb"))
+      val r = df.collect().head
+      val (sa, sb) = (r.getSeq[String](0), r.getSeq[String](1))
+      // each signature element is a MIN over per-gram hashes: adding grams
+      // can only lower it — the monotonicity LSH banding relies on
+      sa.zip(sb).forall { case (x, y) => y <= x }
+    }, minTests = 15)
+  }
+
   lazy val snapshot = (1 to 8).map(i => (f"001$i%03d", s"Name$i", i * 1.5))
     .toDF("Id", "Name", "Balance")
 

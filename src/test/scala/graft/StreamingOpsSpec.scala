@@ -72,6 +72,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming incremental dedup: admission composes into foreachBatch with growing corpus") {
+    // three micro-batches of documents; each batch admits against the
+    // corpus accumulated from everything admitted so far — the streaming
+    // form of dd12 (Dedup.admitAgainst is the per-batch operator)
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.Map.empty[Long, String]
+    var corpus = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val verdicts = graft.llmdata.Dedup.admitAgainst(corpus, batch).collect()
+        verdicts.foreach(r => results(r.getAs[Long]("doc_id")) = r.getAs[String]("status"))
+        val admitted = verdicts.filter(_.getAs[String]("status") == "admitted")
+          .map(_.getAs[Long]("doc_id")).toSet
+        corpus = corpus.union(batch.filter(col("doc_id").isin(admitted.toSeq: _*)))
+        () // foreachBatch wants Unit
+      }
+      .start()
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon zeta")) // exact dup of seed
+      input.addData((2L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      // batch 3: near-dup of doc 2 (admitted last batch), exact dup of doc 2, fresh doc
+      input.addData(
+        (3L, "one two three four five six seven eight nine zzz"),
+        (4L, "one two three four five six seven eight nine ten"),
+        (5L, "totally different words in this new document body"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results(1L) == "exact_dup", results.toString)
+    assert(results(2L) == "admitted")
+    assert(results(3L) == "near_dup", s"cross-batch near-dup missed: $results")
+    assert(results(4L) == "exact_dup", s"cross-batch exact dup missed: $results")
+    assert(results(5L) == "admitted")
+  }
+
   test("QueryObserver: listener surfaces lifecycle and per-batch progress (§3.3)") {
     implicit val ctx = spark.sqlContext
     val obs = graft.streaming.QueryObserver.attach(spark)
