@@ -415,11 +415,21 @@ object Dedup {
     val cands = postings.select(explode_outer(pairGen).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    // verification on HASHED shingles: each gram → its first 15 md5 hex
+    // chars as a 60-bit long, sorted ONCE per document — the per-pair
+    // Jaccard is then a merge walk over longs instead of ~2·|grams|
+    // string hashings (the hot path: ~1M pairs at sf0.1). A 60-bit
+    // collision inside one pair's union (~300 values, P ≈ 2⁻⁴⁵) is the
+    // only way this differs from string Jaccard, and the oracle hashes
+    // identically so parity holds even then.
+    val hashed = sort_array(array_distinct(transform(col("grams"),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast(LongType))))
+    val ga = docs.select(col("doc_id").as("doc_a"), hashed.as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), hashed.as("grams_b"))
     cands.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+        graft.functions.TextHashFunctions.jaccardSorted(col("grams_a"), col("grams_b"))
+          .as("jaccard"))
       .filter(col("jaccard") >= TrigramJaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -432,12 +442,15 @@ object Dedup {
        |inv AS (SELECT doc_id, gram FROM inv_all
        |        QUALIFY row_number() OVER (PARTITION BY gram ORDER BY doc_id) <= $ShingleDfCap),
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id)
+       |          FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+       |hg AS (SELECT doc_id, list_distinct(list_transform(g,
+       |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS g
+       |       FROM sh)
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
        |  CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) AS jaccard
-       |FROM cands JOIN sh a ON cands.doc_a = a.doc_id
-       |           JOIN sh b ON cands.doc_b = b.doc_id
+       |FROM cands JOIN hg a ON cands.doc_a = a.doc_id
+       |           JOIN hg b ON cands.doc_b = b.doc_id
        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
        |      CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= $TrigramJaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin

@@ -96,6 +96,32 @@ class LlmDataSpec extends SparkSpec {
     assert(a.forall(_.getAs[String]("simhash").matches("[01]{64}")))
   }
 
+  test("dd6: hashed merge-walk jaccard equals string-set jaccard on real shingles") {
+    import graft.functions.TextHashFunctions
+    // every doc pair of a small slice — both forms must agree bit-exact
+    // (a 60-bit collision is the only divergence mode, P ≈ 2⁻⁴⁵ per pair)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .limit(40)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(size(w)-2, 0)), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"))
+        .as("g"))
+    val hashed = sort_array(array_distinct(transform(col("g"),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+    val withH = docs.select(col("doc_id"), col("g"), hashed.as("h"))
+    val a = withH.select(col("doc_id").as("ida"), col("g").as("ga"), col("h").as("ha"))
+    val b = withH.select(col("doc_id").as("idb"), col("g").as("gb"), col("h").as("hb"))
+    val both = a.join(b, col("ida") < col("idb"))
+      .select(
+        TextHashFunctions.jaccard(col("ga"), col("gb")).as("js"),
+        TextHashFunctions.jaccardSorted(col("ha"), col("hb")).as("jh"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"hashed jaccard diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
   test("dd13: eval docs are excluded; containment is a valid fraction") {
     val r = Dedup.decontaminate(spark, sf()).collect()
     assert(r.nonEmpty)

@@ -27,7 +27,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       "dd6_ngram_jaccard" -> Dedup.ngramJaccard _,
       "cdc1_decode" -> graft.operators.CdcQueries.decodeHeaders _,
       "cdc2_route_enrich" -> graft.operators.CdcQueries.routeEnrich _,
-      "cdc3_materialize" -> graft.operators.CdcQueries.materializeLatest _)
+      "cdc3_materialize" -> graft.operators.CdcQueries.materializeLatest _,
+      // tx10's first-occurrence MIN and dd13's shared-gram counts are
+      // reductions whose partial-agg order must not leak into results
+      "tx10_repeated_chunks" -> TextAnalysis.repeatedChunkRemoval _,
+      "dd13_decontaminate" -> Dedup.decontaminate _,
+      "dd5_simhash_neardup" -> Dedup.simhashNearDup _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
