@@ -220,13 +220,72 @@ object Multimodal {
       |  MAX(n_frames) AS max_frames, MIN(n_frames) AS min_frames
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ------------------------------------------------------------ mm4
+
+  private val ResizeMaxBytes = 96
+  private val ThumbBox = 32
+
+  /** Resize planning + payload downscale (mm4): stub-codec dims fitted
+    * into a [[ThumbBox]]² box with aspect preserved (pure integer math —
+    * floor((d·box)/maxdim), exact in both engines), and the payload run
+    * through [[resize]] (prefix truncation at [[ResizeMaxBytes]], the
+    * byte-level downscale analogue). Dims read the PREFIX bytes, so they
+    * are invariant under the truncation — asserted by construction here,
+    * the property a real thumbnailer relies on (header before pixels).
+    * Zero shuffle: per-row column ops end to end. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val m = resize(
+      mediaTable(spark, dir)
+        .withColumn("orig_bytes", octet_length(col("content")).cast(LongType)),
+      ResizeMaxBytes)
+    val n = col("orig_bytes")
+    def byteAt(pos: Int): Column =
+      when(n >= pos, conv(hex(substring(col("content"), pos, 1)), 16, 10)
+        .cast(IntegerType)).otherwise(lit(0))
+    val width = (lit(16) + when(n === 0, 0).otherwise(pmod(byteAt(1), lit(64))))
+      .cast(IntegerType)
+    val height = (lit(16) + when(n < 2, 0).otherwise(pmod(byteAt(2), lit(64))))
+      .cast(IntegerType)
+    val maxDim = greatest(width, height)
+    m.select(
+      col("media_id"), col("kind"),
+      width.as("width"), height.as("height"),
+      floor(width * ThumbBox / maxDim).cast(IntegerType).as("thumb_w"),
+      floor(height * ThumbBox / maxDim).cast(IntegerType).as("thumb_h"),
+      col("orig_bytes"),
+      octet_length(col("content")).cast(LongType).as("resized_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val resizePlanSql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |    octet_length(encode(text)) AS n,
+       |    CASE WHEN octet_length(encode(text)) >= 1
+       |      THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) ELSE 0 END AS b0,
+       |    CASE WHEN octet_length(encode(text)) >= 2
+       |      THEN CAST('0x' || substr(hex(encode(text)), 3, 2) AS INT) ELSE 0 END AS b1
+       |  FROM documents),
+       |d AS (SELECT media_id, kind, n,
+       |    CAST(16 + (CASE WHEN n = 0 THEN 0 ELSE b0 % 64 END) AS INT) AS width,
+       |    CAST(16 + (CASE WHEN n < 2 THEN 0 ELSE b1 % 64 END) AS INT) AS height
+       |  FROM m)
+       |SELECT media_id, kind, width, height,
+       |  CAST((width * $ThumbBox) // greatest(width, height) AS INT) AS thumb_w,
+       |  CAST((height * $ThumbBox) // greatest(width, height) AS INT) AS thumb_h,
+       |  CAST(n AS BIGINT) AS orig_bytes,
+       |  CAST(least(n, $ResizeMaxBytes) AS BIGINT) AS resized_bytes
+       |FROM d ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_binary_meta" -> binaryMeta,
     "mm2_feature_extract" -> featureExtract,
-    "mm3_frame_stats" -> frameStats)
+    "mm3_frame_stats" -> frameStats,
+    "mm4_resize_plan" -> resizePlan)
 
   val oracle: Map[String, String] = Map(
     "mm1_binary_meta" -> binaryMetaSql,
     "mm2_feature_extract" -> featureExtractSql,
-    "mm3_frame_stats" -> frameStatsSql)
+    "mm3_frame_stats" -> frameStatsSql,
+    "mm4_resize_plan" -> resizePlanSql)
 }
