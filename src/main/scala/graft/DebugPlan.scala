@@ -45,7 +45,9 @@ object DebugPlan {
         full.explain("formatted")
       case name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
-        time(name)(df.count())
+        time(s"$name (cold)")(df.count())
+        time(s"$name (warm1)")(df.count())
+        time(s"$name (warm2)")(df.count())
         df.explain("formatted")
     }
     spark.stop()

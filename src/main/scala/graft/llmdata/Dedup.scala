@@ -87,10 +87,11 @@ object Dedup {
     docs.withColumn("_w", words).select(col("doc_id"), sh.as("grams"))
   }
 
-  /** Release this session's pinned dedup caches (shingle tables + the
-    * confirmed minhash-pair set) — e.g. before a phase that needs the
-    * storage memory, or after a dedup pass completes. Subsequent queries
-    * transparently rebuild them. */
+  /** Release this session's pinned dedup caches (shingle tables, the
+    * confirmed minhash-pair set, and the IVF codebooks) — e.g. before a
+    * phase that needs the storage memory, after a dedup pass completes, or
+    * after rewriting the parquet under a dir this session already read.
+    * Subsequent queries transparently rebuild them. */
   def uncacheShingles(spark: SparkSession): Unit = {
     gramsCache.keys.filter(_._1 eq spark).foreach { key =>
       gramsCache.remove(key).foreach(_.unpersist(blocking = false))
@@ -98,6 +99,7 @@ object Dedup {
     pairsCache.keys.filter(_._1 eq spark).foreach { key =>
       pairsCache.remove(key).foreach(_.unpersist(blocking = false))
     }
+    Similarity.clearExemplars(spark)
   }
 
   /** Exact Jaccard on distinct shingle arrays — native one-pass expression
@@ -266,7 +268,11 @@ object Dedup {
     * each block's buckets to ~n/65536 docs (32-bit 4×8 banding capped out
     * at 256 values per block — O(n²/256) candidate pairs, the round-3
     * scale finding). Pigeonhole: hamming ≤ SimHashBlocks-1 = 3 always
-    * shares ≥1 full block, so banding loses nothing under [[HammingMax]]. */
+    * shares ≥1 full block, so banding itself loses nothing under
+    * [[HammingMax]] — but the guarantee holds only for pairs that SURVIVE
+    * the per-bucket [[BandBucketCap]]: a qualifying pair whose members
+    * both fall past the cap in every shared block is sampled away (the
+    * same bounded-recall trade dd6's posting-list cap makes). */
   private val SimHashWidth = 64
   private val SimHashBlocks = 4
   private val BlockBits = SimHashWidth / SimHashBlocks

@@ -205,9 +205,21 @@ object Similarity {
     * call (bench runs each query twice), and the train-step collect is a
     * real job at corpus scale — cache it like Dedup's shingle tables.
     * Keyed by the session OBJECT and dir-bearing plan string; stopped
-    * sessions are evicted so dead contexts don't pin the heap. */
+    * sessions are evicted so dead contexts don't pin the heap.
+    *
+    * Staleness contract (same as Dedup's gramsCache): the key is the
+    * LOGICAL plan, not a data fingerprint — if the parquet under `dir` is
+    * rewritten within a live session, IVF assignment keeps the codebook it
+    * trained on the old data until [[clearExemplars]] is called. That is
+    * deliberate: a stable codebook is what makes incremental assignment
+    * reproducible; re-train explicitly when the corpus changes. */
   private val exemplarCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[(Int, Array[Double])]]
+
+  /** Drop this session's trained codebooks (see staleness contract above).
+    * The companion of [[Dedup.uncacheShingles]], which also calls this. */
+  def clearExemplars(spark: SparkSession): Unit =
+    exemplarCache.keys.filter(_._1 eq spark).foreach(exemplarCache.remove)
 
   private def collectedExemplars(exemplars: DataFrame): Array[(Int, Array[Double])] = {
     exemplarCache.keys.filter(_._1.sparkContext.isStopped).foreach(exemplarCache.remove)

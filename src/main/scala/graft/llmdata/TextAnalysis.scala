@@ -347,11 +347,12 @@ object TextAnalysis {
     * (C4's repeated-three-sentence-span dedup, re-expressed over the
     * word-soup fixture).
     *
-    * Scale shape: first-occurrence is `groupBy(chunk).min(key)` with the
-    * location encoded in ONE bigint — a map-side-combinable MIN, not a
-    * window sort, so a corpus-hot boilerplate chunk costs one combiner
-    * cell per task instead of a sorted partition. Two shuffles total
-    * (chunk key, then doc reassembly), both linear in chunk count. */
+    * Scale shape: first-occurrence is `groupBy(chunk).min(struct(doc_id,
+    * pos))` — MIN over a struct is lexicographic and stays map-side
+    * combinable, so a corpus-hot boilerplate chunk costs one combiner
+    * cell per task instead of a sorted partition, with no packed-bigint
+    * overflow hazard at any doc length. Two shuffles total (chunk key,
+    * then doc reassembly), both linear in chunk count. */
   def repeatedChunkRemoval(spark: SparkSession, dir: String): DataFrame = {
     val nChunks = ceil(size(col("_w")).cast(DoubleType) / BoilerChunk).cast(IntegerType)
     val chunks = transform(sequence(lit(1), nChunks),
@@ -360,9 +361,7 @@ object TextAnalysis {
       .withColumn("_w", words)
       .select(col("doc_id"), posexplode_outer(chunks).as(Seq("pos0", "chunk")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("chunk"))
-    // location key: pos is bounded by words/BoilerChunk << 1e6, so
-    // (doc_id, pos) packs into one bigint and MIN is a plain agg
-    val locKey = col("doc_id") * 1000000L + col("pos")
+    val locKey = struct(col("doc_id"), col("pos"))
     val first = inst.groupBy(col("chunk").as("c")).agg(min(locKey).as("first_key"))
     val kept = inst.join(first, inst("chunk") === col("c") && locKey === col("first_key"))
       .groupBy(col("doc_id")).agg(
@@ -385,12 +384,12 @@ object TextAnalysis {
        |inst AS (SELECT doc_id, pos,
        |    array_to_string(w[((pos-1)*$BoilerChunk + 1):(pos*$BoilerChunk)], ' ') AS chunk
        |  FROM i0),
-       |firsts AS (SELECT chunk, min(doc_id*1000000 + pos) AS first_key
+       |firsts AS (SELECT chunk, min({'doc_id': doc_id, 'pos': pos}) AS first_key
        |           FROM inst GROUP BY chunk),
        |kept AS (SELECT i.doc_id, count(*) AS n_kept,
        |           string_agg(i.chunk, ' ' ORDER BY i.pos) AS clean
        |         FROM inst i JOIN firsts f
-       |           ON i.chunk = f.chunk AND i.doc_id*1000000 + i.pos = f.first_key
+       |           ON i.chunk = f.chunk AND {'doc_id': i.doc_id, 'pos': i.pos} = f.first_key
        |         GROUP BY i.doc_id),
        |stats AS (SELECT doc_id, count(*) AS n_chunks FROM inst GROUP BY doc_id)
        |SELECT s.doc_id, s.n_chunks,

@@ -35,6 +35,11 @@ object CdcQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  // backfill-topic generations (see batchReplayDecode): monotone token +
+  // the last two topics per dir, older generations are cleared
+  private val backfillGen = new java.util.concurrent.atomic.AtomicLong()
+  private val backfillHistory = scala.collection.mutable.Map.empty[String, List[String]]
+
   private val k: Column = col("c_custkey")
   private def ks: Column = k.cast(StringType)
 
@@ -121,12 +126,22 @@ object CdcQueries {
     * publish → sharded batch scan → decode bit-exact against cdc1's
     * oracle. The driver-side publish loop is transport fixture machinery
     * (the wire must originate outside the plan for the read path to be
-    * exercised), not operator dataflow. */
+    * exercised), not operator dataflow.
+    *
+    * Each invocation publishes onto a FRESH generation of the topic, so a
+    * still-lazy frame from the previous invocation keeps reading its own
+    * (immutable) data instead of racing a clear+republish. Only the
+    * latest two generations per dir are retained: a frame is valid until
+    * two newer invocations for the same dir have been built. */
   def batchReplayDecode(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.ReplayBus
-    val topic = s"/data/backfill:$dir"
+    val topic = s"/data/backfill:$dir#${backfillGen.incrementAndGet()}"
+    backfillHistory.synchronized {
+      val prior = backfillHistory.getOrElse(dir, Nil)
+      prior.drop(1).foreach(ReplayBus.clear)
+      backfillHistory(dir) = topic :: prior.take(1)
+    }
     val raw = synthRaw(t(spark, dir, "customer"), lit("fp_v1"), Seq(custName.as("Name")))
-    ReplayBus.clear(topic)
     raw.collect().foreach(r => ReplayBus.publish(topic, r.getString(0)))
     val bus = spark.read.format("cdc-replay")
       .option("topic", topic).option("numShards", "8").load()
