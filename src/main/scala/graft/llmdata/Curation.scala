@@ -122,9 +122,74 @@ object Curation {
        |    / 1000000000.0 AS avg_quality
        |FROM s GROUP BY 1, 2 ORDER BY pred_lang, band""".stripMargin
 
+  /** Near-dup-aware curation accounting (cur2): the OTHER half of the
+    * production curation DAG — near-duplicate removal (dd3's confirmed
+    * MinHash+LSH pairs) and benchmark decontamination (dd13's n-gram
+    * containment) composed into one outcome ledger. Every document lands
+    * in exactly one bucket, with precedence eval_holdout >
+    * removed_neardup > removed_contaminated > kept:
+    *   - `eval_holdout`   — the benchmark slice itself (doc_id % EvalMod)
+    *   - `removed_neardup` — greedy near-dup drop: any doc with a
+    *     confirmed pair to a LOWER doc_id (pairs are emitted doc_a <
+    *     doc_b, so the drop set is exactly `distinct doc_b` — the same
+    *     deterministic keep-lowest rule dd1/dd2 use)
+    *   - `removed_contaminated` — trigram containment in the eval gram
+    *     union ≥ the dd13 threshold
+    *   - `kept` — survives all gates
+    *
+    * Scale posture: the expensive pass is dd3's sign→band→verify, shared
+    * through the session pair cache ("materialize once per corpus
+    * snapshot"); the drop/contaminated id sets are tiny relative to the
+    * corpus and broadcast, so this ledger adds ONE corpus scan + one
+    * map-side-combined aggregate on top of work the pipeline already did. */
+  def curationNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % Dedup.EvalMod === 0
+    val dupDocs = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("dup_id")).distinct()
+    val contaminated = Dedup.decontaminate(spark, dir)
+      .filter(col("contaminated")).select(col("doc_id").as("cont_id"))
+    val outcome = when(isEval, lit("eval_holdout"))
+      .when(col("dup_id").isNotNull, lit("removed_neardup"))
+      .when(col("cont_id").isNotNull, lit("removed_contaminated"))
+      .otherwise(lit("kept"))
+    t(spark, dir, "documents")
+      .join(broadcast(dupDocs), col("doc_id") === col("dup_id"), "left")
+      .join(broadcast(contaminated), col("doc_id") === col("cont_id"), "left")
+      .select(outcome.as("outcome"), col("doc_id"),
+        size(words).cast(LongType).as("n_tokens"))
+      .groupBy(col("outcome"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("outcome"))
+  }
+
+  val curationNearDupSql: String =
+    s"""WITH dups AS (SELECT DISTINCT doc_b AS dup_id
+       |              FROM (${Dedup.minhashLshSql})),
+       |cont AS (SELECT doc_id AS cont_id FROM (${Dedup.decontaminateSql})
+       |         WHERE contaminated),
+       |d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |      FROM documents),
+       |cat AS (SELECT d.doc_id, d.n_tokens,
+       |    CASE WHEN d.doc_id % ${Dedup.EvalMod} = 0 THEN 'eval_holdout'
+       |         WHEN p.dup_id IS NOT NULL THEN 'removed_neardup'
+       |         WHEN c.cont_id IS NOT NULL THEN 'removed_contaminated'
+       |         ELSE 'kept' END AS outcome
+       |  FROM d LEFT JOIN dups p ON d.doc_id = p.dup_id
+       |         LEFT JOIN cont c ON d.doc_id = c.cont_id)
+       |SELECT outcome, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM cat GROUP BY outcome ORDER BY outcome""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cur1_corpus_curation" -> corpusCuration)
+    "cur1_corpus_curation" -> corpusCuration,
+    "cur2_neardup_curation" -> curationNearDup)
 
   val oracle: Map[String, String] = Map(
-    "cur1_corpus_curation" -> corpusCurationSql)
+    "cur1_corpus_curation" -> corpusCurationSql,
+    "cur2_neardup_curation" -> curationNearDupSql)
 }

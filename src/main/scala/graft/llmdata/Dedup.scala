@@ -775,7 +775,7 @@ object Dedup {
 
   /** Eval-set slice: every 20th doc plays the held-out benchmark whose
     * n-grams must not leak into training data. */
-  private val EvalMod = 20
+  private[llmdata] val EvalMod = 20
   private val ContaminationThreshold = 0.5
 
   /** Benchmark decontamination (dd13): flag training documents whose

@@ -277,15 +277,137 @@ object Multimodal {
        |  CAST(least(n, $ResizeMaxBytes) AS BIGINT) AS resized_bytes
        |FROM d ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------------------ mm5
+
+  /** Perceptual-hash parameters: 64-bit signature over [[PhashBlockBytes]]
+    * fixed byte blocks, banded 4×16 for the hamming join (same pigeonhole
+    * + bucket-cap scheme as dd5 — hamming ≤ 3 always shares a full block). */
+  private val PhashBlockBytes = 8
+  private val PhashHammingMax = 3
+  private val PhashBlocks = 4
+  private val PhashBlockBits = 64 / PhashBlocks
+  private val PhashBucketCap = 50
+  /** Truncated-variant ids live [[VariantOffset]] above their original. */
+  private val VariantOffset = 10000000L
+  private val VariantBytes = 256
+
+  /** 64-bit perceptual hash of a binary payload: SimHash over fixed
+    * [[PhashBlockBytes]]-byte blocks (hex-encoded as tokens). Pure scan-
+    * side column math — the byte-stream stand-in for a DCT pHash. Fixed
+    * blocks are deliberately alignment-SENSITIVE: the detector targets
+    * exact payloads and shared-prefix variants (re-encodes with different
+    * metadata tails, truncated downloads) — content-edited media need a
+    * decoded-domain hash a real codec would supply ([[StubCodec]] slot). */
+  private def phash: Column = {
+    val h = lower(hex(col("content")))
+    val nBlocks = greatest(
+      floor(octet_length(col("content")) / PhashBlockBytes), lit(1))
+      .cast(IntegerType)
+    val grams = transform(sequence(lit(1), nBlocks),
+      i => h.substr((i - 1) * lit(PhashBlockBytes * 2) + 1,
+        lit(PhashBlockBytes * 2)))
+    graft.functions.TextHashFunctions.simhash64(grams)
+  }
+
+  /** Perceptual-hash near-dup pairs over media payloads (mm5): the corpus
+    * plus a truncated variant of every payload (first [[VariantBytes]]
+    * bytes, ids offset by [[VariantOffset]] — the "same media, different
+    * tail" duplicate class), fingerprinted with [[phash]] and joined by
+    * banded hamming exactly like dd5: block equi-join on 16-bit blocks,
+    * capped buckets, pairs off each sorted capped list, verify
+    * hamming ≤ [[PhashHammingMax]].
+    *
+    * Scale posture: media BYTES never shuffle — the phash is computed at
+    * the scan and only (id, 64-char signature) rows enter the exchange;
+    * candidate volume is bounded per bucket by C(cap, 2). */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = mediaTable(spark, dir)
+    val variants = resize(base, VariantBytes)
+      .withColumn("media_id", col("media_id") + VariantOffset)
+    val sh = base.unionByName(variants)
+      .select(col("media_id"), phash.as("ph"))
+    val blocks = sh.select(col("media_id"),
+      posexplode_outer(array((0 until PhashBlocks).map(b =>
+        substring(col("ph"), b * PhashBlockBits + 1, PhashBlockBits)): _*))
+        .as(Seq("blk", "bv")))
+    val buckets = blocks.groupBy(col("blk"), col("bv"))
+      .agg(slice(sort_array(collect_list(col("media_id"))), 1, PhashBucketCap)
+        .as("ids"))
+    val n = size(col("ids"))
+    val pairGen = when(n >= 2, flatten(transform(
+      sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => struct(element_at(col("ids"), i).as("media_a"),
+          element_at(col("ids"), j).as("media_b"))))))
+    val cands = buckets.select(explode_outer(pairGen).as("p"))
+      .select(col("p.media_a"), col("p.media_b"))
+      .distinct()
+    val sa = sh.select(col("media_id").as("media_a"), col("ph").as("ph_a"))
+    val sb = sh.select(col("media_id").as("media_b"), col("ph").as("ph_b"))
+    val hamming = graft.functions.TextHashFunctions.hamming(col("ph_a"), col("ph_b"))
+    cands.join(sa, "media_a").join(sb, "media_b")
+      .select(col("media_a"), col("media_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** DuckDB oracle for mm5: hex prefix of a payload ≡ payload prefix
+    * (2 hex chars per byte), so the truncated variant is `substr(h, 1,
+    * 2·VariantBytes)`; the SimHash bit math mirrors
+    * TextHashUtil.simhashBits exactly as dd4's oracle does. */
+  val phashNearDupSql: String = {
+    val gl = PhashBlockBytes * 2
+    s"""WITH m0 AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS h
+       |            FROM documents),
+       |m AS (SELECT media_id, h FROM m0
+       |      UNION ALL
+       |      SELECT media_id + $VariantOffset, substr(h, 1, ${VariantBytes * 2})
+       |      FROM m0),
+       |g AS (SELECT media_id, list_transform(
+       |        generate_series(1, greatest((len(h) // 2) // $PhashBlockBytes, 1)),
+       |        i -> substr(h, (i-1)*$gl + 1, $gl)) AS grams FROM m),
+       |tok AS (SELECT media_id, substr(md5(unnest(grams)), 1, 16) AS th FROM g),
+       |bits AS (SELECT media_id, p,
+       |    SUM(CASE WHEN
+       |      floor((strpos('0123456789abcdef', substr(th, ((p-1)//4)+1, 1)) - 1)
+       |            // power(2, 3-((p-1)%4))) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,64)) AS p)
+       |  GROUP BY media_id, p),
+       |ph AS (SELECT media_id,
+       |         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS ph
+       |       FROM bits GROUP BY media_id),
+       |blocks AS (SELECT media_id, ph, blk,
+       |             substr(ph, blk*$PhashBlockBits+1, $PhashBlockBits) AS bv
+       |           FROM ph CROSS JOIN
+       |             (SELECT unnest(generate_series(0,${PhashBlocks - 1})) AS blk)),
+       |capped AS (SELECT media_id, blk, bv FROM blocks
+       |           QUALIFY row_number() OVER (PARTITION BY blk, bv
+       |             ORDER BY media_id) <= $PhashBucketCap),
+       |cands AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |          FROM capped x JOIN capped y
+       |            ON x.blk = y.blk AND x.bv = y.bv AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  len(list_filter(generate_series(1,64),
+       |    i -> substr(a.ph, i, 1) <> substr(b.ph, i, 1))) AS hamming
+       |FROM cands JOIN ph a ON cands.media_a = a.media_id
+       |           JOIN ph b ON cands.media_b = b.media_id
+       |WHERE len(list_filter(generate_series(1,64),
+       |    i -> substr(a.ph, i, 1) <> substr(b.ph, i, 1))) <= $PhashHammingMax
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_binary_meta" -> binaryMeta,
     "mm2_feature_extract" -> featureExtract,
     "mm3_frame_stats" -> frameStats,
-    "mm4_resize_plan" -> resizePlan)
+    "mm4_resize_plan" -> resizePlan,
+    "mm5_phash_neardup" -> phashNearDup)
 
   val oracle: Map[String, String] = Map(
     "mm1_binary_meta" -> binaryMetaSql,
     "mm2_feature_extract" -> featureExtractSql,
     "mm3_frame_stats" -> frameStatsSql,
-    "mm4_resize_plan" -> resizePlanSql)
+    "mm4_resize_plan" -> resizePlanSql,
+    "mm5_phash_neardup" -> phashNearDupSql)
 }

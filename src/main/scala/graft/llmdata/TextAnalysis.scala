@@ -445,9 +445,81 @@ object TextAnalysis {
        |  regexp_replace(t1, '$LongNumRe', '[NUM]', 'g') AS redacted
        |FROM e ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- unigram-LM quality (tx12)
+
+  /** Vocabulary size for the corpus language model: the V most frequent
+    * words, ties broken lexicographically so the vocab is deterministic. */
+  private val VocabTopV = 2000
+  /** A word this rare (corpus occurrences ≤ threshold) counts as "rare"
+    * even inside the vocab — the CCNet tail-quality signal. */
+  private val RareFreq = 2L
+
+  /** Unigram-LM quality scoring (tx12): CCNet/Gopher-style corpus-fit
+    * signals without the float-perplexity parity hazard — instead of
+    * mean −log p(w) (libm log differs in ULPs across engines), score each
+    * document by exact integer statistics of the corpus unigram table:
+    * vocab coverage (share of tokens inside the top-V vocab), OOV count,
+    * rare-token share, and mean corpus frequency of in-vocab tokens. All
+    * doubles are single divisions of exact BIGINTs — bit-identical in
+    * both engines. Low coverage / high OOV is exactly what high
+    * perplexity under a corpus LM flags: text unlike the corpus.
+    *
+    * Scale posture: the unigram table is ONE map-side-combined aggregate;
+    * top-V is a TakeOrdered (O(V) heap per partition, no global sort);
+    * the vocab then BROADCASTS — at 100 TB the corpus is scanned twice
+    * (count pass + score pass) and shuffled once by doc_id for the final
+    * per-doc aggregate, never by word on the scoring side. */
+  def vocabQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode_outer(words).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("w").asc).limit(VocabTopV)
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("wc").isNotNull, 1L).otherwise(0L)).as("n_in_vocab"),
+        sum(when(col("wc").isNotNull && col("wc") <= RareFreq, 1L)
+          .otherwise(0L)).as("n_rare"),
+        sum(coalesce(col("wc"), lit(0L))).as("freq_mass"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        (col("n_tokens") - col("n_in_vocab")).as("n_oov"),
+        (col("n_in_vocab").cast(DoubleType) / col("n_tokens"))
+          .as("vocab_coverage"),
+        (col("n_rare").cast(DoubleType) / col("n_tokens")).as("rare_share"),
+        when(col("n_in_vocab") > 0,
+          col("freq_mass").cast(DoubleType) / col("n_in_vocab"))
+          .otherwise(lit(0.0)).as("mean_corpus_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabQualitySql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |              FROM documents),
+       |vocab AS (SELECT w, COUNT(*) AS wc FROM toks GROUP BY w
+       |          ORDER BY wc DESC, w ASC LIMIT $VocabTopV),
+       |j AS (SELECT t.doc_id, v.wc FROM toks t
+       |      LEFT JOIN vocab v ON t.w = v.w),
+       |a AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |        SUM(CASE WHEN wc IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
+       |        SUM(CASE WHEN wc IS NOT NULL AND wc <= $RareFreq
+       |                 THEN 1 ELSE 0 END) AS n_rare,
+       |        SUM(COALESCE(wc, 0)) AS freq_mass
+       |      FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+       |  CAST(n_tokens - n_in_vocab AS BIGINT) AS n_oov,
+       |  CAST(n_in_vocab AS DOUBLE) / n_tokens AS vocab_coverage,
+       |  CAST(n_rare AS DOUBLE) / n_tokens AS rare_share,
+       |  CASE WHEN n_in_vocab > 0
+       |    THEN CAST(freq_mass AS DOUBLE) / n_in_vocab ELSE 0.0 END
+       |    AS mean_corpus_freq
+       |FROM a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx10_repeated_chunks" -> repeatedChunkRemoval,
     "tx11_pii_redact" -> piiRedact,
+    "tx12_vocab_quality" -> vocabQuality,
     "tx9_chunk_windows" -> chunkWindows,
     "tx6_tfidf_top_terms" -> tfidfTopTerms,
     "tx7_quality_signals" -> qualitySignals,
@@ -461,6 +533,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "tx10_repeated_chunks" -> repeatedChunkRemovalSql,
     "tx11_pii_redact" -> piiRedactSql,
+    "tx12_vocab_quality" -> vocabQualitySql,
     "tx9_chunk_windows" -> chunkWindowsSql,
     "tx6_tfidf_top_terms" -> tfidfTopTermsSql,
     "tx7_quality_signals" -> qualitySignalsSql,

@@ -659,7 +659,34 @@ object Relational {
       |  MAX(CASE WHEN rn = CAST(ceil(0.99*n) AS BIGINT) THEN value END) AS p99
       |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** CUBE over two dimensions with explicit grouping flags (q32): all four
+    * grouping sets of (status, priority) in one pass. The flags are
+    * per-column `grouping()` bits — portable, unlike the engines'
+    * differently-packed grouping_id integers. Scale: a cube is the same
+    * single hash-aggregate shape as a plain groupBy (each input row feeds
+    * 2^k combiner cells map-side); key cardinality here is bounded
+    * (|status| × |priority|), so the exchange stays tiny at any SF. */
+  def q32Cube(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("total_price"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  val q32Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_cube" -> q32Cube,
     "q31_percentiles" -> q31Percentiles,
     "q30_range_join" -> q30RangeJoin,
     "q29_set_ops_all" -> q29SetOpsAll,
@@ -689,6 +716,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q32_cube" -> q32Sql,
     "q31_percentiles" -> q31Sql,
     "q30_range_join" -> q30Sql,
     "q26_window_funcs" -> q26Sql,
