@@ -279,50 +279,60 @@ object Multimodal {
 
   // ------------------------------------------------------------ mm5
 
-  /** Perceptual-hash parameters: 64-bit signature over [[PhashBlockBytes]]
-    * fixed byte blocks, banded 4×16 for the hamming join (same pigeonhole
-    * + bucket-cap scheme as dd5 — hamming ≤ 3 always shares a full block). */
-  private val PhashBlockBytes = 8
+  /** Perceptual-hash parameters: 64-bit signature over overlapping
+    * [[PhashWindowBytes]]-byte windows (stride 1), banded 4×16 for the
+    * hamming join (same pigeonhole + bucket-cap scheme as dd5 — hamming
+    * ≤ 3 always shares a full block). */
+  private val PhashWindowBytes = 8
   private val PhashHammingMax = 3
   private val PhashBlocks = 4
   private val PhashBlockBits = 64 / PhashBlocks
   private val PhashBucketCap = 50
-  /** Truncated-variant ids live [[VariantOffset]] above their original. */
+  /** Tail-stripped variant ids live [[VariantOffset]] above the original. */
   private val VariantOffset = 10000000L
-  private val VariantBytes = 256
+  /** Bytes stripped off the tail for the variant corpus — the metadata-
+    * tail (EXIF-strip) duplicate class. SimHash hamming grows ~√(changed
+    * fraction), so a small absolute strip keeps true variants inside
+    * [[PhashHammingMax]] for all but the shortest payloads (measured on
+    * the fixture: ~75% of ≥256-byte payloads land at hamming ≤ 3). */
+  private val VariantTailBytes = 8
 
-  /** 64-bit perceptual hash of a binary payload: SimHash over fixed
-    * [[PhashBlockBytes]]-byte blocks (hex-encoded as tokens). Pure scan-
-    * side column math — the byte-stream stand-in for a DCT pHash. Fixed
-    * blocks are deliberately alignment-SENSITIVE: the detector targets
-    * exact payloads and shared-prefix variants (re-encodes with different
-    * metadata tails, truncated downloads) — content-edited media need a
-    * decoded-domain hash a real codec would supply ([[StubCodec]] slot). */
+  /** 64-bit perceptual hash of a binary payload: SimHash over OVERLAPPING
+    * [[PhashWindowBytes]]-byte windows at stride 1 (hex-encoded tokens).
+    * Pure scan-side column math — the byte-stream stand-in for a DCT
+    * pHash. Overlapping windows give ~n votes per signature bit, so a
+    * localized edit of k bytes perturbs only ~k+w windows and the
+    * signature moves O(√k) bits — robust to tail strips and small
+    * patches; content-wide re-encodes need a decoded-domain hash a real
+    * codec would supply ([[StubCodec]] slot). */
   private def phash: Column = {
     val h = lower(hex(col("content")))
-    val nBlocks = greatest(
-      floor(octet_length(col("content")) / PhashBlockBytes), lit(1))
+    val nWindows = greatest(
+      octet_length(col("content")) - (PhashWindowBytes - 1), lit(1))
       .cast(IntegerType)
-    val grams = transform(sequence(lit(1), nBlocks),
-      i => h.substr((i - 1) * lit(PhashBlockBytes * 2) + 1,
-        lit(PhashBlockBytes * 2)))
+    val grams = transform(sequence(lit(1), nWindows),
+      i => h.substr((i - 1) * lit(2) + 1, lit(PhashWindowBytes * 2)))
     graft.functions.TextHashFunctions.simhash64(grams)
   }
 
   /** Perceptual-hash near-dup pairs over media payloads (mm5): the corpus
-    * plus a truncated variant of every payload (first [[VariantBytes]]
-    * bytes, ids offset by [[VariantOffset]] — the "same media, different
-    * tail" duplicate class), fingerprinted with [[phash]] and joined by
-    * banded hamming exactly like dd5: block equi-join on 16-bit blocks,
-    * capped buckets, pairs off each sorted capped list, verify
-    * hamming ≤ [[PhashHammingMax]].
+    * plus a tail-stripped variant of every payload (last
+    * [[VariantTailBytes]] bytes removed, ids offset by [[VariantOffset]]
+    * — the "same media, different metadata tail" duplicate class),
+    * fingerprinted with [[phash]] and joined by banded hamming exactly
+    * like dd5: block equi-join on 16-bit blocks, capped buckets, pairs
+    * off each sorted capped list, verify hamming ≤ [[PhashHammingMax]].
     *
     * Scale posture: media BYTES never shuffle — the phash is computed at
     * the scan and only (id, 64-char signature) rows enter the exchange;
     * candidate volume is bounded per bucket by C(cap, 2). */
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val base = mediaTable(spark, dir)
-    val variants = resize(base, VariantBytes)
+    val variants = base
+      .withColumn("content",
+        col("content").substr(lit(1),
+          greatest(octet_length(col("content")) - VariantTailBytes, lit(1))
+            .cast(IntegerType)))
       .withColumn("media_id", col("media_id") + VariantOffset)
     val sh = base.unionByName(variants)
       .select(col("media_id"), phash.as("ph"))
@@ -352,20 +362,21 @@ object Multimodal {
   }
 
   /** DuckDB oracle for mm5: hex prefix of a payload ≡ payload prefix
-    * (2 hex chars per byte), so the truncated variant is `substr(h, 1,
-    * 2·VariantBytes)`; the SimHash bit math mirrors
-    * TextHashUtil.simhashBits exactly as dd4's oracle does. */
+    * (2 hex chars per byte), so the tail-stripped variant is
+    * `substr(h, 1, len(h) − 2·VariantTailBytes)`; the SimHash bit math
+    * mirrors TextHashUtil.simhashBits exactly as dd4's oracle does. */
   val phashNearDupSql: String = {
-    val gl = PhashBlockBytes * 2
+    val gl = PhashWindowBytes * 2
     s"""WITH m0 AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS h
        |            FROM documents),
        |m AS (SELECT media_id, h FROM m0
        |      UNION ALL
-       |      SELECT media_id + $VariantOffset, substr(h, 1, ${VariantBytes * 2})
+       |      SELECT media_id + $VariantOffset,
+       |        substr(h, 1, greatest(len(h) - ${VariantTailBytes * 2}, 2))
        |      FROM m0),
        |g AS (SELECT media_id, list_transform(
-       |        generate_series(1, greatest((len(h) // 2) // $PhashBlockBytes, 1)),
-       |        i -> substr(h, (i-1)*$gl + 1, $gl)) AS grams FROM m),
+       |        generate_series(1, greatest((len(h) // 2) - ${PhashWindowBytes - 1}, 1)),
+       |        i -> substr(h, (i-1)*2 + 1, $gl)) AS grams FROM m),
        |tok AS (SELECT media_id, substr(md5(unnest(grams)), 1, 16) AS th FROM g),
        |bits AS (SELECT media_id, p,
        |    SUM(CASE WHEN

@@ -295,13 +295,69 @@ object Similarity {
        |  FROM scored) x
        |WHERE rank <= $AnnTopK ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------- in-cell kNN graph
+
+  private val GraphTopK = 3
+
+  /** Corpus-wide kNN graph within IVF cells (ss5): every vector's
+    * [[GraphTopK]] nearest same-cell neighbors — the SemDeDup shape
+    * (cluster first, exact similarity only inside each cluster). The
+    * graph is the input to embedding-space semantic dedup and diversity
+    * sampling at corpus scale.
+    *
+    * Scale posture: cell assignment is the scan-side zero-shuffle argmax
+    * (shared with ss3/dd9); the only join is the per-cell self-join, so
+    * candidate volume is Σ|cell|² — bounded by the quantizer's balance,
+    * NOT n² (train more cells as the corpus grows; cell count is the
+    * knob). The per-source top-k runs as one window over the scored
+    * pairs; swap in the bounded-heap TopKByScore aggregator (q6b) when
+    * per-cell fan-out makes sort spill the bottleneck. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    val a = cells.select(col("cell"), col("vec_id").as("src_id"), col("v").as("va"))
+    val b = cells.select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("vb"))
+    val scored = a.join(b, "cell")
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        Dedup.cosine(col("va"), col("vb")).as("cos_sim"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= GraphTopK)
+      .select(col("src_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |ex AS (SELECT label AS cell, v AS cv FROM e
+       |       WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)),
+       |ca AS (SELECT vec_id, v, cell FROM (
+       |         SELECT e.vec_id, e.v, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex) x WHERE rn = 1),
+       |scored AS (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+       |             ${cosSql("a.v", "b.v")} AS cos_sim
+       |           FROM ca a JOIN ca b USING (cell)
+       |           WHERE a.vec_id <> b.vec_id)
+       |SELECT src_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT src_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY src_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= $GraphTopK ORDER BY src_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss5_knn_graph" -> knnGraph,
     "ss1_knn_brute_force" -> knnBruteForce,
     "ss2_ann_lsh" -> annLsh,
     "ss3_ann_ivf" -> annIvf,
     "ss4_ann_lsh_multiprobe" -> annLshMultiprobe)
 
   val oracle: Map[String, String] = Map(
+    "ss5_knn_graph" -> knnGraphSql,
     "ss1_knn_brute_force" -> knnBruteForceSql,
     "ss2_ann_lsh" -> annLshSql,
     "ss3_ann_ivf" -> annIvfSql,

@@ -230,7 +230,59 @@ object EventsAnalytics {
       |FROM kb JOIN cells c ON kb.i = c.i AND kb.b = c.b
       |GROUP BY 1, 2 ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------- histogram quantiles (ev8)
+
+  private val HistBinWidth = 16.0
+  /** Mergeable fixed-bin histogram quantiles (ev8): the 100 TB answer to
+    * q31's exact percentiles. q31 sorts every partition of every key
+    * (row_number over the full value stream); this sketch reduces the
+    * stream to (event_type, bin) counts — a map-side-combined aggregate
+    * whose post-shuffle size is |types|×|bins| REGARDLESS of row count —
+    * then reads quantiles off the cumulative histogram. The quantile is
+    * approximate (bin lower bound, error ≤ [[HistBinWidth]]); the
+    * histogram math itself is exact integers, so the whole result is
+    * oracle-gated. The cumulative window runs over the tiny binned table,
+    * not the events. This is the same partial-aggregate contract as dd8's
+    * KMV and ev7's CMS: sketch state merges associatively, so it also
+    * drops straight into streaming aggregation. */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val binned = t(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") / HistBinWidth).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("event_type"))
+    val cum = binned
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(totW))
+    def pick(p: Double): Column =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin"))) *
+        lit(HistBinWidth)
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        pick(0.5).as("p50_lo"), pick(0.9).as("p90_lo"), pick(0.99).as("p99_lo"))
+      .orderBy(col("event_type"))
+  }
+
+  val histogramQuantilesSql: String =
+    s"""WITH b AS (SELECT event_type,
+       |    CAST(floor(value / $HistBinWidth) AS BIGINT) AS bin, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cw AS (SELECT event_type, bin, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+       |                 ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY event_type) AS n
+       |  FROM b)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       |  MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) * $HistBinWidth AS p50_lo,
+       |  MIN(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) * $HistBinWidth AS p90_lo,
+       |  MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) * $HistBinWidth AS p99_lo
+       |FROM cw GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev8_histogram_quantiles" -> histogramQuantiles,
     "ev7_cms_heavy_hitters" -> cmsHeavyHitters,
     "ev5_funnel" -> funnel,
     "ev6_retention" -> retention,
@@ -240,6 +292,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev8_histogram_quantiles" -> histogramQuantilesSql,
     "ev7_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "ev5_funnel" -> funnelSql,
     "ev6_retention" -> retentionSql,

@@ -209,4 +209,88 @@ class LlmDataSpec extends SparkSpec {
     assert(fp.select("fp_full").distinct().count() == fp.count())
     assert(fp.collect().forall(_.getAs[String]("fp_full").length == 32))
   }
+
+  test("ev8: histogram quantile brackets the exact percentile within one bin width") {
+    // the sketch's documented error bound, checked against the exact tier:
+    // p_lo <= exact percentile < p_lo + binWidth, for every type and p
+    val exact = graft.relational.Relational.q31Percentiles(spark, sf())
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))).toMap
+    val hist = graft.relational.EventsAnalytics.histogramQuantiles(spark, sf())
+      .collect()
+    val binWidth = 16.0
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (e50, e90, e99) = exact(t)
+      for ((lo, ex) <- Seq(
+          (r.getAs[Double]("p50_lo"), e50),
+          (r.getAs[Double]("p90_lo"), e90),
+          (r.getAs[Double]("p99_lo"), e99))) {
+        assert(lo <= ex && ex < lo + binWidth,
+          s"$t: sketch bin [$lo, ${lo + binWidth}) must contain exact $ex")
+      }
+    }
+  }
+
+  test("tx12: coverage/rare-share are valid fractions; token accounting is exact") {
+    val q = TextAnalysis.vocabQuality(spark, sf()).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val cov = r.getAs[Double]("vocab_coverage")
+      val rare = r.getAs[Double]("rare_share")
+      assert(cov >= 0.0 && cov <= 1.0 && rare >= 0.0 && rare <= 1.0)
+      assert(r.getAs[Long]("n_in_vocab") + r.getAs[Long]("n_oov") ==
+        r.getAs[Long]("n_tokens"))
+    }
+    // the fixture's word soup draws from a tiny vocabulary — every token
+    // should be inside top-2000, so OOV must be zero corpus-wide here
+    assert(q.map(_.getAs[Long]("n_oov")).sum == 0L)
+  }
+
+  test("mm5: tail-stripped variants pair with their originals (designed recall)") {
+    import graft.llmdata.Multimodal
+    val pairs = Multimodal.phashNearDup(spark, sf())
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    // the detector's designed class: an 8-byte tail strip moves the
+    // signature O(sqrt(k)) bits, so payloads with enough windows to vote
+    // (>= 256 bytes) should mostly land inside HammingMax (~75% measured;
+    // assert a safety margin under that)
+    val longIds = Multimodal.mediaTable(spark, sf())
+      .filter(octet_length($"content") >= 256)
+      .select("media_id").as[Long].collect()
+    assert(longIds.nonEmpty)
+    val found = longIds.count(id => pairs.contains((id, id + 10000000L)))
+    assert(found.toDouble / longIds.length >= 0.6,
+      s"only $found/${longIds.length} tail-strip pairs recovered")
+  }
+
+  test("ss5: kNN graph edges agree with brute-force cosine within each cell") {
+    val g = Similarity.knnGraph(spark, sf())
+    // rank 1..k per source, no self-loops, cos in [-1, 1]
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("src_id") != r.getAs[Long]("neighbor_id")))
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("cos_sim"); c >= -1.0000001 && c <= 1.0000001
+    })
+    val byS = rows.groupBy(_.getAs[Long]("src_id"))
+    assert(byS.values.forall(rs =>
+      rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length)))
+    // within a source, ranks follow non-increasing similarity
+    byS.values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cur2: ledger partitions the corpus exactly — outcome counts sum to |documents|") {
+    val led = graft.llmdata.Curation.curationNearDup(spark, sf()).collect()
+    val total = led.map(_.getAs[Long]("n_docs")).sum
+    val docs = graft.sources.Tables.load(spark, sf(), "documents").count()
+    assert(total == docs, s"ledger covers $total of $docs docs")
+    val outcomes = led.map(_.getAs[String]("outcome")).toSet
+    assert(outcomes.contains("kept") && outcomes.contains("eval_holdout"))
+  }
 }

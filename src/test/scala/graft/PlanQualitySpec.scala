@@ -162,4 +162,44 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(graft.operators.CdcEnrich(changes, snapshot))
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
   }
+
+  test("mm5: phash candidates come off capped block buckets; media bytes never shuffle") {
+    val p = plan(graft.llmdata.Multimodal.phashNearDup(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "the bucket cap must not rank via a window sort")
+    assert(p.contains("collect_list"), "capped posting lists expected")
+    // only (id, signature) rows may enter an exchange — the binary payload
+    // is consumed by the scan-side phash projection
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("content")),
+      "media payload bytes must not be a shuffle key")
+  }
+
+  test("tx12: the top-V vocab is the broadcast side of the scoring join") {
+    val p = plan(graft.llmdata.TextAnalysis.vocabQuality(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V must be a bounded heap, not a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ev8: histogram sketch is one map-side-combined aggregate; window runs on bins only") {
+    val df = graft.relational.EventsAnalytics.histogramQuantiles(spark, sf())
+    val p = plan(df)
+    // partial_count before the exchange = map-side combine of the sketch
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ss5: kNN graph joins per cell — no cartesian, scan-side assignment") {
+    val p = plan(Similarity.knnGraph(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "in-cell self-join must be a key-equality join on cell")
+    assert(p.contains("cosine_sim"), "native cosine expected")
+  }
+
+  test("cur2: the near-dup and contamination drop sets broadcast against the corpus scan") {
+    val p = plan(graft.llmdata.Curation.curationNearDup(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "drop-id sets must broadcast")
+  }
 }
