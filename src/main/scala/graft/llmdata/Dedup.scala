@@ -725,6 +725,21 @@ object Dedup {
     * hash-matches a DuckDB recursive-CTE transitive closure. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    minLabelComponents(pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Connected components by min-label propagation over an undirected
+    * pair list (columns doc_a, doc_b) → (node, label) with label = min
+    * node id of the component. Shared by dd11 (text near-dup clusters)
+    * and dd14 (embedding semantic-dedup clusters); see [[dedupClusters]]
+    * for why the driver loop is bounded by component DIAMETER, not data
+    * size. The result is localCheckpoint-materialized, so it stays valid
+    * after the edge cache is released. */
+  private def minLabelComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
     try {
@@ -747,13 +762,51 @@ object Dedup {
       // a non-converged result is WRONG (components split arbitrarily),
       // not approximate — fail loudly rather than return it
       require(changed == 0,
-        s"dedupClusters did not converge in $iters iterations (component diameter > $iters)")
-      labels.groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"),
-          (count(lit(1)) - 1).as("n_removed"))
-        .orderBy(col("cluster_id"))
+        s"minLabelComponents did not converge in $iters iterations (component diameter > $iters)")
+      labels
     } finally edges.unpersist(blocking = false)
   }
+
+  /** Semantic dedup over embeddings (dd14) — SemDeDup end to end: IVF-cell
+    * cosine pairs (dd9's bounded candidate generator) → connected
+    * components ([[minLabelComponents]]) → a per-vector keep/drop ledger
+    * with cluster_id = the component's min vec_id (the canonical copy).
+    * Singletons keep themselves. This is the table a curation run joins
+    * against to drop semantic duplicates the lexical passes (dd1–dd6)
+    * cannot see.
+    *
+    * Scale posture: inherits dd9's per-cell candidate bound and dd11's
+    * diameter-bounded propagation; the final left join is labels (≪
+    * corpus) against one embeddings scan. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ivfNearDup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = minLabelComponents(pairs)
+    t(spark, dir, "embeddings").select(col("vec_id"))
+      .join(labels, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT vec_a, vec_b FROM ($ivfNearDupSql)),
+       |ed AS (SELECT vec_a AS src, vec_b AS dst FROM p
+       |       UNION ALL SELECT vec_b, vec_a FROM p),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |reach AS (
+       |  SELECT node AS src, node AS dst FROM nodes
+       |  UNION
+       |  SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src
+       |),
+       |lab AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT v.vec_id,
+       |  COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
+       |  v.vec_id = COALESCE(l.cluster_id, v.vec_id) AS keep
+       |FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.node
+       |ORDER BY v.vec_id""".stripMargin
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE
@@ -833,6 +886,7 @@ object Dedup {
        |ORDER BY c.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd14_semantic_dedup" -> semanticDedup,
     "dd13_decontaminate" -> decontaminate,
     "dd12_incremental_dedup" -> incrementalDedup,
     "dd11_dedup_clusters" -> dedupClusters,
@@ -848,6 +902,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd14_semantic_dedup" -> semanticDedupSql,
     "dd13_decontaminate" -> decontaminateSql,
     "dd12_incremental_dedup" -> incrementalDedupSql,
     "dd11_dedup_clusters" -> dedupClustersSql,

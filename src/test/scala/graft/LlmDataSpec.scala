@@ -285,6 +285,25 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("dd14: semantic-dedup ledger is a valid clustering — canonical keeps, members point down") {
+    val led = Dedup.semanticDedup(spark, sf()).collect()
+    val docs = graft.sources.Tables.load(spark, sf(), "embeddings").count()
+    assert(led.length == docs, "one ledger row per vector")
+    led.foreach { r =>
+      val id = r.getAs[Long]("vec_id"); val c = r.getAs[Long]("cluster_id")
+      assert(c <= id, "cluster id is the component minimum")
+      assert(r.getAs[Boolean]("keep") == (id == c))
+    }
+    // every cluster_id is itself a kept vector (canonical exists)
+    val kept = led.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    assert(led.forall(r => kept.contains(r.getAs[Long]("cluster_id"))))
+    // dd14 drops exactly the non-canonical members of dd9's pair graph
+    val dropped = led.count(!_.getAs[Boolean]("keep"))
+    val pairNodes = Dedup.ivfNearDup(spark, sf())
+      .select(explode(array($"vec_a", $"vec_b")).as("v")).distinct().count()
+    assert(dropped < pairNodes, "each component keeps one member")
+  }
+
   test("cur2: ledger partitions the corpus exactly — outcome counts sum to |documents|") {
     val led = graft.llmdata.Curation.curationNearDup(spark, sf()).collect()
     val total = led.map(_.getAs[Long]("n_docs")).sum
