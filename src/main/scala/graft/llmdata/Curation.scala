@@ -185,11 +185,61 @@ object Curation {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM cat GROUP BY outcome ORDER BY outcome""".stripMargin
 
+  /** Data-mixture weighting (cur3): the source-sampling plan of a
+    * multi-corpus pretraining run — per source, exact token volumes plus a
+    * TEMPERATURE-scaled sampling weight that upweights small sources
+    * (τ = 2, i.e. weight ∝ tokens^(1/2) — the multilingual-sampling rule
+    * of Conneau & Lample 2019; GPT-3/Pile mixtures are the same shape
+    * with hand-tuned exponents).
+    *
+    * Float-parity design: exponent 1/2 makes the power a SQRT — the one
+    * power IEEE 754 requires to be correctly rounded, so both engines get
+    * the identical double where pow(x, 0.7) could differ in ULPs. The
+    * normalization denominator is a SUM of sqrt values floored to exact
+    * micro-units (BIGINTs), so partial-aggregation order cannot perturb
+    * it. token_share and sampled_share are single divisions of exact
+    * integers.
+    *
+    * Scale posture: one map-side-combined aggregate over the corpus scan
+    * (|sources| cells), then a broadcast single-row total — no sort, no
+    * window, nothing scales with row count after the scan. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = t(spark, dir, "documents")
+      .select(col("source"), size(words).cast(LongType).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6)).cast(LongType))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_micro")).as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast(DoubleType) / col("tot_tokens")).as("token_share"),
+        (col("w_micro").cast(DoubleType) / col("tot_w")).as("sampled_share"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS w_micro FROM s),
+      |t AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_micro) AS tot_w FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share,
+      |  CAST(w_micro AS DOUBLE) / tot_w AS sampled_share
+      |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur1_corpus_curation" -> corpusCuration,
-    "cur2_neardup_curation" -> curationNearDup)
+    "cur2_neardup_curation" -> curationNearDup,
+    "cur3_mixture_weights" -> mixtureWeights)
 
   val oracle: Map[String, String] = Map(
     "cur1_corpus_curation" -> corpusCurationSql,
-    "cur2_neardup_curation" -> curationNearDupSql)
+    "cur2_neardup_curation" -> curationNearDupSql,
+    "cur3_mixture_weights" -> mixtureWeightsSql)
 }

@@ -705,6 +705,84 @@ object Dedup {
        |           LEFT JOIN near_dup n ON i.doc_id = n.doc_id
        |ORDER BY i.doc_id""".stripMargin
 
+  // --------------------------------------------- bloom admission prefilter
+
+  /** Bloom hash count (k) and width: each key sets k positions drawn from
+    * non-overlapping 3-hex-char (12-bit) windows of its md5, so the filter
+    * is m = 4096 bits and the position math is exact integer arithmetic in
+    * both engines (no modulo of floating point anywhere). */
+  private val BloomK = 3
+
+  private def bloomPositions(c: Column): Column =
+    array((0 until BloomK).map(i =>
+      conv(substring(md5(c), i * 3 + 1, 3), 16, 10).cast(LongType)): _*)
+
+  /** Bloom-filter admission prefilter (dd15) — the cheap gate in FRONT of
+    * dd12's exact/near-dup admission: the corpus's content-hash Bloom
+    * filter is a FIXED-SIZE bit set (here m = 4096, k = [[BloomK]]), so
+    * membership of an incoming document is decided scan-side against a
+    * broadcast bitset with NO join at all for the definitely-new majority.
+    * A Bloom miss is a guarantee (no false negatives — a true duplicate
+    * always sets positions the corpus set), so the production admission
+    * path filters `bloom_maybe` BEFORE the digest join and only Bloom hits
+    * pay the exact check. This gate query deliberately labels every
+    * incoming row (including the misses) so the false-positive rate —
+    * `admitted_after_check` — is itself under the oracle.
+    *
+    * Scale posture: the corpus pass is one map-side-combined DISTINCT over
+    * ≤ m position values (the aggregate state is the bitset, independent
+    * of corpus size — same contract as dd8/ev7's sketches); the bitset
+    * broadcasts; the incoming scan evaluates membership per row. At 100 TB
+    * m grows to a few hundred MB of bits and the shape is unchanged —
+    * this is exactly how production pipelines avoid re-shuffling the
+    * corpus digest table for every incoming crawl slice. */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val isIncoming = col("doc_id") % 10 === 0
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(!isIncoming)
+    val bits = corpus.select(explode(bloomPositions(col("text"))).as("p"))
+      .distinct().agg(sort_array(collect_list(col("p"))).as("bits"))
+    val corpusH = corpus.select(md5(col("text")).as("h")).distinct()
+      .withColumn("_dup", lit(1))
+    docs.filter(isIncoming)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        bloomPositions(col("text")).as("pos"))
+      .crossJoin(broadcast(bits))
+      .withColumn("bloom_maybe",
+        forall(col("pos"), p => array_contains(col("bits"), p)))
+      .join(corpusH, Seq("h"), "left")
+      .select(
+        col("doc_id"), col("bloom_maybe"),
+        col("_dup").isNotNull.as("is_exact_dup"),
+        when(!col("bloom_maybe"), "admitted_fast")
+          .when(col("_dup").isNotNull, "rejected_dup")
+          .otherwise("admitted_after_check").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bloomPrefilterSql: String = {
+    def hex3(off: Int): String =
+      s"(strpos('0123456789abcdef', substr(h, ${off * 3 + 1}, 1))-1)*256 + " +
+        s"(strpos('0123456789abcdef', substr(h, ${off * 3 + 2}, 1))-1)*16 + " +
+        s"(strpos('0123456789abcdef', substr(h, ${off * 3 + 3}, 1))-1)"
+    s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |pos AS (SELECT doc_id, unnest([${(0 until BloomK).map(hex3).mkString(", ")}]) AS p
+       |        FROM d),
+       |cbits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 10 <> 0),
+       |ch AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 <> 0),
+       |m AS (SELECT pos.doc_id, bool_and(cb.p IS NOT NULL) AS bloom_maybe
+       |      FROM pos LEFT JOIN cbits cb ON pos.p = cb.p
+       |      WHERE pos.doc_id % 10 = 0 GROUP BY pos.doc_id)
+       |SELECT i.doc_id, m.bloom_maybe, ch.h IS NOT NULL AS is_exact_dup,
+       |  CASE WHEN NOT m.bloom_maybe THEN 'admitted_fast'
+       |       WHEN ch.h IS NOT NULL THEN 'rejected_dup'
+       |       ELSE 'admitted_after_check' END AS status
+       |FROM (SELECT doc_id, h FROM d WHERE doc_id % 10 = 0) i
+       |JOIN m ON i.doc_id = m.doc_id
+       |LEFT JOIN ch ON i.h = ch.h
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
   // --------------------------------------------- dedup cluster assignment
 
   /** Near-dup CLUSTER assignment — the step that turns pairwise matches
@@ -886,6 +964,7 @@ object Dedup {
        |ORDER BY c.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd15_bloom_prefilter" -> bloomPrefilter,
     "dd14_semantic_dedup" -> semanticDedup,
     "dd13_decontaminate" -> decontaminate,
     "dd12_incremental_dedup" -> incrementalDedup,
@@ -902,6 +981,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd15_bloom_prefilter" -> bloomPrefilterSql,
     "dd14_semantic_dedup" -> semanticDedupSql,
     "dd13_decontaminate" -> decontaminateSql,
     "dd12_incremental_dedup" -> incrementalDedupSql,

@@ -516,7 +516,119 @@ object TextAnalysis {
        |    AS mean_corpus_freq
        |FROM a ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- repetition signals (tx13)
+
+  /** Gopher/MassiveText-style repetition filters: the fraction of a
+    * document made of REPEATED n-grams is the strongest cheap signal for
+    * machine-generated/boilerplate text (Rae et al. 2021 §A1.1 use
+    * duplicate-line fraction and top-n-gram fraction as hard gates). Per
+    * (doc, n) for n ∈ 1..3 over whitespace tokens:
+    *   - `dup_frac`  — fraction of n-gram INSTANCES whose value already
+    *     occurred in the doc (0 = all distinct, →1 = one value repeated)
+    *   - `top_frac`  — fraction of instances taken by the most frequent
+    *     n-gram value (Gopher's "top word/2-gram/3-gram fraction")
+    *
+    * Scale posture: grams are generated scan-side; the per-(doc, n, gram)
+    * count and per-(doc, n) rollup are both map-side-combinable hash
+    * aggregates keyed by high-cardinality keys — two linear shuffles, no
+    * window, no sort. All fractions are single divisions of exact BIGINTs. */
+  private val RepMaxN = 3
+
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val grams = (1 to RepMaxN).map { n =>
+      val cnt = size(col("_w")) - (n - 1)
+      // guard: Spark's sequence(1, 0) is the DECREASING [1, 0], not empty —
+      // a doc shorter than n words must yield no grams (null → explode
+      // drops the row, matching DuckDB's empty generate_series)
+      val g = when(cnt >= 1, transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(col("_w"), i, lit(n)))))
+      t(spark, dir, "documents")
+        .withColumn("_w", words)
+        .select(col("doc_id"), lit(n).as("gram_n"), explode(g).as("gram"))
+    }.reduce(_ unionByName _)
+    grams
+      .groupBy(col("doc_id"), col("gram_n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("gram_n"))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(
+        col("doc_id"), col("gram_n"), col("n_grams"),
+        ((col("n_grams") - col("n_distinct")).cast(DoubleType) / col("n_grams"))
+          .as("dup_frac"),
+        (col("top_cnt").cast(DoubleType) / col("n_grams")).as("top_frac"))
+      .orderBy(col("doc_id"), col("gram_n"))
+  }
+
+  val repetitionSignalsSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |inst AS (
+       |  SELECT doc_id, n AS gram_n,
+       |    unnest(list_transform(generate_series(1, len(w) - (n-1)),
+       |      i -> array_to_string(w[i:i+n-1], ' '))) AS gram
+       |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, $RepMaxN)) AS n)),
+       |cnt AS (SELECT doc_id, gram_n, gram, COUNT(*) AS cnt
+       |        FROM inst GROUP BY doc_id, gram_n, gram),
+       |agg AS (SELECT doc_id, gram_n, SUM(cnt) AS n_grams,
+       |          COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt
+       |        FROM cnt GROUP BY doc_id, gram_n)
+       |SELECT doc_id, gram_n, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_frac,
+       |  CAST(top_cnt AS DOUBLE) / n_grams AS top_frac
+       |FROM agg ORDER BY doc_id, gram_n""".stripMargin
+
+  // ------------------------------------------- sequence packing (tx14)
+
+  /** Tokens per packed training sequence (the context-window budget). */
+  private val PackBudget = 256
+
+  /** Sequence packing (tx14): pretraining packs documents end-to-end into
+    * fixed-size context windows, splitting at window boundaries — the
+    * throughput-critical batch-assembly step. Documents are concatenated
+    * per SOURCE in doc_id order; each doc's token span maps to the bins
+    * it lands in: start_bin = floor(offset / B), end_bin =
+    * floor((offset + n_tokens - 1) / B). Emits the per-doc placement plus
+    * the boundary-crossing flag (the fraction of crossing docs is the
+    * packing-efficiency metric attention-masking strategies care about).
+    *
+    * Scale posture: ONE shuffle — the per-source ordered window for the
+    * running token offset (exact BIGINT cumsum, order-deterministic); at
+    * 100 TB the packing unit is per source shard / input split, which is
+    * exactly the partitionBy here. No global sort ever happens. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), size(words).cast(LongType).as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("source"), col("doc_id"), col("n_tokens"), col("tok_offset"),
+        floor(col("tok_offset") / PackBudget).as("start_bin"),
+        floor((col("tok_offset") + col("n_tokens") - 1) / PackBudget).as("end_bin"))
+      .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS tok_offset
+       |  FROM d)
+       |SELECT source, doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+       |  CAST(floor(tok_offset / $PackBudget) AS BIGINT) AS start_bin,
+       |  CAST(floor((tok_offset + n_tokens - 1) / $PackBudget) AS BIGINT) AS end_bin,
+       |  floor((tok_offset + n_tokens - 1) / $PackBudget) >
+       |    floor(tok_offset / $PackBudget) AS crosses_boundary
+       |FROM o ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx13_repetition_signals" -> repetitionSignals,
+    "tx14_sequence_packing" -> sequencePacking,
     "tx10_repeated_chunks" -> repeatedChunkRemoval,
     "tx11_pii_redact" -> piiRedact,
     "tx12_vocab_quality" -> vocabQuality,
@@ -531,6 +643,8 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx13_repetition_signals" -> repetitionSignalsSql,
+    "tx14_sequence_packing" -> sequencePackingSql,
     "tx10_repeated_chunks" -> repeatedChunkRemovalSql,
     "tx11_pii_redact" -> piiRedactSql,
     "tx12_vocab_quality" -> vocabQualitySql,

@@ -41,6 +41,27 @@ object CdcMaterialize {
   def latestState(changes: DataFrame): DataFrame =
     latestStateAll(changes).filter(col("UIND") =!= ChangeType.Delete)
 
+  /** SCD2 history materialization — the OTHER standard downstream of a CDC
+    * lake (next to [[latestState]]'s type-1 compaction): every non-DELETE
+    * change opens a dimension VERSION valid from its commitTimestamp until
+    * the next change to the same key on the envelope clock; a tombstone
+    * closes the prior version without opening one. The open (current)
+    * version per key is flagged `is_current`.
+    *
+    * Scale posture: identical to [[latestStateAll]] — ONE shuffle on
+    * (entityName, Id) feeding a per-key ordered window (lead); per-key
+    * history fits a partition run by construction (versions per record are
+    * bounded), so there is no skew hazard and nothing else moves. */
+  def scd2History(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("entityName"), col("Id"))
+      .orderBy(col("commitNumber"), col("sequenceNumber"), col("replayId"))
+    changes
+      .withColumn("valid_to", lead(col("commitTimestamp"), 1).over(w))
+      .filter(col("UIND") =!= ChangeType.Delete)
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed("commitTimestamp", "valid_from")
+  }
+
   /** Streaming upsert via foreachBatch — the sink-side extension point
     * (SURVEY.md §2.8): each micro-batch merges into the parquet state dir
     * by unioning the existing state (re-tagged as lowest precedence) with

@@ -200,6 +200,56 @@ object CdcQueries {
       .orderBy(col("record_id"))
   }
 
+  // ------------------------------------------------------------ cdc9
+
+  /** SCD2 history (`CdcMaterialize.scd2History`) under the gate: the same
+    * out-of-order change log as cdc3 (v2 arrives last but is commit-OLDEST)
+    * plus an envelope-clock-monotone commitTimestamp. Version intervals
+    * must chain on the envelope clock — v2 → v0 → v1 — so valid_to of each
+    * version equals valid_from of the clock-next one; tombstones (k%3==0
+    * at the clock-latest version) close the chain, leaving those keys with
+    * NO current row. Hash-compared against DuckDB's lead() rendering. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val log = t(spark, dir, "customer").select(col("c_custkey").as("k"))
+      .withColumn("v", explode(array(lit(0), lit(1), lit(2))))
+      .select(
+        lit("Customer").as("entityName"),
+        concat(lit("001"), col("k").cast(StringType)).as("Id"),
+        (col("k") * 100 + when(col("v") === 2, 1).otherwise(2)).as("commitNumber"),
+        (col("v") + 1).cast(IntegerType).as("sequenceNumber"),
+        (col("k") * 10 + col("v")).as("replayId"),
+        when(col("v") === 1,
+          when(col("k") % 3 === 0, "DELETE").otherwise("UPDATE"))
+          .when(col("v") === 0, "CREATE").otherwise("UPDATE").as("UIND"),
+        concat(lit("Cust-"), col("k").cast(StringType), lit("-v"),
+          col("v").cast(StringType)).as("name"))
+      .withColumn("commitTimestamp",
+        lit(1583300000000L) + col("commitNumber") * 1000 + col("sequenceNumber"))
+    CdcMaterialize.scd2History(log)
+      .select(
+        col("Id").as("record_id"), col("UIND").as("uind"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("name"))
+      .orderBy(col("record_id"), col("valid_from"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH src AS (SELECT c_custkey AS k, unnest([0,1,2]) AS v FROM customer),
+      |log AS (SELECT '001' || k AS record_id,
+      |  k*100 + CASE WHEN v = 2 THEN 1 ELSE 2 END AS commit_number,
+      |  CAST(v + 1 AS INT) AS sequence_number, k*10 + v AS replay_id,
+      |  CASE WHEN v = 1 THEN (CASE WHEN k % 3 = 0 THEN 'DELETE' ELSE 'UPDATE' END)
+      |       WHEN v = 0 THEN 'CREATE' ELSE 'UPDATE' END AS uind,
+      |  'Cust-' || k || '-v' || v AS name
+      |  FROM src),
+      |ts AS (SELECT *, 1583300000000 + commit_number*1000 + sequence_number
+      |         AS valid_from FROM log),
+      |led AS (SELECT *, lead(valid_from) OVER (PARTITION BY record_id
+      |  ORDER BY commit_number, sequence_number, replay_id) AS valid_to FROM ts)
+      |SELECT record_id, uind, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current, name
+      |FROM led WHERE uind <> 'DELETE'
+      |ORDER BY record_id, valid_from""".stripMargin
+
   // ------------------------------------------------------------ cdc5
 
   /** T8/T11 sink serialization under the gate: the pipeline's own
@@ -502,7 +552,8 @@ object CdcQueries {
     "cdc5_serialize_sink" -> serializeSink,
     "cdc6_multi_entity" -> multiEntityRoute,
     "cdc7_asof_enrich" -> asOfEnrich,
-    "cdc8_batch_replay" -> batchReplayDecode)
+    "cdc8_batch_replay" -> batchReplayDecode,
+    "cdc9_scd2_history" -> scd2History)
 
   val oracle: Map[String, String] = Map(
     "cdc1_decode" -> decodeHeadersSql,
@@ -513,5 +564,6 @@ object CdcQueries {
     "cdc6_multi_entity" -> multiEntityRouteSql,
     "cdc7_asof_enrich" -> asOfEnrichSql,
     // same oracle as cdc1: the batch-scan path must not change one byte
-    "cdc8_batch_replay" -> decodeHeadersSql)
+    "cdc8_batch_replay" -> decodeHeadersSql,
+    "cdc9_scd2_history" -> scd2HistorySql)
 }

@@ -163,6 +163,33 @@ class CdcSpec extends SparkSpec {
     // 001B stays deleted
   }
 
+  test("scd2: versions chain on the envelope clock; tombstones close without opening") {
+    import graft.operators.CdcMaterialize
+    val log = Seq(
+      // arrival order is deliberately NOT clock order (the v2 row arrives first)
+      ("Account", "001A", "UPDATE", 20L, 1, 2L, 2000L, "v2"),
+      ("Account", "001A", "CREATE", 10L, 1, 1L, 1000L, "v1"),
+      ("Account", "001B", "CREATE", 10L, 1, 3L, 1000L, "b1"),
+      ("Account", "001B", "DELETE", 30L, 1, 4L, 3000L, null),
+      ("Contact", "001A", "CREATE", 5L, 1, 8L, 500L, "contact-a"))
+      .toDF("entityName", "Id", "UIND", "commitNumber", "sequenceNumber",
+        "replayId", "commitTimestamp", "Name")
+    val hist = CdcMaterialize.scd2History(log).collect()
+      .map(r => (r.getAs[String]("entityName"), r.getAs[String]("Id"),
+        r.getAs[String]("Name")) ->
+        (r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+          r.getAs[Boolean]("is_current"))).toMap
+    assert(hist.size == 4) // the DELETE row opens no version
+    // v1 closed by v2's timestamp despite v2 arriving first
+    assert(hist(("Account", "001A", "v1")) == ((1000L, Some(2000L), false)))
+    assert(hist(("Account", "001A", "v2")) == ((2000L, None, true)))
+    // tombstone closes b1 and leaves 001B with NO current version
+    assert(hist(("Account", "001B", "b1")) == ((1000L, Some(3000L), false)))
+    assert(hist(("Contact", "001A", "contact-a")) == ((500L, None, true)))
+    // interval chaining: within a key, valid_to == next version's valid_from
+    // and exactly one current version per live key (checked above by shape)
+  }
+
   test("materialize: idempotent under redelivery and insensitive to arrival order") {
     import graft.operators.CdcMaterialize
     val log = Seq(

@@ -312,4 +312,77 @@ class LlmDataSpec extends SparkSpec {
     val outcomes = led.map(_.getAs[String]("outcome")).toSet
     assert(outcomes.contains("kept") && outcomes.contains("eval_holdout"))
   }
+
+  test("tx13: repetition fractions are valid; a fully-repeated doc maxes out") {
+    val rows = TextAnalysis.repetitionSignals(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_frac"); val top = r.getAs[Double]("top_frac")
+      val n = r.getAs[Long]("n_grams")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top >= 1.0 / n && top <= 1.0)
+      // the most frequent gram accounts for at least the duplicated mass share
+      assert(top > dup / n.toDouble)
+    }
+    // handcrafted: "x x x x" has dup_frac 3/4 for 1-grams, top_frac 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    import spark.implicits._
+    Seq((1L, "x x x x", "en", "web", 7L), (2L, "a b c d", "en", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.repetitionSignals(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("gram_n")) ->
+        (r.getAs[Double]("dup_frac"), r.getAs[Double]("top_frac"))).toMap
+    assert(m((1L, 1)) == ((0.75, 1.0)))
+    assert(m((1L, 2)) == ((2.0 / 3.0, 1.0))) // "x x" three times
+    assert(m((2L, 1)) == ((0.0, 0.25)))
+  }
+
+  test("tx14: packing is gapless per source — offsets chain and bins are consistent") {
+    val rows = TextAnalysis.sequencePacking(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).values.foreach { docs =>
+      val sorted = docs.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.head.getAs[Long]("tok_offset") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_offset") ==
+            a.getAs[Long]("tok_offset") + a.getAs[Long]("n_tokens"))
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      val start = r.getAs[Long]("start_bin"); val end = r.getAs[Long]("end_bin")
+      assert(end >= start)
+      assert(r.getAs[Boolean]("crosses_boundary") == (end > start))
+    }
+  }
+
+  test("cur3: mixture weights are a distribution and temperature flattens shares") {
+    val rows = graft.llmdata.Curation.mixtureWeights(spark, sf()).collect()
+    val tokSum = rows.map(_.getAs[Double]("token_share")).sum
+    val smpSum = rows.map(_.getAs[Double]("sampled_share")).sum
+    assert(math.abs(tokSum - 1.0) < 1e-9)
+    assert(math.abs(smpSum - 1.0) < 1e-9)
+    // sqrt-temperature upweights below-average sources, downweights above
+    val mean = 1.0 / rows.length
+    rows.foreach { r =>
+      val t = r.getAs[Double]("token_share"); val s = r.getAs[Double]("sampled_share")
+      if (t < mean * 0.5) assert(s > t, s"small source must be boosted: $r")
+      if (t > mean * 2.0) assert(s < t, s"large source must be damped: $r")
+    }
+  }
+
+  test("dd15: bloom prefilter has no false negatives and statuses partition") {
+    val rows = Dedup.bloomPrefilter(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val maybe = r.getAs[Boolean]("bloom_maybe")
+      val dup = r.getAs[Boolean]("is_exact_dup")
+      val st = r.getAs[String]("status")
+      if (dup) assert(maybe, "a true duplicate must hit the bloom filter")
+      assert(st == (if (!maybe) "admitted_fast"
+                    else if (dup) "rejected_dup" else "admitted_after_check"))
+    }
+  }
 }
