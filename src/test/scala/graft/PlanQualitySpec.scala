@@ -202,4 +202,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin"), "drop-id sets must broadcast")
   }
+
+  test("dd15: the bloom bitset broadcasts; membership is evaluated at the incoming scan") {
+    val p = plan(Dedup.bloomPrefilter(spark, sf()))
+    // the single-row bitset rides a broadcast nested-loop (cross of 1 row),
+    // never a CartesianProduct over data-sized sides
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), "bitset must broadcast")
+    // corpus positions collapse via hash aggregate (map-side combinable),
+    // not a sort-based distinct
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("tx13: repetition stats are two hash aggregates — no window, no sort before agg") {
+    val p = plan(graft.llmdata.TextAnalysis.repetitionSignals(spark, sf()))
+    assert(!p.contains("Window"), "no window in the repetition rollup")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-(doc,n,gram) count must map-side combine:\n" + p.take(2000))
+  }
+
+  test("tx14: packing is ONE per-source window — no global sort, no join") {
+    val df = graft.llmdata.TextAnalysis.sequencePacking(spark, sf())
+    val p = plan(df)
+    assert(p.contains("Window"))
+    // the only shuffle is hashpartitioning on source feeding the window;
+    // the trailing global Sort belongs to the gate's ORDER BY, not packing
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "packing must not join")
+    val hashParts = "hashpartitioning".r.findAllIn(p).size
+    assert(hashParts >= 1, "per-source shuffle expected")
+  }
+
+  test("cur3: mixture weights never sort or window — aggregates plus one broadcast total") {
+    val p = plan(graft.llmdata.Curation.mixtureWeights(spark, sf()))
+    assert(!p.contains("Window"))
+    assert(p.contains("BroadcastExchange"), "the 1-row totals must broadcast")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source token counts must map-side combine")
+  }
+
+  test("cdc9: SCD2 shares cdc3's shape — one key shuffle feeding the lead window") {
+    val p = plan(graft.operators.CdcQueries.scd2History(spark, sf()))
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "SCD2 must not join")
+  }
 }
