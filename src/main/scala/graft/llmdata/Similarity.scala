@@ -349,7 +349,138 @@ object Similarity {
        |  FROM scored) x
        |WHERE rank <= $GraphTopK ORDER BY src_id, rank""".stripMargin
 
+  // --------------------------------------------- product quantization
+
+  /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqSubDim]];
+    * the per-subspace codebook is the IVF exemplar set's sub-vectors (one
+    * entry per label — deterministic, shared training with ss3/dd9). */
+  private val PqM = 4
+  private val PqSubDim = 16
+  /** ADC shortlist size per query; the shortlist is exact-rescored and the
+    * top [[AnnTopK]] by TRUE cosine are emitted (FAISS's refine stage). */
+  private val PqRefineR = 10
+
+  /** Product-quantization ANN with ADC scoring (ss6): the memory-bound
+    * scale path of brute-force search (Jégou et al. 2011). The corpus is
+    * ENCODED once — per subspace, the index of the max-inner-product
+    * sub-centroid, a scan-side argmax over codebook literals (zero
+    * shuffle, like ss3's cell assignment) — so the search scan carries 4
+    * small ints per vector instead of 64 doubles (16× less bandwidth,
+    * which is the entire game when the corpus outweighs RAM). Each query
+    * precomputes its distance TABLE (K inner products per subspace);
+    * scoring a corpus row is then [[PqM]] table lookups + 3 adds —
+    * asymmetric distance computation. The ADC top-[[PqRefineR]]
+    * shortlist per query is then exact-rescored (the refine stage) and the
+    * final top-k ranks by TRUE cosine — quantization bounds the shortlist,
+    * never the reported ordering.
+    *
+    * Float parity: sub-inner-products are index-ordered left folds (the
+    * native dot expression ≡ DuckDB list_reduce); the ADC sum is written
+    * as explicit left-associated adds t0+t1+t2+t3, never a SUM aggregate
+    * whose combine order could differ. */
+  private def subVec(cv: Array[Double], m: Int): Array[Double] =
+    cv.slice(m * PqSubDim, (m + 1) * PqSubDim)
+  private def subCol(vcol: String, m: Int): Column =
+    slice(col(vcol), m * PqSubDim + 1, PqSubDim)
+
+  /** The encoded corpus — (vec_id, code_0..code_3), each code a scan-side
+    * argmax over sub-codebook literals (zero shuffle, gated like ss3's
+    * cell assignment). */
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val ex = collectedExemplars(exemplarsOf(spark, dir))
+    require(ex.nonEmpty, "PQ requires a trained codebook")
+    corpus(spark, dir).select(
+      col("vec_id") +: (0 until PqM).map { m =>
+        val scored = ex.zipWithIndex.map { case ((_, cv), k) =>
+          struct(graft.functions.VectorFunctions.dotProduct(
+            subCol("v", m), lit(subVec(cv, m))).as("s"),
+            lit(-k).as("nk"))
+        }
+        val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+        (lit(0) - best.getField("nk")).as(s"code_$m")
+      }: _*)
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val ex = collectedExemplars(exemplarsOf(spark, dir))
+    require(ex.nonEmpty, "PQ requires a trained codebook")
+    val codes = pqCodes(spark, dir)
+
+    val tabs = queriesDf(spark, dir).select(
+      col("query_id") +: (0 until PqM).map { m =>
+        array(ex.map { case (_, cv) =>
+          graft.functions.VectorFunctions.dotProduct(subCol("q", m), lit(subVec(cv, m)))
+        }: _*).as(s"tab_$m")
+      }: _*)
+
+    val adc = (0 until PqM).map(m =>
+      element_at(col(s"tab_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(tabs))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("approx_score"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_score").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("_arank", row_number().over(wAdc))
+      .filter(col("_arank") <= PqRefineR)
+      // the refine stage: exact cosine touches only the ADC shortlist
+      .join(corpus(spark, dir).select(col("vec_id").as("neighbor_id"), col("v")),
+        "neighbor_id")
+      .join(broadcast(queriesDf(spark, dir)), "query_id")
+      .withColumn("cos_sim", Dedup.cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_score"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annPqSql: String = {
+    def subDot(a: String, b: String, m: String): String =
+      s"list_reduce(list_transform(generate_series(1,$PqSubDim), " +
+        s"i -> $a[$m*$PqSubDim+i] * $b[$m*$PqSubDim+i]), (x,y) -> x+y)"
+    val codeCols = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN m=$m THEN code END) AS c$m").mkString(", ")
+    val tabCols = (0 until PqM)
+      .map(m => s"list(t ORDER BY k) FILTER (WHERE m=$m) AS t$m").mkString(", ")
+    val adc = (0 until PqM).map(m => s"t$m[c$m+1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |ex AS (SELECT cell, cv, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS k FROM (
+       |         SELECT label AS cell, v AS cv FROM e
+       |         WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label))),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |enc0 AS (SELECT e.vec_id, ms.m, ex.k, ${subDot("e.v", "ex.cv", "ms.m")} AS s
+       |         FROM e CROSS JOIN ms CROSS JOIN ex WHERE e.vec_id >= $NumQueries),
+       |enc AS (SELECT vec_id, m, k AS code FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |            ORDER BY s DESC, k) AS rn FROM enc0) x WHERE rn = 1),
+       |encw AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
+       |tab AS (SELECT e.vec_id AS query_id, ms.m, ex.k, ${subDot("e.v", "ex.cv", "ms.m")} AS t
+       |        FROM e CROSS JOIN ms CROSS JOIN ex WHERE e.vec_id < $NumQueries),
+       |tabw AS (SELECT query_id, $tabCols FROM tab GROUP BY query_id),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id, $adc AS approx_score
+       |           FROM encw CROSS JOIN tabw),
+       |short AS (SELECT query_id, neighbor_id, approx_score FROM (
+       |            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY approx_score DESC, neighbor_id) AS arank
+       |            FROM scored) x WHERE arank <= $PqRefineR),
+       |rescored AS (SELECT s.query_id, s.neighbor_id, s.approx_score,
+       |               ${cosSql("q.v", "c.v")} AS cos_sim
+       |             FROM short s
+       |             JOIN e c ON s.neighbor_id = c.vec_id
+       |             JOIN e q ON s.query_id = q.vec_id)
+       |SELECT query_id, rank, neighbor_id, approx_score, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM rescored) x
+       |WHERE rank <= $AnnTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss6_ann_pq" -> annPq,
     "ss5_knn_graph" -> knnGraph,
     "ss1_knn_brute_force" -> knnBruteForce,
     "ss2_ann_lsh" -> annLsh,
@@ -357,6 +488,7 @@ object Similarity {
     "ss4_ann_lsh_multiprobe" -> annLshMultiprobe)
 
   val oracle: Map[String, String] = Map(
+    "ss6_ann_pq" -> annPqSql,
     "ss5_knn_graph" -> knnGraphSql,
     "ss1_knn_brute_force" -> knnBruteForceSql,
     "ss2_ann_lsh" -> annLshSql,

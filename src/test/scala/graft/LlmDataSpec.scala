@@ -204,6 +204,26 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@3 = $recall")
   }
 
+  test("ss6: PQ/ADC recall@3 is useful and the ADC score tracks true similarity") {
+    val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.annPq(spark, sf()).collect()
+    // shape: each query emits ranks 1..k
+    pq.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length))
+      // final ranking is by TRUE cosine (the refine stage), non-increasing
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val pq3 = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact3 & pq3).size.toDouble / exact3.size
+    assert(recall >= 0.3, s"PQ recall@3 = $recall")
+    // quantization is lossy but not arbitrary: ADC winners are genuinely
+    // similar vectors (unit-ish embeddings → dot ≈ cos)
+    pq.filter(_.getAs[Long]("rank") == 1L)
+      .foreach(r => assert(r.getAs[Double]("cos_sim") > 0.0))
+  }
+
   test("text: fingerprints are content-determined (equal text <=> equal fp)") {
     val fp = TextAnalysis.fingerprint(spark, sf())
     assert(fp.select("fp_full").distinct().count() == fp.count())

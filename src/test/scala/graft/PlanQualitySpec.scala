@@ -241,6 +241,17 @@ class PlanQualitySpec extends SparkSpec {
       "per-source token counts must map-side combine")
   }
 
+  test("ss6: PQ encode is scan-side (zero shuffle); ADC joins only broadcast query tables") {
+    val enc = plan(Similarity.pqCodes(spark, sf()))
+    assert(!enc.contains("Exchange hashpartitioning") && !enc.contains("Window"),
+      "PQ encode must be a pure scan-side projection:\n" +
+        enc.linesIterator.take(30).mkString("\n"))
+    assert(enc.contains("dot_product"), "native sub-inner-products expected")
+    val p = plan(Similarity.annPq(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      "query tables must broadcast (BroadcastNestedLoopJoin over 10 rows)")
+  }
+
   test("cdc9: SCD2 shares cdc3's shape — one key shuffle feeding the lead window") {
     val p = plan(graft.operators.CdcQueries.scd2History(spark, sf()))
     assert(p.contains("Window"))
