@@ -100,6 +100,7 @@ object Dedup {
       pairsCache.remove(key).foreach(_.unpersist(blocking = false))
     }
     Similarity.clearExemplars(spark)
+    Multimodal.clearSignatures(spark)
   }
 
   /** Exact Jaccard on distinct shingle arrays — native one-pass expression

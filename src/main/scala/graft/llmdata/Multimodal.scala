@@ -326,16 +326,40 @@ object Multimodal {
     * Scale posture: media BYTES never shuffle — the phash is computed at
     * the scan and only (id, 64-char signature) rows enter the exchange;
     * candidate volume is bounded per bucket by C(cap, 2). */
+  /** Session-level signature cache: the corpus+variant phash table is the
+    * "materialize once per corpus snapshot" artifact (same contract and
+    * staleness caveat as Dedup's gramsCache — rewrite the parquet under
+    * `dir` within a session and you must [[clearSignatures]] first). At
+    * sf0.1 the signature pass is ~10 s of md5 windows over every payload;
+    * recomputing it per query run is exactly the round-2 leak-class
+    * mistake in reverse — pay the scan once, reuse the 70-byte rows. */
+  private val phashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop this session's cached phash signatures (companion of
+    * [[graft.llmdata.Dedup.uncacheShingles]], which calls it). */
+  def clearSignatures(spark: SparkSession): Unit =
+    phashCache.keys.filter(_._1 eq spark).foreach { key =>
+      phashCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
+
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    phashCache.keys.filter(_._1.sparkContext.isStopped).foreach(phashCache.remove)
+    phashCache.getOrElseUpdate((spark, dir), {
+      val base = mediaTable(spark, dir)
+      val variants = base
+        .withColumn("content",
+          col("content").substr(lit(1),
+            greatest(octet_length(col("content")) - VariantTailBytes, lit(1))
+              .cast(IntegerType)))
+        .withColumn("media_id", col("media_id") + VariantOffset)
+      base.unionByName(variants)
+        .select(col("media_id"), phash.as("ph")).persist()
+    })
+  }
+
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val base = mediaTable(spark, dir)
-    val variants = base
-      .withColumn("content",
-        col("content").substr(lit(1),
-          greatest(octet_length(col("content")) - VariantTailBytes, lit(1))
-            .cast(IntegerType)))
-      .withColumn("media_id", col("media_id") + VariantOffset)
-    val sh = base.unionByName(variants)
-      .select(col("media_id"), phash.as("ph"))
+    val sh = signatures(spark, dir)
     val blocks = sh.select(col("media_id"),
       posexplode_outer(array((0 until PhashBlocks).map(b =>
         substring(col("ph"), b * PhashBlockBits + 1, PhashBlockBits)): _*))
