@@ -52,14 +52,61 @@ object CdcMaterialize {
     * (entityName, Id) feeding a per-key ordered window (lead); per-key
     * history fits a partition run by construction (versions per record are
     * bounded), so there is no skew hazard and nothing else moves. */
-  def scd2History(changes: DataFrame): DataFrame = {
+  def scd2History(changes: DataFrame): DataFrame =
+    scd2HistoryAll(changes).filter(col("UIND") =!= ChangeType.Delete)
+
+  /** [[scd2History]] INCLUDING tombstone marker rows (never current —
+    * they close the prior version without opening one). The streaming
+    * merge must retain them in its state: replaying a key's history needs
+    * the delete's clock position, or a late-arriving change that is
+    * commit-older than the delete would chain past it and resurrect the
+    * row (the same rationale as [[latestStateAll]]'s tombstones). */
+  def scd2HistoryAll(changes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("entityName"), col("Id"))
       .orderBy(col("commitNumber"), col("sequenceNumber"), col("replayId"))
     changes
       .withColumn("valid_to", lead(col("commitTimestamp"), 1).over(w))
-      .filter(col("UIND") =!= ChangeType.Delete)
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("is_current",
+        col("valid_to").isNull && col("UIND") =!= ChangeType.Delete)
       .withColumnRenamed("commitTimestamp", "valid_from")
+  }
+
+  /** Streaming SCD2 via foreachBatch: the type-2 sibling of
+    * [[foreachBatchUpsert]]. Every version row in the state IS its
+    * original change row (valid_from = commitTimestamp, clock columns
+    * retained), so history for the keys a micro-batch touches can be
+    * re-derived EXACTLY — those keys' rows reopen into change rows, merge
+    * with the batch, and re-window; the closed history of untouched keys
+    * is carried over untouched. Out-of-order and late changes therefore
+    * splice into the version chain correctly, not just append.
+    *
+    * Scale posture: per trigger the window recomputes only |touched keys|
+    * histories; the anti-join carrying the rest is a key-equality join
+    * against the (small) batch key set. Same single-writer
+    * read-compact-overwrite rendering as [[foreachBatchUpsert]] — a
+    * transactional table format turns it into MERGE. */
+  def foreachBatchScd2(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val tmp = s"$stateDir.staging-$batchId"
+    val existing =
+      try Some(spark.read.parquet(stateDir)) catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(h) =>
+        val keys = batch.select(col("entityName"), col("Id")).distinct()
+        val untouched = h.join(keys, Seq("entityName", "Id"), "left_anti")
+        val reopened = h.join(keys, Seq("entityName", "Id"), "left_semi")
+          .drop("valid_to", "is_current")
+          .withColumnRenamed("valid_from", "commitTimestamp")
+        scd2HistoryAll(reopened.unionByName(batch, allowMissingColumns = true))
+          .unionByName(untouched, allowMissingColumns = true)
+      case None => scd2HistoryAll(batch)
+    }
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
   /** Streaming upsert via foreachBatch — the sink-side extension point

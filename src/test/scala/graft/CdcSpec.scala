@@ -207,6 +207,51 @@ class CdcSpec extends SparkSpec {
     assert(shuffled == once)
   }
 
+  test("scd2 streaming: foreachBatch merge splices late changes; equals batch recompute") {
+    import graft.operators.CdcMaterialize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(String, String, String, Long, Int, Long, Long, String)]
+    val stateDir = java.nio.file.Files.createTempDirectory("scd2_state").toString + "/hist"
+    val cols = Seq("entityName", "Id", "UIND", "commitNumber", "sequenceNumber",
+      "replayId", "commitTimestamp", "Name")
+    val b1 = Seq(
+      ("Account", "001A", "CREATE", 10L, 1, 1L, 1000L, "a1"),
+      ("Account", "001B", "CREATE", 10L, 1, 2L, 1000L, "b1"))
+    val b2 = Seq(
+      ("Account", "001A", "UPDATE", 30L, 1, 3L, 3000L, "a3"),
+      ("Account", "001B", "DELETE", 20L, 1, 4L, 2000L, null))
+    val b3 = Seq(
+      // late change splicing BETWEEN A's existing versions
+      ("Account", "001A", "UPDATE", 20L, 1, 5L, 2000L, "a2"),
+      // late change OLDER than B's delete: must close at the delete, not resurrect
+      ("Account", "001B", "UPDATE", 15L, 1, 6L, 1500L, "b2"))
+    val q = stream.toDF().toDF(cols: _*)
+      .writeStream.foreachBatch(CdcMaterialize.foreachBatchScd2(stateDir) _)
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    import spark.implicits._
+    val streamed = spark.read.parquet(stateDir)
+      .filter($"UIND" =!= "DELETE")
+      .select("Id", "Name", "valid_from", "valid_to", "is_current")
+      .as[(String, String, Long, Option[Long], Boolean)].collect().toSet
+    val batch = graft.operators.CdcMaterialize.scd2History(
+      (b1 ++ b2 ++ b3).toDF(cols: _*))
+      .select("Id", "Name", "valid_from", "valid_to", "is_current")
+      .as[(String, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(streamed == batch, "streaming merge must equal batch recompute")
+    assert(streamed == Set(
+      ("001A", "a1", 1000L, Some(2000L), false),
+      ("001A", "a2", 2000L, Some(3000L), false), // spliced in
+      ("001A", "a3", 3000L, None, true),
+      ("001B", "b1", 1000L, Some(1500L), false),
+      ("001B", "b2", 1500L, Some(2000L), false))) // closed by the delete
+    // B has no current version: the tombstone marker kept it closed
+    assert(!streamed.exists(r => r._1 == "001B" && r._5))
+  }
+
   test("materialize streaming: foreachBatch upsert maintains state across batches") {
     import graft.operators.CdcMaterialize
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -32,7 +32,16 @@ class PartitionInvarianceSpec extends SparkSpec {
       // reductions whose partial-agg order must not leak into results
       "tx10_repeated_chunks" -> TextAnalysis.repeatedChunkRemoval _,
       "dd13_decontaminate" -> Dedup.decontaminate _,
-      "dd5_simhash_neardup" -> Dedup.simhashNearDup _)
+      "dd5_simhash_neardup" -> Dedup.simhashNearDup _,
+      // round-5 ops: tx13's two-level counts, tx14's windowed cumsum,
+      // cur3's micro-unit normalizer sum, dd15's distinct position set,
+      // cdc9's per-key lead — all reductions or ordered windows
+      "tx13_repetition_signals" -> TextAnalysis.repetitionSignals _,
+      "tx14_sequence_packing" -> TextAnalysis.sequencePacking _,
+      "cur3_mixture_weights" -> graft.llmdata.Curation.mixtureWeights _,
+      "dd15_bloom_prefilter" -> Dedup.bloomPrefilter _,
+      "cdc9_scd2_history" -> graft.operators.CdcQueries.scd2History _,
+      "ss6_ann_pq" -> graft.llmdata.Similarity.annPq _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
