@@ -218,8 +218,12 @@ object Similarity {
 
   /** Drop this session's trained codebooks (see staleness contract above).
     * The companion of [[Dedup.uncacheShingles]], which also calls this. */
-  def clearExemplars(spark: SparkSession): Unit =
+  def clearExemplars(spark: SparkSession): Unit = {
     exemplarCache.keys.filter(_._1 eq spark).foreach(exemplarCache.remove)
+    pqCodesCache.keys.filter(_._1 eq spark).foreach { key =>
+      pqCodesCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
+  }
 
   private def collectedExemplars(exemplars: DataFrame): Array[(Int, Array[Double])] = {
     exemplarCache.keys.filter(_._1.sparkContext.isStopped).foreach(exemplarCache.remove)
@@ -401,10 +405,22 @@ object Similarity {
       }: _*)
   }
 
+  /** The PQ INDEX is a build-once artifact (FAISS trains and encodes once,
+    * then serves many queries) — cache the encoded corpus per (session,
+    * dir) like the shingle/pair/exemplar tables; same staleness contract,
+    * released by [[clearExemplars]]. */
+  private val pqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def pqCodesCached(spark: SparkSession, dir: String): DataFrame = {
+    pqCodesCache.keys.filter(_._1.sparkContext.isStopped).foreach(pqCodesCache.remove)
+    pqCodesCache.getOrElseUpdate((spark, dir), pqCodes(spark, dir).persist())
+  }
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val ex = collectedExemplars(exemplarsOf(spark, dir))
     require(ex.nonEmpty, "PQ requires a trained codebook")
-    val codes = pqCodes(spark, dir)
+    val codes = pqCodesCached(spark, dir)
 
     val tabs = queriesDf(spark, dir).select(
       col("query_id") +: (0 until PqM).map { m =>

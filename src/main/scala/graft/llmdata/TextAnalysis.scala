@@ -626,7 +626,69 @@ object TextAnalysis {
        |    floor(tok_offset / $PackBudget) AS crosses_boundary
        |FROM o ORDER BY source, doc_id""".stripMargin
 
+  // --------------------------------------- hashed linear classifier (tx15)
+
+  /** Weight-table width (hash buckets) for the stub classifier. A power
+    * of two so the weight derivation's /4096 is EXACT in binary floating
+    * point (4096 = 2^12 — the division only shifts the exponent). */
+  private val ClfBuckets = 4096
+
+  /** Hashed linear quality classifier (tx15): the fastText-shaped filter
+    * every production curation pipeline runs (CCNet / GPT-3 style "does
+    * this look like reference text") reduced to its dataflow — per token,
+    * hash into a weight table, sum the weights, threshold the mean. The
+    * WEIGHTS here are a deterministic stub (derived from md5 of the
+    * bucket index, uniform in [-0.5, 0.5)) exactly as mm2 stubs the
+    * codec: a real deployment broadcasts a trained table; the inference
+    * shape — hash → lookup → index-ordered fold, all at the scan — is
+    * the part under test and under the oracle.
+    *
+    * Scale posture: ZERO shuffle — scoring is a per-row left fold over
+    * the token array inside the scan (model inference never moves data);
+    * only the gate's ORDER BY sorts. The fold is index-ordered, so the
+    * double sum is bit-identical in both engines (no aggregation-order
+    * hazard, unlike an explode+SUM rendering). */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame = {
+    // bucket = first 12 bits of md5(token); weight = first 12 bits of
+    // md5("w:" || bucket) mapped to [-0.5, 0.5)
+    def weight(tok: Column): Column = {
+      val bucket = conv(substring(md5(tok), 1, 3), 16, 10)
+      conv(substring(md5(concat(lit("w:"), bucket)), 1, 3), 16, 10)
+        .cast(DoubleType) / ClfBuckets - 0.5
+    }
+    val nw = size(col("_w"))
+    val total = aggregate(col("_w"), lit(0.0), (acc, t) => acc + weight(t))
+    t(spark, dir, "documents")
+      .withColumn("_w", words)
+      .select(
+        col("doc_id"),
+        nw.cast(LongType).as("n_tokens"),
+        (total / nw).as("clf_score"),
+        (total / nw > 0.0).as("accepted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val classifierScoreSql: String = {
+    def hex3(e: String): String =
+      s"CAST((strpos('0123456789abcdef', substr($e, 1, 1))-1)*256 + " +
+        s"(strpos('0123456789abcdef', substr($e, 2, 1))-1)*16 + " +
+        s"(strpos('0123456789abcdef', substr($e, 3, 1))-1) AS BIGINT)"
+    val bucket = hex3("substr(md5(t), 1, 3)")
+    val w = s"CAST(${hex3(s"substr(md5('w:' || CAST($bucket AS VARCHAR)), 1, 3)")} AS DOUBLE)" +
+      s" / $ClfBuckets - 0.5"
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |s AS (SELECT doc_id, len(w) AS n_tokens,
+       |    list_reduce(list_prepend(0.0, list_transform(w, t -> $w)),
+       |      (acc, x) -> acc + x) AS total
+       |  FROM d)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  total / n_tokens AS clf_score,
+       |  total / n_tokens > 0.0 AS accepted
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx15_quality_classifier" -> classifierScore,
     "tx13_repetition_signals" -> repetitionSignals,
     "tx14_sequence_packing" -> sequencePacking,
     "tx10_repeated_chunks" -> repeatedChunkRemoval,
@@ -643,6 +705,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx15_quality_classifier" -> classifierScoreSql,
     "tx13_repetition_signals" -> repetitionSignalsSql,
     "tx14_sequence_packing" -> sequencePackingSql,
     "tx10_repeated_chunks" -> repeatedChunkRemovalSql,

@@ -393,6 +393,20 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx15: classifier scores are bounded means of per-token weights; threshold is exact") {
+    val rows = TextAnalysis.classifierScore(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("clf_score")
+      // each weight lies in [-0.5, 0.5), so the mean does too
+      assert(s >= -0.5 && s < 0.5)
+      assert(r.getAs[Boolean]("accepted") == (s > 0.0))
+    }
+    // stub weights are content-determined: both classes occur on the fixture
+    assert(rows.exists(_.getAs[Boolean]("accepted")))
+    assert(rows.exists(!_.getAs[Boolean]("accepted")))
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

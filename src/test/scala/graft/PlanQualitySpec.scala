@@ -252,6 +252,12 @@ class PlanQualitySpec extends SparkSpec {
       "query tables must broadcast (BroadcastNestedLoopJoin over 10 rows)")
   }
 
+  test("tx15: classifier inference is zero-shuffle — the fold runs inside the scan") {
+    val p = plan(graft.llmdata.TextAnalysis.classifierScore(spark, sf()))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
+      "model scoring must not move data:\n" + p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("cdc9: SCD2 shares cdc3's shape — one key shuffle feeding the lead window") {
     val p = plan(graft.operators.CdcQueries.scd2History(spark, sf()))
     assert(p.contains("Window"))
