@@ -281,7 +281,64 @@ object EventsAnalytics {
        |  MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) * $HistBinWidth AS p99_lo
        |FROM cw GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------- windowed distinct sketch (ev9)
+
+  /** Sketch size for the per-window distinct-user estimate; deliberately
+    * smaller than the ~130 daily actives so the ESTIMATION path (not the
+    * exact small-set path) is what the oracle gates. */
+  private val WindowKmvK = 64
+
+  /** Per-window distinct users via the KMV sketch (ev9): dd8's sketch
+    * composed with ev1's tumbling window — the daily-active-users shape
+    * every event pipeline runs. The sketch column next to the exact
+    * count makes the estimate error itself oracle-gated per window.
+    *
+    * Scale posture: ONE map-side-combined aggregate; each combiner cell
+    * is an O(k) sketch regardless of how many users a window saw — the
+    * exact countDistinct column is the verification tier (it shuffles
+    * every distinct (day, user) pair) and would be DROPPED at 100 TB,
+    * leaving a post-shuffle size of |windows|·k. In streaming form the
+    * same Aggregator runs inside a watermarked `groupBy(window(...))`. */
+  def windowedDistinctSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        graft.functions.KmvDistinct.kmvDistinct(
+          md5(col("user_id").cast(StringType)), WindowKmvK).as("kmv_users"))
+      .select(
+        col("day"), col("n_events"), col("exact_users"), col("kmv_users"),
+        ((col("kmv_users") - col("exact_users")) / col("exact_users"))
+          .as("rel_error"))
+      .orderBy(col("day"))
+
+  val windowedDistinctSketchSql: String =
+    s"""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |             md5(CAST(user_id AS VARCHAR)) AS hv
+       |           FROM events),
+       |d AS (SELECT DISTINCT day, hv FROM e),
+       |r AS (SELECT day, hv,
+       |        row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM d),
+       |a AS (SELECT day, COUNT(*) AS nd,
+       |        MAX(CASE WHEN rn <= $WindowKmvK THEN hv END) AS kth
+       |      FROM r GROUP BY day),
+       |est AS (SELECT day, CASE WHEN nd < $WindowKmvK THEN CAST(nd AS DOUBLE)
+       |          ELSE ($WindowKmvK - 1) * power(16.0, 12.0) /
+       |            list_reduce(list_transform(generate_series(1,12),
+       |              i -> CAST(strpos('0123456789abcdef', substr(kth,i,1)) - 1 AS DOUBLE)
+       |                   * power(16.0, CAST(12 - i AS DOUBLE))), (x,y) -> x+y)
+       |          END AS kmv_users,
+       |        nd FROM a),
+       |c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS exact_users
+       |      FROM events GROUP BY 1)
+       |SELECT c.day, c.n_events, c.exact_users, est.kmv_users,
+       |  (est.kmv_users - c.exact_users) / c.exact_users AS rel_error
+       |FROM c JOIN est USING (day) ORDER BY c.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev9_windowed_distinct" -> windowedDistinctSketch,
     "ev8_histogram_quantiles" -> histogramQuantiles,
     "ev7_cms_heavy_hitters" -> cmsHeavyHitters,
     "ev5_funnel" -> funnel,
@@ -292,6 +349,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev9_windowed_distinct" -> windowedDistinctSketchSql,
     "ev8_histogram_quantiles" -> histogramQuantilesSql,
     "ev7_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "ev5_funnel" -> funnelSql,

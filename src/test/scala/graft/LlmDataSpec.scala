@@ -253,6 +253,22 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ev9: per-window KMV estimates are positive and within sketch tolerance") {
+    val rows = graft.relational.EventsAnalytics
+      .windowedDistinctSketch(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users")
+      val est = r.getAs[Double]("kmv_users")
+      assert(est > 0.0)
+      // KMV with k=64 has relative std error ~1/sqrt(k-2) ≈ 0.13; allow 5σ
+      assert(math.abs(est - exact) / exact < 0.65,
+        s"estimate $est too far from $exact on ${r.getAs[java.sql.Date]("day")}")
+      // the small-set path is exact by construction
+      if (exact < 64) assert(est == exact.toDouble)
+    }
+  }
+
   test("tx12: coverage/rare-share are valid fractions; token accounting is exact") {
     val q = TextAnalysis.vocabQuality(spark, sf()).collect()
     assert(q.nonEmpty)
