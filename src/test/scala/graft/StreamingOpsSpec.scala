@@ -41,6 +41,44 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ev9 streaming twin: the KMV Aggregator runs inside a watermarked window") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val agg = stream.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(
+        graft.functions.KmvDistinct.kmvDistinct(
+          md5($"user_id".cast("string")), 4).as("kmv_users"),
+        count(lit(1)).as("n_events"))
+      .select($"window.start".as("win_start"), $"kmv_users", $"n_events")
+    val q = agg.writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 10 sees 6 events over 5 distinct users (> k=4: estimation
+      // path), split across TWO micro-batches so sketch MERGE is exercised
+      stream.addData(ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:10:00", 2),
+        ev(3, "2024-01-01 10:15:00", 3))
+      q.processAllAvailable()
+      stream.addData(ev(4, "2024-01-01 10:20:00", 4), ev(5, "2024-01-01 10:25:00", 5),
+        ev(6, "2024-01-01 10:30:00", 1))
+      q.processAllAvailable()
+      stream.addData(ev(7, "2024-01-01 14:00:00", 9)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("kmv_out")
+        .select($"win_start".cast("string"), $"kmv_users", $"n_events")
+        .as[(String, Double, Long)].collect()
+      val h10 = rows.find(_._1 == "2024-01-01 10:00:00").get
+      assert(h10._3 == 6L)
+      // the streaming merge must equal the batch sketch over the same set
+      val expected = Seq(1L, 2L, 3L, 4L, 5L).toDF("user_id")
+        .agg(graft.functions.KmvDistinct.kmvDistinct(
+          md5($"user_id".cast("string")), 4)).as[Double].head()
+      assert(h10._2 == expected,
+        s"streaming sketch ${h10._2} != batch sketch $expected")
+    } finally q.stop()
+  }
+
   test("unified API: streaming window counts over the events fixture match batch") {
     import org.apache.spark.sql.types._
     val dir = sf()
