@@ -44,11 +44,13 @@ object DebugPlan {
         time("full")(full.count())
         full.explain("formatted")
       case name =>
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        time(s"$name (cold)")(df.count())
-        time(s"$name (warm1)")(df.count())
-        time(s"$name (warm2)")(df.count())
-        df.explain("formatted")
+        // time construction + count: operators with driver-side loops
+        // (dd11/dd14) do real work while BUILDING the frame — timing only
+        // count() under-reports them (the bench harness times both)
+        time(s"$name (cold)")(SparkEntry.queries(name)(spark, sfDir).count())
+        time(s"$name (warm1)")(SparkEntry.queries(name)(spark, sfDir).count())
+        time(s"$name (warm2)")(SparkEntry.queries(name)(spark, sfDir).count())
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -841,14 +841,19 @@ object Dedup {
       var iters = 0
       while (changed > 0 && iters < 50) {
         val neigh = edges.join(labels, edges("doc_b") === labels("node"))
-          .select(edges("doc_a").as("node"), col("label"))
-        val updated = labels.unionByName(neigh)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .select(edges("doc_a").as("node"), col("label"),
+            lit(null).cast(LongType).as("old"))
+        // carry each node's previous label through the same aggregate
+        // (only the labels branch supplies `old`, so min picks it) — the
+        // convergence check is then a count over the materialized frame
+        // instead of a second join+aggregate job per iteration
+        val updated = labels.withColumn("old", col("label"))
+          .unionByName(neigh)
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"), min(col("old")).as("old"))
           .localCheckpoint()
-        changed = updated.join(
-            labels.withColumnRenamed("label", "old"), Seq("node"))
-          .filter(col("label") =!= col("old")).count()
-        labels = updated
+        changed = updated.filter(col("label") =!= col("old")).count()
+        labels = updated.select(col("node"), col("label"))
         iters += 1
       }
       // a non-converged result is WRONG (components split arbitrarily),
