@@ -68,6 +68,52 @@ object TextHashUtil {
   def simhash32(tokens: ArrayData): UTF8String = simhashBits(tokens, 32)
   def simhash64(tokens: ArrayData): UTF8String = simhashBits(tokens, 64)
 
+  /** 64-bit payload phash: SimHash over OVERLAPPING windowBytes-byte
+    * windows of the payload at stride 1, each window tokenized as its
+    * 2·windowBytes-char lowercase hex string — BIT-IDENTICAL to
+    * `simhash64(transform(sequence(1, greatest(len-w+1, 1)),
+    * i -> substr(hex(payload), (i-1)*2+1, 2w)))` (the mm5 oracle's form)
+    * without materializing the full hex string or the gram array: one
+    * reused 2w-byte buffer per row instead of ~len strings. */
+  def phash64(payload: Array[Byte], windowBytes: Int): UTF8String = {
+    val nbits = 64
+    val votes = new Array[Int](nbits)
+    val d = md5()
+    // substr semantics of the composable form: windows = max(len-w+1, 1);
+    // a payload shorter than one window yields one CLIPPED gram
+    val nWin = math.max(payload.length - (windowBytes - 1), 1)
+    val hexBuf = new Array[Byte](windowBytes * 2)
+    var i = 0
+    while (i < nWin) {
+      val end = math.min(i + windowBytes, payload.length)
+      var j = i
+      var k = 0
+      while (j < end) {
+        hexBuf(k) = hexDigits((payload(j) >> 4) & 0xf).toByte
+        hexBuf(k + 1) = hexDigits(payload(j) & 0xf).toByte
+        j += 1
+        k += 2
+      }
+      d.reset()
+      d.update(hexBuf, 0, k)
+      val h = d.digest()
+      var p = 0
+      while (p < nbits) {
+        val bit = (h(p / 8) >> (7 - p % 8)) & 1
+        votes(p) += (if (bit == 1) 1 else -1)
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](nbits)
+    var p = 0
+    while (p < nbits) {
+      out(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** MinHash signature: element s is min over grams of
     * md5(s + ":" + gram) as hex (lexicographic min == numeric min on
     * fixed-width hex). */
@@ -174,6 +220,35 @@ case class SimHashBits(child: Expression, nbits: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.TextHashUtil.simhashBits($a, $nbits)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+/** Native 64-bit payload perceptual hash — the binary-input twin of
+  * [[SimHashBits]] for mm5's overlapping-window signatures: one JVM loop
+  * with a reused window buffer instead of hex(payload) + a ~len-element
+  * gram array per row (the composable form's cold build was ~10 s at
+  * sf0.1; parity with it is spec-asserted and the oracle is unchanged). */
+case class PayloadPhash(child: Expression, windowBytes: Int)
+    extends UnaryExpression {
+  require(windowBytes >= 1, s"window must be >= 1 byte, got $windowBytes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"phash64 requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "phash64"
+
+  override def nullSafeEval(payload: Any): Any =
+    TextHashUtil.phash64(payload.asInstanceOf[Array[Byte]], windowBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextHashUtil.phash64($a, $windowBytes)")
+
+  override protected def withNewChildInternal(newChild: Expression): PayloadPhash =
     copy(child = newChild)
 }
 
@@ -296,6 +371,8 @@ object TextHashFunctions {
     GraftColumn.of(SimHashBits(GraftColumn.expr(tokens), 64))
   def minhashSig(grams: Column, numHashes: Int): Column =
     GraftColumn.of(MinHashSignature(GraftColumn.expr(grams), numHashes))
+  def phash64(payload: Column, windowBytes: Int): Column =
+    GraftColumn.of(PayloadPhash(GraftColumn.expr(payload), windowBytes))
   def hamming(a: Column, b: Column): Column =
     GraftColumn.of(HammingDistance(GraftColumn.expr(a), GraftColumn.expr(b)))
   def jaccard(a: Column, b: Column): Column =

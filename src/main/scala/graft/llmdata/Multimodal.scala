@@ -305,7 +305,14 @@ object Multimodal {
     * signature moves O(√k) bits — robust to tail strips and small
     * patches; content-wide re-encodes need a decoded-domain hash a real
     * codec would supply ([[StubCodec]] slot). */
-  private def phash: Column = {
+  private def phash: Column =
+    graft.functions.TextHashFunctions.phash64(col("content"), PhashWindowBytes)
+
+  /** The composable rendering of [[phash]] — kept as the readable
+    * reference implementation and the parity twin the spec asserts
+    * row-identical to the native expression (same pattern as mm2's
+    * expression twin and Dedup.cosineHof). */
+  private[graft] def phashComposable: Column = {
     val h = lower(hex(col("content")))
     val nWindows = greatest(
       octet_length(col("content")) - (PhashWindowBytes - 1), lit(1))

@@ -46,6 +46,24 @@ class MultimodalSpec extends SparkSpec {
   // (The mm oracles are byte-based — encode(text) + hex prefixes — so they
   // no longer depend on the fixtures being ASCII; no guard needed.)
 
+  test("phash64: native expression is bit-identical to the composable form") {
+    // fixture payloads PLUS edge shapes: shorter than one window (clipped
+    // gram), exactly one window, empty payload
+    val edge = Seq(
+      MediaRecord(101L, "image", Array[Byte](1, 2, 3)),
+      MediaRecord(102L, "image", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      MediaRecord(103L, "image", Array.empty[Byte])).toDS()
+      .select($"media_id", $"content")
+    val fixture = Multimodal.mediaTable(spark, sf())
+      .select($"media_id", $"content")
+    val both = fixture.unionByName(edge)
+      .select($"media_id",
+        graft.functions.TextHashFunctions.phash64(col("content"), 8).as("native"),
+        Multimodal.phashComposable.as("composable"))
+    assert(both.filter($"native" =!= $"composable").count() == 0)
+    assert(both.filter(length($"native") =!= 64).count() == 0)
+  }
+
   test("media table from fixtures: binary column + metadata query agree") {
     val meta = Multimodal.binaryMeta(spark, sf()).collect()
     assert(meta.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
