@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, SimHashBits}
+import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, PayloadPhash, SimHashBits}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -37,5 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("hamming", classOf[HammingDistance], args => HammingDistance(args(0), args(1)))
     reg("jaccard", classOf[JaccardSimilarity], args => JaccardSimilarity(args(0), args(1)))
     reg("lsh_code", classOf[HyperplaneLshCode], args => HyperplaneLshCode(args(0)))
+    reg("phash64", classOf[PayloadPhash],
+      args => PayloadPhash(args(0), intArg(args(1), "phash64")))
   }
 }

@@ -85,6 +85,33 @@ class CdcSpec extends SparkSpec {
     assert(tomb.isNullAt(tomb.fieldIndex("Name")))
   }
 
+  test("GAP events route to enrichment — the full-record re-fetch IS gap recovery") {
+    // Salesforce emits GAP_CREATE/GAP_UPDATE/GAP_DELETE/GAP_UNDELETE/
+    // GAP_OVERFLOW when it cannot deliver change payloads; the envelope
+    // carries recordIds but no field values. The reference routes on
+    // `changeType == 'DELETE'` exactly (worker/lambda/app.py:77), so every
+    // GAP_* variant — including GAP_DELETE — falls into the enrichment
+    // branch and re-queries the CURRENT full record, which is precisely
+    // the documented consumer recovery for gap events (re-sync the record;
+    // a hard-deleted GAP_DELETE id drops via inner-join semantics, same as
+    // a missing id). UIND carries the raw GAP_* marker through (Q2).
+    val raw = Seq(
+      envelope(1, "Account", "GAP_UPDATE", Seq("001A")),
+      envelope(2, "Account", "GAP_CREATE", Seq("001B")),
+      envelope(3, "Account", "GAP_DELETE", Seq("001C")),
+      envelope(4, "Account", "GAP_DELETE", Seq("001GONE"))).toDF("value")
+    val changes = CdcDecode.explodeIds(CdcDecode.decodeJson(raw, col("value")))
+    val out = CdcEnrich(changes, snapshot).collect()
+    assert(out.length == 3) // 001GONE hard-deleted -> dropped, not tombstoned
+    val byId = out.map(r => r.getAs[String]("Id") -> r).toMap
+    assert(byId("001A").getAs[String]("UIND") == "GAP_UPDATE")
+    assert(byId("001A").getAs[String]("Name") == "Alice Corp") // full re-fetch
+    assert(byId("001B").getAs[String]("UIND") == "GAP_CREATE")
+    assert(byId("001C").getAs[String]("UIND") == "GAP_DELETE")
+    assert(!byId("001C").isNullAt(byId("001C").fieldIndex("Name")),
+      "GAP_DELETE re-fetches state; only literal DELETE tombstones")
+  }
+
   test("J1 is point-in-time: enrichment sees CURRENT snapshot state, not as-of") {
     // two updates to the same id: both emit the (single) current state
     val raw = Seq(

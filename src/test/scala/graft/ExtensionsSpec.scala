@@ -57,6 +57,10 @@ class ExtensionsSpec extends AnyFunSuite {
     val code = spark.sql(
       "SELECT lsh_code(array_repeat(1.0D, 64)) AS c").collect().head.getString(0)
     assert(code.matches("[01]{8}"))
+    val ph = spark.sql(
+      "SELECT phash64(CAST('hello world payload' AS BINARY), 8) AS p")
+      .collect().head.getString(0)
+    assert(ph.matches("[01]{64}"))
   }
 
   test("minhash_sig rejects a non-literal hash count") {
