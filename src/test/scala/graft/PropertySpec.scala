@@ -87,6 +87,32 @@ class PropertySpec extends SparkSpec {
   lazy val snapshot = (1 to 8).map(i => (f"001$i%03d", s"Name$i", i * 1.5))
     .toDF("Id", "Name", "Balance")
 
+  test("property: bloom admission never false-negatives a true duplicate") {
+    val textGen = Gen.nonEmptyListOf(Gen.identifier).map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(textGen).map(_.distinct)
+    checkProp(Prop.forAll(corpusGen, Gen.chooseNum(0, 3)) { (corpus, nDup) =>
+      // incoming = nDup exact copies of corpus texts + one guaranteed-new
+      // doc; ids ≡ 0 (mod 10) mark the incoming slice (dd15's fixture
+      // convention), corpus docs get non-multiples
+      val dups = corpus.take(nDup)
+      val fresh = corpus.mkString(" ") + " definitely new tail"
+      val docs =
+        corpus.zipWithIndex.map { case (t, i) => (i * 10 + 1L, t) } ++
+          (dups :+ fresh).zipWithIndex.map { case (t, i) => (i * 10 + 10L, t) }
+      val dir = Files.createTempDirectory("graft-bloom").toString
+      docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = graft.llmdata.Dedup.bloomPrefilter(spark, dir).collect()
+      rows.length == dups.length + 1 &&
+        // the guarantee: a true duplicate ALWAYS hits the filter
+        rows.filter(_.getAs[Boolean]("is_exact_dup"))
+          .forall(_.getAs[Boolean]("bloom_maybe")) &&
+        // and every copied text was recognized as an exact duplicate
+        rows.count(_.getAs[Boolean]("is_exact_dup")) >= dups.distinct.length
+    }, minTests = 8)
+  }
+
   test("property: routed output is a function of the change set (no order dependence)") {
     checkProp(Prop.forAll(Gen.listOfN(3, idsGen), Gen.listOfN(3, idsGen)) { (a, b) =>
       val evs = (a.map(("UPDATE", _)) ++ b.map(("DELETE", _))).zipWithIndex
