@@ -48,6 +48,13 @@ class LlmDataSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(spark, dir).count() >= 0)
     assert(Dedup.minhashLsh(spark, dir).count() >= 0)
     assert(Dedup.kmvDistinctShingles(spark, dir).count() == 1)
+    // round-5 ops on the same degenerate corpus: the one-word doc has no
+    // 2/3-grams (tx13's sequence guard), the empty-text doc must not
+    // derail packing offsets, bloom positions, or classifier folds
+    assert(TextAnalysis.repetitionSignals(spark, dir).count() >= 4) // ≥1-gram rows
+    assert(TextAnalysis.sequencePacking(spark, dir).count() == 4)
+    assert(TextAnalysis.classifierScore(spark, dir).count() == 4)
+    assert(Dedup.bloomPrefilter(spark, dir).count() >= 0)
     graft.llmdata.Dedup.uncacheShingles(spark)
   }
 
