@@ -34,6 +34,27 @@ object TextHashUtil {
     new String(out)
   }
 
+  /** One md5 digest's ±1 votes, MSB first — the single source of the
+    * SimHash bit math shared by [[simhashBits]] and [[phash64]]. */
+  private def voteBits(h: Array[Byte], votes: Array[Int], nbits: Int): Unit = {
+    var p = 0
+    while (p < nbits) {
+      val bit = (h(p / 8) >> (7 - p % 8)) & 1
+      votes(p) += (if (bit == 1) 1 else -1)
+      p += 1
+    }
+  }
+
+  private def emitBits(votes: Array[Int]): UTF8String = {
+    val out = new Array[Byte](votes.length)
+    var p = 0
+    while (p < votes.length) {
+      out(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** SimHash over the token array: per token, the first nbits/8 bytes of
     * md5(token) vote bit-wise (MSB first); emits the '0'/'1' bit string.
     * Identical to: per p in 1..nbits, sum over tokens of ±1 from the p-th
@@ -46,23 +67,11 @@ object TextHashUtil {
     while (t < n) {
       if (!tokens.isNullAt(t)) {
         d.reset()
-        val h = d.digest(tokens.getUTF8String(t).getBytes)
-        var p = 0
-        while (p < nbits) {
-          val bit = (h(p / 8) >> (7 - p % 8)) & 1
-          votes(p) += (if (bit == 1) 1 else -1)
-          p += 1
-        }
+        voteBits(d.digest(tokens.getUTF8String(t).getBytes), votes, nbits)
       }
       t += 1
     }
-    val out = new Array[Byte](nbits)
-    var p = 0
-    while (p < nbits) {
-      out(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
-      p += 1
-    }
-    UTF8String.fromBytes(out)
+    emitBits(votes)
   }
 
   def simhash32(tokens: ArrayData): UTF8String = simhashBits(tokens, 32)
@@ -96,22 +105,10 @@ object TextHashUtil {
       }
       d.reset()
       d.update(hexBuf, 0, k)
-      val h = d.digest()
-      var p = 0
-      while (p < nbits) {
-        val bit = (h(p / 8) >> (7 - p % 8)) & 1
-        votes(p) += (if (bit == 1) 1 else -1)
-        p += 1
-      }
+      voteBits(d.digest(), votes, nbits)
       i += 1
     }
-    val out = new Array[Byte](nbits)
-    var p = 0
-    while (p < nbits) {
-      out(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
-      p += 1
-    }
-    UTF8String.fromBytes(out)
+    emitBits(votes)
   }
 
   /** MinHash signature: element s is min over grams of

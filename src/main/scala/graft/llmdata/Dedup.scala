@@ -63,21 +63,11 @@ object Dedup {
     * every query run), a session-lifetime storage leak that degraded
     * everything sharing the executor heap. The cache bounds pinned
     * storage to one table per (dir, shingle width). */
-  // keyed by the session OBJECT (reference equality via the tuple), not
-  // identityHashCode — hash values can collide across sessions, which
-  // would hand one session a DataFrame bound to another's (possibly
-  // stopped) SparkContext
-  private val gramsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  private val gramsCache = SessionCache.persisted()
 
-  private def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame = {
-    // entries of stopped sessions: the context (and its storage) is gone;
-    // drop the strong references so dead sessions don't pin the heap
-    gramsCache.keys.filter(_._1.sparkContext.isStopped).foreach(gramsCache.remove)
-    pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
-    gramsCache.getOrElseUpdate((spark, dir, n),
+  private def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame =
+    gramsCache.get(spark, s"$dir#$n")(
       gramsOfDocs(t(spark, dir, "documents"), n).persist())
-  }
 
   /** Shingle an arbitrary (doc_id, text) frame — the uncached form behind
     * [[gramsOf]], usable on non-fixture frames (e.g. a streaming
@@ -93,15 +83,9 @@ object Dedup {
     * after rewriting the parquet under a dir this session already read.
     * Subsequent queries transparently rebuild them. */
   def uncacheShingles(spark: SparkSession): Unit = {
-    gramsCache.keys.filter(_._1 eq spark).foreach { key =>
-      gramsCache.remove(key).foreach(_.unpersist(blocking = false))
-    }
-    pairsCache.keys.filter(_._1 eq spark).foreach { key =>
-      pairsCache.remove(key).foreach(_.unpersist(blocking = false))
-    }
-    ivfPairsCache.keys.filter(_._1 eq spark).foreach { key =>
-      ivfPairsCache.remove(key).foreach(_.unpersist(blocking = false))
-    }
+    gramsCache.clear(spark)
+    pairsCache.clear(spark)
+    ivfPairsCache.clear(spark)
     Similarity.clearExemplars(spark)
     Multimodal.clearSignatures(spark)
   }
@@ -186,11 +170,9 @@ object Dedup {
     * on it — so it is persisted per (session, dir) like the shingle
     * cache ("materialize once per corpus snapshot"). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((spark, dir),
-      minhashLshUncached(spark, dir).persist())
+    pairsCache.get(spark, dir)(minhashLshUncached(spark, dir).persist())
 
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsCache = SessionCache.persisted()
 
   /** (doc_id, band, bh) LSH band table over bigram shingles — shared by
     * the self-join (dd3) and incremental (dd12) candidate generators. */
@@ -526,8 +508,7 @@ object Dedup {
     // confirmed-pair cache, same contract as dd3's: dd9/dd14 both consume
     // this pass (dd14 twice per bench run), and the per-cell self-join +
     // exact verify is the expensive step — materialize once per snapshot
-    ivfPairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfPairsCache.remove)
-    ivfPairsCache.getOrElseUpdate((spark, dir), {
+    ivfPairsCache.get(spark, dir) {
       val cells = Similarity.ivfCells(spark, dir)
       val a = cells.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
       val b = cells.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
@@ -537,11 +518,10 @@ object Dedup {
         .filter(col("cos_sim") >= CosineThreshold)
         .orderBy(col("vec_a"), col("vec_b"))
         .persist()
-    })
+    }
   }
 
-  private val ivfPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ivfPairsCache = SessionCache.persisted()
 
   val ivfNearDupSql: String = {
     val cos = "list_reduce(list_transform(generate_series(1,64), i -> %s[i] * %s[i]), (x,y) -> x+y)" +

@@ -340,19 +340,15 @@ object Multimodal {
     * sf0.1 the signature pass is ~10 s of md5 windows over every payload;
     * recomputing it per query run is exactly the round-2 leak-class
     * mistake in reverse — pay the scan once, reuse the 70-byte rows. */
-  private val phashCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val phashCache = SessionCache.persisted()
 
   /** Drop this session's cached phash signatures (companion of
     * [[graft.llmdata.Dedup.uncacheShingles]], which calls it). */
   def clearSignatures(spark: SparkSession): Unit =
-    phashCache.keys.filter(_._1 eq spark).foreach { key =>
-      phashCache.remove(key).foreach(_.unpersist(blocking = false))
-    }
+    phashCache.clear(spark)
 
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    phashCache.keys.filter(_._1.sparkContext.isStopped).foreach(phashCache.remove)
-    phashCache.getOrElseUpdate((spark, dir), {
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    phashCache.get(spark, dir) {
       val base = mediaTable(spark, dir)
       val variants = base
         .withColumn("content",
@@ -362,8 +358,7 @@ object Multimodal {
         .withColumn("media_id", col("media_id") + VariantOffset)
       base.unionByName(variants)
         .select(col("media_id"), phash.as("ph")).persist()
-    })
-  }
+    }
 
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sh = signatures(spark, dir)

@@ -214,24 +214,21 @@ object Similarity {
     * deliberate: a stable codebook is what makes incremental assignment
     * reproducible; re-train explicitly when the corpus changes. */
   private val exemplarCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[(Int, Array[Double])]]
+    new SessionCache[Array[(Int, Array[Double])]](_ => ())
 
-  /** Drop this session's trained codebooks (see staleness contract above).
-    * The companion of [[Dedup.uncacheShingles]], which also calls this. */
+  /** Drop this session's trained codebooks and encoded PQ index (see
+    * staleness contract above). The companion of
+    * [[Dedup.uncacheShingles]], which also calls this. */
   def clearExemplars(spark: SparkSession): Unit = {
-    exemplarCache.keys.filter(_._1 eq spark).foreach(exemplarCache.remove)
-    pqCodesCache.keys.filter(_._1 eq spark).foreach { key =>
-      pqCodesCache.remove(key).foreach(_.unpersist(blocking = false))
-    }
+    exemplarCache.clear(spark)
+    pqCodesCache.clear(spark)
   }
 
-  private def collectedExemplars(exemplars: DataFrame): Array[(Int, Array[Double])] = {
-    exemplarCache.keys.filter(_._1.sparkContext.isStopped).foreach(exemplarCache.remove)
-    val key = (exemplars.sparkSession, exemplars.queryExecution.logical.toString)
-    exemplarCache.getOrElseUpdate(key,
+  private def collectedExemplars(exemplars: DataFrame): Array[(Int, Array[Double])] =
+    exemplarCache.get(exemplars.sparkSession,
+      exemplars.queryExecution.logical.toString)(
       exemplars.collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
-  }
 
   /** Nearest-exemplar assignment as a SCAN-SIDE expression: the exemplar
     * set (one row per label — the IVF "codebook", always tiny relative to
@@ -409,13 +406,10 @@ object Similarity {
     * then serves many queries) — cache the encoded corpus per (session,
     * dir) like the shingle/pair/exemplar tables; same staleness contract,
     * released by [[clearExemplars]]. */
-  private val pqCodesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pqCodesCache = SessionCache.persisted()
 
-  private def pqCodesCached(spark: SparkSession, dir: String): DataFrame = {
-    pqCodesCache.keys.filter(_._1.sparkContext.isStopped).foreach(pqCodesCache.remove)
-    pqCodesCache.getOrElseUpdate((spark, dir), pqCodes(spark, dir).persist())
-  }
+  private def pqCodesCached(spark: SparkSession, dir: String): DataFrame =
+    pqCodesCache.get(spark, dir)(pqCodes(spark, dir).persist())
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val ex = collectedExemplars(exemplarsOf(spark, dir))

@@ -663,8 +663,10 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         nw.cast(LongType).as("n_tokens"),
-        (total / nw).as("clf_score"),
-        (total / nw > 0.0).as("accepted"))
+        (total / nw).as("clf_score"))
+      // derive the decision from the EMITTED score (single fold tree; the
+      // threshold can never drift from the reported number)
+      .withColumn("accepted", col("clf_score") > 0.0)
       .orderBy(col("doc_id"))
   }
 

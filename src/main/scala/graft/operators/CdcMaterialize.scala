@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{AnalysisException, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,37 @@ object CdcMaterialize {
       .withColumnRenamed("commitTimestamp", "valid_from")
   }
 
+  /** Shared read-merge-swap scaffolding of the foreachBatch sinks: read
+    * prior state (None ONLY when the path does not exist yet — any other
+    * read failure, e.g. a footer corrupted by a crash mid-swap, must THROW
+    * so task retry surfaces it instead of silently replacing the whole
+    * state with one batch), apply `merge`, write to a staging dir, swap.
+    * Single-writer assumption; a transactional table format turns the
+    * whole body into MERGE INTO. */
+  private def mergeState(stateDir: String, batch: DataFrame, batchId: Long)(
+      merge: Option[DataFrame] => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val tmp = s"$stateDir.staging-$batchId"
+    val existing =
+      try Some(spark.read.parquet(stateDir))
+      catch {
+        case e: AnalysisException
+            if Option(e.getCondition).exists(_.contains("PATH_NOT_FOUND")) ||
+              e.getMessage.contains("Path does not exist") => None
+      }
+    merge(existing).write.mode("overwrite").parquet(tmp)
+    // swap: parquet overwrite of the dir we are reading is not safe in-place
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"state swap failed: $tmp -> $stateDir")
+  }
+
+  /** The per-key envelope clock — one change, one state row. */
+  private val ClockKey = Seq("entityName", "Id", "commitNumber", "sequenceNumber", "replayId")
+
   /** Streaming SCD2 via foreachBatch: the type-2 sibling of
     * [[foreachBatchUpsert]]. Every version row in the state IS its
     * original change row (valid_from = commitTimestamp, clock columns
@@ -80,60 +111,42 @@ object CdcMaterialize {
     * is carried over untouched. Out-of-order and late changes therefore
     * splice into the version chain correctly, not just append.
     *
+    * foreachBatch is at-least-once: a replayed batch's rows are already in
+    * the reopened state, so the union dedupes on the envelope clock key
+    * before windowing — without it each replayed change would mint a
+    * duplicate zero-width version ([[foreachBatchUpsert]] gets the same
+    * idempotence for free from latestStateAll's rank-1 filter).
+    *
     * Scale posture: per trigger the window recomputes only |touched keys|
     * histories; the anti-join carrying the rest is a key-equality join
-    * against the (small) batch key set. Same single-writer
-    * read-compact-overwrite rendering as [[foreachBatchUpsert]] — a
-    * transactional table format turns it into MERGE. */
-  def foreachBatchScd2(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val tmp = s"$stateDir.staging-$batchId"
-    val existing =
-      try Some(spark.read.parquet(stateDir)) catch { case _: Exception => None }
-    val merged = existing match {
+    * against the (small) batch key set. */
+  def foreachBatchScd2(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    mergeState(stateDir, batch, batchId) {
       case Some(h) =>
         val keys = batch.select(col("entityName"), col("Id")).distinct()
         val untouched = h.join(keys, Seq("entityName", "Id"), "left_anti")
         val reopened = h.join(keys, Seq("entityName", "Id"), "left_semi")
           .drop("valid_to", "is_current")
           .withColumnRenamed("valid_from", "commitTimestamp")
-        scd2HistoryAll(reopened.unionByName(batch, allowMissingColumns = true))
+        scd2HistoryAll(
+          reopened.unionByName(batch, allowMissingColumns = true)
+            .dropDuplicates(ClockKey))
           .unionByName(untouched, allowMissingColumns = true)
-      case None => scd2HistoryAll(batch)
+      case None => scd2HistoryAll(batch.dropDuplicates(ClockKey))
     }
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(stateDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-  }
 
   /** Streaming upsert via foreachBatch — the sink-side extension point
     * (SURVEY.md §2.8): each micro-batch merges into the parquet state dir
     * by unioning the existing state (re-tagged as lowest precedence) with
-    * the batch's changes and re-compacting. With a transactional table
-    * format the body becomes a MERGE INTO; the read-compact-overwrite here
-    * is the format-agnostic rendering (single-writer assumption, as with
-    * any foreachBatch upsert). */
-  def foreachBatchUpsert(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val tmp = s"$stateDir.staging-$batchId"
-    val existing =
-      try Some(spark.read.parquet(stateDir)) catch { case _: Exception => None }
-    val merged = existing match {
+    * the batch's changes and re-compacting. Idempotent under micro-batch
+    * replay by construction: latestStateAll keeps rank-1 per key, so
+    * re-applying the same changes is a no-op. */
+  def foreachBatchUpsert(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    mergeState(stateDir, batch, batchId) {
       case Some(st) =>
         // existing rows were already compacted; they keep their original
         // clock columns so a late-arriving older change cannot regress them
         latestStateAll(st.unionByName(batch, allowMissingColumns = true))
       case None => latestStateAll(batch)
     }
-    merged.write.mode("overwrite").parquet(tmp)
-    // swap: parquet overwrite of the dir we are reading is not safe in-place
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(stateDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-  }
 }

@@ -260,6 +260,9 @@ class CdcSpec extends SparkSpec {
       Seq(b1, b2, b3).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
     import spark.implicits._
+    // foreachBatch is at-least-once: re-applying the last batch (the
+    // restart-after-uncommitted-batch case) must be a no-op
+    CdcMaterialize.foreachBatchScd2(stateDir)(b3.toDF(cols: _*), 99L)
     val streamed = spark.read.parquet(stateDir)
       .filter($"UIND" =!= "DELETE")
       .select("Id", "Name", "valid_from", "valid_to", "is_current")
