@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llmdata.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.CdcQueries
+import graft.operators.{CdcQueries, FuzzyMatch}
 import graft.relational.{EventsAnalytics, Relational, SqlSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,12 +25,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventsAnalytics.queries ++
-      SqlSurface.queries ++ CdcQueries.queries ++ Curation.queries
+      SqlSurface.queries ++ CdcQueries.queries ++ Curation.queries ++
+      FuzzyMatch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ EventsAnalytics.oracle ++
-      SqlSurface.oracle ++ CdcQueries.oracle ++ Curation.oracle
+      SqlSurface.oracle ++ CdcQueries.oracle ++ Curation.oracle ++
+      FuzzyMatch.oracle
 }

@@ -258,6 +258,13 @@ class PlanQualitySpec extends SparkSpec {
       "model scoring must not move data:\n" + p.linesIterator.take(25).mkString("\n"))
   }
 
+  test("fm1: blocking joins on rare trigrams only — no probe x base product") {
+    val p = plan(graft.operators.FuzzyMatch.fuzzyMatch(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the capped posting join")
+    assert(p.contains("jaccard"), "native set-similarity expected in verify")
+  }
+
   test("cdc9: SCD2 shares cdc3's shape — one key shuffle feeding the lead window") {
     val p = plan(graft.operators.CdcQueries.scd2History(spark, sf()))
     assert(p.contains("Window"))
