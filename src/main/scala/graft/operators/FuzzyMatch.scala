@@ -80,10 +80,16 @@ object FuzzyMatch {
           .jaccard(col("probe_grams"), col("base_grams")).as("sim"))
     val w = Window.partitionBy(col("probe_key"))
       .orderBy(col("sim").desc, col("base_key"))
-    scored.withColumn("rank", row_number().over(w))
+    val best = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
-      .select(col("probe_key"), col("base_key").as("matched_key"),
-        col("sim"), (col("base_key") === col("probe_key")).as("correct"))
+      .select(col("probe_key"), col("base_key").as("matched_key"), col("sim"))
+    // a probe whose every trigram is a stop-gram has NO candidates — a
+    // linkage run must REPORT it unmatched, not silently drop it
+    probes.select(col("probe_key"))
+      .join(best, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("matched_key"),
+        coalesce(col("sim"), lit(0.0)).as("sim"),
+        coalesce(col("matched_key") === col("probe_key"), lit(false)).as("correct"))
       .orderBy(col("probe_key"))
   }
 
@@ -112,12 +118,15 @@ object FuzzyMatch {
        |    CAST(len(list_intersect(p.probe_grams, b.base_grams)) AS DOUBLE) /
        |    (len(p.probe_grams) + len(b.base_grams)
        |     - len(list_intersect(p.probe_grams, b.base_grams))) AS sim
-       |  FROM cands c JOIN probes p USING (probe_key) JOIN gset b USING (base_key))
-       |SELECT probe_key, base_key AS matched_key, sim,
-       |  base_key = probe_key AS correct
-       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
-       |        ORDER BY sim DESC, base_key) AS rank FROM scored) x
-       |WHERE rank = 1 ORDER BY probe_key""".stripMargin
+       |  FROM cands c JOIN probes p USING (probe_key) JOIN gset b USING (base_key)),
+       |best AS (SELECT probe_key, base_key AS matched_key, sim
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+       |          ORDER BY sim DESC, base_key) AS rank FROM scored) x
+       |  WHERE rank = 1)
+       |SELECT p.probe_key, b.matched_key, COALESCE(b.sim, 0.0) AS sim,
+       |  COALESCE(b.matched_key = p.probe_key, false) AS correct
+       |FROM probes p LEFT JOIN best b USING (probe_key)
+       |ORDER BY p.probe_key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fm1_fuzzy_match" -> fuzzyMatch)

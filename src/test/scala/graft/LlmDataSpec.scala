@@ -433,13 +433,17 @@ class LlmDataSpec extends SparkSpec {
   test("fm1: fuzzy match recovers most corrupted names; one best match per probe") {
     val rows = graft.operators.FuzzyMatch.fuzzyMatch(spark, sf()).collect()
     assert(rows.nonEmpty)
-    // one row per matched probe, similarity is a valid Jaccard
+    // exactly one row per PROBE — unmatched probes are reported, not dropped
     assert(rows.map(_.getAs[Long]("probe_key")).distinct.length == rows.length)
     rows.foreach { r =>
       val s = r.getAs[Double]("sim")
-      assert(s > 0.0 && s <= 1.0)
-      assert(r.getAs[Boolean]("correct") ==
-        (r.getAs[Long]("matched_key") == r.getAs[Long]("probe_key")))
+      assert(s >= 0.0 && s <= 1.0)
+      if (r.isNullAt(r.fieldIndex("matched_key"))) {
+        assert(!r.getAs[Boolean]("correct") && s == 0.0)
+      } else {
+        assert(r.getAs[Boolean]("correct") ==
+          (r.getAs[Long]("matched_key") == r.getAs[Long]("probe_key")))
+      }
     }
     // dropping 2 of 18 chars must not defeat trigram linkage
     val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
