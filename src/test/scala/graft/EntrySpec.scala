@@ -17,12 +17,13 @@ class EntrySpec extends SparkSpec {
 
   test("module query maps are disjoint (a name collision silently drops a query)") {
     import graft.llmdata.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
-    import graft.operators.CdcQueries
+    import graft.operators.{CdcQueries, FuzzyMatch}
     import graft.relational.{EventsAnalytics, Relational, SqlSurface}
     val modules = Seq(
       Relational.queries, TextAnalysis.queries, Dedup.queries,
       Similarity.queries, Multimodal.queries, EventsAnalytics.queries,
-      SqlSurface.queries, CdcQueries.queries, Curation.queries)
+      SqlSurface.queries, CdcQueries.queries, Curation.queries,
+      FuzzyMatch.queries)
     assert(modules.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across modules")
   }

@@ -41,7 +41,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       "cur3_mixture_weights" -> graft.llmdata.Curation.mixtureWeights _,
       "dd15_bloom_prefilter" -> Dedup.bloomPrefilter _,
       "cdc9_scd2_history" -> graft.operators.CdcQueries.scd2History _,
-      "ss6_ann_pq" -> graft.llmdata.Similarity.annPq _)
+      "ss6_ann_pq" -> graft.llmdata.Similarity.annPq _,
+      // fm1's stop-gram df counts are a reduction the blocking depends on
+      "fm1_fuzzy_match" -> graft.operators.FuzzyMatch.fuzzyMatch _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
