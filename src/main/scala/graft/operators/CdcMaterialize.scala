@@ -77,23 +77,46 @@ object CdcMaterialize {
     * so task retry surfaces it instead of silently replacing the whole
     * state with one batch), apply `merge`, write to a staging dir, swap.
     * Single-writer assumption; a transactional table format turns the
-    * whole body into MERGE INTO. */
+    * whole body into MERGE INTO.
+    *
+    * Crash window: between the swap's delete and rename the state exists
+    * only as the fully-written staging dir. On a missing state path the
+    * reader therefore first tries to complete the interrupted swap —
+    * rename the NEWEST staging generation into place — before concluding
+    * there is no prior state. */
   private def mergeState(stateDir: String, batch: DataFrame, batchId: Long)(
       merge: Option[DataFrame] => DataFrame): Unit = {
     val spark = batch.sparkSession
     val tmp = s"$stateDir.staging-$batchId"
-    val existing =
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+
+    def readState(): Option[DataFrame] =
       try Some(spark.read.parquet(stateDir))
       catch {
         case e: AnalysisException
             if Option(e.getCondition).exists(_.contains("PATH_NOT_FOUND")) ||
               e.getMessage.contains("Path does not exist") => None
       }
+
+    def recoverInterruptedSwap(): Boolean = {
+      val parent = dst.getParent
+      val prefix = dst.getName + ".staging-"
+      if (parent == null || !fs.exists(parent)) return false
+      val staged = fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(prefix))
+        .flatMap(p => scala.util.Try(p.getName.stripPrefix(prefix).toLong)
+          .toOption.map(_ -> p))
+      if (staged.isEmpty) false
+      else fs.rename(staged.maxBy(_._1)._2, dst)
+    }
+
+    val existing = readState().orElse {
+      if (recoverInterruptedSwap()) readState() else None
+    }
     merge(existing).write.mode("overwrite").parquet(tmp)
     // swap: parquet overwrite of the dir we are reading is not safe in-place
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(stateDir)
     fs.delete(dst, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new java.io.IOException(s"state swap failed: $tmp -> $stateDir")
