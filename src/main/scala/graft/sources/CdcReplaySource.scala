@@ -89,12 +89,23 @@ object CdcReplayTable {
   val schema: StructType = StructType(Seq(
     StructField("replayId", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** T10 topic normalization (`EmpConnector.java:192,254-256`,
+    * `ReplayExtension.java:94-96`): strip the query string and a trailing
+    * slash, so `/data/ChangeEvents/?x=1` and `/data/ChangeEvents` address
+    * the same replay stream (and the same offset bookkeeping). Ordering
+    * divergence, documented like Q1: the reference strips the slash
+    * BEFORE the query, so `/t/?x` keys its replay map under `/t/` —
+    * a second decoration of the same stream; we canonicalize fully. */
+  def normalizeTopic(raw: String): String =
+    raw.split("\\?")(0).replaceAll("/$", "")
 }
 
 class CdcReplayTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
 
-  private val topic = options.getOrDefault("topic", "/data/ChangeEvents")
+  private val topic = CdcReplayTable.normalizeTopic(
+    options.getOrDefault("topic", "/data/ChangeEvents"))
 
   override def name(): String = s"cdc-replay:$topic"
   override def schema(): StructType = CdcReplayTable.schema

@@ -120,6 +120,19 @@ class CdcReplaySourceSpec extends SparkSpec {
     assert(sub.toSeq == (6 to 15).map(i => s"e$i").sorted)
   }
 
+  test("T10: topic option is normalized — trailing slash and query string stripped") {
+    val topic = "/data/t_norm"
+    ReplayBus.clear(topic)
+    (1 to 3).foreach(i => ReplayBus.publish(topic, s"e$i"))
+    // decorated forms address the SAME stream (EmpConnector.java:192,254-256)
+    Seq(s"$topic/", s"$topic?replay=-2", s"$topic/?x=1").foreach { decorated =>
+      val vals = spark.read.format("cdc-replay")
+        .option("topic", decorated).load()
+        .select("value").as[String].collect().sorted
+      assert(vals.toSeq == Seq("e1", "e2", "e3"), s"for topic option '$decorated'")
+    }
+  }
+
   test("batch read: more shards than events degrades to one partition per event") {
     val topic = "t_batchsmall"
     ReplayBus.clear(topic)
