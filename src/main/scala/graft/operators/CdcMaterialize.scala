@@ -104,12 +104,21 @@ object CdcMaterialize {
       val parent = dst.getParent
       val prefix = dst.getName + ".staging-"
       if (parent == null || !fs.exists(parent)) return false
+      // only a COMPLETED staging write (committer's _SUCCESS marker) may be
+      // promoted: a crash mid-write leaves a partial dir whose promotion
+      // would corrupt the state (or wedge every retry on schema inference)
       val staged = fs.listStatus(parent).map(_.getPath)
         .filter(_.getName.startsWith(prefix))
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
         .flatMap(p => scala.util.Try(p.getName.stripPrefix(prefix).toLong)
           .toOption.map(_ -> p))
       if (staged.isEmpty) false
-      else fs.rename(staged.maxBy(_._1)._2, dst)
+      else if (fs.rename(staged.maxBy(_._1)._2, dst)) true
+      // a completed generation EXISTS but cannot be promoted: proceeding
+      // with "no prior state" would silently discard it — the failure the
+      // read contract above says must throw
+      else throw new java.io.IOException(
+        s"cannot promote interrupted swap ${staged.maxBy(_._1)._2} -> $stateDir")
     }
 
     val existing = readState().orElse {

@@ -97,8 +97,13 @@ object CdcReplayTable {
     * divergence, documented like Q1: the reference strips the slash
     * BEFORE the query, so `/t/?x` keys its replay map under `/t/` —
     * a second decoration of the same stream; we canonicalize fully. */
-  def normalizeTopic(raw: String): String =
-    raw.split("\\?")(0).replaceAll("/$", "")
+  def normalizeTopic(raw: String): String = {
+    // limit=2 keeps a leading empty segment ("?x".split -> Array("")) and
+    // /+$ strips ALL trailing slashes — one decorated form, one stream
+    val t = raw.split("\\?", 2)(0).replaceAll("/+$", "")
+    require(t.nonEmpty, s"topic '$raw' normalizes to an empty stream name")
+    t
+  }
 }
 
 class CdcReplayTable(options: CaseInsensitiveStringMap)

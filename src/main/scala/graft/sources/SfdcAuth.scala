@@ -109,9 +109,12 @@ object SfdcAuth {
   /** JSON-message form of [[shouldReauthenticate]]: reads the Bayeux
     * fields the reference reads — `successful`, `error`, and
     * `ext.sfdc.failureReason` (`EmpConnector.java:349-367`). */
+  /** Shared, thread-safe (Jackson mappers are built once by design; the
+    * classifier runs per failed meta message). */
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def shouldReauthenticate(bayeuxMessageJson: String): Boolean = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(bayeuxMessageJson)
+    val m = mapper.readTree(bayeuxMessageJson)
     def str(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
       if (n != null && n.isTextual) Some(n.asText) else None
     val successful = m.path("successful").asBoolean(false)

@@ -125,11 +125,16 @@ class CdcReplaySourceSpec extends SparkSpec {
     ReplayBus.clear(topic)
     (1 to 3).foreach(i => ReplayBus.publish(topic, s"e$i"))
     // decorated forms address the SAME stream (EmpConnector.java:192,254-256)
-    Seq(s"$topic/", s"$topic?replay=-2", s"$topic/?x=1").foreach { decorated =>
+    Seq(s"$topic/", s"$topic//", s"$topic?replay=-2", s"$topic/?x=1").foreach { decorated =>
       val vals = spark.read.format("cdc-replay")
         .option("topic", decorated).load()
         .select("value").as[String].collect().sorted
       assert(vals.toSeq == Seq("e1", "e2", "e3"), s"for topic option '$decorated'")
+    }
+    // degenerate options fail loudly, not with an opaque index error
+    Seq("?", "/", "?x=1").foreach { bad =>
+      intercept[IllegalArgumentException](
+        graft.sources.CdcReplayTable.normalizeTopic(bad))
     }
   }
 
