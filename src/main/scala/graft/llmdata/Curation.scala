@@ -233,13 +233,78 @@ object Curation {
       |  CAST(w_micro AS DOUBLE) / tot_w AS sampled_share
       |FROM w CROSS JOIN t ORDER BY source""".stripMargin
 
+  /** Leakage-safe split audit (cur4): the train/val/test assignment every
+    * pretraining run needs, plus the check that makes it SAFE — near-dup
+    * pairs (dd3's confirmed MinHash+LSH pairs) must not straddle a split
+    * boundary, or eval measures memorization of training near-copies.
+    * Assignment is a deterministic md5 bucket of the doc id (first hex
+    * char: 0–b train = 12/16, c–d val, e–f test — replayable, no rand()),
+    * and each split's ledger counts the leaky pairs touching it (a
+    * cross-split pair is counted under BOTH splits it touches; fixing it
+    * means moving one side, so both owners see it).
+    *
+    * Scale posture: the split column is a scan-side hash; the audit
+    * reuses dd3's cached pair pass and joins the (tiny) pair set against
+    * the doc→split map twice — one broadcast-sized lookup per side plus a
+    * map-side-combined rollup. No new shuffle class: this is cur2's
+    * ledger shape pointed at split boundaries. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val splitOf = (id: Column) => {
+      val h = substring(md5(id.cast(StringType)), 1, 1)
+      when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+    }
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        size(words).cast(LongType).as("n_tokens"))
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        splitOf(col("doc_a")).as("split_a"), splitOf(col("doc_b")).as("split_b"))
+    val leaky = pairs.filter(col("split_a") =!= col("split_b"))
+    val leakBySplit = leaky.select(col("split_a").as("split"))
+      .unionByName(leaky.select(col("split_b").as("split")))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaky_pairs"))
+    docs.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .join(leakBySplit, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("total_tokens"),
+        coalesce(col("n_leaky_pairs"), lit(0L)).as("n_leaky_pairs"))
+      .orderBy(col("split"))
+  }
+
+  val leakageSafeSplitSql: String = {
+    def splitOf(id: String): String =
+      s"CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val' " +
+        s"WHEN substr(md5(CAST($id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test' " +
+        "ELSE 'train' END"
+    s"""WITH d AS (SELECT doc_id, ${splitOf("doc_id")} AS split,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (SELECT doc_a, doc_b, ${splitOf("doc_a")} AS split_a,
+       |        ${splitOf("doc_b")} AS split_b
+       |      FROM (${Dedup.minhashLshSql})),
+       |leaky AS (SELECT split_a AS split FROM p WHERE split_a <> split_b
+       |          UNION ALL
+       |          SELECT split_b FROM p WHERE split_a <> split_b),
+       |lc AS (SELECT split, COUNT(*) AS n_leaky_pairs FROM leaky GROUP BY split),
+       |ds AS (SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+       |       FROM d GROUP BY split)
+       |SELECT ds.split, ds.n_docs, CAST(ds.total_tokens AS BIGINT) AS total_tokens,
+       |  COALESCE(lc.n_leaky_pairs, 0) AS n_leaky_pairs
+       |FROM ds LEFT JOIN lc USING (split)
+       |ORDER BY ds.split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur1_corpus_curation" -> corpusCuration,
     "cur2_neardup_curation" -> curationNearDup,
-    "cur3_mixture_weights" -> mixtureWeights)
+    "cur3_mixture_weights" -> mixtureWeights,
+    "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
     "cur1_corpus_curation" -> corpusCurationSql,
     "cur2_neardup_curation" -> curationNearDupSql,
-    "cur3_mixture_weights" -> mixtureWeightsSql)
+    "cur3_mixture_weights" -> mixtureWeightsSql,
+    "cur4_leakage_safe_split" -> leakageSafeSplitSql)
 }

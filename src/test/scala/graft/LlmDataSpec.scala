@@ -430,6 +430,22 @@ class LlmDataSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("accepted")))
   }
 
+  test("cur4: splits partition the corpus; leaky-pair sides reconcile to whole pairs") {
+    val rows = graft.llmdata.Curation.leakageSafeSplit(spark, sf()).collect()
+    val docs = graft.sources.Tables.load(spark, sf(), "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs, "splits must partition")
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // each cross-split pair is counted under BOTH splits it touches
+    val sides = rows.map(_.getAs[Long]("n_leaky_pairs")).sum
+    assert(sides % 2 == 0, s"leaky sides must pair up, got $sides")
+    val pairs = Dedup.minhashLsh(spark, sf()).count()
+    assert(sides / 2 <= pairs, "cannot leak more pairs than exist")
+    // train must dominate (12/16 of the hash space)
+    val byName = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(byName("train") > byName.getOrElse("val", 0L) &&
+      byName("train") > byName.getOrElse("test", 0L))
+  }
+
   test("fm1: fuzzy match recovers most corrupted names; one best match per probe") {
     val rows = graft.operators.FuzzyMatch.fuzzyMatch(spark, sf()).collect()
     assert(rows.nonEmpty)
