@@ -187,18 +187,54 @@ object Similarity {
 
   // --------------------------------------------------- IVF coarse quantizer
 
-  /** IVF-style ANN: coarse cells seeded by one exemplar per label (the
-    * lowest vec_id — deterministic, no float reduction across rows), every
-    * vector assigned to its nearest exemplar by cosine, queries search only
-    * their own cell. The only join is the broadcast cell-equality search. */
-  /** Exemplar-seeded coarse cells (one per label, lowest vec_id). */
+  /** Codebook size — the number of coarse cells (and of sub-centroids per
+    * PQ subspace). THE scale knob of the whole ANN/semantic-dedup family:
+    * per-cell candidate volume is Σ|cell|², so k must grow with the corpus
+    * (FAISS rule of thumb: k ≈ √n at index-build time). Overridable per
+    * session via `spark.graft.ivf.k`; the DuckDB oracles pin the default,
+    * so CORRECTNESS runs at [[DefaultIvfK]] while a library user sizes k
+    * to the corpus. Deliberately ≠ the fixture's label count (10) so the
+    * quantizer is proven label-free. */
+  private[llmdata] val DefaultIvfK = 16
+
+  private def ivfK(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(DefaultIvfK)
+
+  /** IVF-style ANN: coarse cells seeded by [[ivfK]] hash-sampled vectors,
+    * every vector assigned to its nearest seed by cosine, queries search
+    * only their own cell. The only join is the broadcast cell-equality
+    * search. */
+  /** Hash-sampled codebook: the k corpus vectors with the lowest
+    * md5("seed:" + vec_id) — a deterministic uniform sample that needs NO
+    * label column (real corpora have none; the label-seeded round-5 form
+    * could not be pointed at unlabeled data). Cell id = the seed's own
+    * vec_id. Train cost is one TakeOrderedAndProject scan (per-partition
+    * top-k, then a k-way driver merge — never a global sort), and the
+    * result is cached per session via [[exemplarCache]].
+    *
+    * No Lloyd refinement in the oracle-gated path: a centroid mean is a
+    * float sum whose combine order differs across engines (and across
+    * Spark partial-agg schedules), which would break bit-exact oracle
+    * parity. [[lloydRefine]] is the opt-in refinement for deployments
+    * that want tighter cells and can gate on recall instead of hashes. */
   private def exemplarsOf(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-    val exemplarIds = t(spark, dir, "embeddings")
-      .groupBy(col("label").as("cell")).agg(min(col("vec_id")).as("exemplar_id"))
-    e.join(exemplarIds, e("vec_id") === exemplarIds("exemplar_id"))
-      .select(col("cell"), Dedup.vecD(col("embedding")).as("cv"))
+    t(spark, dir, "embeddings")
+      .select(col("vec_id").cast(LongType).as("cell"),
+        Dedup.vecD(col("embedding")).as("cv"),
+        md5(concat(lit("seed:"), col("vec_id").cast(StringType))).as("h"))
+      .orderBy(col("h"), col("cell"))
+      .limit(ivfK(spark))
+      .select(col("cell"), col("cv"))
   }
+
+  /** The shared `ex` CTE — the DuckDB rendering of [[exemplarsOf]] at the
+    * default k (assumes a CTE `e(vec_id, v)` over `embeddings`). Referenced
+    * by every oracle in the IVF family (ss3/ss5/ss6 here, dd9/dd14 in
+    * Dedup) so the training rule cannot drift between them. */
+  private[llmdata] val exemplarCteSql: String =
+    s"""ex AS (SELECT vec_id AS cell, v AS cv FROM e
+       |       ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id
+       |       LIMIT $DefaultIvfK)""".stripMargin
 
   /** The collected codebook, cached per exemplar DataFrame's session+plan:
     * annIvf/ivfCells rebuild logically-identical exemplar frames on every
@@ -214,7 +250,7 @@ object Similarity {
     * deliberate: a stable codebook is what makes incremental assignment
     * reproducible; re-train explicitly when the corpus changes. */
   private val exemplarCache =
-    new SessionCache[Array[(Int, Array[Double])]](_ => ())
+    new SessionCache[Array[(Long, Array[Double])]](_ => ())
 
   /** Drop this session's trained codebooks and encoded PQ index (see
     * staleness contract above). The companion of
@@ -224,11 +260,11 @@ object Similarity {
     pqCodesCache.clear(spark)
   }
 
-  private def collectedExemplars(exemplars: DataFrame): Array[(Int, Array[Double])] =
+  private def collectedExemplars(exemplars: DataFrame): Array[(Long, Array[Double])] =
     exemplarCache.get(exemplars.sparkSession,
       exemplars.queryExecution.logical.toString)(
       exemplars.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
 
   /** Nearest-exemplar assignment as a SCAN-SIDE expression: the exemplar
     * set (one row per label — the IVF "codebook", always tiny relative to
