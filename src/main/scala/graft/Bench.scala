@@ -71,13 +71,19 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // sorted by name + fixed ms precision: the driver keeps only the TAIL
-    // of long log lines, and raw nanosecond doubles pushed the line past
-    // the window (r4's "parsed": null). At 3 decimals the whole 80-query
-    // line fits, so nothing is hidden behind the cut.
+    // sorted by name + fixed ms precision + FAMILY-CODE keys: the driver
+    // keeps only the TAIL of long log lines; 3-decimal values fixed r4's
+    // "parsed": null at 80 queries, but the 97-query battery pushed full
+    // names past the window again (r6: head cut mid-key, cdc1–dd7 hidden).
+    // Every query name is "<code>_<slug>" with a battery-unique code
+    // (q1, tx10, ss3, …) — emitting just the code keeps the whole line
+    // inside the window; collisions (none today) fall back to full names.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val short = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
+    val useShort = short.values.toSeq.distinct.size == short.size
+    def key(k: String): String = if (useShort) short(k) else k
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => jq(k) + ":" + ms(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => jq(key(k)) + ":" + ms(v) }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

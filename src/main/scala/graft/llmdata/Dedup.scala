@@ -529,10 +529,9 @@ object Dedup {
       " * sqrt(list_reduce(list_transform(%s, x -> x*x), (x,y) -> x+y)))"
     val cellCos = cos.format("e.v", "ex.cv", "e.v", "ex.cv")
     val pairCos = cos.format("va", "vb", "va", "vb")
-    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |ex AS (SELECT label AS cell, v AS cv FROM e
-       |       WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)),
+       |${Similarity.exemplarCteSql},
        |cells AS (SELECT vec_id, v, cell FROM (
        |            SELECT e.vec_id, e.v, ex.cell,
        |              ROW_NUMBER() OVER (PARTITION BY e.vec_id

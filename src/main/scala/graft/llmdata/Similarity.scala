@@ -197,27 +197,57 @@ object Similarity {
     * quantizer is proven label-free. */
   private[llmdata] val DefaultIvfK = 16
 
-  private def ivfK(spark: SparkSession): Int =
-    spark.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(DefaultIvfK)
+  private def ivfK(spark: SparkSession): Int = {
+    val key = "spark.graft.ivf.k"
+    spark.conf.getOption(key).map { s =>
+      val k = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be an integer, got '$s'")
+      }
+      require(k >= 1, s"$key must be >= 1, got $k")
+      k
+    }.getOrElse(DefaultIvfK)
+  }
 
-  /** IVF-style ANN: coarse cells seeded by [[ivfK]] hash-sampled vectors,
-    * every vector assigned to its nearest seed by cosine, queries search
-    * only their own cell. The only join is the broadcast cell-equality
-    * search. */
-  /** Hash-sampled codebook: the k corpus vectors with the lowest
-    * md5("seed:" + vec_id) — a deterministic uniform sample that needs NO
-    * label column (real corpora have none; the label-seeded round-5 form
-    * could not be pointed at unlabeled data). Cell id = the seed's own
-    * vec_id. Train cost is one TakeOrderedAndProject scan (per-partition
-    * top-k, then a k-way driver merge — never a global sort), and the
-    * result is cached per session via [[exemplarCache]].
+  /** How many coarse cells a QUERY probes in ss3 (corpus vectors are still
+    * single-assigned — the index stays one-cell-per-vector). Multiprobe is
+    * the standard recall knob of an IVF index (FAISS `nprobe`): with
+    * uniform hash-sampled seeds a true neighbor often sits just across the
+    * Voronoi boundary of the query's own cell, so probing the P nearest
+    * cells trades P× candidate volume for recall without touching the
+    * index. Overridable via `spark.graft.ivf.probes`; oracles pin the
+    * default. */
+  private[llmdata] val DefaultIvfProbes = 4
+
+  private def ivfProbes(spark: SparkSession): Int = {
+    val key = "spark.graft.ivf.probes"
+    spark.conf.getOption(key).map { s =>
+      val p = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key must be an integer, got '$s'")
+      }
+      require(p >= 1, s"$key must be >= 1, got $p")
+      p
+    }.getOrElse(DefaultIvfProbes)
+  }
+
+  /** Hash-sampled codebook: the k vectors of the `embeddings` table with
+    * the lowest md5("seed:" + vec_id) — a deterministic uniform sample
+    * over ALL rows (query vectors included; at corpus scale the handful of
+    * query rows is statistically invisible, and one sampling rule shared
+    * by every IVF-family oracle beats a second filtered variant) that
+    * needs NO label column (real corpora have none; the label-seeded
+    * round-5 form could not be pointed at unlabeled data). Cell id = the
+    * seed's own vec_id. Train cost is one TakeOrderedAndProject scan
+    * (per-partition top-k, then a k-way driver merge — never a global
+    * sort), and the result is cached per session via [[exemplarCache]].
     *
     * No Lloyd refinement in the oracle-gated path: a centroid mean is a
     * float sum whose combine order differs across engines (and across
     * Spark partial-agg schedules), which would break bit-exact oracle
     * parity. [[lloydRefine]] is the opt-in refinement for deployments
     * that want tighter cells and can gate on recall instead of hashes. */
-  private def exemplarsOf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def exemplarsOf(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "embeddings")
       .select(col("vec_id").cast(LongType).as("cell"),
         Dedup.vecD(col("embedding")).as("cv"),
@@ -227,14 +257,19 @@ object Similarity {
       .select(col("cell"), col("cv"))
   }
 
-  /** The shared `ex` CTE — the DuckDB rendering of [[exemplarsOf]] at the
-    * default k (assumes a CTE `e(vec_id, v)` over `embeddings`). Referenced
-    * by every oracle in the IVF family (ss3/ss5/ss6 here, dd9/dd14 in
-    * Dedup) so the training rule cannot drift between them. */
-  private[llmdata] val exemplarCteSql: String =
-    s"""ex AS (SELECT vec_id AS cell, v AS cv FROM e
+  /** The exemplar SELECT — the DuckDB rendering of [[exemplarsOf]] at the
+    * default k (assumes a CTE `e(vec_id, v)` over `embeddings`). */
+  private[llmdata] val exemplarSelectSql: String =
+    s"""SELECT vec_id AS cell, v AS cv FROM e
        |       ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id
-       |       LIMIT $DefaultIvfK)""".stripMargin
+       |       LIMIT $DefaultIvfK""".stripMargin
+
+  /** The shared `ex` CTE form of [[exemplarSelectSql]]. Referenced by
+    * every oracle in the IVF family (ss3/ss5 here — ss6 wraps the SELECT
+    * to number the codebook — and dd9/dd14 in Dedup) so the training rule
+    * cannot drift between them. */
+  private[llmdata] val exemplarCteSql: String =
+    s"ex AS ($exemplarSelectSql)"
 
   /** The collected codebook, cached per exemplar DataFrame's session+plan:
     * annIvf/ivfCells rebuild logically-identical exemplar frames on every
@@ -267,12 +302,12 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
 
   /** Nearest-exemplar assignment as a SCAN-SIDE expression: the exemplar
-    * set (one row per label — the IVF "codebook", always tiny relative to
-    * the corpus) is collected once at build time and folded into the plan
-    * as literals; `greatest` over (sim, -idx) structs is the argmax, with
-    * the same tie-break as ORDER BY sim DESC, cell ASC (struct comparison
-    * is lexicographic; idx is the rank of the cell in ascending order).
-    * Zero shuffle and zero extra rows — the previous crossJoin +
+    * set (the hash-sampled IVF "codebook" — k rows, always tiny relative
+    * to the corpus) is collected once at build time and folded into the
+    * plan as literals; `greatest` over (sim, -idx) structs is the argmax,
+    * with the same tie-break as ORDER BY sim DESC, cell ASC (struct
+    * comparison is lexicographic; idx is the rank of the cell in ascending
+    * order). Zero shuffle and zero extra rows — the previous crossJoin +
     * row_number variant shuffled and sorted the ENTIRE corpus keyed by its
     * own row id just to take this per-row argmax over a broadcast side. */
   private def assignCells(df: DataFrame, vcol: String, exemplars: DataFrame): DataFrame = {
@@ -286,6 +321,23 @@ object Similarity {
     df.withColumn("cell", cellOf)
   }
 
+  /** Top-P nearest exemplar cells, still scan-side: the scored struct
+    * array sorts ascending on (-sim, idx) ≡ sim DESC, cell ASC, the first
+    * `probes` entries map back to cell ids, and `explode` emits one row
+    * per probed cell. Only the (small, broadcast) query side ever takes
+    * probes > 1, so the P× row fan-out never touches the corpus. */
+  private def assignCellsTopP(df: DataFrame, vcol: String, exemplars: DataFrame,
+                              probes: Int): DataFrame = {
+    val ex = collectedExemplars(exemplars)
+    require(ex.nonEmpty, "IVF assignment requires at least one exemplar")
+    val scored = array(ex.zipWithIndex.map { case ((_, cv), i) =>
+      struct((lit(0.0) - Dedup.cosine(col(vcol), lit(cv))).as("ns"), lit(i).as("i"))
+    }: _*)
+    val cells = transform(slice(array_sort(scored), 1, probes),
+      s => element_at(lit(ex.map(_._1)), s.getField("i") + lit(1)))
+    df.withColumn("cell", explode(cells))
+  }
+
   /** All embeddings with their IVF cell — (vec_id, v, cell). Used by the
     * IVF search here and the cell-bucketed near-dup (Dedup.ivfNearDup). */
   def ivfCells(spark: SparkSession, dir: String): DataFrame = {
@@ -294,10 +346,45 @@ object Similarity {
     assignCells(all, "v", exemplarsOf(spark, dir))
   }
 
+  /** Opt-in Lloyd (spherical k-means) refinement of the hash-sampled seed
+    * codebook — NOT in the oracle-gated path (see [[exemplarsOf]]: mean
+    * combine order is schedule-dependent, so deployments gate this on
+    * recall/quantization error, not hashes). Each iteration: assign every
+    * vector to its nearest current centroid (the zero-shuffle scan-side
+    * argmax), average per cell, L2-normalize the mean (embeddings are
+    * unit-ish, so cosine argmax ≡ dot argmax on normalized centroids).
+    * Cells that capture no vectors keep their previous centroid. Cost per
+    * iteration: one assignment scan + one (cell, dim)-keyed aggregate
+    * whose state is k×64 doubles — independent of corpus size.
+    * `iters = 0` returns the raw seed codebook. */
+  def lloydRefine(spark: SparkSession, dir: String, iters: Int = 1): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val all = t(spark, dir, "embeddings")
+      .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
+    var ex = exemplarsOf(spark, dir)
+    for (_ <- 1 to iters) {
+      val means = assignCells(all, "v", ex)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv0"))
+      val norm = sqrt(aggregate(col("cv0"), lit(0.0), (acc, x) => acc + x * x))
+      val refined = means.select(col("cell"),
+        transform(col("cv0"), x => x / norm).as("cv"))
+      ex = ex.as("old").join(refined.as("new"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("new.cv"), col("old.cv")).as("cv"))
+    }
+    ex
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val exemplars = exemplarsOf(spark, dir)
     val c = assignCells(corpus(spark, dir), "v", exemplars)
-    val q = assignCells(queriesDf(spark, dir), "q", exemplars)
+    // multiprobe: each query searches its P nearest cells; each corpus
+    // vector lives in exactly one cell, so (query, neighbor) pairs are
+    // already distinct across probes — no dedup step needed
+    val q = assignCellsTopP(queriesDf(spark, dir), "q", exemplars, ivfProbes(spark))
     val scored = c.join(broadcast(q), "cell")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Dedup.cosine(col("q"), col("v")).as("cos_sim"))
@@ -310,10 +397,9 @@ object Similarity {
   }
 
   val annIvfSql: String =
-    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |ex AS (SELECT label AS cell, v AS cv FROM e
-       |       WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)),
+       |$exemplarCteSql,
        |ca AS (SELECT vec_id, v, cell FROM (
        |         SELECT e.vec_id, e.v, ex.cell,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -323,7 +409,8 @@ object Similarity {
        |         SELECT e.vec_id AS query_id, e.v AS q, ex.cell,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
-       |         FROM e CROSS JOIN ex WHERE e.vec_id < $NumQueries) x WHERE rn = 1),
+       |         FROM e CROSS JOIN ex WHERE e.vec_id < $NumQueries) x
+       |       WHERE rn <= $DefaultIvfProbes),
        |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("q", "v")} AS cos_sim
        |           FROM ca JOIN qa USING (cell))
        |SELECT query_id, rank, neighbor_id, cos_sim FROM (
@@ -346,30 +433,33 @@ object Similarity {
     * (shared with ss3/dd9); the only join is the per-cell self-join, so
     * candidate volume is Σ|cell|² — bounded by the quantizer's balance,
     * NOT n² (train more cells as the corpus grows; cell count is the
-    * knob). The per-source top-k runs as one window over the scored
-    * pairs; swap in the bounded-heap TopKByScore aggregator (q6b) when
-    * per-cell fan-out makes sort spill the bottleneck. */
+    * knob). The per-source top-k runs through the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregator — O(k) state per source
+    * through the partial-agg shuffle — instead of a window, which would
+    * sort every source's FULL candidate fan-out (the per-cell self-join
+    * makes that fan-out the dominant row count of the query) just to
+    * discard all but k rows. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
     val a = cells.select(col("cell"), col("vec_id").as("src_id"), col("v").as("va"))
     val b = cells.select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("vb"))
-    val scored = a.join(b, "cell")
+    a.join(b, "cell")
       .filter(col("src_id") =!= col("neighbor_id"))
       .select(col("src_id"), col("neighbor_id"),
         Dedup.cosine(col("va"), col("vb")).as("cos_sim"))
-    val w = Window.partitionBy(col("src_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= GraphTopK)
-      .select(col("src_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .groupBy(col("src_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("cos_sim"), col("neighbor_id"), GraphTopK).as("top"))
+      .select(col("src_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("src_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos_sim"))
       .orderBy(col("src_id"), col("rank"))
   }
 
   val knnGraphSql: String =
-    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |ex AS (SELECT label AS cell, v AS cv FROM e
-       |       WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)),
+       |$exemplarCteSql,
        |ca AS (SELECT vec_id, v, cell FROM (
        |         SELECT e.vec_id, e.v, ex.cell,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -389,13 +479,20 @@ object Similarity {
   // --------------------------------------------- product quantization
 
   /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqSubDim]];
-    * the per-subspace codebook is the IVF exemplar set's sub-vectors (one
-    * entry per label — deterministic, shared training with ss3/dd9). */
+    * the per-subspace codebook is the hash-sampled IVF exemplar set's
+    * sub-vectors ([[DefaultIvfK]] entries per subspace — deterministic,
+    * shared training with ss3/dd9). */
   private val PqM = 4
   private val PqSubDim = 16
   /** ADC shortlist size per query; the shortlist is exact-rescored and the
-    * top [[AnnTopK]] by TRUE cosine are emitted (FAISS's refine stage). */
-  private val PqRefineR = 10
+    * top [[AnnTopK]] by TRUE cosine are emitted (FAISS's refine stage).
+    * This is PQ's recall knob (FAISS `k_factor`): quantization error only
+    * costs recall when a true neighbor's ADC rank falls outside the
+    * shortlist, so R scales with how lossy the codebook is — 16 sub-
+    * centroids per 16-dim subspace is coarse, and R = 10 left recall@3 at
+    * 0.2; R = 30 clears the 0.3 gate while the refine rescore still
+    * touches only R rows per query, never the corpus. */
+  private val PqRefineR = 30
 
   /** Product-quantization ANN with ADC scoring (ss6): the memory-bound
     * scale path of brute-force search (Jégou et al. 2011). The corpus is
@@ -491,11 +588,10 @@ object Similarity {
     val tabCols = (0 until PqM)
       .map(m => s"list(t ORDER BY k) FILTER (WHERE m=$m) AS t$m").mkString(", ")
     val adc = (0 until PqM).map(m => s"t$m[c$m+1]").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |ex AS (SELECT cell, cv, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS k FROM (
-       |         SELECT label AS cell, v AS cv FROM e
-       |         WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label))),
+       |         $exemplarSelectSql)),
        |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
        |enc0 AS (SELECT e.vec_id, ms.m, ex.k, ${subDot("e.v", "ex.cv", "ms.m")} AS s
        |         FROM e CROSS JOIN ms CROSS JOIN ex WHERE e.vec_id >= $NumQueries),

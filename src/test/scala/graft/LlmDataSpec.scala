@@ -231,6 +231,31 @@ class LlmDataSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("cos_sim") > 0.0))
   }
 
+  test("lloydRefine: refinement does not worsen the spherical k-means objective") {
+    // objective = mean over vectors of (max cosine to any centroid); one
+    // Lloyd step is monotone non-decreasing in exact arithmetic — allow
+    // float-order slack. Computed driver-side: 500 x 16 x 64 is trivial.
+    def codebook(df: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+      df.collect().map(_.getSeq[Double](1).toArray)
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def objective(cb: Array[Array[Double]]): Double =
+      vecs.map(v => cb.map(c => cos(v, c)).max).sum / vecs.length
+    val seeds = codebook(Similarity.lloydRefine(spark, sf(), iters = 0))
+    val refined = codebook(Similarity.lloydRefine(spark, sf(), iters = 2))
+    assert(seeds.length == refined.length)
+    refined.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9,
+      "refined centroids must be L2-normalized"))
+    val (o0, o2) = (objective(seeds), objective(refined))
+    assert(o2 >= o0 - 1e-9, s"Lloyd refinement worsened the objective: $o0 -> $o2")
+  }
+
   test("text: fingerprints are content-determined (equal text <=> equal fp)") {
     val fp = TextAnalysis.fingerprint(spark, sf())
     assert(fp.select("fp_full").distinct().count() == fp.count())
