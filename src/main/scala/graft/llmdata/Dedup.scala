@@ -65,14 +65,14 @@ object Dedup {
     * storage to one table per (dir, shingle width). */
   private val gramsCache = SessionCache.persisted()
 
-  private def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame =
+  private[graft] def gramsOf(spark: SparkSession, dir: String, n: Int): DataFrame =
     gramsCache.get(spark, s"$dir#$n")(
       gramsOfDocs(t(spark, dir, "documents"), n).persist())
 
   /** Shingle an arbitrary (doc_id, text) frame — the uncached form behind
     * [[gramsOf]], usable on non-fixture frames (e.g. a streaming
     * micro-batch in [[admitAgainst]]). */
-  private def gramsOfDocs(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def gramsOfDocs(docs: DataFrame, n: Int): DataFrame = {
     val sh = if (n == 2) bigrams(col("_w")) else trigrams(col("_w"))
     docs.withColumn("_w", words).select(col("doc_id"), sh.as("grams"))
   }
@@ -139,7 +139,7 @@ object Dedup {
     * background pairs (J≈0.05) almost never collide. */
   private val NumHashes = 12
   private val BandRows = 2
-  private val NumBands = NumHashes / BandRows
+  private[graft] val NumBands = NumHashes / BandRows
   private val MinhashJaccardThreshold = 0.35
 
   /** Per-band-bucket cap — the dd6 posting-list trick applied to banded
@@ -151,7 +151,7 @@ object Dedup {
     * duplicate clusters among the sampled members — members beyond the cap
     * escape only if they share no OTHER band, the documented recall trade.
     * Mirrored in the oracles (row_number over (band, hash) by doc_id). */
-  private val BandBucketCap = 50
+  private[graft] val BandBucketCap = 50
 
   /** MinHash signature: per seed, the minimum md5 over shingles of the
     * seed-tagged shingle (`md5(seed || ':' || gram)`) — computed by the
@@ -176,11 +176,11 @@ object Dedup {
 
   /** (doc_id, band, bh) LSH band table over bigram shingles — shared by
     * the self-join (dd3) and incremental (dd12) candidate generators. */
-  private def bandedDocs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def bandedDocs(spark: SparkSession, dir: String): DataFrame =
     bandedOf(gramsOf(spark, dir, 2))
 
   /** (doc_id, grams) → one row per (doc_id, band, band-hash). */
-  private def bandedOf(grams: DataFrame): DataFrame = {
+  private[graft] def bandedOf(grams: DataFrame): DataFrame = {
     val sig = grams.select(col("doc_id"), minhashSig(col("grams")).as("sig"))
     val bandHashes = array((0 until NumBands).map { b =>
       md5(concat((0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*))
@@ -215,11 +215,11 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val sigListSql: String = (0 until NumHashes).map { s =>
+  private[graft] val sigListSql: String = (0 until NumHashes).map { s =>
     s"list_aggregate(list_transform(g, x -> md5('$s:' || x)), 'min')"
   }.mkString("[", ", ", "]")
 
-  private val bandExprsSql: String = (0 until NumBands).map { b =>
+  private[graft] val bandExprsSql: String = (0 until NumBands).map { b =>
     s"md5(sig[${b * BandRows + 1}] || sig[${b * BandRows + 2}])"
   }.mkString("[", ", ", "]")
 

@@ -128,9 +128,111 @@ object FuzzyMatch {
        |FROM probes p LEFT JOIN best b USING (probe_key)
        |ORDER BY p.probe_key""".stripMargin
 
+  // --------------------------------------------- fm2: MinHash pre-block
+
+  /** Word-drop stride for the LONG-string probes (fm2): every 7th word of
+    * a probed document is dropped, the word analogue of fm1's char rule. */
+  private val WordStride = 7
+
+  /** fm2 — record linkage for LONG strings: MinHash-band pre-blocking
+    * (dd3's exact machinery — 12 hashes, 6 bands × 2 rows, capped
+    * buckets) ahead of the exact-Jaccard verify. fm1's rare-trigram
+    * posting lists are the right block for SHORT keys (names), but a long
+    * document has thousands of grams and its posting lists grow with
+    * corpus size; banding the MinHash signature keeps the blocking key
+    * per document CONSTANT (NumBands rows) no matter how long the text
+    * is, which is what survives 100 TB. Probes are every [[ProbeMod]]-th
+    * document with every [[WordStride]]-th word dropped; candidates are
+    * probe×base pairs sharing a band bucket (base postings capped at
+    * [[Dedup.BandBucketCap]] per bucket, dd3's rule); verification scores
+    * the FULL bigram-shingle sets and keeps the best match per probe via
+    * a max-struct aggregate (O(1) state per probe — no window sort).
+    * Unmatched probes (no shared bucket) are REPORTED, not dropped. */
+  def fuzzyMatchMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llmdata.Dedup
+    val base = Dedup.gramsOf(spark, dir, 2)
+      .select(col("doc_id").as("base_id"), col("grams").as("base_grams"))
+    val probeDocs = t(spark, dir, "documents")
+      .filter(col("doc_id") % ProbeMod === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", filter(split(col("text"), " "),
+          (_, i) => (i + 1) % WordStride =!= 0)).as("text"))
+    val probes = Dedup.gramsOfDocs(probeDocs, 2)
+      .select(col("doc_id").as("probe_id"), col("grams").as("probe_grams"))
+
+    // blocking: band buckets, base side capped at the lowest doc_ids
+    val baseCapped = Dedup.bandedDocs(spark, dir)
+      .groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, Dedup.BandBucketCap)
+        .as("docs"))
+      .select(col("band"), col("bh"), explode(col("docs")).as("base_id"))
+    val probeBands = Dedup.bandedOf(
+      probes.select(col("probe_id").as("doc_id"), col("probe_grams").as("grams")))
+      .select(col("doc_id").as("probe_id"), col("band"), col("bh"))
+    val cands = probeBands.join(baseCapped, Seq("band", "bh"))
+      .select(col("probe_id"), col("base_id")).distinct()
+
+    // verify on the full shingle sets; best match per probe (max-struct:
+    // jaccard DESC, base_id ASC — no window, no per-probe sort)
+    val scored = cands.join(probes, "probe_id").join(base, "base_id")
+      .select(col("probe_id"), col("base_id"),
+        graft.functions.TextHashFunctions
+          .jaccard(col("probe_grams"), col("base_grams")).as("jacc"))
+    val best = scored.groupBy(col("probe_id"))
+      .agg(max(struct(col("jacc"), (lit(0L) - col("base_id")).as("nb"))).as("m"))
+      .select(col("probe_id"), (lit(0L) - col("m.nb")).as("matched_id"),
+        col("m.jacc").as("jacc"))
+    probes.select(col("probe_id"))
+      .join(best, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("matched_id"),
+        coalesce(col("jacc"), lit(0.0)).as("jaccard"),
+        coalesce(col("matched_id") === col("probe_id"), lit(false)).as("correct"))
+      .orderBy(col("probe_id"))
+  }
+
+  val fuzzyMatchMinhashSql: String = {
+    import graft.llmdata.Dedup
+    val sigList = Dedup.sigListSql
+    val bandExprs = Dedup.bandExprsSql
+    s"""WITH bw AS (SELECT doc_id AS base_id, string_split(text,' ') AS w FROM documents),
+       |bsh AS (SELECT base_id, CASE WHEN len(w) >= 2 THEN
+       |          list_distinct(list_transform(generate_series(1, len(w)-1),
+       |            i -> w[i] || ' ' || w[i+1])) ELSE [] END AS g FROM bw),
+       |bsig AS (SELECT base_id, g, $sigList AS sig FROM (SELECT base_id, g FROM bsh)),
+       |bband AS (SELECT base_id, band, $bandExprs[band+1] AS bh
+       |          FROM bsig CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.NumBands - 1})) AS band)),
+       |bcap AS (SELECT base_id, band, bh FROM bband
+       |         QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY base_id) <= ${Dedup.BandBucketCap}),
+       |pw AS (SELECT doc_id AS probe_id,
+       |         list_filter(string_split(text,' '), (x, i) -> i % $WordStride <> 0) AS w
+       |       FROM documents WHERE doc_id % $ProbeMod = 0),
+       |psh AS (SELECT probe_id, CASE WHEN len(w) >= 2 THEN
+       |          list_distinct(list_transform(generate_series(1, len(w)-1),
+       |            i -> w[i] || ' ' || w[i+1])) ELSE [] END AS g FROM pw),
+       |psig AS (SELECT probe_id, g, $sigList AS sig FROM (SELECT probe_id, g FROM psh)),
+       |pband AS (SELECT probe_id, band, $bandExprs[band+1] AS bh
+       |          FROM psig CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.NumBands - 1})) AS band)),
+       |cands AS (SELECT DISTINCT probe_id, base_id
+       |          FROM pband JOIN bcap USING (band, bh)),
+       |scored AS (SELECT c.probe_id, c.base_id,
+       |    CAST(len(list_intersect(p.g, b.g)) AS DOUBLE) /
+       |    CAST(len(list_distinct(p.g || b.g)) AS DOUBLE) AS jacc
+       |  FROM cands c JOIN psh p USING (probe_id) JOIN bsh b USING (base_id)),
+       |best AS (SELECT probe_id, base_id AS matched_id, jacc
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |          ORDER BY jacc DESC, base_id) AS rnk FROM scored) x
+       |  WHERE rnk = 1)
+       |SELECT p.probe_id, b.matched_id, COALESCE(b.jacc, 0.0) AS jaccard,
+       |  COALESCE(b.matched_id = p.probe_id, false) AS correct
+       |FROM psh p LEFT JOIN best b USING (probe_id)
+       |ORDER BY p.probe_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fm1_fuzzy_match" -> fuzzyMatch)
+    "fm1_fuzzy_match" -> fuzzyMatch,
+    "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhash)
 
   val oracle: Map[String, String] = Map(
-    "fm1_fuzzy_match" -> fuzzyMatchSql)
+    "fm1_fuzzy_match" -> fuzzyMatchSql,
+    "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhashSql)
 }

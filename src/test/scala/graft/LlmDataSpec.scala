@@ -491,6 +491,27 @@ class LlmDataSpec extends SparkSpec {
     assert(acc >= 0.9, s"linkage accuracy $acc")
   }
 
+  test("fm2: minhash-blocked linkage recovers most corrupted documents") {
+    val rows = graft.operators.FuzzyMatch.fuzzyMatchMinhash(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // exactly one row per probe — unmatched probes reported, not dropped
+    assert(rows.map(_.getAs[Long]("probe_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      if (r.isNullAt(r.fieldIndex("matched_id"))) {
+        assert(!r.getAs[Boolean]("correct") && j == 0.0)
+      } else {
+        assert(r.getAs[Boolean]("correct") ==
+          (r.getAs[Long]("matched_id") == r.getAs[Long]("probe_id")))
+      }
+    }
+    // dropping 1 of 7 words leaves J ≈ 0.6 vs the source — band catch
+    // probability ≈ 0.9, so most probes must link back
+    val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
+    assert(acc >= 0.8, s"minhash linkage accuracy $acc")
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

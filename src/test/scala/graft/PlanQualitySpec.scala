@@ -195,6 +195,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "in-cell self-join must be a key-equality join on cell")
     assert(p.contains("cosine_sim"), "native cosine expected")
+    // per-source top-k runs through the bounded-heap aggregator, never a
+    // window: a window would sort every source's full per-cell fan-out
+    assert(!p.contains("Window"),
+      "ss5 top-k must be the TopKByScore aggregator, not a window sort")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "bounded-heap top-k aggregate expected")
   }
 
   test("cur2: the near-dup and contamination drop sets broadcast against the corpus scan") {
@@ -263,6 +269,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the capped posting join")
     assert(p.contains("jaccard"), "native set-similarity expected in verify")
+  }
+
+  test("fm2: candidates come off band buckets; top-1 is an aggregate, not a window") {
+    val p = plan(graft.operators.FuzzyMatch.fuzzyMatchMinhash(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "probe x base must be blocked by the band-bucket equi-join")
+    assert(p.contains("jaccard"), "native set-similarity expected in verify")
+    assert(!p.contains("Window"),
+      "per-probe best match must be the max-struct aggregate, not a window sort")
   }
 
   test("cdc9: SCD2 shares cdc3's shape — one key shuffle feeding the lead window") {
