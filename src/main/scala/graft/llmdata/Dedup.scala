@@ -646,10 +646,38 @@ object Dedup {
   def admitAgainst(corpus: DataFrame, incoming: DataFrame): DataFrame =
     admitImpl(corpus, gramsOfDocs(corpus, 2), incoming, gramsOfDocs(incoming, 2))
 
+  /** [[admitAgainst]] with the dd15 Bloom prefilter fused in front of the
+    * exact-duplicate check: the corpus digest bitset is built once (one
+    * map-side-combined DISTINCT, state ≤ m positions) and broadcast, and
+    * only incoming rows the filter cannot rule out (`bloom_maybe`) pay
+    * the digest join — no-false-negatives makes the verdicts IDENTICAL
+    * to [[admitAgainst]]'s (asserted in StreamingOpsSpec). The near-dup
+    * band check still sees every incoming row: similar-but-not-identical
+    * text hashes to different Bloom positions, so the filter can never
+    * gate it. Returns (doc_id, bloom_maybe, status). */
+  def admitAgainstWithBloom(corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    val bits = corpus.select(explode(bloomPositions(col("text"))).as("p"))
+      .distinct().agg(sort_array(collect_list(col("p"))).as("bits"))
+    val flagged = incoming.crossJoin(broadcast(bits))
+      .withColumn("bloom_maybe",
+        forall(bloomPositions(col("text")), p => array_contains(col("bits"), p)))
+      .select(col("doc_id"), col("text"), col("bloom_maybe"))
+    admitImpl(corpus, gramsOfDocs(corpus, 2),
+      incoming, gramsOfDocs(incoming, 2),
+      exactCheckIds = Some(flagged.filter(col("bloom_maybe")).select(col("doc_id"))))
+      .join(flagged.select(col("doc_id"), col("bloom_maybe")), "doc_id")
+      .select(col("doc_id"), col("bloom_maybe"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   private def admitImpl(
       corpus: DataFrame, corpusGrams: DataFrame,
-      incoming: DataFrame, incomingGrams: DataFrame): DataFrame = {
-    val inH = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      incoming: DataFrame, incomingGrams: DataFrame,
+      exactCheckIds: Option[DataFrame] = None): DataFrame = {
+    val inAll = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    // with a Bloom gate, only the maybe-rows reach the digest join
+    val inH = exactCheckIds.fold(inAll)(ids =>
+      inAll.join(ids, Seq("doc_id"), "left_semi"))
     val existingH = corpus.select(md5(col("text")).as("h")).distinct()
     val exactDup = inH.join(existingH, Seq("h"), "left_semi").select(col("doc_id"))
     val cand = bandedOf(corpusGrams).as("x")

@@ -147,6 +147,139 @@ class StreamingOpsSpec extends SparkSpec {
     assert(results(5L) == "admitted")
   }
 
+  test("composition: cdc decode -> bloom-gated admission -> scd2 state across a restart") {
+    // The full ingest composition the engine exists for: a replayable CDC
+    // bus delivers document change events; each micro-batch is decoded
+    // (T1-T5), admitted against the CURRENT corpus through the dd15 Bloom
+    // prefilter fused into dd12 admission, and the survivors merge into
+    // the SCD2 parquet state (cdc9's operator). The corpus is DERIVED from
+    // the persisted state (is_current rows), never held in driver memory —
+    // that is what makes the composition restart-invariant: a restarted
+    // query rebuilds its admission context from the state dir.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{CdcDecode, CdcMaterialize}
+    import graft.sources.ReplayBus
+    import java.nio.file.Files
+
+    def event(docId: Long, text: String, commit: Long): String =
+      s"""{"schema":"fp","payload":{"Name":"$text","ChangeEventHeader":{""" +
+        s""""commitNumber":$commit,"commitUser":"u","sequenceNumber":1,""" +
+        s""""entityName":"Document","changeType":"UPDATE",""" +
+        s""""changedFields":[],"changeOrigin":"t","transactionKey":"tk$commit",""" +
+        s""""commitTimestamp":${1700000000000L + commit * 1000},""" +
+        s""""recordIds":["D$docId"]}},"event":{"replayId":$commit}}"""
+
+    val statuses = scala.collection.concurrent.TrieMap.empty[(Long, Long), (String, Boolean)]
+    val batchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def admitBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+      batchCount.incrementAndGet()
+      val sess = batch.sparkSession
+      val decoded = CdcDecode.explodeIds(
+        CdcDecode.decodeJson(batch.select(col("value")), col("value")).drop("value"))
+        .withColumn("Name", get_json_object(col("payload_json"), "$.Name"))
+        .drop("payload_json")
+        .withColumn("UIND", col("changeType"))
+      val corpus =
+        if (new java.io.File(stateDir).exists)
+          sess.read.parquet(stateDir).filter(col("is_current"))
+            .select(expr("CAST(substring(Id, 2) AS BIGINT)").as("doc_id"),
+              col("Name").as("text"))
+        else Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val incoming = decoded.select(
+        expr("CAST(substring(Id, 2) AS BIGINT)").as("doc_id"),
+        col("Name").as("text"),
+        col("commitNumber"))
+      val verdicts = graft.llmdata.Dedup
+        .admitAgainstWithBloom(corpus, incoming.drop("commitNumber")).collect()
+      val commits = incoming.select(col("doc_id"), col("commitNumber")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      verdicts.foreach(r => statuses(
+        (r.getAs[Long]("doc_id"), commits(r.getAs[Long]("doc_id")))) =
+        (r.getAs[String]("status"), r.getAs[Boolean]("bloom_maybe")))
+      val admitted = verdicts.filter(_.getAs[String]("status") == "admitted")
+        .map(r => s"D${r.getAs[Long]("doc_id")}").toSet
+      val keep = decoded.filter(col("Id").isin(admitted.toSeq: _*))
+      CdcMaterialize.foreachBatchScd2(stateDir)(keep, batchId)
+    }
+
+    // disjoint-vocabulary texts; near-dups share 8 of 10 union bigrams
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t1near = "alpha beta gamma delta epsilon zeta eta theta iota QQQ"
+    val t4 = "one two three four five six seven eight nine ten"
+    val t4near = "one two three four five six seven eight nine zzz"
+    val t5 = "red orange yellow green blue indigo violet umber ochre teal"
+    val t1v2 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val t7 = "north south east west up down left right front back"
+
+    val run1 = Seq( // batchSize=2: [fresh,fresh], [exact,near], [fresh,exact]
+      event(1, t1, 1), event(4, t4, 2),
+      event(2, t1, 3), event(3, t1near, 4),
+      event(5, t5, 5), event(6, t4, 6))
+    val run2 = Seq( // [new version of d1, fresh], [exact of d5, near of d4]
+      event(1, t1v2, 7), event(7, t7, 8),
+      event(8, t5, 9), event(9, t4near, 10))
+
+    def drive(topic: String, stateDir: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("cdc-replay")
+        .option("topic", topic).option("replayFrom", "-2")
+        .option("batchSize", "2").load()
+        .writeStream.foreachBatch(admitBatch(stateDir) _)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    def readState(stateDir: String): Set[(String, String, String, String, Boolean)] =
+      spark.read.parquet(stateDir)
+        .select(col("Id"), col("Name"), col("valid_from").cast("string"),
+          coalesce(col("valid_to").cast("string"), lit("open")), col("is_current"))
+        .as[(String, String, String, String, Boolean)].collect().toSet
+
+    // restarted run: 3 triggers, stop, publish more, resume from checkpoint
+    val topicA = "t_compose_restart"
+    ReplayBus.clear(topicA)
+    val stateA = Files.createTempDirectory("compose_a").toString + "/hist"
+    val ckptA = Files.createTempDirectory("compose_a_ckpt").toString
+    run1.foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, stateA, ckptA)
+    assert(batchCount.get() >= 3, s"expected >=3 triggers, got ${batchCount.get()}")
+    run2.foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, stateA, ckptA) // resumes from WAL despite replayFrom=-2
+
+    // reference run: identical events, no restart, fresh state+checkpoint
+    val topicB = "t_compose_ref"
+    ReplayBus.clear(topicB)
+    val stateB = Files.createTempDirectory("compose_b").toString + "/hist"
+    val ckptB = Files.createTempDirectory("compose_b_ckpt").toString
+    (run1 ++ run2).foreach(ReplayBus.publish(topicB, _))
+    drive(topicB, stateB, ckptB)
+
+    assert(readState(stateA) == readState(stateB),
+      "restarted composition must equal the single-run state")
+
+    // admission verdicts: dup events rejected, fresh admitted, and the
+    // Bloom gate agreed with the digest join everywhere it fired
+    val byDoc = statuses.collect { case ((d, c), (s, _)) if c <= 10 => (d, c) -> s }
+    assert(byDoc((1L, 1L)) == "admitted" && byDoc((4L, 2L)) == "admitted")
+    assert(byDoc((2L, 3L)) == "exact_dup", statuses.toString)
+    assert(byDoc((3L, 4L)) == "near_dup", statuses.toString)
+    assert(byDoc((5L, 5L)) == "admitted" && byDoc((6L, 6L)) == "exact_dup")
+    assert(byDoc((1L, 7L)) == "admitted", "new version of d1 must re-admit")
+    assert(byDoc((7L, 8L)) == "admitted")
+    assert(byDoc((8L, 9L)) == "exact_dup" && byDoc((9L, 10L)) == "near_dup")
+    // every exact_dup was a Bloom hit (no false negatives) and at least
+    // one fresh doc took the admitted-fast path (bloom_maybe false)
+    statuses.values.foreach { case (s, maybe) => if (s == "exact_dup") assert(maybe) }
+    assert(statuses.values.exists { case (s, maybe) => s == "admitted" && !maybe })
+
+    // SCD2 history: d1's first version closed by its second
+    val a = spark.read.parquet(stateA).filter(col("Id") === "D1")
+      .select(col("Name"), col("is_current")).as[(String, Boolean)].collect().toSet
+    assert(a == Set((t1, false), (t1v2, true)), a.toString)
+  }
+
   test("QueryObserver: listener surfaces lifecycle and per-batch progress (§3.3)") {
     implicit val ctx = spark.sqlContext
     val obs = graft.streaming.QueryObserver.attach(spark)
