@@ -53,6 +53,29 @@ object Multimodal {
       MediaFeatures(r.media_id, r.kind, n.toLong, w, h, frames,
         if (n == 0) 0.0 else s.toDouble / n)
     }
+
+    private val HexDigits = "0123456789abcdef"
+
+    /** Decoded-domain SIGNAL (the stub "pixel plane"): one hex char per
+      * byte — the byte's HIGH nibble. The low nibble models the
+      * encoding-dependent bits lossy compression is free to perturb;
+      * [[reencode]] rewrites exactly those, so `decodeSignal(reencode(r))
+      * == decodeSignal(r)` by construction — the stub analogue of "same
+      * pixels, different file bytes". */
+    def decodeSignal(r: MediaRecord): String =
+      r.content.map(b => HexDigits((b >> 4) & 0xF)).mkString
+
+    /** Stub RE-ENCODE: keep every byte's high nibble (the signal), replace
+      * the low nibble with a deterministic function of the high one
+      * ((hi + 7) mod 16) — almost every byte of the payload changes, but
+      * the decoded signal is untouched. */
+    def reencode(r: MediaRecord): MediaRecord = {
+      val out = r.content.map { b =>
+        val hi = (b >> 4) & 0xF
+        ((hi << 4) | ((hi + 7) % 16)).toByte
+      }
+      r.copy(content = out)
+    }
   }
 
   /** Synthesize a media table from the documents fixture: text bytes stand
@@ -360,8 +383,11 @@ object Multimodal {
         .select(col("media_id"), phash.as("ph")).persist()
     }
 
-  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = signatures(spark, dir)
+  /** dd5's banded hamming join over any (media_id, ph) signature table:
+    * 16-bit block equi-join, capped buckets, pairs off each sorted capped
+    * list, verify hamming ≤ [[PhashHammingMax]]. Shared by mm5 (byte-
+    * domain signatures) and mm6 (decoded-domain signatures). */
+  private def bandedHammingPairs(sh: DataFrame): DataFrame = {
     val blocks = sh.select(col("media_id"),
       posexplode_outer(array((0 until PhashBlocks).map(b =>
         substring(col("ph"), b * PhashBlockBits + 1, PhashBlockBits)): _*))
@@ -386,6 +412,9 @@ object Multimodal {
       .filter(col("hamming") <= PhashHammingMax)
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(signatures(spark, dir))
 
   /** DuckDB oracle for mm5: hex prefix of a payload ≡ payload prefix
     * (2 hex chars per byte), so the tail-stripped variant is
@@ -434,17 +463,137 @@ object Multimodal {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  // ------------------------------------------------------------ mm6
+
+  /** Re-encoded variant ids live [[ReencodeOffset]] above the original. */
+  private val ReencodeOffset = 20000000L
+
+  /** The [[StubCodec.reencode]] math as a column expression over a
+    * MATERIALIZED hex column `h` (lambda-referenced expressions re-evaluate
+    * per element — the bigrams caveat): per byte, keep the high-nibble hex
+    * char, emit low nibble = (hi + 7) mod 16. */
+  private[graft] def reencodedHex: Column =
+    concat_ws("", transform(sequence(lit(1), (length(col("h")) / 2).cast(IntegerType)), { i =>
+      val hi = col("h").substr(i * 2 - 1, lit(1))
+      val v = conv(hi, 16, 10).cast(IntegerType)
+      concat(hi, lit(StubCodecHexDigits).substr(pmod(v + 7, lit(16)) + 1, lit(1)))
+    }))
+
+  private val StubCodecHexDigits = "0123456789abcdef"
+
+  /** [[StubCodec.decodeSignal]] as a column expression: the high-nibble
+    * hex chars, i.e. the odd positions of the materialized hex column
+    * (`h` is referenced twice, so CollapseProject keeps it materialized —
+    * the bigrams caveat). */
+  private[graft] def signalOf: Column =
+    concat_ws("", transform(sequence(lit(1), (length(col("h")) / 2).cast(IntegerType)),
+      i => col("h").substr(i * 2 - 1, lit(1))))
+
+  /** Decoded-domain phash: SimHash over overlapping [[PhashWindowBytes]]-
+    * char windows of the SIGNAL (stride 1) — mm5's scheme moved from file
+    * bytes to decoded content. */
+  private def decodedPhash: Column = {
+    val nWindows = greatest(length(col("s")) - (PhashWindowBytes - 1), lit(1))
+      .cast(IntegerType)
+    graft.functions.TextHashFunctions.simhash64(
+      transform(sequence(lit(1), nWindows),
+        i => col("s").substr(i, lit(PhashWindowBytes))))
+  }
+
+  /** DECODED-domain perceptual near-dup (mm6): the duplicate class mm5
+    * structurally cannot catch. A re-encode rewrites nearly every file
+    * byte (here: [[StubCodec.reencode]] — low nibbles replaced), so the
+    * byte-stream phash lands far beyond [[PhashHammingMax]]; hashing the
+    * DECODED signal instead ([[StubCodec.decodeSignal]] — what a real
+    * codec's pixel/sample plane gives the [[StubCodec]] slot) is invariant
+    * under re-encoding, so every (original, re-encoded) pair clusters at
+    * hamming 0. The corpus is every payload plus its re-encoded variant
+    * (ids offset by [[ReencodeOffset]]); candidates and verification are
+    * [[bandedHammingPairs]], identical to mm5.
+    *
+    * The query runs the codec math as scan-side column expressions (stays
+    * in codegen; MultimodalSpec asserts them char-identical to the
+    * StubCodec JVM path through mapPartitions, mm2's cross-check pattern).
+    * Scale posture: payload bytes never shuffle — only (id, 64-bit
+    * signature) rows enter the exchange. */
+  def phashDecodedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val m0 = mediaTable(spark, dir)
+      .withColumn("h", lower(hex(col("content"))))
+      .select(col("media_id"), col("h"))
+    val reenc = m0.select((col("media_id") + ReencodeOffset).as("media_id"),
+      reencodedHex.as("h"))
+    val sh = m0.unionByName(reenc)
+      .withColumn("s", signalOf)
+      .select(col("media_id"), decodedPhash.as("ph"))
+    bandedHammingPairs(sh)
+  }
+
+  /** DuckDB oracle for mm6: the full stub-codec round trip reproduced in
+    * SQL — re-encoded hex built char-pair by char-pair, signals re-read
+    * from BOTH hex strings by the same odd-position rule, then mm5's
+    * SimHash/banding/hamming machinery over the signals. */
+  val phashDecodedNearDupSql: String = {
+    val hx = "'0123456789abcdef'"
+    s"""WITH m0 AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS h
+       |            FROM documents),
+       |reenc AS (SELECT media_id + $ReencodeOffset AS media_id,
+       |    array_to_string(list_transform(generate_series(1, len(h) // 2),
+       |      i -> substr(h, 2*i - 1, 1) ||
+       |        substr($hx, ((strpos($hx, substr(h, 2*i - 1, 1)) - 1 + 7) % 16) + 1, 1)),
+       |      '') AS h
+       |  FROM m0),
+       |m AS (SELECT media_id, h FROM m0 UNION ALL SELECT media_id, h FROM reenc),
+       |sig AS (SELECT media_id,
+       |    array_to_string(list_transform(generate_series(1, len(h) // 2),
+       |      i -> substr(h, 2*i - 1, 1)), '') AS s
+       |  FROM m),
+       |g AS (SELECT media_id, list_transform(
+       |        generate_series(1, greatest(len(s) - ${PhashWindowBytes - 1}, 1)),
+       |        i -> substr(s, i, $PhashWindowBytes)) AS grams FROM sig),
+       |tok AS (SELECT media_id, substr(md5(unnest(grams)), 1, 16) AS th FROM g),
+       |bits AS (SELECT media_id, p,
+       |    SUM(CASE WHEN
+       |      floor((strpos('0123456789abcdef', substr(th, ((p-1)//4)+1, 1)) - 1)
+       |            // power(2, 3-((p-1)%4))) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,64)) AS p)
+       |  GROUP BY media_id, p),
+       |ph AS (SELECT media_id,
+       |         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS ph
+       |       FROM bits GROUP BY media_id),
+       |blocks AS (SELECT media_id, ph, blk,
+       |             substr(ph, blk*$PhashBlockBits+1, $PhashBlockBits) AS bv
+       |           FROM ph CROSS JOIN
+       |             (SELECT unnest(generate_series(0,${PhashBlocks - 1})) AS blk)),
+       |capped AS (SELECT media_id, blk, bv FROM blocks
+       |           QUALIFY row_number() OVER (PARTITION BY blk, bv
+       |             ORDER BY media_id) <= $PhashBucketCap),
+       |cands AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |          FROM capped x JOIN capped y
+       |            ON x.blk = y.blk AND x.bv = y.bv AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  len(list_filter(generate_series(1,64),
+       |    i -> substr(a.ph, i, 1) <> substr(b.ph, i, 1))) AS hamming
+       |FROM cands JOIN ph a ON cands.media_a = a.media_id
+       |           JOIN ph b ON cands.media_b = b.media_id
+       |WHERE len(list_filter(generate_series(1,64),
+       |    i -> substr(a.ph, i, 1) <> substr(b.ph, i, 1))) <= $PhashHammingMax
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_binary_meta" -> binaryMeta,
     "mm2_feature_extract" -> featureExtract,
     "mm3_frame_stats" -> frameStats,
     "mm4_resize_plan" -> resizePlan,
-    "mm5_phash_neardup" -> phashNearDup)
+    "mm5_phash_neardup" -> phashNearDup,
+    "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
     "mm1_binary_meta" -> binaryMetaSql,
     "mm2_feature_extract" -> featureExtractSql,
     "mm3_frame_stats" -> frameStatsSql,
     "mm4_resize_plan" -> resizePlanSql,
-    "mm5_phash_neardup" -> phashNearDupSql)
+    "mm5_phash_neardup" -> phashNearDupSql,
+    "mm6_phash_decoded" -> phashDecodedNearDupSql)
 }

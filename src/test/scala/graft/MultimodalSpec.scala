@@ -64,6 +64,52 @@ class MultimodalSpec extends SparkSpec {
     assert(both.filter(length($"native") =!= 64).count() == 0)
   }
 
+  test("mm6: expression twins are char-identical to the StubCodec JVM path") {
+    // the codec seam: decodeSignal/reencode through mapPartitions (what a
+    // real codec would run) vs the scan-side column expressions the
+    // oracle-gated query uses — must agree on every payload
+    val jvm = Multimodal.mediaTable(spark, sf()).as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        (r.media_id,
+          Multimodal.StubCodec.decodeSignal(r),
+          Multimodal.StubCodec.reencode(r).content.map("%02x".format(_)).mkString)
+      }).toDF("media_id", "sig", "rh").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val expr = Multimodal.mediaTable(spark, sf())
+      .withColumn("h", lower(hex(col("content"))))
+      .select(col("media_id"), Multimodal.signalOf.as("sig"),
+        Multimodal.reencodedHex.as("rh")).collect()
+    assert(expr.nonEmpty)
+    expr.foreach { r =>
+      val (sig, rh) = jvm(r.getAs[Long]("media_id"))
+      assert(r.getAs[String]("sig") == sig)
+      assert(r.getAs[String]("rh") == rh)
+    }
+  }
+
+  test("mm6: re-encoded duplicates cluster in the decoded domain, not the byte domain") {
+    val orig = Multimodal.mediaTable(spark, sf())
+    val ids = orig.select($"media_id").as[Long].collect().toSet
+    // decoded domain: every (original, re-encoded) pair at hamming 0
+    val zero = Multimodal.phashDecodedNearDup(spark, sf())
+      .filter($"media_b" - $"media_a" === 20000000L && $"hamming" === 0)
+      .select($"media_a").as[Long].collect().toSet
+    assert(ids.subsetOf(zero), s"missing: ${(ids -- zero).take(5)}")
+    // byte domain: the same re-encode defeats mm5's byte-stream phash —
+    // nearly every byte changes, so almost every pair lands far outside
+    // the hamming gate (this is WHY the decoded-domain variant exists)
+    val re = orig.as[MediaRecord].map(Multimodal.StubCodec.reencode).toDF()
+    val pa = orig.select($"media_id",
+      graft.functions.TextHashFunctions.phash64(col("content"), 8).as("pa"))
+    val pb = re.select($"media_id",
+      graft.functions.TextHashFunctions.phash64(col("content"), 8).as("pb"))
+    val ham = pa.join(pb, "media_id")
+      .select(graft.functions.TextHashFunctions.hamming($"pa", $"pb").as("hm"))
+      .as[Long].collect()
+    assert(ham.count(_ > 3) >= ham.length * 0.9,
+      s"byte-domain phash unexpectedly survived re-encoding: ${ham.sorted.take(10).toSeq}")
+  }
+
   test("media table from fixtures: binary column + metadata query agree") {
     val meta = Multimodal.binaryMeta(spark, sf()).collect()
     assert(meta.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
