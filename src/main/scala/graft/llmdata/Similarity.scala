@@ -517,6 +517,34 @@ object Similarity {
   private def subCol(vcol: String, m: Int): Column =
     slice(col(vcol), m * PqSubDim + 1, PqSubDim)
 
+  /** Sub-codebook argmax for subspace `m` of `vcol` — the PQ encode step
+    * as a single column expression over codebook literals, shared by the
+    * standalone encoder ([[pqCodes]] → ss6) and the fused IVF+PQ candidate
+    * scan ([[annIvfPq]] → ss7). */
+  private def pqCodeCol(ex: Array[(Long, Array[Double])], vcol: String, m: Int): Column = {
+    val scored = ex.zipWithIndex.map { case ((_, cv), k) =>
+      struct(graft.functions.VectorFunctions.dotProduct(
+        subCol(vcol, m), lit(subVec(cv, m))).as("s"),
+        lit(-k).as("nk"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    (lit(0) - best.getField("nk")).as(s"code_$m")
+  }
+
+  /** Per-subspace query distance table — K inner products per subspace,
+    * folded into one array column per subspace (shared by ss6/ss7). */
+  private def pqQueryTabs(ex: Array[(Long, Array[Double])], qdf: DataFrame): DataFrame =
+    qdf.select(
+      col("query_id") +: (0 until PqM).map { m =>
+        array(ex.map { case (_, cv) =>
+          graft.functions.VectorFunctions.dotProduct(subCol("q", m), lit(subVec(cv, m)))
+        }: _*).as(s"tab_$m")
+      }: _*)
+
+  /** ADC score: [[PqM]] table lookups + explicit left-associated adds. */
+  private val adcScore: Column = (0 until PqM).map(m =>
+    element_at(col(s"tab_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+
   /** The encoded corpus — (vec_id, code_0..code_3), each code a scan-side
     * argmax over sub-codebook literals (zero shuffle, gated like ss3's
     * cell assignment). */
@@ -524,15 +552,7 @@ object Similarity {
     val ex = collectedExemplars(exemplarsOf(spark, dir))
     require(ex.nonEmpty, "PQ requires a trained codebook")
     corpus(spark, dir).select(
-      col("vec_id") +: (0 until PqM).map { m =>
-        val scored = ex.zipWithIndex.map { case ((_, cv), k) =>
-          struct(graft.functions.VectorFunctions.dotProduct(
-            subCol("v", m), lit(subVec(cv, m))).as("s"),
-            lit(-k).as("nk"))
-        }
-        val best = if (scored.length == 1) scored.head else greatest(scored: _*)
-        (lit(0) - best.getField("nk")).as(s"code_$m")
-      }: _*)
+      col("vec_id") +: (0 until PqM).map(m => pqCodeCol(ex, "v", m)): _*)
   }
 
   /** The PQ INDEX is a build-once artifact (FAISS trains and encodes once,
@@ -549,18 +569,10 @@ object Similarity {
     require(ex.nonEmpty, "PQ requires a trained codebook")
     val codes = pqCodesCached(spark, dir)
 
-    val tabs = queriesDf(spark, dir).select(
-      col("query_id") +: (0 until PqM).map { m =>
-        array(ex.map { case (_, cv) =>
-          graft.functions.VectorFunctions.dotProduct(subCol("q", m), lit(subVec(cv, m)))
-        }: _*).as(s"tab_$m")
-      }: _*)
-
-    val adc = (0 until PqM).map(m =>
-      element_at(col(s"tab_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+    val tabs = pqQueryTabs(ex, queriesDf(spark, dir))
     val scored = codes.crossJoin(broadcast(tabs))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("approx_score"))
+        adcScore.as("approx_score"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_score").desc, col("neighbor_id"))
     val wExact = Window.partitionBy(col("query_id"))
@@ -621,8 +633,125 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------- IVF + PQ (the composed index)
+
+  /** IVF+PQ ANN with ADC scoring and exact refine (ss7) — the composed
+    * billion-scale index (FAISS `IVFPQ`; Jégou et al. 2011 §V): the coarse
+    * quantizer bounds WHICH rows are scored (only the query's
+    * [[DefaultIvfProbes]] nearest cells — candidate volume is the probed
+    * cells' population, not the corpus) and PQ bounds WHAT each candidate
+    * costs (4 code lookups + 3 adds over a 4-int payload instead of a
+    * 64-double dot). ss3 bounds candidates but pays full vectors; ss6
+    * compresses vectors but scans the whole corpus; ss7 is why real
+    * engines compose them.
+    *
+    * Scale posture, stage by stage: the candidate index is ONE corpus scan
+    * emitting (cell, code_0..3) — coarse cell and PQ codes are BOTH
+    * scan-side argmaxes over codebook literals, so the index build is
+    * zero-shuffle and the scan payload entering the join is 4 ints + a
+    * cell id per vector. The probe side (queries × P cells × K-entry
+    * tables) is broadcast; the candidate join is a broadcast hash join on
+    * cell — the corpus never shuffles. The per-query ADC shortlist runs
+    * through the bounded-heap [[graft.functions.TopKByScore]] (O(R) state
+    * per query through the partial-agg shuffle — a window would sort every
+    * query's full probed fan-out). The refine stage broadcasts the R-row
+    * shortlist back against the corpus scan (exact cosine touches R rows
+    * per query, never the corpus) and the final top-k ranks by TRUE
+    * cosine. Each corpus vector lives in exactly one cell, so probe
+    * fan-out never duplicates (query, neighbor) pairs.
+    *
+    * Float parity with the oracle: same discipline as ss6 (index-ordered
+    * left-fold dots; ADC as explicit left-associated adds), plus ss3's
+    * cell-assignment tie-break (sim DESC, cell ASC). */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val exemplars = exemplarsOf(spark, dir)
+    val ex = collectedExemplars(exemplars)
+    require(ex.nonEmpty, "IVF-PQ requires a trained codebook")
+    val cand = assignCells(corpus(spark, dir), "v", exemplars)
+      .select(col("cell") +: col("vec_id").as("neighbor_id") +:
+        (0 until PqM).map(m => pqCodeCol(ex, "v", m)): _*)
+    val probes = assignCellsTopP(queriesDf(spark, dir), "q", exemplars, ivfProbes(spark))
+      .select(col("query_id"), col("cell"))
+    val tabs = pqQueryTabs(ex, queriesDf(spark, dir))
+    val scored = cand.join(broadcast(probes.join(tabs, "query_id")), "cell")
+      .select(col("query_id"), col("neighbor_id"), adcScore.as("approx_score"))
+    val short = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("approx_score"), col("neighbor_id"), PqRefineR).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("approx_score"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus(spark, dir).select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(queriesDf(spark, dir)), "query_id")
+      .withColumn("cos_sim", Dedup.cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_score"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfPqSql: String = {
+    def subDot(a: String, b: String, m: String): String =
+      s"list_reduce(list_transform(generate_series(1,$PqSubDim), " +
+        s"i -> $a[$m*$PqSubDim+i] * $b[$m*$PqSubDim+i]), (x,y) -> x+y)"
+    val codeCols = (0 until PqM)
+      .map(m => s"MAX(CASE WHEN m=$m THEN code END) AS c$m").mkString(", ")
+    val tabCols = (0 until PqM)
+      .map(m => s"list(t ORDER BY k) FILTER (WHERE m=$m) AS t$m").mkString(", ")
+    val adc = (0 until PqM).map(m => s"t$m[c$m+1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |ex AS (SELECT cell, cv, ROW_NUMBER() OVER (ORDER BY cell) - 1 AS k FROM (
+       |         $exemplarSelectSql)),
+       |ca AS (SELECT vec_id, cell FROM (
+       |         SELECT e.vec_id, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex WHERE e.vec_id >= $NumQueries) x WHERE rn = 1),
+       |qa AS (SELECT query_id, cell FROM (
+       |         SELECT e.vec_id AS query_id, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex WHERE e.vec_id < $NumQueries) x
+       |       WHERE rn <= $DefaultIvfProbes),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |enc0 AS (SELECT e.vec_id, ms.m, ex.k, ${subDot("e.v", "ex.cv", "ms.m")} AS s
+       |         FROM e CROSS JOIN ms CROSS JOIN ex WHERE e.vec_id >= $NumQueries),
+       |enc AS (SELECT vec_id, m, k AS code FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |            ORDER BY s DESC, k) AS rn FROM enc0) x WHERE rn = 1),
+       |encw AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
+       |tab AS (SELECT e.vec_id AS query_id, ms.m, ex.k, ${subDot("e.v", "ex.cv", "ms.m")} AS t
+       |        FROM e CROSS JOIN ms CROSS JOIN ex WHERE e.vec_id < $NumQueries),
+       |tabw AS (SELECT query_id, $tabCols FROM tab GROUP BY query_id),
+       |scored AS (SELECT qa.query_id, ca.vec_id AS neighbor_id, $adc AS approx_score
+       |           FROM ca JOIN qa USING (cell)
+       |           JOIN encw ON encw.vec_id = ca.vec_id
+       |           JOIN tabw ON tabw.query_id = qa.query_id),
+       |short AS (SELECT query_id, neighbor_id, approx_score FROM (
+       |            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY approx_score DESC, neighbor_id) AS arank
+       |            FROM scored) x WHERE arank <= $PqRefineR),
+       |rescored AS (SELECT s.query_id, s.neighbor_id, s.approx_score,
+       |               ${cosSql("q.v", "c.v")} AS cos_sim
+       |             FROM short s
+       |             JOIN e c ON s.neighbor_id = c.vec_id
+       |             JOIN e q ON s.query_id = q.vec_id)
+       |SELECT query_id, rank, neighbor_id, approx_score, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM rescored) x
+       |WHERE rank <= $AnnTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss6_ann_pq" -> annPq,
+    "ss7_ann_ivfpq" -> annIvfPq,
     "ss5_knn_graph" -> knnGraph,
     "ss1_knn_brute_force" -> knnBruteForce,
     "ss2_ann_lsh" -> annLsh,
@@ -631,6 +760,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "ss6_ann_pq" -> annPqSql,
+    "ss7_ann_ivfpq" -> annIvfPqSql,
     "ss5_knn_graph" -> knnGraphSql,
     "ss1_knn_brute_force" -> knnBruteForceSql,
     "ss2_ann_lsh" -> annLshSql,

@@ -231,6 +231,40 @@ class LlmDataSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("cos_sim") > 0.0))
   }
 
+  test("ss7: IVF+PQ recall@3 is useful and the refine stage orders by true cosine") {
+    val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.annIvfPq(spark, sf()).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact3 & got).size.toDouble / exact3.size
+    assert(recall >= 0.3, s"IVF+PQ recall@3 = $recall")
+    // the composed index can only see probed cells: every reported
+    // neighbor must live in one of its query's 4 probed cells — recompute
+    // both assignments driver-side from the same trained codebook
+    val ex = Similarity.exemplarsOf(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def ranked(v: Array[Double]): Seq[Long] =
+      ex.sortBy { case (c, cv) => (-cos(v, cv), c) }.map(_._1).toSeq
+    got.foreach { case (q, n) =>
+      val probed = ranked(vecs(q)).take(4).toSet
+      assert(probed.contains(ranked(vecs(n)).head),
+        s"neighbor $n of query $q reported from an unprobed cell")
+    }
+  }
+
   test("lloydRefine: refinement does not worsen the spherical k-means objective") {
     // objective = mean over vectors of (max cosine to any centroid); one
     // Lloyd step is monotone non-decreasing in exact arithmetic — allow

@@ -258,6 +258,21 @@ class PlanQualitySpec extends SparkSpec {
       "query tables must broadcast (BroadcastNestedLoopJoin over 10 rows)")
   }
 
+  test("ss7: IVF+PQ candidates join probed cells by equality; corpus payload never shuffles") {
+    val p = plan(Similarity.annIvfPq(spark, sf()))
+    assert(!p.contains("CartesianProduct"), "candidate generation must be an equi-join on cell")
+    assert(p.contains("BroadcastHashJoin"), "probe tables and shortlist must broadcast")
+    // the only window is the final refine ranking over <= R rows/query;
+    // the ADC shortlist itself is the bounded-heap aggregator
+    val windows = Similarity.annIvfPq(spark, sf()).queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size <= 1,
+      "ADC shortlist must be the TopKByScore aggregator, not a window sort")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "bounded-heap shortlist aggregate expected")
+  }
+
   test("tx15: classifier inference is zero-shuffle — the fold runs inside the scan") {
     val p = plan(graft.llmdata.TextAnalysis.classifierScore(spark, sf()))
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
