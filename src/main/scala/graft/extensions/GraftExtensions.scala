@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, PayloadPhash, SimHashBits}
+import graft.functions.{CosineSimilarity, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("lsh_code", classOf[HyperplaneLshCode], args => HyperplaneLshCode(args(0)))
     reg("phash64", classOf[PayloadPhash],
       args => PayloadPhash(args(0), intArg(args(1), "phash64")))
+    reg("decoded_phash64", classOf[DecodedPhash],
+      args => DecodedPhash(args(0), intArg(args(1), "decoded_phash64")))
+    reg("stub_reencode", classOf[StubReencodeExpr], args => StubReencodeExpr(args(0)))
   }
 }

@@ -111,6 +111,52 @@ object TextHashUtil {
     emitBits(votes)
   }
 
+  /** [[graft.llmdata.Multimodal.StubCodec.reencode]]'s byte math: keep
+    * every byte's high nibble, replace the low nibble with (hi + 7) mod 16.
+    * Byte-identical to the JVM codec path (spec-asserted). */
+  def stubReencode(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](payload.length)
+    var i = 0
+    while (i < out.length) {
+      val hi = (payload(i) >> 4) & 0xf
+      out(i) = ((hi << 4) | ((hi + 7) % 16)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decoded-domain 64-bit phash: SimHash over OVERLAPPING windowChars-char
+    * windows (stride 1) of the decoded SIGNAL — one hex char per byte, the
+    * byte's high nibble ([[graft.llmdata.Multimodal.StubCodec.decodeSignal]]).
+    * BIT-IDENTICAL to `simhash64(transform(sequence(1, greatest(len-w+1, 1)),
+    * i -> substr(signal, i, w)))` (the mm6 oracle's form) without the
+    * signal string or gram array: the composable form's per-window substr
+    * over the full signal is O(len) each (O(len²)/row total); this is one
+    * signal-bytes pass plus O(len·w) window digests. */
+  def decodedPhash64(payload: Array[Byte], windowChars: Int): UTF8String = {
+    val nbits = 64
+    val votes = new Array[Int](nbits)
+    val d = md5()
+    val n = payload.length
+    val sig = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      sig(i) = hexDigits((payload(i) >> 4) & 0xf).toByte
+      i += 1
+    }
+    // substr semantics of the composable form: windows = max(len-w+1, 1);
+    // a signal shorter than one window yields one CLIPPED gram
+    val nWin = math.max(n - (windowChars - 1), 1)
+    i = 0
+    while (i < nWin) {
+      d.reset()
+      d.update(sig, i, math.min(windowChars, n - i))
+      voteBits(d.digest(), votes, nbits)
+      i += 1
+    }
+    emitBits(votes)
+  }
+
   /** MinHash signature: element s is min over grams of
     * md5(s + ":" + gram) as hex (lexicographic min == numeric min on
     * fixed-width hex). */
@@ -249,6 +295,59 @@ case class PayloadPhash(child: Expression, windowBytes: Int)
     copy(child = newChild)
 }
 
+/** Native stub-codec re-encode (mm6's variant builder) — the codec seam's
+  * byte transform as one codegen'd JVM loop. The composable twin
+  * ([[graft.llmdata.Multimodal.reencodedHex]]) pays an O(len) substr per
+  * output char (O(len²)/row); parity with it and with the JVM
+  * StubCodec.reencode path is spec-asserted. */
+case class StubReencodeExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"stub_reencode requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "stub_reencode"
+
+  override def nullSafeEval(payload: Any): Any =
+    TextHashUtil.stubReencode(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHashUtil.stubReencode($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): StubReencodeExpr =
+    copy(child = newChild)
+}
+
+/** Native decoded-domain perceptual hash — [[PayloadPhash]]'s twin with the
+  * stub decode fused in front (signal = high nibble per byte), for mm6's
+  * signatures. */
+case class DecodedPhash(child: Expression, windowChars: Int)
+    extends UnaryExpression {
+  require(windowChars >= 1, s"window must be >= 1 char, got $windowChars")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"decoded_phash64 requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "decoded_phash64"
+
+  override def nullSafeEval(payload: Any): Any =
+    TextHashUtil.decodedPhash64(payload.asInstanceOf[Array[Byte]], windowChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextHashUtil.decodedPhash64($a, $windowChars)")
+
+  override protected def withNewChildInternal(newChild: Expression): DecodedPhash =
+    copy(child = newChild)
+}
+
 /** Native MinHash signature of a shingle array (k seed-tagged md5 minima).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
@@ -370,6 +469,10 @@ object TextHashFunctions {
     GraftColumn.of(MinHashSignature(GraftColumn.expr(grams), numHashes))
   def phash64(payload: Column, windowBytes: Int): Column =
     GraftColumn.of(PayloadPhash(GraftColumn.expr(payload), windowBytes))
+  def stubReencode(payload: Column): Column =
+    GraftColumn.of(StubReencodeExpr(GraftColumn.expr(payload)))
+  def decodedPhash64(payload: Column, windowChars: Int): Column =
+    GraftColumn.of(DecodedPhash(GraftColumn.expr(payload), windowChars))
   def hamming(a: Column, b: Column): Column =
     GraftColumn.of(HammingDistance(GraftColumn.expr(a), GraftColumn.expr(b)))
   def jaccard(a: Column, b: Column): Column =

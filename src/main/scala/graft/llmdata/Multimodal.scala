@@ -367,8 +367,10 @@ object Multimodal {
 
   /** Drop this session's cached phash signatures (companion of
     * [[graft.llmdata.Dedup.uncacheShingles]], which calls it). */
-  def clearSignatures(spark: SparkSession): Unit =
+  def clearSignatures(spark: SparkSession): Unit = {
     phashCache.clear(spark)
+    decodedPhashCache.clear(spark)
+  }
 
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     phashCache.get(spark, dir) {
@@ -468,10 +470,13 @@ object Multimodal {
   /** Re-encoded variant ids live [[ReencodeOffset]] above the original. */
   private val ReencodeOffset = 20000000L
 
-  /** The [[StubCodec.reencode]] math as a column expression over a
-    * MATERIALIZED hex column `h` (lambda-referenced expressions re-evaluate
-    * per element — the bigrams caveat): per byte, keep the high-nibble hex
-    * char, emit low nibble = (hi + 7) mod 16. */
+  /** The [[StubCodec.reencode]] math as a COMPOSABLE column expression over
+    * a MATERIALIZED hex column `h` (lambda-referenced expressions
+    * re-evaluate per element — the bigrams caveat): per byte, keep the
+    * high-nibble hex char, emit low nibble = (hi + 7) mod 16. Kept as the
+    * readable parity twin (mm5's phashComposable pattern); the query path
+    * uses the native [[graft.functions.TextHashFunctions.stubReencode]] —
+    * each lambda element here pays an O(len) substr over `h`, O(len²)/row. */
   private[graft] def reencodedHex: Column =
     concat_ws("", transform(sequence(lit(1), (length(col("h")) / 2).cast(IntegerType)), { i =>
       val hi = col("h").substr(i * 2 - 1, lit(1))
@@ -489,10 +494,13 @@ object Multimodal {
     concat_ws("", transform(sequence(lit(1), (length(col("h")) / 2).cast(IntegerType)),
       i => col("h").substr(i * 2 - 1, lit(1))))
 
-  /** Decoded-domain phash: SimHash over overlapping [[PhashWindowBytes]]-
-    * char windows of the SIGNAL (stride 1) — mm5's scheme moved from file
-    * bytes to decoded content. */
-  private def decodedPhash: Column = {
+  /** Decoded-domain phash, COMPOSABLE form: SimHash over overlapping
+    * [[PhashWindowBytes]]-char windows of the SIGNAL column `s` (stride 1)
+    * — mm5's scheme moved from file bytes to decoded content. Parity twin
+    * of the native [[graft.functions.TextHashFunctions.decodedPhash64]]
+    * the query path runs (each window substr over `s` is O(len), so this
+    * form is O(len²)/row — the mm5 phashComposable pattern). */
+  private[graft] def decodedPhashComposable: Column = {
     val nWindows = greatest(length(col("s")) - (PhashWindowBytes - 1), lit(1))
       .cast(IntegerType)
     graft.functions.TextHashFunctions.simhash64(
@@ -512,21 +520,27 @@ object Multimodal {
     * [[bandedHammingPairs]], identical to mm5.
     *
     * The query runs the codec math as scan-side column expressions (stays
-    * in codegen; MultimodalSpec asserts them char-identical to the
-    * StubCodec JVM path through mapPartitions, mm2's cross-check pattern).
-    * Scale posture: payload bytes never shuffle — only (id, 64-bit
-    * signature) rows enter the exchange. */
-  def phashDecodedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val m0 = mediaTable(spark, dir)
-      .withColumn("h", lower(hex(col("content"))))
-      .select(col("media_id"), col("h"))
-    val reenc = m0.select((col("media_id") + ReencodeOffset).as("media_id"),
-      reencodedHex.as("h"))
-    val sh = m0.unionByName(reenc)
-      .withColumn("s", signalOf)
-      .select(col("media_id"), decodedPhash.as("ph"))
-    bandedHammingPairs(sh)
-  }
+    * in codegen; MultimodalSpec asserts the native expressions AND the
+    * composable twins char-identical to the StubCodec JVM path through
+    * mapPartitions, mm2's cross-check pattern). Scale posture: payload
+    * bytes never shuffle — only (id, 64-bit signature) rows enter the
+    * exchange; like mm5's [[signatures]], the signature table is the
+    * build-once-per-corpus-snapshot artifact, cached for the session. */
+  private val decodedPhashCache = SessionCache.persisted()
+
+  private def decodedSignatures(spark: SparkSession, dir: String): DataFrame =
+    decodedPhashCache.get(spark, dir) {
+      val m0 = mediaTable(spark, dir).select(col("media_id"), col("content"))
+      val reenc = m0.select((col("media_id") + ReencodeOffset).as("media_id"),
+        graft.functions.TextHashFunctions.stubReencode(col("content")).as("content"))
+      m0.unionByName(reenc)
+        .select(col("media_id"), graft.functions.TextHashFunctions
+          .decodedPhash64(col("content"), PhashWindowBytes).as("ph"))
+        .persist()
+    }
+
+  def phashDecodedNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(decodedSignatures(spark, dir))
 
   /** DuckDB oracle for mm6: the full stub-codec round trip reproduced in
     * SQL — re-encoded hex built char-pair by char-pair, signals re-read

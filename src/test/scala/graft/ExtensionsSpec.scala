@@ -61,6 +61,17 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT phash64(CAST('hello world payload' AS BINARY), 8) AS p")
       .collect().head.getString(0)
     assert(ph.matches("[01]{64}"))
+    // mm6's codec-seam pair: re-encode rewrites bytes, decoded phash is
+    // invariant under it
+    val mm6 = spark.sql(
+      """SELECT decoded_phash64(CAST('hello world payload' AS BINARY), 8) AS d,
+        |       decoded_phash64(stub_reencode(CAST('hello world payload' AS BINARY)), 8) AS dr,
+        |       stub_reencode(CAST('hello world payload' AS BINARY)) AS re""".stripMargin)
+      .collect().head
+    assert(mm6.getString(0).matches("[01]{64}"))
+    assert(mm6.getString(0) == mm6.getString(1))
+    assert(!java.util.Arrays.equals(mm6.getAs[Array[Byte]](2),
+      "hello world payload".getBytes("UTF-8")))
   }
 
   test("minhash_sig rejects a non-literal hash count") {

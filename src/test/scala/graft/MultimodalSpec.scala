@@ -85,6 +85,23 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("sig") == sig)
       assert(r.getAs[String]("rh") == rh)
     }
+    // the NATIVE expressions the query path actually runs must agree with
+    // the same JVM path: stub_reencode on bytes, and decoded_phash64 vs
+    // the composable signal-window simhash twin
+    val native = Multimodal.mediaTable(spark, sf())
+      .select(col("media_id"), col("content"),
+        lower(hex(graft.functions.TextHashFunctions.stubReencode(col("content"))))
+          .as("rh"),
+        graft.functions.TextHashFunctions.decodedPhash64(col("content"), 8)
+          .as("nph"))
+      .withColumn("h", lower(hex(col("content"))))
+      .withColumn("s", Multimodal.signalOf)
+      .withColumn("cph", Multimodal.decodedPhashComposable)
+      .collect()
+    native.foreach { r =>
+      assert(r.getAs[String]("rh") == jvm(r.getAs[Long]("media_id"))._2)
+      assert(r.getAs[String]("nph") == r.getAs[String]("cph"))
+    }
   }
 
   test("mm6: re-encoded duplicates cluster in the decoded domain, not the byte domain") {
