@@ -689,7 +689,101 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------- exact-substring duplicated spans (tx16)
+
+  /** Window width (words) for exact-substring duplicate detection. */
+  private val SubstrW = 8
+
+  /** Exact-substring duplicated-span report (tx16) — the ExactSubstr dedup
+    * shape of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: every OVERLAPPING
+    * [[SubstrW]]-word window (stride 1) is keyed by md5; a window VALUE
+    * seen at ≥ 2 locations corpus-wide marks all its occurrences as
+    * duplicated; per document, the covered word intervals
+    * [pos, pos+W−1] are merged into maximal spans (islands-and-gaps:
+    * a start opens a new span iff it clears the running max end by ≥ 2).
+    * Output per doc: span count, duplicated-word count, duplicated
+    * fraction — the report a removal pass would consume. tx10 is the
+    * cheaper non-overlapping-chunk variant; tx16 catches duplicates at
+    * ANY alignment, which is what the suffix-array pass buys in the paper.
+    *
+    * Scale shape: windows are generated scan-side; the corpus-wide
+    * duplicate test is ONE map-side-combinable count over 16-byte keys
+    * (payload never shuffles — md5 keys do); the interval merge's window
+    * sort runs per doc over DUPLICATED starts only (a small subset unless
+    * the doc is mostly duplicate, in which case it is bounded by doc
+    * length). Two linear shuffles + one bounded per-doc sort. Float
+    * parity: dup_frac is one division of two exact BIGINTs. */
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").withColumn("_w", words)
+      .select(col("doc_id"), col("_w"),
+        size(col("_w")).cast(LongType).as("n_words"))
+    val inst = d.filter(size(col("_w")) >= SubstrW)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("_w")) - (SubstrW - 1)),
+        i => md5(concat_ws(" ", slice(col("_w"), i, lit(SubstrW))))))
+        .as(Seq("pos0", "wk")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("wk"))
+    val dup = inst.groupBy(col("wk"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("wk")
+    val starts = inst.join(dup, "wk").select(col("doc_id"), col("pos"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (SubstrW - 1))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = starts
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (SubstrW - 1)).as("e"))
+    val perDoc = spans.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_dup_spans"),
+      sum(col("e") - col("s") + 1).as("n_dup_words"))
+    d.select(col("doc_id"), col("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_words"), lit(0L)).as("n_dup_words"),
+        (coalesce(col("n_dup_words"), lit(0L)).cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val duplicatedSpansSql: String = {
+    val e = SubstrW - 1
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM d),
+       |i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - $e)) AS pos
+       |       FROM dd WHERE len(w) >= $SubstrW),
+       |keyed AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |            md5(array_to_string(w[pos:pos+$e], ' ')) AS wk FROM i0),
+       |dup AS (SELECT wk FROM keyed GROUP BY wk HAVING count(*) >= 2),
+       |starts AS (SELECT doc_id, pos FROM keyed WHERE wk IN (SELECT wk FROM dup)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN max(pos + $e) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos > max(pos + $e) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM starts),
+       |isl2 AS (SELECT doc_id, pos,
+       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+       |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $e AS e
+       |          FROM isl2 GROUP BY doc_id, island),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+       |             CAST(SUM(e - s + 1) AS BIGINT) AS n_dup_words
+       |           FROM spans GROUP BY doc_id)
+       |SELECT dd.doc_id, dd.n_words,
+       |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+       |  coalesce(n_dup_words, 0) AS n_dup_words,
+       |  CAST(coalesce(n_dup_words, 0) AS DOUBLE) / CAST(dd.n_words AS DOUBLE)
+       |    AS dup_frac
+       |FROM dd LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx16_dup_spans" -> duplicatedSpans,
     "tx15_quality_classifier" -> classifierScore,
     "tx13_repetition_signals" -> repetitionSignals,
     "tx14_sequence_packing" -> sequencePacking,
@@ -707,6 +801,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx16_dup_spans" -> duplicatedSpansSql,
     "tx15_quality_classifier" -> classifierScoreSql,
     "tx13_repetition_signals" -> repetitionSignalsSql,
     "tx14_sequence_packing" -> sequencePackingSql,

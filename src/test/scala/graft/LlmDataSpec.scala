@@ -164,6 +164,44 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx16: duplicated spans match a brute-force window scan of the fixture") {
+    val W = 8
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    val wins = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val ks = if (w.length >= W)
+        (0 to w.length - W).map(i => w.slice(i, i + W).mkString(" "))
+      else Seq.empty[String]
+      ks.foreach(k => counts(k) = counts.getOrElse(k, 0) + 1)
+      (id, w.length, ks)
+    }
+    val expected = wins.map { case (id, n, ks) =>
+      val starts = ks.zipWithIndex.collect { case (k, i) if counts(k) >= 2 => i + 1 }
+      var spans = List.empty[(Int, Int)]
+      starts.foreach { p =>
+        spans match {
+          case (s0, e0) :: rest if p <= e0 + 1 =>
+            spans = (s0, math.max(e0, p + W - 1)) :: rest
+          case _ => spans = (p, p + W - 1) :: spans
+        }
+      }
+      val ndw = spans.map { case (s, e) => e - s + 1 }.sum
+      id -> ((n.toLong, spans.length.toLong, ndw.toLong))
+    }.toMap
+    val got = TextAnalysis.duplicatedSpans(spark, sf()).collect()
+    assert(got.length == docs.length)
+    assert(got.exists(_.getAs[Long]("n_dup_spans") > 0L), "fixture has no duplicate spans")
+    got.foreach { r =>
+      val (n, nspans, ndw) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == n)
+      assert(r.getAs[Long]("n_dup_spans") == nspans, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_dup_words") == ndw)
+      assert(r.getAs[Double]("dup_frac") == ndw.toDouble / n.toDouble)
+    }
+  }
+
   test("tx11: redaction removes every email and long digit run") {
     val rows = TextAnalysis.piiRedact(spark, sf()).collect()
     assert(rows.nonEmpty)
