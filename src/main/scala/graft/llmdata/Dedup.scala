@@ -192,10 +192,11 @@ object Dedup {
     sig.select(col("doc_id"), posexplode_outer(bandHashes).as(Seq("band", "bh")))
   }
 
-  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
-    val docs = gramsOf(spark, dir, 2)
-    val buckets = bandedDocs(spark, dir).groupBy(col("band"), col("bh"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs"))
+  /** Distinct (doc_a < doc_b) pairs off a frame with a sorted, capped
+    * `docs` array column — i<j positions of a sorted array ⇒ doc_a <
+    * doc_b, each bucket bounded at C(cap, 2) pairs. Shared by every
+    * capped-bucket candidate generator (dd3/dd6/dd16). */
+  private def cappedBucketPairs(buckets: DataFrame): DataFrame = {
     val n = size(col("docs"))
     // sequence(1, 0) counts DOWN — single-doc buckets must emit no pairs
     val pairGen = when(n >= 2, flatten(transform(
@@ -203,9 +204,19 @@ object Dedup {
       i => transform(sequence(i + 1, n),
         j => struct(element_at(col("docs"), i).as("doc_a"),
           element_at(col("docs"), j).as("doc_b"))))))
-    val cands = buckets.select(explode_outer(pairGen).as("p"))
+    buckets.select(explode_outer(pairGen).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
+
+  /** dd3's capped band buckets — shared with dd16's estimate-only path. */
+  private def bandBuckets(spark: SparkSession, dir: String): DataFrame =
+    bandedDocs(spark, dir).groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs"))
+
+  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
+    val docs = gramsOf(spark, dir, 2)
+    val cands = cappedBucketPairs(bandBuckets(spark, dir))
     val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     cands.join(ga, "doc_a").join(gb, "doc_b")
@@ -244,6 +255,61 @@ object Dedup {
        |           JOIN sh b ON cands.doc_b = b.doc_id
        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
        |      CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= $MinhashJaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------- signature-only estimate (dd16)
+
+  private val MinhashEstThreshold = 0.5
+
+  /** Signature-only estimated-Jaccard near-dup (dd16): dd3's band-bucket
+    * candidates, but similarity is ESTIMATED as the matching fraction of
+    * MinHash components instead of exact Jaccard over the shingle sets.
+    * E[matches/k] = J (the MinHash property); k = [[NumHashes]] = 12 gives
+    * σ ≈ 0.14 at J = 0.5 — the documented precision trade.
+    *
+    * Why it exists next to dd3: this is the pure-sketch 100 TB path.
+    * After the one signing scan, candidate generation AND scoring read
+    * only the 12-component signature table — original text is never
+    * re-joined, so the per-pair cost is 12 string equalities instead of a
+    * merge walk over ~200 shingles, and the only materialized artifact is
+    * the signature index. dd3 is the composition target (this shape +
+    * exact rescoring of survivors) when precision matters. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = gramsOf(spark, dir, 2)
+      .select(col("doc_id"), minhashSig(col("grams")).as("sig"))
+    val cands = cappedBucketPairs(bandBuckets(spark, dir))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val nMatch = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+      .cast(LongType)
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"),
+        (nMatch.cast(DoubleType) / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= MinhashEstThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashEstimateSql: String = {
+    val nm = s"len(list_filter(generate_series(1, $NumHashes), i -> a.sig[i] = b.sig[i]))"
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-1),
+       |         i -> w[i] || ' ' || w[i+1])) AS g FROM w),
+       |sig AS (SELECT doc_id, $sigListSql AS sig FROM sh),
+       |bands AS (SELECT doc_id, band, $bandExprsSql[band+1] AS bh
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band)),
+       |capped AS (SELECT doc_id, band, bh FROM bands
+       |           QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $BandBucketCap),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM capped x JOIN capped y
+       |            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST($nm AS BIGINT) AS n_match,
+       |  CAST($nm AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM cands JOIN sig a ON cands.doc_a = a.doc_id
+       |           JOIN sig b ON cands.doc_b = b.doc_id
+       |WHERE CAST($nm AS DOUBLE) / $NumHashes >= $MinhashEstThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -396,17 +462,7 @@ object Dedup {
     val postings = invAll.filter(col("gram").isNotNull)
       .groupBy(col("gram"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, ShingleDfCap).as("docs"))
-    val n = size(col("docs"))
-    // guard: sequence(1, 0) would generate DESCENDING [1, 0] — emit no
-    // pairs for single-doc postings instead
-    val pairGen = when(n >= 2, flatten(transform(
-      sequence(lit(1), n - 1),
-      i => transform(sequence(i + 1, n),
-        j => struct(element_at(col("docs"), i).as("doc_a"),
-          element_at(col("docs"), j).as("doc_b"))))))
-    val cands = postings.select(explode_outer(pairGen).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    val cands = cappedBucketPairs(postings)
     // verification on HASHED shingles: each gram → its first 15 md5 hex
     // chars as a 60-bit long, sorted ONCE per document — the per-pair
     // Jaccard is then a merge walk over longs instead of ~2·|grams|
@@ -1001,6 +1057,7 @@ object Dedup {
     "dd1_exact_dedup" -> exactDedup,
     "dd2_normalized_dedup" -> normalizedDedup,
     "dd3_minhash_lsh" -> minhashLsh,
+    "dd16_minhash_estimate" -> minhashEstimate,
     "dd4_simhash" -> simhash,
     "dd5_simhash_neardup" -> simhashNearDup,
     "dd6_ngram_jaccard" -> ngramJaccard,
@@ -1018,6 +1075,7 @@ object Dedup {
     "dd1_exact_dedup" -> exactDedupSql,
     "dd2_normalized_dedup" -> normalizedDedupSql,
     "dd3_minhash_lsh" -> minhashLshSql,
+    "dd16_minhash_estimate" -> minhashEstimateSql,
     "dd4_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,

@@ -749,9 +749,113 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------- scalar quantization (SQ8)
+
+  /** ADC shortlist size for the SQ8 refine stage. */
+  private val SqRefineR = 30
+  private val SqLevels = 255
+  private val VecDim = 64
+
+  /** Scalar-quantized ANN (ss8) — FAISS `SQ8`'s shape: train per-DIMENSION
+    * [lo, hi] bounds over the corpus (one aggregate), encode each vector as
+    * 64 uint8 codes (scan-side, after a 1-row broadcast of the bounds),
+    * score queries against the DEQUANTIZED approximation, shortlist, and
+    * refine by true cosine. The third point in the compression design
+    * space: ss3/ss7 prune candidates; ss6/ss8 compress the scan — SQ
+    * trades PQ's 16× compression for 8× with far lower distortion and no
+    * codebook training.
+    *
+    * Scale posture: bounds are 2×64 doubles (one map-side-combinable
+    * min/max aggregate, broadcast back — no driver collect); encode is
+    * scan-side; the search scan carries 64 ints per vector instead of 64
+    * doubles (at a real 100 TB deployment the codes column is the stored
+    * index — 8× less scan I/O, the point of SQ); per-query shortlist via
+    * the bounded-heap [[graft.functions.TopKByScore]]; the refine stage
+    * touches [[SqRefineR]] rows per query. The corpus shuffles only its
+    * (query, id, score) projection into the partial-agg exchange.
+    *
+    * Float parity: quantization is `floor((x−lo)/(hi−lo)·255 + 0.5)`
+    * (floor, not round — identical IEEE semantics in both engines),
+    * dequantization `lo + code·((hi−lo)/255)` in the same operation
+    * order, and both dots are index-ordered left folds. */
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val bounds = c.agg(
+      array((1 to VecDim).map(i => min(element_at(col("v"), i))): _*).as("lo"),
+      array((1 to VecDim).map(i => max(element_at(col("v"), i))): _*).as("hi"))
+    val codes = c.crossJoin(broadcast(bounds))
+      .select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"),
+        transform(sequence(lit(1), lit(VecDim)), i => {
+          val x = element_at(col("v"), i)
+          val lo = element_at(col("lo"), i)
+          val hi = element_at(col("hi"), i)
+          when(hi === lo, lit(0L))
+            .otherwise(floor((x - lo) / (hi - lo) * SqLevels + 0.5d))
+        }).as("codes"))
+    val xq = transform(sequence(lit(1), lit(VecDim)), i =>
+      element_at(col("lo"), i) + element_at(col("codes"), i).cast(DoubleType) *
+        ((element_at(col("hi"), i) - element_at(col("lo"), i)) / SqLevels))
+    val scored = codes.crossJoin(broadcast(queriesDf(spark, dir)))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.dotProduct(col("q"), xq).as("approx_score"))
+    val short = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("approx_score"), col("neighbor_id"), SqRefineR).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("approx_score"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus(spark, dir).select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(queriesDf(spark, dir)), "query_id")
+      .withColumn("cos_sim", Dedup.cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_score"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annSqSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $NumQueries),
+       |q AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < $NumQueries),
+       |ds AS (SELECT unnest(generate_series(1, $VecDim)) AS d),
+       |b AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+       |      FROM c CROSS JOIN ds GROUP BY d),
+       |enc AS (SELECT c.vec_id, b.d,
+       |    CASE WHEN b.hi = b.lo THEN 0
+       |         ELSE floor((c.v[b.d] - b.lo) / (b.hi - b.lo) * $SqLevels + 0.5) END
+       |      AS code, b.lo, b.hi
+       |  FROM c CROSS JOIN b),
+       |xqs AS (SELECT vec_id,
+       |          list(lo + code * ((hi - lo) / $SqLevels) ORDER BY d) AS xq
+       |        FROM enc GROUP BY vec_id),
+       |scored AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+       |    ${dotSql.format("q.q", "x.xq")} AS approx_score
+       |  FROM xqs x CROSS JOIN q),
+       |short AS (SELECT query_id, neighbor_id, approx_score FROM (
+       |            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY approx_score DESC, neighbor_id) AS arank
+       |            FROM scored) x WHERE arank <= $SqRefineR),
+       |rescored AS (SELECT s.query_id, s.neighbor_id, s.approx_score,
+       |               ${cosSql("q.v", "c.v")} AS cos_sim
+       |             FROM short s
+       |             JOIN e c ON s.neighbor_id = c.vec_id
+       |             JOIN e q ON s.query_id = q.vec_id)
+       |SELECT query_id, rank, neighbor_id, approx_score, cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM rescored) x
+       |WHERE rank <= $AnnTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss6_ann_pq" -> annPq,
     "ss7_ann_ivfpq" -> annIvfPq,
+    "ss8_ann_sq8" -> annSq,
     "ss5_knn_graph" -> knnGraph,
     "ss1_knn_brute_force" -> knnBruteForce,
     "ss2_ann_lsh" -> annLsh,
@@ -761,6 +865,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "ss6_ann_pq" -> annPqSql,
     "ss7_ann_ivfpq" -> annIvfPqSql,
+    "ss8_ann_sq8" -> annSqSql,
     "ss5_knn_graph" -> knnGraphSql,
     "ss1_knn_brute_force" -> knnBruteForceSql,
     "ss2_ann_lsh" -> annLshSql,

@@ -337,7 +337,46 @@ object EventsAnalytics {
        |  (est.kmv_users - c.exact_users) / c.exact_users AS rel_error
        |FROM c JOIN est USING (day) ORDER BY c.day""".stripMargin
 
+  // ---------------------------------------------------- hopping windows
+
+  private val HopMs = 6L * 3600 * 1000
+  private val HopWindowMs = 24L * 3600 * 1000
+
+  /** Hopping (sliding) 1-day windows at a 6-hour hop (ev10): every event
+    * lands in size/hop = 4 overlapping windows — the streaming form is
+    * `groupBy(window($"ts", "1 day", "6 hours"))` verbatim and runs this
+    * exact plan over readStream. ev1 is the hop == size degenerate case.
+    *
+    * Scale shape: Spark expands each row to its 4 windows AT THE SCAN
+    * (TimeWindow rewrites to an explode over a 4-element array — no join,
+    * no self-union) and the aggregate stays map-side combinable; state per
+    * window is one combiner cell, so the shuffle grows 4× in rows but not
+    * in structure. In streaming the same plan is incremental with
+    * watermark-bounded state. Window starts are epoch-aligned multiples of
+    * the hop, so the oracle reproduces membership arithmetically. */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+
+  val hoppingWindowSql: String =
+    s"""WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, user_id, value FROM events),
+       |h AS (SELECT *, unnest(generate_series(0, ${HopWindowMs / HopMs - 1})) AS i FROM e),
+       |w AS (SELECT ms - (ms % $HopMs) - i * $HopMs AS ws, event_type, user_id, value
+       |      FROM h)
+       |SELECT ws AS window_start_ms, event_type,
+       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       |FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev10_hopping_window" -> hoppingWindow,
     "ev9_windowed_distinct" -> windowedDistinctSketch,
     "ev8_histogram_quantiles" -> histogramQuantiles,
     "ev7_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -349,6 +388,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev10_hopping_window" -> hoppingWindowSql,
     "ev9_windowed_distinct" -> windowedDistinctSketchSql,
     "ev8_histogram_quantiles" -> histogramQuantilesSql,
     "ev7_cms_heavy_hitters" -> cmsHeavyHittersSql,

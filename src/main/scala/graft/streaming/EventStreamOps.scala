@@ -19,18 +19,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreamOps {
 
-  /** Watermarked tumbling-window counts per event type. Late events beyond
-    * the watermark are dropped — the documented divergence from the
-    * reference's accept-everything posture (SURVEY.md §2.7). */
+  /** Watermarked tumbling-window counts per event type; pass `slide` for
+    * hopping windows (every event lands in window/slide overlapping
+    * windows — the streaming twin of EventsAnalytics.hoppingWindow, ev10).
+    * Late events beyond the watermark are dropped — the documented
+    * divergence from the reference's accept-everything posture
+    * (SURVEY.md §2.7). */
   def windowedCounts(
       events: DataFrame,
       window: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      slide: String = ""): DataFrame = {
+    val w =
+      if (slide.isEmpty) org.apache.spark.sql.functions.window(col("ts"), window)
+      else org.apache.spark.sql.functions.window(col("ts"), window, slide)
     events
       .withWatermark("ts", watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .groupBy(w, col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+  }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -164,6 +164,35 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("dd16: estimate equals a driver-side signature recompute; pairs share a band") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sigs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val grams = if (w.length >= 2) (0 until w.length - 1)
+          .map(i => s"${w(i)} ${w(i + 1)}").distinct else Seq.empty[String]
+        val sig = (0 until 12).map(s => grams.map(g => md5hex(s"$s:$g")).min)
+        id -> sig
+      }.toMap
+    def bands(sig: Seq[String]): Set[String] =
+      (0 until 6).map(b => md5hex(sig(2 * b) + sig(2 * b + 1))).toSet
+    val rows = graft.llmdata.Dedup.minhashEstimate(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b)
+      val m = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      assert(r.getAs[Long]("n_match") == m, s"pair ($a,$b)")
+      assert(r.getAs[Double]("est_jaccard") == m.toDouble / 12)
+      assert(m >= 6, "threshold 0.5 at k=12 means >= 6 matching components")
+      assert((bands(sigs(a)) & bands(sigs(b))).nonEmpty,
+        s"pair ($a,$b) reported without a shared band bucket")
+    }
+  }
+
   test("tx16: duplicated spans match a brute-force window scan of the fixture") {
     val W = 8
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
@@ -300,6 +329,28 @@ class LlmDataSpec extends SparkSpec {
       val probed = ranked(vecs(q)).take(4).toSet
       assert(probed.contains(ranked(vecs(n)).head),
         s"neighbor $n of query $q reported from an unprobed cell")
+    }
+  }
+
+  test("ss8: SQ8 recall@3 is near-exact and dequantization error is small") {
+    val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.annSq(spark, sf()).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact3 & got).size.toDouble / exact3.size
+    // 8-bit per-dim codes distort the dot far less than PQ's 16 centroids:
+    // SQ8 should rank nearly like the exact scan
+    assert(recall >= 0.8, s"SQ8 recall@3 = $recall")
+    // the approx score tracks the true dot: |approx - q.v| small relative
+    // to unit-vector scale for every shortlisted row
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("approx_score") - r.getAs[Double]("cos_sim")) < 0.1,
+        s"dequantization error too large on ${r}")
     }
   }
 

@@ -273,6 +273,22 @@ class PlanQualitySpec extends SparkSpec {
       "bounded-heap shortlist aggregate expected")
   }
 
+  test("ss8: SQ8 bounds broadcast back and the shortlist is the bounded-heap aggregator") {
+    val p = plan(Similarity.annSq(spark, sf()))
+    // the 1-row bounds table and the query table broadcast; the scored
+    // scan must not sort — shortlist is TopKByScore, the only window is
+    // the final refine ranking over <= R rows/query
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "bounds and query tables must broadcast")
+    val windows = Similarity.annSq(spark, sf()).queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size <= 1,
+      "SQ shortlist must be the TopKByScore aggregator, not a window sort")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "bounded-heap shortlist aggregate expected")
+  }
+
   test("tx15: classifier inference is zero-shuffle — the fold runs inside the scan") {
     val p = plan(graft.llmdata.TextAnalysis.classifierScore(spark, sf()))
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),

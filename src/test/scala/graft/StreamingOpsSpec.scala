@@ -110,6 +110,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("unified API: streaming HOPPING window counts match the ev10 batch operator") {
+    import org.apache.spark.sql.types._
+    val dir = sf()
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Files.createTempDirectory("ev_hop_src")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStreamOps.windowedCounts(stream, "1 day", "0 seconds", slide = "6 hours")
+      .writeStream.format("memory").queryName("ev_hop_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ev_hop_stream")
+      .select(unix_millis($"window_start"), $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.relational.EventsAnalytics.hoppingWindow(spark, dir)
+      .select($"window_start_ms", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // every tumbling day total is recoverable from its 4 hops: each event
+    // appears in exactly 4 hopping windows
+    val hopTotal = batch.toSeq.map(_._3).sum
+    val dayTotal = graft.relational.EventsAnalytics.tumblingWindow(spark, dir)
+      .select($"n_events").as[Long].collect().sum
+    assert(hopTotal == 4 * dayTotal)
+  }
+
   test("streaming incremental dedup: admission composes into foreachBatch with growing corpus") {
     // three micro-batches of documents; each batch admits against the
     // corpus accumulated from everything admitted so far — the streaming
