@@ -984,6 +984,56 @@ object Dedup {
        |  CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
        |FROM lab GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------- soft dedup (dd17)
+
+  /** Soft dedup (dd17): instead of DROPPING near-duplicates, down-weight
+    * them — each document's sampling weight is 1 / |its near-dup cluster|,
+    * so every duplicate CLASS contributes one document-equivalent of
+    * probability mass to the training mixture (the down-weighting
+    * alternative to dd11's hard drop; duplicates then still add surface
+    * diversity without over-representing their content). Clusters are
+    * dd11's min-label components over dd3's confirmed pairs; singletons
+    * weigh 1.
+    *
+    * Scale shape: labels (≪ corpus — only docs in some pair) left-join
+    * one documents scan; cluster sizes are a map-side-combinable count;
+    * the weight is one division of an exact BIGINT. No new shuffle class
+    * beyond dd11. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labels = minLabelComponents(pairs)
+    val assigned = t(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast(DoubleType)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |reach AS (
+       |  SELECT node AS src, node AS dst FROM n
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+       |),
+       |lab AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |assigned AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |             FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |          FROM assigned GROUP BY 1)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |  1.0 / CAST(cluster_size AS DOUBLE) AS weight
+       |FROM assigned JOIN sizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- decontamination
 
   /** Eval-set slice: every 20th doc plays the held-out benchmark whose
@@ -1058,6 +1108,7 @@ object Dedup {
     "dd2_normalized_dedup" -> normalizedDedup,
     "dd3_minhash_lsh" -> minhashLsh,
     "dd16_minhash_estimate" -> minhashEstimate,
+    "dd17_soft_dedup" -> softDedupWeights,
     "dd4_simhash" -> simhash,
     "dd5_simhash_neardup" -> simhashNearDup,
     "dd6_ngram_jaccard" -> ngramJaccard,
@@ -1076,6 +1127,7 @@ object Dedup {
     "dd2_normalized_dedup" -> normalizedDedupSql,
     "dd3_minhash_lsh" -> minhashLshSql,
     "dd16_minhash_estimate" -> minhashEstimateSql,
+    "dd17_soft_dedup" -> softDedupWeightsSql,
     "dd4_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,

@@ -293,6 +293,8 @@ object Similarity {
   def clearExemplars(spark: SparkSession): Unit = {
     exemplarCache.clear(spark)
     pqCodesCache.clear(spark)
+    ivfPqIndexCache.clear(spark)
+    sqIndexCache.clear(spark)
   }
 
   private def collectedExemplars(exemplars: DataFrame): Array[(Long, Array[Double])] =
@@ -663,13 +665,26 @@ object Similarity {
     * Float parity with the oracle: same discipline as ss6 (index-ordered
     * left-fold dots; ADC as explicit left-associated adds), plus ss3's
     * cell-assignment tie-break (sim DESC, cell ASC). */
+  /** The IVF+PQ candidate index — (cell, id, 4 codes) — is the build-once
+    * artifact of ss7 (FAISS encodes once, serves many queries); cached per
+    * (session, dir) under the exemplar staleness contract. */
+  private val ivfPqIndexCache = SessionCache.persisted()
+
+  private def ivfPqIndex(spark: SparkSession, dir: String): DataFrame =
+    ivfPqIndexCache.get(spark, dir) {
+      val exemplars = exemplarsOf(spark, dir)
+      val ex = collectedExemplars(exemplars)
+      assignCells(corpus(spark, dir), "v", exemplars)
+        .select(col("cell") +: col("vec_id").as("neighbor_id") +:
+          (0 until PqM).map(m => pqCodeCol(ex, "v", m)): _*)
+        .persist()
+    }
+
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val exemplars = exemplarsOf(spark, dir)
     val ex = collectedExemplars(exemplars)
     require(ex.nonEmpty, "IVF-PQ requires a trained codebook")
-    val cand = assignCells(corpus(spark, dir), "v", exemplars)
-      .select(col("cell") +: col("vec_id").as("neighbor_id") +:
-        (0 until PqM).map(m => pqCodeCol(ex, "v", m)): _*)
+    val cand = ivfPqIndex(spark, dir)
     val probes = assignCellsTopP(queriesDf(spark, dir), "q", exemplars, ivfProbes(spark))
       .select(col("query_id"), col("cell"))
     val tabs = pqQueryTabs(ex, queriesDf(spark, dir))
@@ -778,20 +793,30 @@ object Similarity {
     * (floor, not round — identical IEEE semantics in both engines),
     * dequantization `lo + code·((hi−lo)/255)` in the same operation
     * order, and both dots are index-ordered left folds. */
+  /** The SQ index — (id, bounds, 64 uint8 codes) — is ss8's build-once
+    * artifact (bounds + encoded corpus), cached like [[pqCodesCached]]. */
+  private val sqIndexCache = SessionCache.persisted()
+
+  private def sqIndex(spark: SparkSession, dir: String): DataFrame =
+    sqIndexCache.get(spark, dir) {
+      val c = corpus(spark, dir)
+      val bounds = c.agg(
+        array((1 to VecDim).map(i => min(element_at(col("v"), i))): _*).as("lo"),
+        array((1 to VecDim).map(i => max(element_at(col("v"), i))): _*).as("hi"))
+      c.crossJoin(broadcast(bounds))
+        .select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"),
+          transform(sequence(lit(1), lit(VecDim)), i => {
+            val x = element_at(col("v"), i)
+            val lo = element_at(col("lo"), i)
+            val hi = element_at(col("hi"), i)
+            when(hi === lo, lit(0L))
+              .otherwise(floor((x - lo) / (hi - lo) * SqLevels + 0.5d))
+          }).as("codes"))
+        .persist()
+    }
+
   def annSq(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
-    val bounds = c.agg(
-      array((1 to VecDim).map(i => min(element_at(col("v"), i))): _*).as("lo"),
-      array((1 to VecDim).map(i => max(element_at(col("v"), i))): _*).as("hi"))
-    val codes = c.crossJoin(broadcast(bounds))
-      .select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"),
-        transform(sequence(lit(1), lit(VecDim)), i => {
-          val x = element_at(col("v"), i)
-          val lo = element_at(col("lo"), i)
-          val hi = element_at(col("hi"), i)
-          when(hi === lo, lit(0L))
-            .otherwise(floor((x - lo) / (hi - lo) * SqLevels + 0.5d))
-        }).as("codes"))
+    val codes = sqIndex(spark, dir)
     val xq = transform(sequence(lit(1), lit(VecDim)), i =>
       element_at(col("lo"), i) + element_at(col("codes"), i).cast(DoubleType) *
         ((element_at(col("hi"), i) - element_at(col("lo"), i)) / SqLevels))

@@ -164,6 +164,31 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("dd17: soft-dedup weights are 1/cluster-size and agree with dd11's clusters") {
+    val rows = Dedup.softDedupWeights(spark, sf()).collect()
+    val nDocs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(rows.length == nDocs, "every document gets a weight")
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      assert(size >= 1L)
+      assert(r.getAs[Double]("weight") == 1.0 / size.toDouble)
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("doc_id"),
+        "canonical label is the component minimum")
+    }
+    // multi-member cluster sizes must match dd11's component census
+    val dd11 = Dedup.dedupClusters(spark, sf()).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members")).toMap
+    assert(dd11.nonEmpty)
+    val bySize = rows.groupBy(_.getAs[Long]("cluster_id"))
+    dd11.foreach { case (cid, n) =>
+      assert(bySize(cid).head.getAs[Long]("cluster_size") == n, s"cluster $cid")
+    }
+    // each duplicate class contributes ~1 doc-equivalent of mass
+    val totalMass = rows.map(_.getAs[Double]("weight")).sum
+    val nClusters = rows.map(_.getAs[Long]("cluster_id")).distinct.length
+    assert(math.abs(totalMass - nClusters) < 1e-6)
+  }
+
   test("dd16: estimate equals a driver-side signature recompute; pairs share a band") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

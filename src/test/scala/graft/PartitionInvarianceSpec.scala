@@ -43,7 +43,17 @@ class PartitionInvarianceSpec extends SparkSpec {
       "cdc9_scd2_history" -> graft.operators.CdcQueries.scd2History _,
       "ss6_ann_pq" -> graft.llmdata.Similarity.annPq _,
       // fm1's stop-gram df counts are a reduction the blocking depends on
-      "fm1_fuzzy_match" -> graft.operators.FuzzyMatch.fuzzyMatch _)
+      "fm1_fuzzy_match" -> graft.operators.FuzzyMatch.fuzzyMatch _,
+      // round-7 ops: tx16's corpus-wide window counts + per-doc interval
+      // merge, ss7/ss8's trained index + bounded-heap shortlists, dd16's
+      // capped band buckets, dd17's component census, ev10's 4-way window
+      // expansion — all reductions whose partial order must not leak
+      "tx16_dup_spans" -> TextAnalysis.duplicatedSpans _,
+      "ss7_ann_ivfpq" -> graft.llmdata.Similarity.annIvfPq _,
+      "ss8_ann_sq8" -> graft.llmdata.Similarity.annSq _,
+      "dd16_minhash_estimate" -> Dedup.minhashEstimate _,
+      "dd17_soft_dedup" -> Dedup.softDedupWeights _,
+      "ev10_hopping_window" -> EventsAnalytics.hoppingWindow _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
