@@ -84,6 +84,7 @@ object Dedup {
     * Subsequent queries transparently rebuild them. */
   def uncacheShingles(spark: SparkSession): Unit = {
     gramsCache.clear(spark)
+    sigCache.clear(spark)
     pairsCache.clear(spark)
     ivfPairsCache.clear(spark)
     Similarity.clearExemplars(spark)
@@ -174,14 +175,31 @@ object Dedup {
 
   private val pairsCache = SessionCache.persisted()
 
-  /** (doc_id, band, bh) LSH band table over bigram shingles — shared by
-    * the self-join (dd3) and incremental (dd12) candidate generators. */
-  private[graft] def bandedDocs(spark: SparkSession, dir: String): DataFrame =
-    bandedOf(gramsOf(spark, dir, 2))
+  /** The signed corpus — (doc_id, 12-component MinHash sig) — cached per
+    * (session, dir) like the shingle table it derives from: the signing
+    * scan (~|grams|·k md5s per doc) is the expensive pass, and THREE
+    * consumers re-ran it per dd16 run before this cache (band table + both
+    * sides of the pair join — measured 13 s at sf0.1, vs one ~2 s signing).
+    * At 100 TB the signature table is the materialized index artifact. */
+  private val sigCache = SessionCache.persisted()
 
-  /** (doc_id, grams) → one row per (doc_id, band, band-hash). */
-  private[graft] def bandedOf(grams: DataFrame): DataFrame = {
-    val sig = grams.select(col("doc_id"), minhashSig(col("grams")).as("sig"))
+  private[graft] def signaturesOf(spark: SparkSession, dir: String): DataFrame =
+    sigCache.get(spark, dir)(
+      gramsOf(spark, dir, 2)
+        .select(col("doc_id"), minhashSig(col("grams")).as("sig")).persist())
+
+  /** (doc_id, band, bh) LSH band table over bigram shingles — shared by
+    * the self-join (dd3) and incremental (dd12) candidate generators;
+    * reads the cached signature table. */
+  private[graft] def bandedDocs(spark: SparkSession, dir: String): DataFrame =
+    bandsOfSig(signaturesOf(spark, dir))
+
+  /** (doc_id, grams) → one row per (doc_id, band, band-hash) — the
+    * uncached form for arbitrary frames (e.g. a streaming micro-batch). */
+  private[graft] def bandedOf(grams: DataFrame): DataFrame =
+    bandsOfSig(grams.select(col("doc_id"), minhashSig(col("grams")).as("sig")))
+
+  private def bandsOfSig(sig: DataFrame): DataFrame = {
     val bandHashes = array((0 until NumBands).map { b =>
       md5(concat((0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*))
     }: _*)
@@ -276,8 +294,7 @@ object Dedup {
     * the signature index. dd3 is the composition target (this shape +
     * exact rescoring of survivors) when precision matters. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = gramsOf(spark, dir, 2)
-      .select(col("doc_id"), minhashSig(col("grams")).as("sig"))
+    val sigs = signaturesOf(spark, dir)
     val cands = cappedBucketPairs(bandBuckets(spark, dir))
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))

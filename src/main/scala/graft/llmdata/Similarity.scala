@@ -816,13 +816,17 @@ object Similarity {
     }
 
   def annSq(spark: SparkSession, dir: String): DataFrame = {
-    val codes = sqIndex(spark, dir)
     val xq = transform(sequence(lit(1), lit(VecDim)), i =>
       element_at(col("lo"), i) + element_at(col("codes"), i).cast(DoubleType) *
         ((element_at(col("hi"), i) - element_at(col("lo"), i)) / SqLevels))
-    val scored = codes.crossJoin(broadcast(queriesDf(spark, dir)))
+    // dequantize ONCE per corpus row (transform is a non-codegen HOF —
+    // inside the query crossJoin it would re-interpret per (row × query))
+    val decoded = sqIndex(spark, dir)
+      .select(col("neighbor_id"), xq.as("xq"))
+    val scored = decoded.crossJoin(broadcast(queriesDf(spark, dir)))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.VectorFunctions.dotProduct(col("q"), xq).as("approx_score"))
+        graft.functions.VectorFunctions.dotProduct(col("q"), col("xq"))
+          .as("approx_score"))
     val short = scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.topK(
         col("approx_score"), col("neighbor_id"), SqRefineR).as("top"))

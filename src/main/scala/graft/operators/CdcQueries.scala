@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -544,7 +545,66 @@ object CdcQueries {
       |FROM chg ASOF JOIN v ON chg.record_id = v.record_id AND chg.change_ts >= v.vts
       |ORDER BY chg.record_id""".stripMargin
 
+  // ------------------------------------------------------------ cdc10
+
+  /** Replay-continuity audit (cdc10): the consumer-side monitoring query a
+    * replayable-bus subscriber runs to DETECT missed replay ranges — the
+    * operational companion of S4/S5 offset tracking (the reference
+    * recovers by resubscribing from the last stored replayId,
+    * `subscriber/.../EmpConnector.java`; this measures what a recovery
+    * skipped). Generic over any (entity_name, replay_id) delivery log:
+    * per entity in replay order, gap = id − lag(id) − 1; the rollup
+    * reports delivered count, id range, gap count, missing total, and the
+    * largest contiguous loss.
+    *
+    * Scale: ONE shuffle on entity_name feeds both the lag window and the
+    * rollup; on the real bus the partition key is (entity, shard) and
+    * per-shard continuity composes identically. */
+  def replayContinuityAudit(delivered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("entity_name")).orderBy(col("replay_id"))
+    val gap = col("replay_id") - lag(col("replay_id"), 1).over(w) - 1
+    delivered
+      .withColumn("gap", coalesce(gap, lit(0L)))
+      .groupBy(col("entity_name"))
+      .agg(count(lit(1)).as("n_delivered"),
+        min(col("replay_id")).as("first_replay_id"),
+        max(col("replay_id")).as("last_replay_id"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        sum(col("gap")).as("missing_total"),
+        max(col("gap")).as("max_gap"))
+      .orderBy(col("entity_name"))
+  }
+
+  /** cdc10 rendering: the delivery log is the decoded synth stream minus
+    * every 23rd replayId (deterministic synthetic transport loss — the
+    * harness's loss model, like the envelope generator itself; the
+    * operator is loss-model agnostic). explodeIds multiplies rows per
+    * record id, so the audit first collapses to one row per event. */
+  def replayAudit(spark: SparkSession, dir: String): DataFrame =
+    replayContinuityAudit(
+      changes(spark, dir)
+        .filter(col("replayId") % 23 =!= 0)
+        .select(col("entityName").as("entity_name"),
+          col("replayId").as("replay_id"))
+        .distinct())
+
+  val replayAuditSql: String =
+    """WITH d AS (SELECT 'Customer' AS entity_name,
+      |             CAST(c_custkey + 10 AS BIGINT) AS replay_id
+      |           FROM customer WHERE (c_custkey + 10) % 23 <> 0),
+      |g AS (SELECT entity_name, replay_id,
+      |        COALESCE(replay_id - lag(replay_id)
+      |          OVER (PARTITION BY entity_name ORDER BY replay_id) - 1, 0) AS gap
+      |      FROM d)
+      |SELECT entity_name, CAST(COUNT(*) AS BIGINT) AS n_delivered,
+      |  MIN(replay_id) AS first_replay_id, MAX(replay_id) AS last_replay_id,
+      |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(gap) AS BIGINT) AS missing_total,
+      |  MAX(gap) AS max_gap
+      |FROM g GROUP BY 1 ORDER BY entity_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc10_replay_audit" -> replayAudit,
     "cdc1_decode" -> decodeHeaders,
     "cdc2_route_enrich" -> routeEnrich,
     "cdc3_materialize" -> materializeLatest,
@@ -556,6 +616,7 @@ object CdcQueries {
     "cdc9_scd2_history" -> scd2History)
 
   val oracle: Map[String, String] = Map(
+    "cdc10_replay_audit" -> replayAuditSql,
     "cdc1_decode" -> decodeHeadersSql,
     "cdc2_route_enrich" -> routeEnrichSql,
     "cdc3_materialize" -> materializeLatestSql,

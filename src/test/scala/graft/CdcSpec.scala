@@ -336,6 +336,27 @@ class CdcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc10: continuity audit counts gap runs, missing totals, and ranges exactly") {
+    val delivered = Seq(
+      ("Account", 1L), ("Account", 2L), ("Account", 5L), ("Account", 9L),
+      ("Contact", 100L)).toDF("entity_name", "replay_id")
+    val rows = graft.operators.CdcQueries.replayContinuityAudit(delivered)
+      .collect().map(r => r.getAs[String]("entity_name") -> r).toMap
+    val acc = rows("Account")
+    // Account: 3-4 missing (one run of 2) and 6-8 missing (one run of 3)
+    assert(acc.getAs[Long]("n_delivered") == 4L)
+    assert(acc.getAs[Long]("first_replay_id") == 1L)
+    assert(acc.getAs[Long]("last_replay_id") == 9L)
+    assert(acc.getAs[Long]("n_gaps") == 2L)
+    assert(acc.getAs[Long]("missing_total") == 5L)
+    assert(acc.getAs[Long]("max_gap") == 3L)
+    // a single delivered event is a trivially continuous stream
+    val con = rows("Contact")
+    assert(con.getAs[Long]("n_gaps") == 0L)
+    assert(con.getAs[Long]("missing_total") == 0L)
+    assert(con.getAs[Long]("max_gap") == 0L)
+  }
+
   test("partitionValid: malformed envelopes quarantine instead of vanishing (Q8 upgrade)") {
     val raw = Seq(
       envelope(1, "Account", "CREATE", Seq("001A")),

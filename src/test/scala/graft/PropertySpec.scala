@@ -70,6 +70,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: stub-codec natives match the JVM codec; decoded phash is re-encode invariant") {
+    val bytesGen = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    checkProp(Prop.forAll(bytesGen) { bs =>
+      val arr = bs.toArray
+      val r = Seq(Tuple1(arr)).toDF("content")
+        .select(
+          graft.functions.TextHashFunctions.stubReencode(col("content")).as("re"),
+          graft.functions.TextHashFunctions.decodedPhash64(col("content"), 8).as("ph"),
+          graft.functions.TextHashFunctions.decodedPhash64(
+            graft.functions.TextHashFunctions.stubReencode(col("content")), 8).as("phr"))
+        .collect().head
+      val jvmRe = graft.llmdata.Multimodal.StubCodec.reencode(
+        graft.llmdata.Multimodal.MediaRecord(0L, "image", arr)).content
+      java.util.Arrays.equals(r.getAs[Array[Byte]]("re"), jvmRe) &&
+        r.getAs[String]("ph") == r.getAs[String]("phr") &&
+        r.getAs[String]("ph").matches("[01]{64}")
+    })
+  }
+
   test("property: minhash signature of a superset never exceeds the subset elementwise") {
     checkProp(Prop.forAll(tokenGen, tokenGen) { (a, extra) =>
       val sup = (a ++ extra).distinct
