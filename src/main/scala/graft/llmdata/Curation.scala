@@ -296,13 +296,73 @@ object Curation {
        |ORDER BY ds.split""".stripMargin
   }
 
+  // ---------------------------------------------- curriculum (cur5)
+
+  private val CurriculumBins = 4
+
+  /** Quality-binned curriculum schedule (cur5): rank the corpus by tx15's
+    * classifier score, cut it into [[CurriculumBins]] equal-count quality
+    * tiers (ntile over score DESC, doc_id tie-break), and emit the
+    * training schedule — epoch k trains on tier k, best first, with
+    * per-epoch document/token volumes, cumulative token budget, and each
+    * tier's score range (quality-staged training; the anti-curriculum is
+    * the same table read backwards).
+    *
+    * Scale note: exact ntile is a global sort — the VERIFICATION tier of
+    * this operator (like q31's exact percentiles). At 100 TB the epoch
+    * assignment uses broadcast quantile thresholds from a mergeable
+    * histogram sketch (ev8's machinery) and becomes a scan-side CASE; the
+    * schedule rollup below is unchanged either way. Float parity: scores
+    * reuse tx15's fold; shares are one division of exact BIGINTs. */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.classifierScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("clf_score"))
+    val wOrd = Window.orderBy(col("clf_score").desc, col("doc_id"))
+    val binned = scored
+      .withColumn("epoch", ntile(CurriculumBins).over(wOrd).cast(LongType))
+    val agg = binned.groupBy(col("epoch")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      min(col("clf_score")).as("min_score"),
+      max(col("clf_score")).as("max_score"))
+    val wCum = Window.orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("token_share", col("n_tokens").cast(DoubleType) /
+        sum(col("n_tokens")).over(wAll).cast(DoubleType))
+      .select(col("epoch"), col("n_docs"), col("n_tokens"), col("cum_tokens"),
+        col("min_score"), col("max_score"), col("token_share"))
+      .orderBy(col("epoch"))
+  }
+
+  val curriculumScheduleSql: String =
+    s"""WITH cs AS (SELECT doc_id, n_tokens, clf_score
+       |            FROM (${TextAnalysis.classifierScoreSql})),
+       |binned AS (SELECT *, CAST(ntile($CurriculumBins)
+       |    OVER (ORDER BY clf_score DESC, doc_id) AS BIGINT) AS epoch FROM cs),
+       |agg AS (SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |          MIN(clf_score) AS min_score, MAX(clf_score) AS max_score
+       |        FROM binned GROUP BY 1)
+       |SELECT epoch, n_docs, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |  min_score, max_score,
+       |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM agg ORDER BY epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur5_curriculum" -> curriculumSchedule,
     "cur1_corpus_curation" -> corpusCuration,
     "cur2_neardup_curation" -> curationNearDup,
     "cur3_mixture_weights" -> mixtureWeights,
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur5_curriculum" -> curriculumScheduleSql,
     "cur1_corpus_curation" -> corpusCurationSql,
     "cur2_neardup_curation" -> curationNearDupSql,
     "cur3_mixture_weights" -> mixtureWeightsSql,

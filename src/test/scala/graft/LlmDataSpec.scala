@@ -164,6 +164,23 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("cur5: curriculum tiers are balanced, score-ordered, and budget-consistent") {
+    val rows = graft.llmdata.Curation.curriculumSchedule(spark, sf())
+      .collect().sortBy(_.getAs[Long]("epoch"))
+    assert(rows.map(_.getAs[Long]("epoch")).toSeq == (1L to 4L))
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1L, "ntile tiers must be equal-count (±1)")
+    // epoch k's worst doc is at least as good as epoch k+1's best
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("min_score") >= b.getAs[Double]("max_score"))
+    }
+    val cum = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(cum.zip(cum.tail).forall { case (x, y) => x < y })
+    assert(cum.last == rows.map(_.getAs[Long]("n_tokens")).sum)
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
   test("dd17: soft-dedup weights are 1/cluster-size and agree with dd11's clusters") {
     val rows = Dedup.softDedupWeights(spark, sf()).collect()
     val nDocs = spark.read.parquet(s"${sf()}/documents.parquet").count()
