@@ -375,7 +375,44 @@ object EventsAnalytics {
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
        |FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin
 
+  private val TrendingK = 3
+
+  /** Trending event types (ev11): top-[[TrendingK]] types per hopping
+    * window by event count — the "what is rising right now" dashboard
+    * query, ev10's windows composed with a per-window rank. The ranked
+    * groups are per-window COUNTS, so group size is \|event types\| (tiny
+    * by nature) — a window sort here is over that bounded set, not raw
+    * events; raw events only pass through the map-side-combined count.
+    * Ties break by event_type for a deterministic total order. */
+  def trendingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"))
+    val w = Window.partitionBy(col("window_start_ms"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TrendingK)
+      .select(col("window_start_ms"), col("rank"), col("event_type"), col("n_events"))
+      .orderBy(col("window_start_ms"), col("rank"))
+  }
+
+  val trendingWindowSql: String =
+    s"""WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+       |h AS (SELECT *, unnest(generate_series(0, ${HopWindowMs / HopMs - 1})) AS i FROM e),
+       |w AS (SELECT ms - (ms % $HopMs) - i * $HopMs AS ws, event_type FROM h),
+       |c AS (SELECT ws AS window_start_ms, event_type, COUNT(*) AS n_events
+       |      FROM w GROUP BY 1, 2)
+       |SELECT window_start_ms, rank, event_type, n_events FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_ms
+       |    ORDER BY n_events DESC, event_type) AS rank
+       |  FROM c) x
+       |WHERE rank <= $TrendingK
+       |ORDER BY window_start_ms, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev11_trending" -> trendingWindow,
     "ev10_hopping_window" -> hoppingWindow,
     "ev9_windowed_distinct" -> windowedDistinctSketch,
     "ev8_histogram_quantiles" -> histogramQuantiles,
@@ -388,6 +425,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev11_trending" -> trendingWindowSql,
     "ev10_hopping_window" -> hoppingWindowSql,
     "ev9_windowed_distinct" -> windowedDistinctSketchSql,
     "ev8_histogram_quantiles" -> histogramQuantilesSql,

@@ -289,6 +289,25 @@ class PlanQualitySpec extends SparkSpec {
       "bounded-heap shortlist aggregate expected")
   }
 
+  test("tx16: duplicate test is a combinable digest-key aggregate; text never shuffles") {
+    val df = graft.llmdata.TextAnalysis.duplicatedSpans(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "window-duplicate detection must be a key aggregate, not a join product")
+    assert(p.contains("HashAggregate"), "corpus-wide count must partial-aggregate")
+    // only md5 window keys and positions cross the wire — never document text
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      "document text must not enter an exchange")
+  }
+
+  test("dd16: estimate path shuffles signatures only — no text, no gram arrays") {
+    val p = plan(graft.llmdata.Dedup.minhashEstimate(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") &&
+      (l.contains("text") || l.contains("grams"))),
+      "dd16 must read only the signature table after signing")
+  }
+
   test("tx15: classifier inference is zero-shuffle — the fold runs inside the scan") {
     val p = plan(graft.llmdata.TextAnalysis.classifierScore(spark, sf()))
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
