@@ -799,6 +799,75 @@ object Dedup {
        |           LEFT JOIN near_dup n ON i.doc_id = n.doc_id
        |ORDER BY i.doc_id""".stripMargin
 
+  // --------------------------------------------- semantic admission (dd18)
+
+  /** Semantic admission (dd18): dd12's incremental-admission shape lifted
+    * from lexical shingles to EMBEDDINGS — an incoming vector slice
+    * (vec_id % 10 == 0) is admitted only if no existing-corpus vector in
+    * its IVF cell reaches [[CosineThreshold]] cosine; otherwise it is a
+    * semantic duplicate of its nearest neighbor. This is the admission
+    * counterpart of dd14's batch semantic dedup: dd14 cleans a corpus
+    * in place, dd18 gates what enters it (paraphrases and re-encodings
+    * that lexical admission — dd12 — cannot see).
+    *
+    * Scale shape: cell assignment is the scan-side argmax over codebook
+    * literals (shared with dd9 via Similarity.ivfCells); the incoming
+    * slice is the BROADCAST side of the cell equi-join, so the corpus is
+    * scanned once and never self-joined; the nearest-neighbor pick is a
+    * map-side-combinable MAX over struct(cos, −id) — no window. Verdicts
+    * for vectors with an empty probed cell are 'admitted' with null
+    * nearest. Multiprobe assignment (ss4/ss7's pattern) is the recall
+    * knob when cells are fine-grained. */
+  def semanticAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val isIncoming = col("vec_id") % 10 === 0
+    val cells = Similarity.ivfCells(spark, dir)
+    val inc = cells.filter(isIncoming)
+      .select(col("cell"), col("vec_id"), col("v").as("vi"))
+    val ex = cells.filter(!isIncoming)
+      .select(col("cell"), col("vec_id").as("ex_id"), col("v").as("ve"))
+    val best = ex.join(broadcast(inc), "cell")
+      .select(col("vec_id"),
+        struct(cosine(col("vi"), col("ve")).as("c"), (-col("ex_id")).as("ni")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("s")).as("b"))
+      .select(col("vec_id"), (-col("b.ni")).as("nearest_id"),
+        col("b.c").as("nearest_sim"))
+    inc.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nearest_id"), col("nearest_sim"),
+        when(col("nearest_sim") >= CosineThreshold, "semantic_dup")
+          .otherwise("admitted").as("status"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticAdmissionSql: String = {
+    val cos = "list_reduce(list_transform(generate_series(1,64), i -> %s[i] * %s[i]), (x,y) -> x+y)" +
+      " / (sqrt(list_reduce(list_transform(%s, x -> x*x), (x,y) -> x+y))" +
+      " * sqrt(list_reduce(list_transform(%s, x -> x*x), (x,y) -> x+y)))"
+    val cellCos = cos.format("e.v", "ex.cv", "e.v", "ex.cv")
+    val pairCos = cos.format("i.v", "x.v", "i.v", "x.v")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |${Similarity.exemplarCteSql},
+       |cells AS (SELECT vec_id, v, cell FROM (
+       |            SELECT e.vec_id, e.v, ex.cell,
+       |              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                ORDER BY $cellCos DESC, ex.cell) AS rn
+       |            FROM e CROSS JOIN ex) x WHERE rn = 1),
+       |inc AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+       |exc AS (SELECT * FROM cells WHERE vec_id % 10 <> 0),
+       |scored AS (SELECT i.vec_id, x.vec_id AS ex_id, $pairCos AS cos_sim
+       |           FROM inc i JOIN exc x ON i.cell = x.cell),
+       |best AS (SELECT vec_id, ex_id AS nearest_id, cos_sim AS nearest_sim FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY cos_sim DESC, ex_id) AS rn FROM scored) y WHERE rn = 1)
+       |SELECT i.vec_id, b.nearest_id, b.nearest_sim,
+       |  CASE WHEN b.nearest_sim >= $CosineThreshold THEN 'semantic_dup'
+       |       ELSE 'admitted' END AS status
+       |FROM (SELECT vec_id FROM inc) i LEFT JOIN best b USING (vec_id)
+       |ORDER BY i.vec_id""".stripMargin
+  }
+
   // --------------------------------------------- bloom admission prefilter
 
   /** Bloom hash count (k) and width: each key sets k positions drawn from
@@ -1126,6 +1195,7 @@ object Dedup {
     "dd3_minhash_lsh" -> minhashLsh,
     "dd16_minhash_estimate" -> minhashEstimate,
     "dd17_soft_dedup" -> softDedupWeights,
+    "dd18_semantic_admission" -> semanticAdmission,
     "dd4_simhash" -> simhash,
     "dd5_simhash_neardup" -> simhashNearDup,
     "dd6_ngram_jaccard" -> ngramJaccard,
@@ -1145,6 +1215,7 @@ object Dedup {
     "dd3_minhash_lsh" -> minhashLshSql,
     "dd16_minhash_estimate" -> minhashEstimateSql,
     "dd17_soft_dedup" -> softDedupWeightsSql,
+    "dd18_semantic_admission" -> semanticAdmissionSql,
     "dd4_simhash" -> simhashSql,
     "dd5_simhash_neardup" -> simhashNearDupSql,
     "dd6_ngram_jaccard" -> ngramJaccardSql,

@@ -206,6 +206,42 @@ class LlmDataSpec extends SparkSpec {
     assert(math.abs(totalMass - nClusters) < 1e-6)
   }
 
+  test("dd18: semantic admission matches a driver-side in-cell nearest-neighbor recompute") {
+    val ex = Similarity.exemplarsOf(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val vecs = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cellOf(v: Array[Double]): Long =
+      ex.map { case (c, cv) => (c, cos(v, cv)) }.minBy { case (c, s) => (-s, c) }._1
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val existing = vecs.filter { case (id, _) => id % 10 != 0 }
+    val rows = Dedup.semanticAdmission(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet ==
+      vecs.collect { case (id, _) if id % 10 == 0 => id }.toSet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val inCell = existing.filter { case (e, _) => cells(e) == cells(id) }
+      if (inCell.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("nearest_id")))
+        assert(r.getAs[String]("status") == "admitted")
+      } else {
+        val (bestId, bestSim) = inCell
+          .map { case (e, v) => (e, cos(vecs.toMap.apply(id), v)) }
+          .minBy { case (e, s) => (-s, e) }
+        assert(r.getAs[Long]("nearest_id") == bestId, s"vec $id")
+        assert(math.abs(r.getAs[Double]("nearest_sim") - bestSim) < 1e-12)
+        assert(r.getAs[String]("status") ==
+          (if (bestSim >= 0.4) "semantic_dup" else "admitted"))
+      }
+    }
+  }
+
   test("dd16: estimate equals a driver-side signature recompute; pairs share a band") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
