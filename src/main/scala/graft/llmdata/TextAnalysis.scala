@@ -782,7 +782,57 @@ object TextAnalysis {
        |ORDER BY dd.doc_id""".stripMargin
   }
 
+  // ------------------------------------------- cross-doc novelty (tx17)
+
+  /** Cross-document novelty score (tx17): the fraction of a document's
+    * DISTINCT trigrams that appear nowhere else in the corpus (df = 1).
+    * tx13 measures repetition WITHIN a document; this measures what a
+    * document adds to the corpus — the cheap surface-level signal behind
+    * "select for diversity" data-curation passes (a doc of df>1 grams
+    * re-states what the corpus already has). Emitted per doc: distinct
+    * gram count, unique-gram count, novelty ratio (one division of exact
+    * BIGINTs).
+    *
+    * Scale shape: shares dd6's cached trigram table; corpus df is ONE
+    * map-side-combinable count over gram keys; the per-doc rollup joins
+    * (gram → df) back to the exploded doc-gram list — a second linear
+    * key shuffle, no self-join, text never moves (the gram strings do,
+    * as in dd6; hash the keys for narrower exchanges at 100 TB). */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val docGrams = gramsOfShared(spark, dir)
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val df = docGrams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    docGrams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dd6's cached distinct-trigram table (Dedup.gramsOf) — one shingle
+    * pass per corpus snapshot, shared across modules. */
+  private def gramsOfShared(spark: SparkSession, dir: String): DataFrame =
+    Dedup.gramsOf(spark, dir, 3)
+
+  val noveltyScoreSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
+       |dg AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       |df AS (SELECT gram, COUNT(*) AS df FROM dg GROUP BY gram),
+       |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |        FROM dg JOIN df USING (gram) GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_unique,
+       |  CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+       |FROM per ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx17_novelty" -> noveltyScore,
     "tx16_dup_spans" -> duplicatedSpans,
     "tx15_quality_classifier" -> classifierScore,
     "tx13_repetition_signals" -> repetitionSignals,
@@ -801,6 +851,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx17_novelty" -> noveltyScoreSql,
     "tx16_dup_spans" -> duplicatedSpansSql,
     "tx15_quality_classifier" -> classifierScoreSql,
     "tx13_repetition_signals" -> repetitionSignalsSql,

@@ -685,7 +685,56 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q7-shaped volume shipping (q33): revenue flowing between two
+    * chosen nations, by direction and ship year. Exercises the join shape
+    * q5 doesn't: the SAME broadcast dimension (nation) joins TWICE under
+    * different role keys (supplier's nation vs customer's nation), with
+    * the direction filter only resolvable after both joins. Ship-year is
+    * derived (cast BIGINT for oracle parity); the fact table shuffles on
+    * its join keys once per hop, dims broadcast. */
+  def q33VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(money(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q33Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_volume_shipping" -> q33VolumeShipping,
     "q32_cube" -> q32Cube,
     "q31_percentiles" -> q31Percentiles,
     "q30_range_join" -> q30RangeJoin,
@@ -717,6 +766,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q32_cube" -> q32Sql,
+    "q33_volume_shipping" -> q33Sql,
     "q31_percentiles" -> q31Sql,
     "q30_range_join" -> q30Sql,
     "q26_window_funcs" -> q26Sql,

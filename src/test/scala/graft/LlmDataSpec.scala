@@ -271,6 +271,31 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx17: novelty equals a brute-force corpus df recompute") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def tris(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 3) Seq.empty
+      else (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+    }
+    val df = scala.collection.mutable.HashMap.empty[String, Int]
+    val perDoc = docs.map { case (id, t) => id -> tris(t) }
+    perDoc.foreach { case (_, g) => g.foreach(x => df(x) = df.getOrElse(x, 0) + 1) }
+    val expected = perDoc.collect { case (id, g) if g.nonEmpty =>
+      id -> ((g.length.toLong, g.count(df(_) == 1).toLong))
+    }.toMap
+    val rows = TextAnalysis.noveltyScore(spark, sf()).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, u) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams") == n)
+      assert(r.getAs[Long]("n_unique") == u)
+      assert(r.getAs[Double]("novelty") == u.toDouble / n.toDouble)
+    }
+    assert(rows.exists(_.getAs[Long]("n_unique") > 0L))
+  }
+
   test("tx16: duplicated spans match a brute-force window scan of the fixture") {
     val W = 8
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
