@@ -680,11 +680,36 @@ object Similarity {
         .persist()
     }
 
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val exemplars = exemplarsOf(spark, dir)
+  /** Persist the trained IVF+PQ index as parquet — the artifact a real
+    * deployment builds once and ships to every search cluster (FAISS's
+    * `write_index`): the 16-row codebook plus the encoded candidate table
+    * (cell, id, 4 codes). [[annIvfPqFromIndex]] searches from it COLD —
+    * no training, no corpus encode — proving the index is self-contained. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, out: String): Unit = {
+    exemplarsOf(spark, dir).write.mode("overwrite").parquet(s"$out/exemplars")
+    ivfPqIndex(spark, dir).write.mode("overwrite").parquet(s"$out/candidates")
+  }
+
+  /** ss7's search stage over a PERSISTED index (see [[writeIvfPqIndex]]):
+    * identical plan from the candidate join onward, but the codebook and
+    * encoded corpus come from the stored artifact instead of the session
+    * caches. Row-identical to [[annIvfPq]] (spec-asserted) — the index
+    * lifecycle contract: train/encode once, serve anywhere. The refine
+    * stage still reads the live corpus (exact vectors are not part of the
+    * compressed index, as in FAISS's IVFPQ without refine storage). */
+  def annIvfPqFromIndex(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val exemplars = spark.read.parquet(s"$indexPath/exemplars")
+    val cand = spark.read.parquet(s"$indexPath/candidates")
+    annIvfPqSearch(spark, dir, exemplars, cand)
+  }
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqSearch(spark, dir, exemplarsOf(spark, dir), ivfPqIndex(spark, dir))
+
+  private def annIvfPqSearch(spark: SparkSession, dir: String,
+      exemplars: DataFrame, cand: DataFrame): DataFrame = {
     val ex = collectedExemplars(exemplars)
     require(ex.nonEmpty, "IVF-PQ requires a trained codebook")
-    val cand = ivfPqIndex(spark, dir)
     val probes = assignCellsTopP(queriesDf(spark, dir), "q", exemplars, ivfProbes(spark))
       .select(col("query_id"), col("cell"))
     val tabs = pqQueryTabs(ex, queriesDf(spark, dir))

@@ -54,18 +54,39 @@ object SqlSurface {
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
       |GROUP BY r_name, o_orderstatus ORDER BY r_name, o_orderstatus""".stripMargin
 
+  /** The registered NATIVE functions through pure SQL text (q34): the
+    * SparkSessionExtensions path end-to-end under the oracle gate —
+    * `simhash64` and `hamming` composed in the dialect (bits_set =
+    * hamming against the zero string = popcount). Requires a session
+    * built with GraftExtensions (Verify/Bench and the shared test
+    * session enable it); the oracle reproduces the signature bit math
+    * in DuckDB SQL like dd4's. */
+  val q34: String =
+    """SELECT doc_id, simhash64(split(text, ' ')) AS simhash,
+      |  hamming(simhash64(split(text, ' ')), repeat('0', 64)) AS bits_set
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val q34Oracle: String =
+    s"""SELECT doc_id, simhash,
+       |  CAST(len(replace(simhash, '0', '')) AS BIGINT) AS bits_set
+       |FROM (${graft.llmdata.Dedup.simhashSql.replace("ORDER BY doc_id", "")})
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exists_subquery" -> sql(q21) _,
     "q22_scalar_subquery" -> sql(q22) _,
     "q23_in_subquery" -> sql(q23) _,
     "q24_union_all" -> sql(q24) _,
-    "q25_cross_join" -> sql(q25) _)
+    "q25_cross_join" -> sql(q25) _,
+    "q34_sql_native_fns" -> sql(q34) _)
 
-  /** Same text runs in DuckDB verbatim. */
+  /** Same text runs in DuckDB verbatim (q34's oracle re-derives the
+    * signature instead — DuckDB has no simhash64). */
   val oracle: Map[String, String] = Map(
     "q21_exists_subquery" -> q21,
     "q22_scalar_subquery" -> q22,
     "q23_in_subquery" -> q23,
     "q24_union_all" -> q24,
-    "q25_cross_join" -> q25)
+    "q25_cross_join" -> q25,
+    "q34_sql_native_fns" -> q34Oracle)
 }

@@ -457,6 +457,20 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ss7 index lifecycle: search from the persisted parquet index is row-identical") {
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Similarity.writeIvfPqIndex(spark, sf(), out)
+    val live = Similarity.annIvfPq(spark, sf()).collect().map(_.toString).sorted
+    val cold = Similarity.annIvfPqFromIndex(spark, sf(), out).collect()
+      .map(_.toString).sorted
+    assert(live.nonEmpty)
+    assert(cold.toSeq == live.toSeq,
+      "stored-index search must equal the live-index search")
+    // the artifact is self-contained: codebook + (cell, id, codes) only
+    val cols = spark.read.parquet(s"$out/candidates").columns.toSet
+    assert(cols == Set("cell", "neighbor_id", "code_0", "code_1", "code_2", "code_3"))
+  }
+
   test("lloydRefine: refinement does not worsen the spherical k-means objective") {
     // objective = mean over vectors of (max cosine to any centroid); one
     // Lloyd step is monotone non-decreasing in exact arithmetic — allow

@@ -53,7 +53,16 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ss8_ann_sq8" -> graft.llmdata.Similarity.annSq _,
       "dd16_minhash_estimate" -> Dedup.minhashEstimate _,
       "dd17_soft_dedup" -> Dedup.softDedupWeights _,
-      "ev10_hopping_window" -> EventsAnalytics.hoppingWindow _)
+      "ev10_hopping_window" -> EventsAnalytics.hoppingWindow _,
+      // dd18's struct-MAX nearest pick, tx17's df counts, cur5's global
+      // ntile, ev11's per-window ranks, cdc10's lag-gap rollup, q33's
+      // double-role dim join — all reductions or ordered windows
+      "dd18_semantic_admission" -> Dedup.semanticAdmission _,
+      "tx17_novelty" -> TextAnalysis.noveltyScore _,
+      "cur5_curriculum" -> graft.llmdata.Curation.curriculumSchedule _,
+      "ev11_trending" -> EventsAnalytics.trendingWindow _,
+      "cdc10_replay_audit" -> graft.operators.CdcQueries.replayAudit _,
+      "q33_volume_shipping" -> Relational.q33VolumeShipping _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
