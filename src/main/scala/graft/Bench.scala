@@ -65,6 +65,11 @@ object Bench {
       }
     }
 
+    // release the battery's pinned session caches (shingles, signatures,
+    // phash/IVF/PQ indexes) before the streaming measurement — the post-
+    // battery throughput should reflect the pipeline, not leftover storage
+    // pressure from the analytics phase (standard phase hygiene)
+    try graft.llmdata.Dedup.uncacheShingles(spark) catch { case _: Throwable => () }
     val epsPost = try cdcThroughput(spark) catch { case _: Throwable => -1.0 }
 
     def jq(s: String): String = "\"" + s.flatMap {

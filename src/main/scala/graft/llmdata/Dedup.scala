@@ -227,14 +227,17 @@ object Dedup {
       .distinct()
   }
 
-  /** dd3's capped band buckets — shared with dd16's estimate-only path. */
-  private def bandBuckets(spark: SparkSession, dir: String): DataFrame =
-    bandedDocs(spark, dir).groupBy(col("band"), col("bh"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs"))
+  /** Candidate pairs off a (doc_id, band, bh) band table with the
+    * per-bucket cap applied — the full bounded generator (bucket → capped
+    * sorted list → i<j pairs → distinct) as one reusable seam, so the
+    * C(cap, 2) skew bound is testable on a degenerate corpus. */
+  private[graft] def cappedPairsOfBands(bands: DataFrame): DataFrame =
+    cappedBucketPairs(bands.groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs")))
 
   private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(spark, dir, 2)
-    val cands = cappedBucketPairs(bandBuckets(spark, dir))
+    val cands = cappedPairsOfBands(bandedDocs(spark, dir))
     val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     cands.join(ga, "doc_a").join(gb, "doc_b")
@@ -295,7 +298,7 @@ object Dedup {
     * exact rescoring of survivors) when precision matters. */
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signaturesOf(spark, dir)
-    val cands = cappedBucketPairs(bandBuckets(spark, dir))
+    val cands = cappedPairsOfBands(bandedDocs(spark, dir))
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val nMatch = size(filter(

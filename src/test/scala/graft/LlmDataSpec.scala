@@ -242,6 +242,20 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("skew bound: a degenerate all-identical corpus generates C(cap,2) pairs, not n^2") {
+    // 300 identical docs: every band bucket holds all 300, the classic
+    // near-dup scale killer (C(300,2) = 44,850 pairs per band without the
+    // cap). The capped generator must emit exactly C(50,2) = 1,225
+    // distinct pairs — the 50 lowest ids — regardless of corpus size.
+    val docs = (1L to 300L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cappedPairsOfBands(Dedup.bandedOf(Dedup.gramsOfDocs(docs, 2)))
+      .collect()
+    assert(pairs.length == 50 * 49 / 2, s"got ${pairs.length} pairs")
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids == (1L to 50L).toSet, "sampled members must be the lowest doc_ids")
+  }
+
   test("dd16: estimate equals a driver-side signature recompute; pairs share a band") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
