@@ -411,7 +411,62 @@ object EventsAnalytics {
        |WHERE rank <= $TrendingK
        |ORDER BY window_start_ms, rank""".stripMargin
 
+  private val LatenessWatermarkMs = 60L * 60 * 1000
+
+  /** Watermark-lateness audit (ev12): for each event type, how many
+    * events would a 1-hour watermark DROP, and how late is the worst
+    * straggler — the tuning query behind every `withWatermark` choice
+    * (EventStreamOps documents the drop divergence; this measures it).
+    * The fixture is generated in event-time order, so the audit replays
+    * it under a DETERMINISTIC arrival permutation — day order preserved,
+    * md5(event_id)-shuffled WITHIN each day (the harness's bounded
+    * transport-disorder model, exactly as cdc10 synthesizes loss); an
+    * event is late iff its event time trails
+    * the running max event time among earlier arrivals of its type by
+    * more than the watermark. On a real delivery log the arrival column
+    * is the log's ingest sequence. AUDIT-tier scale posture (like
+    * q31/cur5's exact tiers):
+    * the per-type running max is an ordered window per logical stream —
+    * at 100 TB one runs it per (type, shard) exactly as the real
+    * watermark is tracked per source partition; the rollup is unchanged. */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(date_trunc("day", col("ts")), md5(col("event_id").cast(StringType)))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateness = greatest(
+      max(unix_millis(col("ts"))).over(w) - unix_millis(col("ts")), lit(0L))
+    t(spark, dir, "events")
+      .withColumn("lateness_ms", coalesce(lateness, lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("lateness_ms") > LatenessWatermarkMs, 1L).otherwise(0L))
+          .as("n_dropped"),
+        max(col("lateness_ms")).as("max_lateness_ms"))
+      .select(col("event_type"), col("n_events"), col("n_dropped"),
+        (col("n_dropped").cast(DoubleType) / col("n_events").cast(DoubleType))
+          .as("drop_frac"),
+        col("max_lateness_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val latenessAuditSql: String =
+    s"""WITH l AS (SELECT event_type,
+       |    GREATEST(COALESCE(MAX(epoch_ms(ts)) OVER (PARTITION BY event_type
+       |      ORDER BY date_trunc('day', ts), md5(CAST(event_id AS VARCHAR))
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      - epoch_ms(ts), 0) AS lateness_ms
+       |  FROM events)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CASE WHEN lateness_ms > $LatenessWatermarkMs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(CASE WHEN lateness_ms > $LatenessWatermarkMs THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS drop_frac,
+       |  CAST(MAX(lateness_ms) AS BIGINT) AS max_lateness_ms
+       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev12_lateness_audit" -> latenessAudit,
     "ev11_trending" -> trendingWindow,
     "ev10_hopping_window" -> hoppingWindow,
     "ev9_windowed_distinct" -> windowedDistinctSketch,
@@ -425,6 +480,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev12_lateness_audit" -> latenessAuditSql,
     "ev11_trending" -> trendingWindowSql,
     "ev10_hopping_window" -> hoppingWindowSql,
     "ev9_windowed_distinct" -> windowedDistinctSketchSql,

@@ -539,6 +539,41 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ev12: lateness audit matches a driver-side replay of the arrival permutation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val events = spark.read.parquet(s"${sf()}/events.parquet")
+      .selectExpr("event_id", "event_type", "ts DIV 1000000 AS ms")
+      .as[(Long, String, Long)].collect()
+    val dayMs = 24L * 3600 * 1000
+    val expected = events.groupBy(_._2).map { case (tpe, es) =>
+      val arrival = es.sortBy { case (id, _, ms) => (ms / dayMs * dayMs, md5hex(id.toString)) }
+      var runMax = Long.MinValue
+      var dropped = 0L
+      var maxLate = 0L
+      arrival.foreach { case (_, _, ms) =>
+        val late = if (runMax == Long.MinValue) 0L else math.max(runMax - ms, 0L)
+        if (late > 3600L * 1000) dropped += 1
+        maxLate = math.max(maxLate, late)
+        runMax = math.max(runMax, ms)
+      }
+      tpe -> ((es.length.toLong, dropped, maxLate))
+    }
+    val rows = graft.relational.EventsAnalytics.latenessAudit(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, m) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_dropped") == d, s"type ${r.getAs[String]("event_type")}")
+      assert(r.getAs[Long]("max_lateness_ms") == m)
+      assert(r.getAs[Double]("drop_frac") == d.toDouble / n.toDouble)
+      // the disorder model is bounded: nothing is later than one day
+      assert(m < dayMs)
+    }
+    assert(rows.exists(_.getAs[Long]("n_dropped") > 0L), "audit's positive path unexercised")
+  }
+
   test("ev9: per-window KMV estimates are positive and within sketch tolerance") {
     val rows = graft.relational.EventsAnalytics
       .windowedDistinctSketch(spark, sf()).collect()
