@@ -831,7 +831,55 @@ object TextAnalysis {
        |  CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
        |FROM per ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- BPE pair statistics (tx18)
+
+  private val BpeTopPairs = 20
+
+  /** BPE first-merge pair statistics (tx18): corpus-weighted counts of
+    * adjacent CHARACTER pairs inside words — the inner statistic of
+    * byte-pair-encoding tokenizer training (each BPE iteration merges the
+    * top pair and recounts; this is the exact first iteration, and the
+    * shape every later iteration reuses). Top [[BpeTopPairs]] pairs by
+    * count, ties broken lexicographically.
+    *
+    * Scale shape: ONE combinable count collapses the corpus to its
+    * distinct words (the standard BPE trick — pair generation then runs
+    * over the vocabulary, not the corpus); pairs explode from distinct
+    * words only, weighted by word frequency, into a second combinable
+    * count; the top-k is a TakeOrdered, never a global sort. Repeats
+    * inside a word ("aaa" → "aa" twice) count with multiplicity, as in
+    * reference BPE. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(explode_outer(split(col("text"), " ")).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = words.select(col("wc"), explode_outer(
+      transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .filter(col("pair").isNotNull)
+    pairs.groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopPairs)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))).cast(LongType))
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  val bpePairCountsSql: String =
+    s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM w0
+       |          WHERE len(w) >= 2 GROUP BY w),
+       |pairs AS (SELECT substr(w, i, 2) AS pair, wc
+       |          FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+       |agg AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY pair)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+       |  pair, n
+       |FROM agg ORDER BY n DESC, pair LIMIT $BpeTopPairs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx18_bpe_pairs" -> bpePairCounts,
     "tx17_novelty" -> noveltyScore,
     "tx16_dup_spans" -> duplicatedSpans,
     "tx15_quality_classifier" -> classifierScore,
@@ -851,6 +899,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx18_bpe_pairs" -> bpePairCountsSql,
     "tx17_novelty" -> noveltyScoreSql,
     "tx16_dup_spans" -> duplicatedSpansSql,
     "tx15_quality_classifier" -> classifierScoreSql,

@@ -285,6 +285,23 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx18: BPE pair counts equal a brute-force vocabulary recompute") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"text").as[String].collect()
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.flatMap(_.split(" ", -1)).filter(_.length >= 2).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextAnalysis.bpePairCounts(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toSeq
+    assert(got == expected)
+  }
+
   test("tx17: novelty equals a brute-force corpus df recompute") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect()
