@@ -354,7 +354,88 @@ object Curation {
        |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
        |FROM agg ORDER BY epoch""".stripMargin
 
+  // ---------------------------------------------- dataset card (cur6)
+
+  /** Per-source dataset card (cur6) — the datasheet a corpus release
+    * ships: volumes (docs / tokens / chars), exact-duplicate share,
+    * dominant language with its share, and the tx15 quality-gate pass
+    * rate, one row per source. Every statistic is an exact integer or a
+    * single division of two exact BIGINTs (a mean of per-doc double
+    * scores would be aggregation-order-dependent — the accept COUNT is
+    * the parity-safe summary).
+    *
+    * Scale shape: four independent per-source aggregates — volumes
+    * (combinable sums), digest duplicate counts (one md5-key count,
+    * payload never re-shuffled), language mode (per-source rank over
+    * \|langs\| cells), quality joins tx15's zero-shuffle scan — joined on
+    * the tiny source key. No new shuffle class. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val vol = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+      sum(length(col("text")).cast(LongType)).as("n_chars"))
+    val digests = d.select(col("source"), md5(col("text")).as("h"))
+    val hCounts = digests.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+    val dup = digests.join(hCounts, "h").groupBy(col("source"))
+      .agg(sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+    val langTop = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("lc").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc").as("top_lang_docs"))
+    val quality = d.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.classifierScore(spark, dir).select(col("doc_id"), col("accepted")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted"))
+    vol.join(dup, "source").join(langTop, "source").join(quality, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_exact_dup"),
+        (col("n_exact_dup").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("dup_frac"),
+        col("top_lang"),
+        (col("top_lang_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("top_lang_share"),
+        col("n_accepted"),
+        (col("n_accepted").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("accept_frac"))
+      .orderBy(col("source"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH d AS (SELECT doc_id, source, lang, text FROM documents),
+       |vol AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |          CAST(SUM(len(text)) AS BIGINT) AS n_chars
+       |        FROM d GROUP BY source),
+       |dg AS (SELECT source, md5(text) AS h FROM d),
+       |hc AS (SELECT h, COUNT(*) AS hc FROM dg GROUP BY h),
+       |dup AS (SELECT source,
+       |          CAST(SUM(CASE WHEN hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+       |        FROM dg JOIN hc USING (h) GROUP BY source),
+       |lt AS (SELECT source, lang AS top_lang, lc AS top_lang_docs FROM (
+       |         SELECT source, lang, COUNT(*) AS lc,
+       |           ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY COUNT(*) DESC, lang) AS rn
+       |         FROM d GROUP BY source, lang) x WHERE rn = 1),
+       |q AS (SELECT d.source,
+       |        CAST(SUM(CASE WHEN c.accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+       |      FROM d JOIN (${TextAnalysis.classifierScoreSql.replace("ORDER BY doc_id", "")}) c
+       |        ON d.doc_id = c.doc_id
+       |      GROUP BY d.source)
+       |SELECT source, n_docs, n_tokens, n_chars, n_exact_dup,
+       |  CAST(n_exact_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+       |  top_lang,
+       |  CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share,
+       |  n_accepted,
+       |  CAST(n_accepted AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accept_frac
+       |FROM vol JOIN dup USING (source) JOIN lt USING (source) JOIN q USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur6_dataset_card" -> datasetCard,
     "cur5_curriculum" -> curriculumSchedule,
     "cur1_corpus_curation" -> corpusCuration,
     "cur2_neardup_curation" -> curationNearDup,
@@ -362,6 +443,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur6_dataset_card" -> datasetCardSql,
     "cur5_curriculum" -> curriculumScheduleSql,
     "cur1_corpus_curation" -> corpusCurationSql,
     "cur2_neardup_curation" -> curationNearDupSql,

@@ -164,6 +164,30 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("cur6: dataset card matches a brute-force per-source recompute") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"text")
+      .as[(Long, String, String, String)].collect()
+    val byHash = docs.groupBy(d => d._4).view.mapValues(_.size).toMap
+    val rows = graft.llmdata.Curation.datasetCard(spark, sf()).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet == docs.map(_._2).toSet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = docs.filter(_._2 == src)
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_tokens") == ds.map(_._4.split(" ", -1).length.toLong).sum)
+      assert(r.getAs[Long]("n_chars") == ds.map(_._4.length.toLong).sum)
+      assert(r.getAs[Long]("n_exact_dup") == ds.count(d => byHash(d._4) > 1).toLong)
+      val topLang = ds.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[String]("top_lang") == topLang._1)
+      assert(r.getAs[Double]("top_lang_share") == topLang._2.toDouble / ds.length)
+      val acc = r.getAs[Long]("n_accepted")
+      assert(acc >= 0L && acc <= ds.length.toLong)
+      assert(r.getAs[Double]("accept_frac") == acc.toDouble / ds.length)
+    }
+  }
+
   test("cur5: curriculum tiers are balanced, score-ordered, and budget-consistent") {
     val rows = graft.llmdata.Curation.curriculumSchedule(spark, sf())
       .collect().sortBy(_.getAs[Long]("epoch"))

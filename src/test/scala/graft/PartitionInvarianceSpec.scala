@@ -62,7 +62,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       "cur5_curriculum" -> graft.llmdata.Curation.curriculumSchedule _,
       "ev11_trending" -> EventsAnalytics.trendingWindow _,
       "cdc10_replay_audit" -> graft.operators.CdcQueries.replayAudit _,
-      "q33_volume_shipping" -> Relational.q33VolumeShipping _)
+      "q33_volume_shipping" -> Relational.q33VolumeShipping _,
+      // ev12's running-max lateness replay, tx18's two-level vocabulary
+      // counts — partial-agg order must not leak
+      "ev12_lateness_audit" -> EventsAnalytics.latenessAudit _,
+      "tx18_bpe_pairs" -> TextAnalysis.bpePairCounts _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
