@@ -906,10 +906,64 @@ object Similarity {
        |WHERE rank <= $AnnTopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------- reciprocal-rank fusion
+
+  private val RrfK = 60
+
+  /** Reciprocal-rank fusion of the LSH and IVF ANN lists (ss9) — the
+    * hybrid-retrieval layer that sits ABOVE the indexes (Cormack et al.'s
+    * RRF, the standard way real stacks combine lexical/vector or
+    * multi-index results): per (query, candidate), score =
+    * Σ 1/([[RrfK]] + rank) over the lists that retrieved it, top-k by
+    * fused score. A candidate found by BOTH indexes outranks one found by
+    * either alone — fusion recovers recall the individual probes lose.
+    *
+    * Scale shape: the two input lists are already tiny (≤ k rows per
+    * query each), so the fusion is a full-outer join + rank over
+    * bounded-size per-query groups — negligible next to the index scans
+    * it composes. Float parity: the fused score is ONE fixed-shape sum
+    * of two coalesced divisions (no aggregation-order hazard). */
+  def annRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val a = annLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_lsh"))
+    val b = annIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_ivf"))
+    val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rank_lsh")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_ivf")), lit(0.0)))
+          .as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annRrfFusionSql: String =
+    s"""WITH lsh AS (SELECT query_id, neighbor_id, rank AS rank_lsh FROM ($annLshSql)),
+       |ivf AS (SELECT query_id, neighbor_id, rank AS rank_ivf FROM ($annIvfSql)),
+       |fused AS (SELECT
+       |    COALESCE(l.query_id, i.query_id) AS query_id,
+       |    COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.rank_lsh), CAST(0 AS DOUBLE)) +
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + i.rank_ivf), CAST(0 AS DOUBLE))
+       |      AS rrf_score
+       |  FROM lsh l FULL OUTER JOIN ivf i
+       |    ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, rrf_score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, neighbor_id) AS rank
+       |  FROM fused) x
+       |WHERE rank <= $AnnTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss6_ann_pq" -> annPq,
     "ss7_ann_ivfpq" -> annIvfPq,
     "ss8_ann_sq8" -> annSq,
+    "ss9_rrf_fusion" -> annRrfFusion,
     "ss5_knn_graph" -> knnGraph,
     "ss1_knn_brute_force" -> knnBruteForce,
     "ss2_ann_lsh" -> annLsh,
@@ -920,6 +974,7 @@ object Similarity {
     "ss6_ann_pq" -> annPqSql,
     "ss7_ann_ivfpq" -> annIvfPqSql,
     "ss8_ann_sq8" -> annSqSql,
+    "ss9_rrf_fusion" -> annRrfFusionSql,
     "ss5_knn_graph" -> knnGraphSql,
     "ss1_knn_brute_force" -> knnBruteForceSql,
     "ss2_ann_lsh" -> annLshSql,

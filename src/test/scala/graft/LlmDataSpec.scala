@@ -490,6 +490,37 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ss9: RRF fusion equals a driver-side recompute from the two input lists") {
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+        .collect().map { case (q, n, r) => (q, n) -> r }.toMap
+    val lsh = ranksOf(Similarity.annLsh(spark, sf()))
+    val ivf = ranksOf(Similarity.annIvf(spark, sf()))
+    val expected = (lsh.keySet ++ ivf.keySet).map { k =>
+      val s = lsh.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        ivf.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      k -> s
+    }.toMap
+    val byQuery = expected.groupBy(_._1._1)
+    val rows = Similarity.annRrfFusion(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Double]("rrf_score") == expected(k), s"pair $k")
+      // top-3 really is the top of the fused candidate set
+      val better = byQuery(k._1).count { case (kk, s) =>
+        s > expected(k) || (s == expected(k) && kk._2 < k._2)
+      }
+      assert(better < r.getAs[Long]("rank"), s"pair $k not in fused order")
+    }
+    // fusion prefers dual-index hits: any candidate in both lists must
+    // outscore any single-list candidate of the same query at rank >= its
+    val dual = rows.filter(r =>
+      lsh.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))) &&
+        ivf.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    assert(dual.forall(_.getAs[Double]("rrf_score") > 1.0 / 63))
+  }
+
   test("ss8: SQ8 recall@3 is near-exact and dequantization error is small") {
     val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
