@@ -66,7 +66,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       // ev12's running-max lateness replay, tx18's two-level vocabulary
       // counts — partial-agg order must not leak
       "ev12_lateness_audit" -> EventsAnalytics.latenessAudit _,
-      "tx18_bpe_pairs" -> TextAnalysis.bpePairCounts _)
+      "tx18_bpe_pairs" -> TextAnalysis.bpePairCounts _,
+      "cur6_dataset_card" -> graft.llmdata.Curation.datasetCard _,
+      "ss9_rrf_fusion" -> graft.llmdata.Similarity.annRrfFusion _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
