@@ -308,6 +308,21 @@ class PlanQualitySpec extends SparkSpec {
       "dd16 must read only the signature table after signing")
   }
 
+  test("dd18: the incoming slice broadcasts into the cell join; no products") {
+    val p = plan(graft.llmdata.Dedup.semanticAdmission(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      "semantic admission must join on cell, never cross")
+    assert(p.contains("BroadcastHashJoin"),
+      "the incoming slice is the broadcast build side — the corpus is scanned once")
+  }
+
+  test("tx18: the top merge pairs come off a bounded TakeOrdered, not a global sort") {
+    val p = plan(graft.llmdata.TextAnalysis.bpePairCounts(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k pairs must be TakeOrdered (bounded heap), not sort-then-limit")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tx15: classifier inference is zero-shuffle — the fold runs inside the scan") {
     val p = plan(graft.llmdata.TextAnalysis.classifierScore(spark, sf()))
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Window"),
