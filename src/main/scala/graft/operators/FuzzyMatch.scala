@@ -228,11 +228,94 @@ object FuzzyMatch {
        |ORDER BY p.probe_id""".stripMargin
   }
 
+  // ------------------------------------------- fm3: edit-distance verify
+
+  /** fm3 — fm1's blocking with LEVENSHTEIN verification: the metric
+    * record-linkage systems actually rank short-string fields by (set
+    * Jaccard ignores order and repeats; edit distance doesn't). Candidates
+    * come from the identical rare-trigram block — blocking and verification
+    * are independent axes, and this pins the second one. Best match = MIN
+    * edit distance (tie → min base key); unmatched probes report a null
+    * match, as in fm1. Parity is trivial: Levenshtein is an exact integer
+    * in both engines (Spark `levenshtein`, DuckDB `levenshtein`).
+    *
+    * Scale posture: identical to fm1 — the df cap bounds posting lists,
+    * verification runs on candidate pairs only, and the per-pair cost is
+    * O(|a|·|b|) on short name strings. */
+  def fuzzyMatchEdit(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey").as("base_key"), col("c_name").as("base_name"),
+        trigramsOf(col("c_name")).as("base_grams"))
+    val probes = t(spark, dir, "customer")
+      .filter(col("c_custkey") % ProbeMod === 0)
+      .select(col("c_custkey").as("probe_key"),
+        corrupt(col("c_name")).as("probe_name"))
+      .withColumn("probe_grams", trigramsOf(col("probe_name")))
+
+    val basePost = base.select(col("base_key"), explode(col("base_grams")).as("g"))
+    val rare = basePost.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= BlockDfCap).select(col("g"))
+    val probePost = probes.select(col("probe_key"), explode(col("probe_grams")).as("g"))
+    val cands = probePost.join(rare, "g").join(basePost, "g")
+      .select(col("probe_key"), col("base_key")).distinct()
+
+    val scored = cands
+      .join(probes.select(col("probe_key"), col("probe_name")), "probe_key")
+      .join(base.select(col("base_key"), col("base_name")), "base_key")
+      .select(col("probe_key"), col("base_key"),
+        levenshtein(col("probe_name"), col("base_name")).cast(LongType).as("edit_dist"))
+    val w = Window.partitionBy(col("probe_key"))
+      .orderBy(col("edit_dist"), col("base_key"))
+    val best = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("probe_key"), col("base_key").as("matched_key"), col("edit_dist"))
+    probes.select(col("probe_key"))
+      .join(best, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("matched_key"), col("edit_dist"),
+        coalesce(col("matched_key") === col("probe_key"), lit(false)).as("correct"))
+      .orderBy(col("probe_key"))
+  }
+
+  val fuzzyMatchEditSql: String =
+    s"""WITH gset AS (SELECT c_custkey AS base_key, c_name AS base_name,
+       |    CASE WHEN len(c_name) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(c_name)-2), i -> substr(c_name, i, 3)))
+       |    ELSE [c_name] END AS base_grams
+       |  FROM customer),
+       |probe0 AS (SELECT c_custkey AS probe_key,
+       |    array_to_string(list_transform(
+       |      list_filter(generate_series(1, len(c_name)), i -> i % $CorruptStride <> 0),
+       |      i -> substr(c_name, i, 1)), '') AS probe_name
+       |  FROM customer WHERE c_custkey % $ProbeMod = 0),
+       |probes AS (SELECT probe_key, probe_name,
+       |    CASE WHEN len(probe_name) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(probe_name)-2), i -> substr(probe_name, i, 3)))
+       |    ELSE [probe_name] END AS probe_grams
+       |  FROM probe0),
+       |bpost AS (SELECT base_key, unnest(base_grams) AS g FROM gset),
+       |rare AS (SELECT g FROM bpost GROUP BY g HAVING COUNT(*) <= $BlockDfCap),
+       |ppost AS (SELECT probe_key, unnest(probe_grams) AS g FROM probes),
+       |cands AS (SELECT DISTINCT probe_key, base_key
+       |          FROM ppost JOIN rare USING (g) JOIN bpost USING (g)),
+       |scored AS (SELECT c.probe_key, c.base_key,
+       |    CAST(levenshtein(p.probe_name, b.base_name) AS BIGINT) AS edit_dist
+       |  FROM cands c JOIN probes p USING (probe_key) JOIN gset b USING (base_key)),
+       |best AS (SELECT probe_key, base_key AS matched_key, edit_dist
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+       |          ORDER BY edit_dist, base_key) AS rank FROM scored) x
+       |  WHERE rank = 1)
+       |SELECT p.probe_key, b.matched_key, b.edit_dist,
+       |  COALESCE(b.matched_key = p.probe_key, false) AS correct
+       |FROM probes p LEFT JOIN best b USING (probe_key)
+       |ORDER BY p.probe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fm1_fuzzy_match" -> fuzzyMatch,
-    "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhash)
+    "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhash,
+    "fm3_fuzzy_match_edit" -> fuzzyMatchEdit)
 
   val oracle: Map[String, String] = Map(
     "fm1_fuzzy_match" -> fuzzyMatchSql,
-    "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhashSql)
+    "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhashSql,
+    "fm3_fuzzy_match_edit" -> fuzzyMatchEditSql)
 }

@@ -852,6 +852,31 @@ class LlmDataSpec extends SparkSpec {
     assert(acc >= 0.9, s"linkage accuracy $acc")
   }
 
+  test("fm3: edit-distance verify links back and reports the true deletion count") {
+    val rows = graft.operators.FuzzyMatch.fuzzyMatchEdit(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("probe_key")).distinct.length == rows.length)
+    val names = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select($"c_custkey", $"c_name").as[(Long, String)].collect().toMap
+    def corruptJvm(s: String): String =
+      s.zipWithIndex.collect { case (c, i) if (i + 1) % 7 != 0 => c }.mkString
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("matched_key"))) {
+        assert(r.getAs[Boolean]("correct") ==
+          (r.getAs[Long]("matched_key") == r.getAs[Long]("probe_key")))
+        if (r.getAs[Boolean]("correct")) {
+          // levenshtein(corrupted, original) == number of dropped chars
+          val orig = names(r.getAs[Long]("probe_key"))
+          val dropped = orig.length - corruptJvm(orig).length
+          assert(r.getAs[Long]("edit_dist") == dropped.toLong,
+            s"probe ${r.getAs[Long]("probe_key")}")
+        }
+      } else assert(!r.getAs[Boolean]("correct"))
+    }
+    val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
+    assert(acc >= 0.9, s"edit-distance linkage accuracy $acc")
+  }
+
   test("fm2: minhash-blocked linkage recovers most corrupted documents") {
     val rows = graft.operators.FuzzyMatch.fuzzyMatchMinhash(spark, sf()).collect()
     assert(rows.nonEmpty)
