@@ -603,7 +603,60 @@ object CdcQueries {
       |  MAX(gap) AS max_gap
       |FROM g GROUP BY 1 ORDER BY entity_name""".stripMargin
 
+  // ------------------------------------------------------------ cdc11
+
+  /** Transaction reassembly (cdc11): group the decoded change stream by
+    * `transactionKey` — the envelope field that exists precisely so a
+    * consumer can stitch one Salesforce transaction's events back
+    * together (reference envelope:
+    * `worker/lambda/app.py` ChangeEventHeader.transactionKey) — and emit
+    * per-transaction boundaries: event/record counts, entity set, change-
+    * type mix, commit-clock span, replay-id range. The atomic-apply
+    * building block: a downstream that applies per TRANSACTION (not per
+    * event) consumes exactly this rollup joined back to the events.
+    *
+    * Scale: ONE shuffle on transactionKey with every aggregate map-side
+    * combinable (counts, min/max, distinct-set collects bounded by the
+    * per-transaction event count — single-digit by construction). */
+  def txnAssembly(spark: SparkSession, dir: String): DataFrame =
+    changes(spark, dir)
+      .groupBy(col("transactionKey").as("transaction_key"))
+      .agg(
+        countDistinct(col("replayId")).as("n_events"),
+        count(lit(1)).as("n_record_changes"),
+        sort_array(collect_set(col("entityName"))).as("entities"),
+        sort_array(collect_set(col("changeType"))).as("change_types"),
+        min(col("commitNumber")).as("first_commit"),
+        max(col("commitNumber")).as("last_commit"),
+        min(col("replayId")).as("first_replay_id"),
+        max(col("replayId")).as("last_replay_id"))
+      .orderBy(col("transaction_key"))
+
+  val txnAssemblySql: String =
+    """WITH chg AS (
+      |  SELECT 'tk-' || CAST(c_custkey AS VARCHAR) AS transaction_key,
+      |    c_custkey + 10 AS replay_id,
+      |    'Customer' AS entity_name,
+      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE'
+      |         WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END AS change_type,
+      |    c_custkey * 10 AS commit_number,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 1
+      |         WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS n_ids
+      |  FROM customer)
+      |SELECT transaction_key,
+      |  CAST(COUNT(DISTINCT replay_id) AS BIGINT) AS n_events,
+      |  CAST(SUM(n_ids) AS BIGINT) AS n_record_changes,
+      |  list_sort(list_distinct(list(entity_name))) AS entities,
+      |  list_sort(list_distinct(list(change_type))) AS change_types,
+      |  CAST(MIN(commit_number) AS BIGINT) AS first_commit,
+      |  CAST(MAX(commit_number) AS BIGINT) AS last_commit,
+      |  CAST(MIN(replay_id) AS BIGINT) AS first_replay_id,
+      |  CAST(MAX(replay_id) AS BIGINT) AS last_replay_id
+      |FROM chg GROUP BY transaction_key
+      |ORDER BY transaction_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc11_txn_assembly" -> txnAssembly,
     "cdc10_replay_audit" -> replayAudit,
     "cdc1_decode" -> decodeHeaders,
     "cdc2_route_enrich" -> routeEnrich,
@@ -616,6 +669,7 @@ object CdcQueries {
     "cdc9_scd2_history" -> scd2History)
 
   val oracle: Map[String, String] = Map(
+    "cdc11_txn_assembly" -> txnAssemblySql,
     "cdc10_replay_audit" -> replayAuditSql,
     "cdc1_decode" -> decodeHeadersSql,
     "cdc2_route_enrich" -> routeEnrichSql,

@@ -733,7 +733,54 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q21-shaped sole-late-supplier census (q35): suppliers who were
+    * the ONLY late shipper on a multi-supplier order (lateness adapted to
+    * the fixture: shipped > 90 days after the order date — the fixture
+    * carries no commit/receipt dates). Q21's correlated EXISTS / NOT
+    * EXISTS pair is re-expressed as per-order distinct-supplier counts —
+    * the aggregate form Catalyst plans as two map-side-combinable counts
+    * instead of two correlated self-joins; the qualifying (order,
+    * supplier) pairs then join back to the late lineitems. Top-10 with a
+    * name tie-break via TakeOrdered. */
+  def q35SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val l = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+        late.as("late"))
+    val perOrder = l.groupBy(col("okey")).agg(
+      countDistinct(col("skey")).as("n_supps"),
+      countDistinct(when(col("late"), col("skey"))).as("n_late_supps"))
+    val lateSupp = l.filter(col("late"))
+      .select(col("okey"), col("skey")).distinct()
+    val qualifying = lateSupp.join(
+      perOrder.filter(col("n_supps") > 1 && col("n_late_supps") === 1), "okey")
+    qualifying.join(t(spark, dir, "supplier"), col("skey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q35Sql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey AS okey, l_suppkey AS skey,
+      |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |per_order AS (
+      |  SELECT okey, COUNT(DISTINCT skey) AS n_supps,
+      |    COUNT(DISTINCT CASE WHEN late THEN skey END) AS n_late_supps
+      |  FROM l GROUP BY okey),
+      |late_supp AS (SELECT DISTINCT okey, skey FROM l WHERE late),
+      |q AS (SELECT ls.okey, ls.skey FROM late_supp ls
+      |      JOIN per_order p ON ls.okey = p.okey
+      |      WHERE p.n_supps > 1 AND p.n_late_supps = 1)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM q JOIN supplier ON skey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_sole_late_supplier" -> q35SoleLateSupplier,
     "q33_volume_shipping" -> q33VolumeShipping,
     "q32_cube" -> q32Cube,
     "q31_percentiles" -> q31Percentiles,
@@ -767,6 +814,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q32_cube" -> q32Sql,
     "q33_volume_shipping" -> q33Sql,
+    "q35_sole_late_supplier" -> q35Sql,
     "q31_percentiles" -> q31Sql,
     "q30_range_join" -> q30Sql,
     "q26_window_funcs" -> q26Sql,

@@ -68,7 +68,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ev12_lateness_audit" -> EventsAnalytics.latenessAudit _,
       "tx18_bpe_pairs" -> TextAnalysis.bpePairCounts _,
       "cur6_dataset_card" -> graft.llmdata.Curation.datasetCard _,
-      "ss9_rrf_fusion" -> graft.llmdata.Similarity.annRrfFusion _)
+      "ss9_rrf_fusion" -> graft.llmdata.Similarity.annRrfFusion _,
+      // cdc11's distinct-set collects, q35's per-order distinct counts,
+      // fm3's df counts — reductions all
+      "cdc11_txn_assembly" -> graft.operators.CdcQueries.txnAssembly _,
+      "q35_sole_late_supplier" -> Relational.q35SoleLateSupplier _,
+      "fm3_fuzzy_match_edit" -> graft.operators.FuzzyMatch.fuzzyMatchEdit _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
