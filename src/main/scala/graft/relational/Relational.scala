@@ -744,17 +744,19 @@ object Relational {
     * name tie-break via TakeOrdered. */
   def q35SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
-    val l = t(spark, dir, "lineitem")
+    // collapse to (order, supplier, was-ever-late) FIRST — one combinable
+    // pass replaces two countDistincts AND gives both consumers the small
+    // pair table instead of re-joining lineitem x orders per branch
+    val pairs = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
         late.as("late"))
-    val perOrder = l.groupBy(col("okey")).agg(
-      countDistinct(col("skey")).as("n_supps"),
-      countDistinct(when(col("late"), col("skey"))).as("n_late_supps"))
-    val lateSupp = l.filter(col("late"))
-      .select(col("okey"), col("skey")).distinct()
-    val qualifying = lateSupp.join(
-      perOrder.filter(col("n_supps") > 1 && col("n_late_supps") === 1), "okey")
+      .groupBy(col("okey"), col("skey")).agg(max(col("late")).as("late"))
+    val perOrder = pairs.groupBy(col("okey")).agg(
+      count(lit(1)).as("n_supps"),
+      sum(when(col("late"), 1L).otherwise(0L)).as("n_late_supps"))
+    val qualifying = pairs.filter(col("late")).select(col("okey"), col("skey"))
+      .join(perOrder.filter(col("n_supps") > 1 && col("n_late_supps") === 1), "okey")
     qualifying.join(t(spark, dir, "supplier"), col("skey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
