@@ -473,7 +473,14 @@ object Dedup {
     * inverted-index self-join, no df² bucket probe; the pair count per
     * gram is bounded by C(cap,2). Skew note: a degenerate stop-shingle
     * concentrates its (capped) posting build in one task — the same
-    * concentration a window/self-join would have, bounded by the cap. */
+    * concentration a window/self-join would have, bounded by the cap.
+    *
+    * Cost note (why this is the slowest battery query, ~2.9 s at sf0.1):
+    * the fixture's dense vocabulary yields ~1.13M candidate pairs from
+    * 27k distinct trigrams, and EVERY pair pays the exact merge-walk
+    * verify — that is the semantics of the exact inverted-index tier,
+    * not waste. dd3 (MinHash verify) and dd16 (signature-only estimate)
+    * are the tiers that trade this exactness away at scale. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = gramsOf(spark, dir, 3)
     // explode_outer: see minhashLsh — avoids re-evaluating the shingle
