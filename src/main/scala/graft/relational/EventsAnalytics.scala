@@ -465,7 +465,72 @@ object EventsAnalytics {
        |  CAST(MAX(lateness_ms) AS BIGINT) AS max_lateness_ms
        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val AnomalyTrailDays = 7
+  private val AnomalyZ = 2.0
+
+  /** Event-rate anomaly detection (ev13): per (type, day), the z-score of
+    * the daily event count against its trailing [[AnomalyTrailDays]]-day
+    * mean/σ — the ops-dashboard "is today's volume weird" query. Days
+    * without a full trailing week emit no verdict (cold start is not an
+    * anomaly).
+    *
+    * Float parity: the trailing sums are BIGINT (order-independent);
+    * mean, variance, σ, and z are then derived in one fixed expression
+    * order (s1/cnt, s2/cnt − mean², √, (n−mean)/σ) — no aggregation-order
+    * hazard anywhere. Scale shape: one combinable daily count, then a
+    * per-type window over DAYS (≤ a few thousand rows per type at any
+    * corpus size — the window is over the aggregate, not the events). */
+  def rateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-AnomalyTrailDays, -1)
+    val s1 = sum(col("n_events")).over(w)
+    val s2 = sum(col("n_events") * col("n_events")).over(w)
+    val cnt = count(col("n_events")).over(w)
+    daily
+      .withColumn("_s1", s1).withColumn("_s2", s2).withColumn("_cnt", cnt)
+      .filter(col("_cnt") === AnomalyTrailDays)
+      .withColumn("mean_7d", col("_s1").cast(DoubleType) / col("_cnt"))
+      .withColumn("std_7d", sqrt(greatest(
+        col("_s2").cast(DoubleType) / col("_cnt") - col("mean_7d") * col("mean_7d"),
+        lit(0.0))))
+      .withColumn("z", when(col("std_7d") > 0.0,
+        (col("n_events").cast(DoubleType) - col("mean_7d")) / col("std_7d"))
+        .otherwise(lit(0.0)))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("mean_7d"), col("std_7d"), col("z"),
+        (abs(col("z")) > AnomalyZ).as("is_anomaly"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val rateAnomalySql: String =
+    s"""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |tw AS (SELECT *,
+       |    SUM(n_events) OVER w AS s1,
+       |    SUM(n_events * n_events) OVER w AS s2,
+       |    COUNT(n_events) OVER w AS cnt
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN $AnomalyTrailDays PRECEDING AND 1 PRECEDING)),
+       |m AS (SELECT *, CAST(s1 AS DOUBLE) / cnt AS mean_7d,
+       |        sqrt(GREATEST(CAST(s2 AS DOUBLE) / cnt
+       |          - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt), 0.0)) AS std_7d
+       |      FROM tw WHERE cnt = $AnomalyTrailDays)
+       |SELECT day, event_type, n_events, mean_7d, std_7d,
+       |  CASE WHEN std_7d > 0.0
+       |       THEN (CAST(n_events AS DOUBLE) - mean_7d) / std_7d ELSE 0.0 END AS z,
+       |  ABS(CASE WHEN std_7d > 0.0
+       |       THEN (CAST(n_events AS DOUBLE) - mean_7d) / std_7d ELSE 0.0 END)
+       |    > $AnomalyZ AS is_anomaly
+       |FROM m ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev13_rate_anomaly" -> rateAnomaly,
     "ev12_lateness_audit" -> latenessAudit,
     "ev11_trending" -> trendingWindow,
     "ev10_hopping_window" -> hoppingWindow,
@@ -480,6 +545,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev13_rate_anomaly" -> rateAnomalySql,
     "ev12_lateness_audit" -> latenessAuditSql,
     "ev11_trending" -> trendingWindowSql,
     "ev10_hopping_window" -> hoppingWindowSql,

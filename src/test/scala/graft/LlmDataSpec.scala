@@ -611,6 +611,33 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ev13: rate anomalies match a driver-side trailing-window recompute") {
+    val daily = spark.read.parquet(s"${sf()}/events.parquet")
+      .selectExpr("event_type", "ts DIV 1000000 DIV 86400000 AS day")
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((tpe, day), n) => (tpe, day, n) }
+    val rows = graft.relational.EventsAnalytics.rateAnomaly(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val byType = daily.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val day = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      val series = byType(tpe)
+      val idx = series.indexWhere(_._2 == day)
+      assert(idx >= 7, "verdicts require a full trailing week")
+      val trail = series.slice(idx - 7, idx).map(_._3)
+      val mean = trail.sum.toDouble / 7
+      val variance = math.max(trail.map(x => x * x).sum.toDouble / 7 - mean * mean, 0.0)
+      val std = math.sqrt(variance)
+      val z = if (std > 0) (series(idx)._3.toDouble - mean) / std else 0.0
+      assert(r.getAs[Long]("n_events") == series(idx)._3)
+      assert(math.abs(r.getAs[Double]("mean_7d") - mean) < 1e-9)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
+      assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
+    }
+  }
+
   test("ev12: lateness audit matches a driver-side replay of the arrival permutation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -73,7 +73,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       // fm3's df counts — reductions all
       "cdc11_txn_assembly" -> graft.operators.CdcQueries.txnAssembly _,
       "q35_sole_late_supplier" -> Relational.q35SoleLateSupplier _,
-      "fm3_fuzzy_match_edit" -> graft.operators.FuzzyMatch.fuzzyMatchEdit _)
+      "fm3_fuzzy_match_edit" -> graft.operators.FuzzyMatch.fuzzyMatchEdit _,
+      "ev13_rate_anomaly" -> EventsAnalytics.rateAnomaly _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
