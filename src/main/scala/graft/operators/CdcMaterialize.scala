@@ -167,6 +167,30 @@ object CdcMaterialize {
       case None => scd2HistoryAll(batch.dropDuplicates(ClockKey))
     }
 
+  /** Streaming transaction ledger via foreachBatch — the state behind
+    * cdc11's rollup when the change stream is LIVE. Atomic per-transaction
+    * apply is inherently a streaming concern: a consumer must hold a
+    * transaction's events until its boundaries stop moving, then apply
+    * them as one unit. The state dir holds exactly that ledger — the raw
+    * decoded change rows keyed by the envelope clock — and
+    * [[graft.operators.CdcQueries.txnAssemblyOf]] derives the
+    * per-transaction boundary rollup from it at any point.
+    *
+    * Idempotence: foreachBatch is at-least-once, and a transaction's
+    * events can span triggers; the merge therefore dedupes the unioned
+    * ledger on the clock key (same rationale as [[foreachBatchScd2]]) —
+    * a replayed batch or a redelivered envelope changes nothing, and a
+    * transaction whose tail arrives two triggers later simply grows its
+    * ledger rows. Scale posture: the union is append-shaped (no window,
+    * no join); at 100 TB the ledger partitions by transactionKey and the
+    * merge becomes MERGE INTO on a transactional table. */
+  def foreachBatchTxnLedger(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+    mergeState(stateDir, batch, batchId) {
+      case Some(led) =>
+        led.unionByName(batch, allowMissingColumns = true).dropDuplicates(ClockKey)
+      case None => batch.dropDuplicates(ClockKey)
+    }
+
   /** Streaming upsert via foreachBatch — the sink-side extension point
     * (SURVEY.md §2.8): each micro-batch merges into the parquet state dir
     * by unioning the existing state (re-tagged as lowest precedence) with

@@ -617,15 +617,26 @@ object CdcQueries {
     *
     * Scale: ONE shuffle on transactionKey with every aggregate map-side
     * combinable (counts, min/max, distinct-set collects bounded by the
-    * per-transaction event count — single-digit by construction). */
+    * per-transaction event count — single-digit by construction). The
+    * entity/change-type sets are emitted as sorted comma-joined strings:
+    * the friendlier sink shape (flat columns survive CSV/JDBC sinks), and
+    * scalar cells are what the oracle harness can hash. */
   def txnAssembly(spark: SparkSession, dir: String): DataFrame =
-    changes(spark, dir)
+    txnAssemblyOf(changes(spark, dir))
+
+  /** The cdc11 aggregate over ANY decoded change-row frame — the batch
+    * fixture above, or the streaming transaction LEDGER state maintained
+    * by [[CdcMaterialize.foreachBatchTxnLedger]] (whose per-trigger merge
+    * dedupes on the envelope clock, so this rollup is restart-invariant
+    * over it; StreamingOpsSpec drives that composition). */
+  def txnAssemblyOf(changeRows: DataFrame): DataFrame =
+    changeRows
       .groupBy(col("transactionKey").as("transaction_key"))
       .agg(
         countDistinct(col("replayId")).as("n_events"),
         count(lit(1)).as("n_record_changes"),
-        sort_array(collect_set(col("entityName"))).as("entities"),
-        sort_array(collect_set(col("changeType"))).as("change_types"),
+        array_join(sort_array(collect_set(col("entityName"))), ",").as("entities"),
+        array_join(sort_array(collect_set(col("changeType"))), ",").as("change_types"),
         min(col("commitNumber")).as("first_commit"),
         max(col("commitNumber")).as("last_commit"),
         min(col("replayId")).as("first_replay_id"),
@@ -646,8 +657,8 @@ object CdcQueries {
       |SELECT transaction_key,
       |  CAST(COUNT(DISTINCT replay_id) AS BIGINT) AS n_events,
       |  CAST(SUM(n_ids) AS BIGINT) AS n_record_changes,
-      |  list_sort(list_distinct(list(entity_name))) AS entities,
-      |  list_sort(list_distinct(list(change_type))) AS change_types,
+      |  array_to_string(list_sort(list_distinct(list(entity_name))), ',') AS entities,
+      |  array_to_string(list_sort(list_distinct(list(change_type))), ',') AS change_types,
       |  CAST(MIN(commit_number) AS BIGINT) AS first_commit,
       |  CAST(MAX(commit_number) AS BIGINT) AS last_commit,
       |  CAST(MIN(replay_id) AS BIGINT) AS first_replay_id,

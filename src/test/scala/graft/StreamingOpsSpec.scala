@@ -181,6 +181,100 @@ class StreamingOpsSpec extends SparkSpec {
     assert(results(5L) == "admitted")
   }
 
+  test("cdc11 streaming twin: txn ledger across triggers + restart matches batch assembly") {
+    // Atomic per-transaction apply is a streaming concern: a consumer
+    // holds a transaction's events until its boundaries stop moving. The
+    // ledger state (foreachBatchTxnLedger) accumulates decoded change
+    // rows deduped on the envelope clock; txnAssemblyOf derives cdc11's
+    // rollup from it. Exercised here: a transaction spanning triggers, a
+    // redelivered envelope (must not double-count), a mid-stream restart
+    // with a transaction tail arriving after it.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{CdcDecode, CdcMaterialize, CdcQueries}
+    import graft.sources.ReplayBus
+    import java.nio.file.Files
+
+    def event(tk: String, replay: Long, entity: String, ct: String, ids: Seq[String]): String =
+      s"""{"schema":"fp","payload":{"ChangeEventHeader":{""" +
+        s""""commitNumber":${replay * 10},"commitUser":"u","sequenceNumber":1,""" +
+        s""""entityName":"$entity","changeType":"$ct",""" +
+        s""""changedFields":[],"changeOrigin":"t","transactionKey":"$tk",""" +
+        s""""commitTimestamp":${1700000000000L + replay * 1000},""" +
+        s""""recordIds":[${ids.map("\"" + _ + "\"").mkString(",")}]}},""" +
+        s""""event":{"replayId":$replay}}"""
+
+    val clockKey = Seq("entityName", "Id", "commitNumber", "sequenceNumber", "replayId")
+    def decode(df: DataFrame): DataFrame =
+      CdcDecode.explodeIds(
+        CdcDecode.decodeJson(df.select(col("value")), col("value")).drop("value"))
+        .drop("payload_json")
+
+    def ledgerBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit =
+      CdcMaterialize.foreachBatchTxnLedger(stateDir)(decode(batch), batchId)
+
+    def drive(topic: String, stateDir: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("cdc-replay")
+        .option("topic", topic).option("replayFrom", "-2")
+        .option("batchSize", "2").load()
+        .writeStream.foreachBatch(ledgerBatch(stateDir) _)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val run1 = Seq( // batchSize=2 -> 3 triggers; tk-A spans triggers 1 and 2
+      event("tk-A", 1, "Customer", "CREATE", Seq("C1")),
+      event("tk-B", 2, "Order", "CREATE", Seq("O1")),
+      event("tk-A", 3, "Order", "UPDATE", Seq("O1", "O2")),
+      event("tk-C", 4, "Customer", "DELETE", Seq("C9")),
+      event("tk-B", 5, "Order", "UPDATE", Seq("O1")),
+      event("tk-A", 1, "Customer", "CREATE", Seq("C1"))) // redelivered envelope
+    val run2 = Seq( // tk-A's tail and tk-C's second event arrive after the restart
+      event("tk-C", 6, "Order", "CREATE", Seq("O7")),
+      event("tk-D", 7, "Customer", "UPDATE", Seq("C3")),
+      event("tk-A", 8, "Customer", "UPDATE", Seq("C1")))
+
+    val topicA = "t_txn_restart"
+    ReplayBus.clear(topicA)
+    val stateA = Files.createTempDirectory("txn_a").toString + "/ledger"
+    val ckptA = Files.createTempDirectory("txn_a_ckpt").toString
+    run1.foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, stateA, ckptA)
+    run2.foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, stateA, ckptA) // resumes from WAL
+
+    val topicB = "t_txn_ref"
+    ReplayBus.clear(topicB)
+    val stateB = Files.createTempDirectory("txn_b").toString + "/ledger"
+    val ckptB = Files.createTempDirectory("txn_b_ckpt").toString
+    (run1 ++ run2).foreach(ReplayBus.publish(topicB, _))
+    drive(topicB, stateB, ckptB)
+
+    def roll(stateDir: String): Set[Seq[Any]] =
+      CdcQueries.txnAssemblyOf(spark.read.parquet(stateDir))
+        .collect().map(_.toSeq).toSet
+    assert(roll(stateA) == roll(stateB),
+      "restarted ledger rollup must equal the single-run rollup")
+
+    // batch reference: decode ALL envelopes in one frame, clock-dedupe
+    // (the batch rendering of the ledger), same aggregate
+    val expected = CdcQueries.txnAssemblyOf(
+      decode((run1 ++ run2).toDF("value")).dropDuplicates(clockKey))
+      .collect().map(_.toSeq).toSet
+    assert(roll(stateA) == expected, "streaming ledger must equal batch assembly")
+
+    val tkA = CdcQueries.txnAssemblyOf(spark.read.parquet(stateA))
+      .filter(col("transaction_key") === "tk-A").collect().head
+    assert(tkA.getAs[Long]("n_events") == 3L, "redelivery must not mint an event")
+    assert(tkA.getAs[Long]("n_record_changes") == 4L)
+    assert(tkA.getAs[String]("entities") == "Customer,Order")
+    assert(tkA.getAs[String]("change_types") == "CREATE,UPDATE")
+    assert(tkA.getAs[Long]("first_replay_id") == 1L)
+    assert(tkA.getAs[Long]("last_replay_id") == 8L)
+  }
+
   test("composition: cdc decode -> bloom-gated admission -> scd2 state across a restart") {
     // The full ingest composition the engine exists for: a replayable CDC
     // bus delivers document change events; each micro-batch is decoded
