@@ -45,31 +45,54 @@ object Bench {
         None
       }
     }
-    // untimed warm-up pass over the whole battery first: queries execute
-    // in Map hash order, so whichever ran first used to absorb ALL of the
-    // JVM/codegen/parquet-footer warm-up in BOTH of its timed runs
-    // (r4: q17 scored 8.0 s in the battery vs 0.9 s warm — pure position
-    // noise). One throwaway pass makes min-of-2 order-independent.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      (timeOnce(name, fn), timeOnce(name, fn)) match {
-        case (Some(a), Some(b)) => Some(name -> math.min(a, b))
-        case (one, two) =>
-          val r = one.orElse(two).map(name -> _)
-          // one run succeeded: report its (single-sample) timing and drop
-          // the transient failure — a query must not appear in BOTH maps
-          if (r.isDefined) errors.remove(name)
-          r
+    // The battery runs FAMILY BY FAMILY (name-sorted: cdc, cur, dd, ev,
+    // fm, mm, q, ss, tx), each family as warm-up pass → timed min-of-2 →
+    // cache release. Two reasons, both learned the hard way:
+    //  - warm-up: queries used to execute in Map hash order, so whichever
+    //    ran first absorbed ALL of the JVM/codegen/parquet-footer warm-up
+    //    in BOTH timed runs (r4: q17 scored 8.0 s in the battery vs 0.9 s
+    //    warm). A throwaway pass before timing makes min-of-2
+    //    order-independent; per-family it also rebuilds any cross-family
+    //    cache the release below dropped.
+    //  - scoped release: holding every family's session caches (shingle /
+    //    signature / phash / IVF / PQ / SQ tables) for the WHOLE battery
+    //    put a dozen persisted tables on the executor heap at once, and in
+    //    r7 a dozen UNTOUCHED queries ran 4–11× their r6 times from the
+    //    storage-memory pressure alone. Releasing as the battery leaves
+    //    each family bounds pinned storage to one family's working set;
+    //    timed queries still hit their own family's caches.
+    def releaseCaches(): Unit =
+      try graft.llmdata.Dedup.uncacheShingles(spark)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] cache release failed: $e")
       }
-    }
+    def familyOf(name: String): String = name.takeWhile(!_.isDigit)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .groupBy { case (name, _) => familyOf(name) }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, fam) =>
+        fam.foreach { case (_, fn) =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+        val timed = fam.flatMap { case (name, fn) =>
+          (timeOnce(name, fn), timeOnce(name, fn)) match {
+            case (Some(a), Some(b)) => Some(name -> math.min(a, b))
+            case (one, two) =>
+              val r = one.orElse(two).map(name -> _)
+              // one run succeeded: report its (single-sample) timing and
+              // drop the transient failure — a query must not appear in
+              // BOTH maps
+              if (r.isDefined) errors.remove(name)
+              r
+          }
+        }
+        releaseCaches()
+        timed
+      }.toMap
 
-    // release the battery's pinned session caches (shingles, signatures,
-    // phash/IVF/PQ indexes) before the streaming measurement — the post-
-    // battery throughput should reflect the pipeline, not leftover storage
+    // the per-family release above already ran after the last family, so
+    // the post-battery probe measures the pipeline, not leftover storage
     // pressure from the analytics phase (standard phase hygiene)
-    try graft.llmdata.Dedup.uncacheShingles(spark) catch { case _: Throwable => () }
     val epsPost = try cdcThroughput(spark) catch { case _: Throwable => -1.0 }
 
     def jq(s: String): String = "\"" + s.flatMap {

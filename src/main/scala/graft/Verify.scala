@@ -20,15 +20,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // name-sorted groups queries by family (cdc, dd, q, ss, …); releasing
+    // the session caches as the drive leaves each family bounds pinned
+    // storage to one family's working set (same hygiene as Bench — r7
+    // held every family's caches at once and the memory pressure slowed
+    // the whole battery).
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .groupBy { case (name, _) => name.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (_, fam) =>
+        fam.foreach { case (name, fn) =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+        try graft.llmdata.Dedup.uncacheShingles(spark)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] cache release failed: $e")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
