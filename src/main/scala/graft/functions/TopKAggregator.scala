@@ -42,3 +42,43 @@ object TopKByScore {
   def topK(score: Column, id: Column, k: Int): Column =
     udaf(new Agg(k), Encoders.product[Entry]).apply(score, id)
 }
+
+/** Bounded FIRST-k by (string key ASC, id ASC), each entry carrying a
+  * long payload — the deterministic-sample-with-accounting shape: rank by
+  * an md5 hex digest (128-bit order that a Double score cannot represent
+  * exactly), keep the k lowest, and let the payload (e.g. a token count)
+  * ride along so sample statistics come straight off the aggregate with
+  * no join back to the corpus. Same O(k)-per-group contract as
+  * [[TopKByScore]]: the buffer survives the normal partial-aggregation
+  * shuffle, so no group is ever sorted whole.
+  */
+object BottomKByKey {
+
+  final case class KEntry(key: String, id: Long, payload: Long)
+  final case class KBuf(entries: List[KEntry])
+
+  /** (key asc, id asc) — matches ORDER BY key, id. */
+  private val ord: Ordering[KEntry] =
+    Ordering.by[KEntry, (String, Long)](e => (e.key, e.id))
+
+  class Agg(k: Int) extends Aggregator[KEntry, KBuf, Seq[KEntry]] {
+    private def trim(l: List[KEntry]): List[KEntry] = {
+      val s = l.sorted(ord)
+      if (s.size <= k) s else s.take(k)
+    }
+    override def zero: KBuf = KBuf(Nil)
+    override def reduce(b: KBuf, e: KEntry): KBuf =
+      if (b.entries.size >= k && ord.gteq(e, b.entries.last)) b
+      else KBuf(trim(e :: b.entries))
+    override def merge(a: KBuf, b: KBuf): KBuf = KBuf(trim(a.entries ++ b.entries))
+    override def finish(b: KBuf): Seq[KEntry] = b.entries
+    override def bufferEncoder: Encoder[KBuf] = Encoders.product[KBuf]
+    override def outputEncoder: Encoder[Seq[KEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KEntry]]()
+  }
+
+  /** Column form; result is array<struct<key,id,payload>> of the k
+    * first entries in (key, id) order. */
+  def bottomK(key: Column, id: Column, payload: Column, k: Int): Column =
+    udaf(new Agg(k), Encoders.product[KEntry]).apply(key, id, payload)
+}

@@ -13,14 +13,16 @@ import graft.sources.Tables
   * between stages): language-ID → quality scoring → exact dedup →
   * deterministic stratified sampling → per-stratum accounting.
   *
-  * Scale posture: three shuffles total — the content-hash dedup window
-  * (high-cardinality key, no skew), the (lang, band) stratum window, and
-  * the final tiny aggregate. Everything upstream is a single map pass
-  * over the scan. The stratum window has only |langs|×|bands| partitions;
-  * at extreme scale swap the row_number for the bounded-heap TopKByScore
-  * aggregator (graft.functions) to avoid sorting whole strata — the
-  * md5-ranked sample is deliberately rand()-free so it is replayable and
-  * partition-stable either way.
+  * Scale posture: two shuffles total — the content-hash dedup window
+  * (high-cardinality key, no skew) and ONE (lang, band) aggregate that
+  * carries the census sums and the md5-ranked sample together via the
+  * bounded-heap [[graft.functions.BottomKByKey]] aggregator (O(SampleK)
+  * state per stratum, combinable through the partial-aggregation
+  * shuffle). Everything upstream is a single map pass over the scan.
+  * There are only |langs|×|bands| strata, so a row_number window here
+  * would make each stratum ONE task sorting it end-to-end — the heap
+  * never sorts a stratum whole. The md5-ranked sample is deliberately
+  * rand()-free so it is replayable and partition-stable.
   */
 object Curation {
 
@@ -71,21 +73,28 @@ object Curation {
       .filter(col("pred_lang") =!= "und" && col("quality") >= 0.45)
       .withColumn("band", when(col("quality") >= 0.6, lit("high")).otherwise(lit("medium")))
 
-    // deterministic md5-ranked sample of SampleK docs per stratum
-    val sampled = kept.withColumn("_s_rn", row_number().over(
-      Window.partitionBy(col("pred_lang"), col("band"))
-        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))))
-
-    sampled.groupBy(col("pred_lang"), col("band"))
+    // deterministic md5-ranked sample of SampleK docs per stratum, taken
+    // INSIDE the census aggregate: BottomKByKey keeps the SampleK lowest
+    // (md5, doc_id) entries with their token payloads, so the sample
+    // statistics come off the heap with no second window/join — the md5
+    // hex digest is a 128-bit order a Double score can't represent, hence
+    // the string-keyed aggregator rather than TopKByScore
+    kept.groupBy(col("pred_lang"), col("band"))
       .agg(
         count(lit(1)).as("n_kept"),
         sum(col("re_tokens")).as("total_tokens"),
-        sum(when(col("_s_rn") <= SampleK, 1L).otherwise(0L)).as("n_sampled"),
-        sum(when(col("_s_rn") <= SampleK, col("re_tokens"))).as("sample_tokens"),
+        graft.functions.BottomKByKey.bottomK(
+          md5(col("doc_id").cast(StringType)), col("doc_id"),
+          col("re_tokens"), SampleK).as("_sample"),
         // nano-scaled integer sum: the average must not depend on
         // partial-aggregation order (see tx4)
         ((sum(round(col("quality") * lit(1e9)).cast(LongType)).cast(DoubleType) /
           count(lit(1))) / lit(1e9)).as("avg_quality"))
+      .select(col("pred_lang"), col("band"), col("n_kept"), col("total_tokens"),
+        size(col("_sample")).cast(LongType).as("n_sampled"),
+        aggregate(col("_sample"), lit(0L),
+          (acc, e) => acc + e.getField("payload")).as("sample_tokens"),
+        col("avg_quality"))
       .orderBy(col("pred_lang"), col("band"))
   }
 
@@ -404,6 +413,20 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** tx15's SQL ends with its presentation `ORDER BY doc_id`; drop exactly
+    * that TRAILING clause for use as a join input. A blanket
+    * `replace("ORDER BY doc_id", "")` would also hit any same-text window
+    * frame inside the query (tx14's SQL already contains one), silently
+    * corrupting the generated oracle — so anchor to the suffix and fail
+    * loudly at class-load if the upstream shape ever changes. */
+  private def classifierScoreSqlNoOrder: String = {
+    val sql = TextAnalysis.classifierScoreSql
+    val idx = sql.lastIndexOf("ORDER BY doc_id")
+    require(idx >= 0 && sql.substring(idx).trim == "ORDER BY doc_id",
+      "classifierScoreSql no longer ends with its presentation ORDER BY")
+    sql.substring(0, idx)
+  }
+
   val datasetCardSql: String =
     s"""WITH d AS (SELECT doc_id, source, lang, text FROM documents),
        |vol AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -422,7 +445,7 @@ object Curation {
        |         FROM d GROUP BY source, lang) x WHERE rn = 1),
        |q AS (SELECT d.source,
        |        CAST(SUM(CASE WHEN c.accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
-       |      FROM d JOIN (${TextAnalysis.classifierScoreSql.replace("ORDER BY doc_id", "")}) c
+       |      FROM d JOIN ($classifierScoreSqlNoOrder) c
        |        ON d.doc_id = c.doc_id
        |      GROUP BY d.source)
        |SELECT source, n_docs, n_tokens, n_chars, n_exact_dup,

@@ -822,12 +822,19 @@ object Dedup {
     *
     * Scale shape: cell assignment is the scan-side argmax over codebook
     * literals (shared with dd9 via Similarity.ivfCells); the incoming
-    * slice is the BROADCAST side of the cell equi-join, so the corpus is
+    * batch is the BROADCAST side of the cell equi-join, so the corpus is
     * scanned once and never self-joined; the nearest-neighbor pick is a
     * map-side-combinable MAX over struct(cos, −id) — no window. Verdicts
     * for vectors with an empty probed cell are 'admitted' with null
     * nearest. Multiprobe assignment (ss4/ss7's pattern) is the recall
-    * knob when cells are fine-grained. */
+    * knob when cells are fine-grained.
+    *
+    * Broadcast contract: the small side must be the ADMISSION BATCH —
+    * bounded by ingest cadence, not by corpus size. The fixture's
+    * `vec_id % 10` slice stands in for that batch at test scale; a real
+    * incoming side that is a corpus FRACTION would OOM the broadcast
+    * build, and callers admitting one must drop the hint and let AQE
+    * pick the join (the rest of the shape is unchanged). */
   def semanticAdmission(spark: SparkSession, dir: String): DataFrame = {
     val isIncoming = col("vec_id") % 10 === 0
     val cells = Similarity.ivfCells(spark, dir)

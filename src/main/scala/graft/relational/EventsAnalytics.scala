@@ -470,9 +470,12 @@ object EventsAnalytics {
 
   /** Event-rate anomaly detection (ev13): per (type, day), the z-score of
     * the daily event count against its trailing [[AnomalyTrailDays]]-day
-    * mean/σ — the ops-dashboard "is today's volume weird" query. Days
-    * without a full trailing week emit no verdict (cold start is not an
-    * anomaly).
+    * mean/σ — the ops-dashboard "is today's volume weird" query. The
+    * trailing frame is a RANGE over CALENDAR days (epoch-day order key),
+    * not a ROWS frame over observed days: a zero-event day must shrink
+    * the baseline, not silently widen it to older history. Days without
+    * all [[AnomalyTrailDays]] preceding calendar days observed emit no
+    * verdict (cold start / sparse history is not an anomaly).
     *
     * Float parity: the trailing sums are BIGINT (order-independent);
     * mean, variance, σ, and z are then derived in one fixed expression
@@ -485,12 +488,14 @@ object EventsAnalytics {
       .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-AnomalyTrailDays, -1)
+    // RANGE frame needs a numeric order key: days since epoch
+    val w = Window.partitionBy(col("event_type")).orderBy(col("_daynum"))
+      .rangeBetween(-AnomalyTrailDays, -1)
     val s1 = sum(col("n_events")).over(w)
     val s2 = sum(col("n_events") * col("n_events")).over(w)
     val cnt = count(col("n_events")).over(w)
     daily
+      .withColumn("_daynum", datediff(col("day"), to_date(lit("1970-01-01"))))
       .withColumn("_s1", s1).withColumn("_s2", s2).withColumn("_cnt", cnt)
       .filter(col("_cnt") === AnomalyTrailDays)
       .withColumn("mean_7d", col("_s1").cast(DoubleType) / col("_cnt"))
@@ -515,8 +520,8 @@ object EventsAnalytics {
        |    SUM(n_events * n_events) OVER w AS s2,
        |    COUNT(n_events) OVER w AS cnt
        |  FROM daily
-       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-       |               ROWS BETWEEN $AnomalyTrailDays PRECEDING AND 1 PRECEDING)),
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY (day - DATE '1970-01-01')
+       |               RANGE BETWEEN $AnomalyTrailDays PRECEDING AND 1 PRECEDING)),
        |m AS (SELECT *, CAST(s1 AS DOUBLE) / cnt AS mean_7d,
        |        sqrt(GREATEST(CAST(s2 AS DOUBLE) / cnt
        |          - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt), 0.0)) AS std_7d

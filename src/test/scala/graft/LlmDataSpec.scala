@@ -619,19 +619,21 @@ class LlmDataSpec extends SparkSpec {
       .map { case ((tpe, day), n) => (tpe, day, n) }
     val rows = graft.relational.EventsAnalytics.rateAnomaly(spark, sf()).collect()
     assert(rows.nonEmpty)
-    val byType = daily.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val byType = daily.groupBy(_._1).view
+      .mapValues(_.map(e => e._2 -> e._3).toMap).toMap
     rows.foreach { r =>
       val tpe = r.getAs[String]("event_type")
       val day = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
-      val series = byType(tpe)
-      val idx = series.indexWhere(_._2 == day)
-      assert(idx >= 7, "verdicts require a full trailing week")
-      val trail = series.slice(idx - 7, idx).map(_._3)
+      val byDay = byType(tpe)
+      // the frame is CALENDAR days (RANGE), not observed rows: a verdict
+      // requires every one of the 7 preceding calendar days observed
+      val trail = ((day - 7) until day).flatMap(byDay.get)
+      assert(trail.size == 7, "verdicts require all 7 preceding calendar days")
       val mean = trail.sum.toDouble / 7
       val variance = math.max(trail.map(x => x * x).sum.toDouble / 7 - mean * mean, 0.0)
       val std = math.sqrt(variance)
-      val z = if (std > 0) (series(idx)._3.toDouble - mean) / std else 0.0
-      assert(r.getAs[Long]("n_events") == series(idx)._3)
+      val z = if (std > 0) (byDay(day).toDouble - mean) / std else 0.0
+      assert(r.getAs[Long]("n_events") == byDay(day))
       assert(math.abs(r.getAs[Double]("mean_7d") - mean) < 1e-9)
       assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
       assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
