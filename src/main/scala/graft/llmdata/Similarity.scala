@@ -242,11 +242,11 @@ object Similarity {
     * (per-partition top-k, then a k-way driver merge — never a global
     * sort), and the result is cached per session via [[exemplarCache]].
     *
-    * No Lloyd refinement in the oracle-gated path: a centroid mean is a
-    * float sum whose combine order differs across engines (and across
-    * Spark partial-agg schedules), which would break bit-exact oracle
-    * parity. [[lloydRefine]] is the opt-in refinement for deployments
-    * that want tighter cells and can gate on recall instead of hashes. */
+    * The seed codebook is what most of the IVF family serves from;
+    * [[lloydRefine]] is the FAISS-default refinement on top of it, made
+    * order-independent (exact nano-unit mean) so the refined codebook is
+    * itself oracle-gateable — ss10 serves the refined variant under the
+    * same hash gate via [[refinedExemplarCteSql]]. */
   private[graft] def exemplarsOf(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "embeddings")
       .select(col("vec_id").cast(LongType).as("cell"),
@@ -348,17 +348,21 @@ object Similarity {
     assignCells(all, "v", exemplarsOf(spark, dir))
   }
 
-  /** Opt-in Lloyd (spherical k-means) refinement of the hash-sampled seed
-    * codebook — NOT in the oracle-gated path (see [[exemplarsOf]]: mean
-    * combine order is schedule-dependent, so deployments gate this on
-    * recall/quantization error, not hashes). Each iteration: assign every
-    * vector to its nearest current centroid (the zero-shuffle scan-side
-    * argmax), average per cell, L2-normalize the mean (embeddings are
-    * unit-ish, so cosine argmax ≡ dot argmax on normalized centroids).
-    * Cells that capture no vectors keep their previous centroid. Cost per
-    * iteration: one assignment scan + one (cell, dim)-keyed aggregate
-    * whose state is k×64 doubles — independent of corpus size.
-    * `iters = 0` returns the raw seed codebook. */
+  /** Lloyd (spherical k-means) refinement of the hash-sampled seed
+    * codebook — the FAISS-default train step, and since round 8 fully
+    * oracle-gateable: the per-cell mean sums FLOOR-SCALED NANO-UNIT
+    * BIGINTs (the cur1/cur3 parity idiom), so the centroid is a pure
+    * deterministic function of the data — no partial-aggregation-order
+    * hazard — and DuckDB reproduces it bit-exact (ss10 serves from this
+    * codebook under the hash gate). The 1e-9 quantization of the mean is
+    * noise against the quantizer's own distortion. Each iteration: assign
+    * every vector to its nearest current centroid (the zero-shuffle
+    * scan-side argmax), exact-mean per cell, L2-normalize the mean
+    * (embeddings are unit-ish, so cosine argmax ≡ dot argmax on
+    * normalized centroids). Cells that capture no vectors keep their
+    * previous centroid. Cost per iteration: one assignment scan + one
+    * (cell, dim)-keyed aggregate whose state is k×64 longs — independent
+    * of corpus size. `iters = 0` returns the raw seed codebook. */
   def lloydRefine(spark: SparkSession, dir: String, iters: Int = 1): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val all = t(spark, dir, "embeddings")
@@ -367,7 +371,9 @@ object Similarity {
     for (_ <- 1 to iters) {
       val means = assignCells(all, "v", ex)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(((sum(floor(col("x") * lit(1e9))).cast(DoubleType) / lit(1e9)) /
+          count(lit(1)).cast(DoubleType)).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv0"))
@@ -380,8 +386,23 @@ object Similarity {
     ex
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val exemplars = exemplarsOf(spark, dir)
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, exemplarsOf(spark, dir))
+
+  /** ss10: the SERVED refined-codebook variant — identical search plan to
+    * ss3, but cells come from one exact-arithmetic Lloyd step
+    * ([[lloydRefine]], [[RefineIters]] iteration) over the seed codebook.
+    * This is FAISS's default train shape (sample seeds, refine, serve);
+    * the exact nano-unit mean keeps the whole chain under the hash gate,
+    * and the recall gate (LlmDataSpec) holds the refined serve to at
+    * least ss3's floor. */
+  def annIvfRefined(spark: SparkSession, dir: String): DataFrame =
+    annIvfWith(spark, dir, lloydRefine(spark, dir, RefineIters))
+
+  private[llmdata] val RefineIters = 1
+
+  private def annIvfWith(spark: SparkSession, dir: String,
+                         exemplars: DataFrame): DataFrame = {
     val c = assignCells(corpus(spark, dir), "v", exemplars)
     // multiprobe: each query searches its P nearest cells; each corpus
     // vector lives in exactly one cell, so (query, neighbor) pairs are
@@ -398,10 +419,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val annIvfSql: String =
+  /** One exact-arithmetic Lloyd step as CTEs ending in the same `ex`
+    * shape as [[exemplarCteSql]] — the DuckDB rendering of
+    * [[lloydRefine]] at iters = 1: seed (ex0) → full-corpus nearest-seed
+    * assignment → per-(cell, dim) exact mean (floor-scaled nano-unit
+    * BIGINT sums, fixed division order) → L2 normalization (index-ordered
+    * fold) → empty cells keep their seed. Any oracle interpolating
+    * [[exemplarCteSql]] can swap this in to serve the refined codebook. */
+  private[llmdata] val refinedExemplarCteSql: String =
+    s"""ex0 AS ($exemplarSelectSql),
+       |asg0 AS (SELECT vec_id, v, cell FROM (
+       |           SELECT e.vec_id, e.v, ex0.cell,
+       |             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |               ORDER BY ${cosSql("e.v", "ex0.cv")} DESC, ex0.cell) AS rn
+       |           FROM e CROSS JOIN ex0) x WHERE rn = 1),
+       |mm0 AS (SELECT cell, pos,
+       |          (CAST(SUM(CAST(floor(v[pos] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |            / 1000000000.0) / CAST(COUNT(*) AS DOUBLE) AS m
+       |        FROM asg0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+       |        GROUP BY cell, pos),
+       |cv00 AS (SELECT cell, list(m ORDER BY pos) AS cv0 FROM mm0 GROUP BY cell),
+       |ref0 AS (SELECT cell, list_transform(cv0, x -> x /
+       |           sqrt(list_reduce(list_transform(cv0, y -> y * y),
+       |                            (a, b) -> a + b))) AS cv
+       |         FROM cv00),
+       |ex AS (SELECT ex0.cell, COALESCE(ref0.cv, ex0.cv) AS cv
+       |       FROM ex0 LEFT JOIN ref0 USING (cell))""".stripMargin
+
+  val annIvfSql: String = annIvfSqlWith(exemplarCteSql)
+  val annIvfRefinedSql: String = annIvfSqlWith(refinedExemplarCteSql)
+
+  private def annIvfSqlWith(exCte: String): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |$exemplarCteSql,
+       |$exCte,
        |ca AS (SELECT vec_id, v, cell FROM (
        |         SELECT e.vec_id, e.v, ex.cell,
        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -968,7 +1019,8 @@ object Similarity {
     "ss1_knn_brute_force" -> knnBruteForce,
     "ss2_ann_lsh" -> annLsh,
     "ss3_ann_ivf" -> annIvf,
-    "ss4_ann_lsh_multiprobe" -> annLshMultiprobe)
+    "ss4_ann_lsh_multiprobe" -> annLshMultiprobe,
+    "ss10_ann_ivf_refined" -> annIvfRefined)
 
   val oracle: Map[String, String] = Map(
     "ss6_ann_pq" -> annPqSql,
@@ -979,5 +1031,6 @@ object Similarity {
     "ss1_knn_brute_force" -> knnBruteForceSql,
     "ss2_ann_lsh" -> annLshSql,
     "ss3_ann_ivf" -> annIvfSql,
-    "ss4_ann_lsh_multiprobe" -> annLshMultiprobeSql)
+    "ss4_ann_lsh_multiprobe" -> annLshMultiprobeSql,
+    "ss10_ann_ivf_refined" -> annIvfRefinedSql)
 }

@@ -436,6 +436,17 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@3 = $recall")
   }
 
+  test("ss10: refined-codebook IVF serve meets the unrefined recall gate") {
+    val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ref3 = Similarity.annIvfRefined(spark, sf())
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact3 & ref3).size.toDouble / exact3.size
+    // the refined serve must hold ss3's recall floor; Lloyd tightens
+    // cells, it must not lose the gate
+    assert(recall >= 0.3, s"refined IVF recall@3 = $recall")
+  }
+
   test("ss6: PQ/ADC recall@3 is useful and the ADC score tracks true similarity") {
     val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -74,7 +74,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       "cdc11_txn_assembly" -> graft.operators.CdcQueries.txnAssembly _,
       "q35_sole_late_supplier" -> Relational.q35SoleLateSupplier _,
       "fm3_fuzzy_match_edit" -> graft.operators.FuzzyMatch.fuzzyMatchEdit _,
-      "ev13_rate_anomaly" -> EventsAnalytics.rateAnomaly _)
+      "ev13_rate_anomaly" -> EventsAnalytics.rateAnomaly _,
+      // ss10's Lloyd-step centroid means — the exact nano-unit sums must
+      // hold under any partial-agg schedule
+      "ss10_ann_ivf_refined" -> graft.llmdata.Similarity.annIvfRefined _,
+      "cur1_corpus_curation" -> graft.llmdata.Curation.corpusCuration _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
