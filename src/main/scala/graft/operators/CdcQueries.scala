@@ -64,13 +64,14 @@ object CdcQueries {
     * `kinesis.data` shape). `bodyFields` are the dynamic entity body —
     * to_json drops null fields (default ignoreNullFields), so a null body
     * column is ABSENT from the wire JSON, as on a real schema-v1 event. */
-  private def synthRaw(customer: DataFrame, fp: Column, bodyFields: Seq[Column]): DataFrame = {
+  private def synthRaw(customer: DataFrame, fp: Column, bodyFields: Seq[Column],
+                       ct: Column = changeType): DataFrame = {
     val header = struct(
       (k * 10).as("commitNumber"),
       concat(lit("u"), (k % 5).cast(StringType)).as("commitUser"),
       (lit(1) + k % 3).cast(IntegerType).as("sequenceNumber"),
       lit("Customer").as("entityName"),
-      changeType.as("changeType"),
+      ct.as("changeType"),
       changedFields.as("changedFields"),
       lit("api").as("changeOrigin"),
       concat(lit("tk-"), ks).as("transactionKey"),
@@ -163,6 +164,44 @@ object CdcQueries {
       concat(lit("001"), ks).as("Id"),
       col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     CdcEnrich(changes(spark, dir), snapshot)
+      .select(
+        col("attributes.type").as("attr_type"),
+        col("Id").as("record_id"),
+        col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        col("UIND").as("uind"))
+      .orderBy(col("record_id"), col("uind"))
+  }
+
+  // ------------------------------------------------------------ cdc12
+
+  /** GAP_* mix for the cdc12 fixture: Salesforce emits GAP_CREATE/
+    * GAP_UPDATE/GAP_DELETE/GAP_UNDELETE — and GAP_OVERFLOW on the
+    * /data/ChangeEvents overflow channel — when change payloads cannot be
+    * delivered (recordIds, no field values). A literal DELETE rides along
+    * so the mix exercises both router branches. */
+  private val gapChangeType: Column =
+    when(k % 5 === 0, "GAP_CREATE").when(k % 5 === 1, "GAP_UPDATE")
+      .when(k % 5 === 2, "GAP_DELETE").when(k % 5 === 3, "GAP_OVERFLOW")
+      .otherwise("DELETE")
+
+  /** GAP/OVERFLOW recovery under the gate (cdc12): the reference's router
+    * matches `== 'DELETE'` exactly (`worker/lambda/app.py:77`), so every
+    * GAP_* marker — including GAP_DELETE and GAP_OVERFLOW — takes the
+    * enrichment branch and re-queries the CURRENT full record: re-fetch
+    * IS the documented consumer recovery for gap events. UIND carries the
+    * raw GAP_* marker through (Q2); ids hard-deleted since the gap (the
+    * `002k` fixture ids) drop via inner-join semantics; only the literal
+    * DELETE tombstones. Same wire round trip and snapshot join as cdc2 —
+    * this row pins the RECOVERY path the spec-only test covered before. */
+  def gapRouteEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val raw = synthRaw(t(spark, dir, "customer"), lit("fp_v1"),
+      Seq(custName.as("Name")), gapChangeType)
+    val (good, _) = CdcDecode.partitionValid(
+      CdcDecode.decodeBase64(raw, col("data")).drop("data"))
+    val snapshot = t(spark, dir, "customer").select(
+      concat(lit("001"), ks).as("Id"),
+      col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    CdcEnrich(CdcDecode.explodeIds(good), snapshot)
       .select(
         col("attributes.type").as("attr_type"),
         col("Id").as("record_id"),
@@ -344,6 +383,93 @@ object CdcQueries {
       .orderBy(col("record_id"))
   }
 
+  // ------------------------------------------------------------ cdc13
+
+  /** Typed-payload enrichment at entity-schema scale (cdc13): ONE batch
+    * mixes two entities whose bodies share field NAMES with different
+    * TYPES — Customer {Name: string, Code: bigint, Score: double} vs
+    * Supplier {Name: string, Code: string, Score: bigint} — the Q7
+    * generalization SURVEY §1.3 warns about (the reference's per-event
+    * dict could carry one entity's shape at a time). Each entity's slice
+    * re-types through its OWN registered StructType ([[CdcDecode
+    * .typedBody]]), and the union surfaces per-entity typed columns. The
+    * gate compares column TYPES as well as values, so a slice typed with
+    * the wrong schema (a string Code parsed as BIGINT nulls out) fails
+    * schema_match — the mix cannot silently collapse to strings. Doubles
+    * are exact binary fractions (k/4.0), so the Spark-side JSON round
+    * trip and the oracle's direct synthesis meet bit-identically. */
+  def typedPayloads(spark: SparkSession, dir: String): DataFrame = {
+    val custRaw = synthRaw(t(spark, dir, "customer"), lit("fp_c2"),
+      Seq(custName.as("Name"), k.as("Code"),
+        (k.cast(DoubleType) / lit(4.0)).as("Score")))
+    val sk = col("s_suppkey")
+    val suppHeader = struct(
+      (sk * 10).as("commitNumber"),
+      lit(1).cast(IntegerType).as("sequenceNumber"),
+      lit("Supplier").as("entityName"),
+      when(sk % 4 === 0, "CREATE").otherwise("UPDATE").as("changeType"),
+      (lit(1583300894000L) + sk * 1000).as("commitTimestamp"),
+      array(concat(lit("S01"), sk.cast(StringType))).as("recordIds"))
+    val suppEnv = struct(
+      lit("fp_s2").as("schema"),
+      struct(
+        concat(lit("Supp-"), sk.cast(StringType)).as("Name"),
+        concat(lit("S-"), sk.cast(StringType)).as("Code"),
+        (sk * 7).as("Score"),
+        suppHeader.as("ChangeEventHeader")).as("payload"),
+      struct((sk + 20).as("replayId")).as("event"))
+    val suppRaw = t(spark, dir, "supplier")
+      .select(base64(to_json(suppEnv).cast(BinaryType)).as("data"))
+
+    val decoded = CdcDecode.explodeIds(
+      CdcDecode.decodeBase64(custRaw.unionByName(suppRaw), col("data")).drop("data"))
+    val registry = new EntitySchemaRegistry
+    registry.register("Customer", StructType(Seq(
+      StructField("Name", StringType), StructField("Code", LongType),
+      StructField("Score", DoubleType))))
+    registry.register("Supplier", StructType(Seq(
+      StructField("Name", StringType), StructField("Code", StringType),
+      StructField("Score", LongType))))
+    val cust = CdcDecode.typedBody(decoded, "Customer", registry)
+      .select(col("entityName").as("entity_name"), col("Id").as("record_id"),
+        col("body.Name").as("name"),
+        col("body.Code").as("code_num"),
+        lit(null).cast(StringType).as("code_str"),
+        col("body.Score").as("score_frac"),
+        lit(null).cast(LongType).as("score_points"))
+    val supp = CdcDecode.typedBody(decoded, "Supplier", registry)
+      .select(col("entityName").as("entity_name"), col("Id").as("record_id"),
+        col("body.Name").as("name"),
+        lit(null).cast(LongType).as("code_num"),
+        col("body.Code").as("code_str"),
+        lit(null).cast(DoubleType).as("score_frac"),
+        col("body.Score").as("score_points"))
+    cust.unionByName(supp).orderBy(col("entity_name"), col("record_id"))
+  }
+
+  val typedPayloadsSql: String =
+    """WITH cu AS (
+      |  SELECT 'Customer' AS entity_name,
+      |    unnest(CASE WHEN c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+      |             THEN ['001' || c_custkey, '002' || c_custkey]
+      |             ELSE ['001' || c_custkey] END) AS record_id,
+      |    'Cust-' || c_custkey AS name,
+      |    CAST(c_custkey AS BIGINT) AS code_num,
+      |    CAST(NULL AS VARCHAR) AS code_str,
+      |    CAST(c_custkey AS DOUBLE) / 4.0 AS score_frac,
+      |    CAST(NULL AS BIGINT) AS score_points
+      |  FROM customer),
+      |su AS (
+      |  SELECT 'Supplier' AS entity_name, 'S01' || s_suppkey AS record_id,
+      |    'Supp-' || s_suppkey AS name,
+      |    CAST(NULL AS BIGINT) AS code_num,
+      |    'S-' || s_suppkey AS code_str,
+      |    CAST(NULL AS DOUBLE) AS score_frac,
+      |    CAST(s_suppkey * 7 AS BIGINT) AS score_points
+      |  FROM supplier)
+      |SELECT * FROM cu UNION ALL SELECT * FROM su
+      |ORDER BY entity_name, record_id""".stripMargin
+
   // ------------------------------------------------------------ cdc7
 
   /** As-of enrichment (the temporal upgrade of J1's point-in-time lookup):
@@ -377,12 +503,20 @@ object CdcQueries {
 
   /** Shared oracle prefix: synthesize the identical envelope with DuckDB
     * struct→JSON, base64-encode, then DECODE it back (from_base64 + JSON
-    * paths) — the oracle exercises the same wire round trip as Spark. */
-  private val synthHdrSql: String =
+    * paths) — the oracle exercises the same wire round trip as Spark.
+    * Parameterized on the change-type expression (unique placeholder, not
+    * a text fragment, so the substitution cannot hit anything else) so
+    * the cdc12 GAP mix reuses the whole chain, mirroring synthRaw's `ct`
+    * parameter. */
+  private def synthHdrSqlWith(changeTypeSql: String): String = {
+    require(synthHdrTemplateSql.contains("__CHANGE_TYPE__"))
+    synthHdrTemplateSql.replace("__CHANGE_TYPE__", changeTypeSql)
+  }
+
+  private val synthHdrTemplateSql: String =
     """WITH src AS (
       |  SELECT c_custkey AS k, 'Cust-' || c_custkey AS name,
-      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE'
-      |         WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END AS change_type,
+      |    __CHANGE_TYPE__ AS change_type,
       |    CASE WHEN c_custkey % 7 = 0 THEN ['001' || c_custkey, '001' || c_custkey]
       |         WHEN c_custkey % 5 = 0 THEN ['001' || c_custkey, '002' || c_custkey]
       |         ELSE ['001' || c_custkey] END AS record_ids,
@@ -416,6 +550,10 @@ object CdcQueries {
       |   j->>'$.payload.Name' AS name
       | FROM dec)""".stripMargin
 
+  private val synthHdrSql: String = synthHdrSqlWith(
+    "CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE' " +
+      "WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END")
+
   val decodeHeadersSql: String = synthHdrSql +
     """
       |SELECT unnest(record_ids) AS record_id, entity_name, change_type,
@@ -423,7 +561,9 @@ object CdcQueries {
       |  replay_id, schema_fingerprint, changed_fields, name
       |FROM hdr ORDER BY record_id, replay_id""".stripMargin
 
-  val routeEnrichSql: String = synthHdrSql +
+  /** Route+enrich oracle tail, shared by cdc2 (clean mix) and cdc12 (GAP
+    * mix) — the router itself must not know which mix it is fed. */
+  private val routeEnrichTailSql: String =
     """,
       |chg AS (SELECT unnest(record_ids) AS record_id, change_type FROM hdr),
       |snap AS (SELECT '001' || c_custkey AS record_id, c_name, c_acctbal, c_mktsegment
@@ -436,6 +576,13 @@ object CdcQueries {
       |  CAST(NULL AS VARCHAR), 'DELETE'
       |FROM chg WHERE change_type = 'DELETE'
       |ORDER BY record_id, uind""".stripMargin
+
+  val routeEnrichSql: String = synthHdrSql + routeEnrichTailSql
+
+  val gapRouteEnrichSql: String = synthHdrSqlWith(
+    "CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'GAP_CREATE' WHEN 1 THEN 'GAP_UPDATE' " +
+      "WHEN 2 THEN 'GAP_DELETE' WHEN 3 THEN 'GAP_OVERFLOW' ELSE 'DELETE' END") +
+    routeEnrichTailSql
 
   val serializeSinkSql: String = synthHdrSql +
     """,
@@ -667,6 +814,8 @@ object CdcQueries {
       |ORDER BY transaction_key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc13_typed_payloads" -> typedPayloads,
+    "cdc12_gap_route" -> gapRouteEnrich,
     "cdc11_txn_assembly" -> txnAssembly,
     "cdc10_replay_audit" -> replayAudit,
     "cdc1_decode" -> decodeHeaders,
@@ -680,6 +829,8 @@ object CdcQueries {
     "cdc9_scd2_history" -> scd2History)
 
   val oracle: Map[String, String] = Map(
+    "cdc13_typed_payloads" -> typedPayloadsSql,
+    "cdc12_gap_route" -> gapRouteEnrichSql,
     "cdc11_txn_assembly" -> txnAssemblySql,
     "cdc10_replay_audit" -> replayAuditSql,
     "cdc1_decode" -> decodeHeadersSql,
