@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * "fastest in the battery"). CDC throughput is measured BEFORE the query
   * battery (a fresh session, the number a dedicated ingest cluster would
   * see) and again after it (detects state leaked by the battery — the r2
-  * 7× eps regression was exactly pinned-storage buildup).
+  * 7× eps regression was exactly pinned-storage buildup). A MARGINAL
+  * throughput (difference quotient between a 10k and a 60k run) isolates
+  * the per-event pipeline cost from the fixed per-query streaming
+  * overhead, whose ±30% run-to-run variance is what moved the fresh
+  * number across rounds with zero pipeline change.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,10 +35,25 @@ object Bench {
     // then best-of-2 (the eps analogue of the queries' min-of-2). Each run
     // fails independently — one transient failure must not discard a
     // valid sample from the other run.
-    def epsOnce(n: Int): Double =
-      try cdcThroughput(spark, n) catch { case _: Throwable => -1.0 }
+    def secsOnce(n: Int): Double =
+      try cdcThroughputSecs(spark, n) catch { case _: Throwable => -1.0 }
+    def epsOnce(n: Int): Double = { val s = secsOnce(n); if (s > 0) n / s else -1.0 }
     epsOnce(5000)
     val epsFresh = math.max(epsOnce(50000), epsOnce(50000))
+    // MARGINAL throughput: the 50k probe's wall time is part fixed
+    // per-query streaming overhead (planning, checkpoint, commit) and
+    // part per-event pipeline cost; the fixed part varies ±30% run to
+    // run on identical code (r7's "fresh eps regression" was exactly
+    // this noise), so the difference quotient between two sizes isolates
+    // the per-event cost — the number that actually tracks pipeline
+    // changes. min-of-2 per size; non-positive delta (pure noise) → -1.
+    val (tSmall, tLarge) = (
+      Seq(secsOnce(10000), secsOnce(10000)).filter(_ > 0),
+      Seq(secsOnce(60000), secsOnce(60000)).filter(_ > 0))
+    val epsMarginal =
+      if (tSmall.nonEmpty && tLarge.nonEmpty && tLarge.min > tSmall.min)
+        50000.0 / (tLarge.min - tSmall.min)
+      else -1.0
 
     val errors = scala.collection.mutable.Map.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -93,7 +112,7 @@ object Bench {
     // the per-family release above already ran after the last family, so
     // the post-battery probe measures the pipeline, not leftover storage
     // pressure from the analytics phase (standard phase hygiene)
-    val epsPost = try cdcThroughput(spark) catch { case _: Throwable => -1.0 }
+    val epsPost = epsOnce(50000)
 
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -121,11 +140,12 @@ object Bench {
     // ~50 records/s per worker (BASELINE.md BATCH_SIZE/INTERVAL).
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
+      s""""cdc_pipeline_events_per_sec_marginal":${ms(epsMarginal)},""" +
       s""""cdc_pipeline_events_per_sec_postbattery":${ms(epsPost)},"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  private def cdcThroughput(spark: SparkSession, n: Int = 50000): Double = {
+  private def cdcThroughputSecs(spark: SparkSession, n: Int): Double = {
     import graft.sources.ReplayBus
     val topic = "bench_cdc"
     ReplayBus.clear(topic)
@@ -154,6 +174,6 @@ object Bench {
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     ReplayBus.clear(topic)
-    n / secs
+    secs
   }
 }
