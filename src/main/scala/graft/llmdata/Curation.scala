@@ -305,6 +305,91 @@ object Curation {
        |ORDER BY ds.split""".stripMargin
   }
 
+  // ---------------- contamination-aware mixture weighting (cur7)
+
+  /** Contamination- and duplication-aware mixture weighting (cur7): cur3's
+    * temperature-scaled sampling plan recomputed over each source's
+    * EFFECTIVE token mass — the volume a curated run would actually draw
+    * from, not the raw volume: benchmark-contaminated docs (dd13) and the
+    * eval holdout itself contribute ZERO tokens, and near-duplicate docs
+    * contribute tokens/|cluster| (dd17's soft-dedup rule, so a duplicate
+    * class carries one doc-equivalent of mass). A source that is 40%
+    * boilerplate clones and 10% benchmark leak gets the sampling share of
+    * its genuine content.
+    *
+    * Float parity: per-doc effective tokens are floor-scaled MICRO-unit
+    * BIGINTs summed exactly (order-free); τ = 2 ⇒ sqrt (the one
+    * correctly-rounded power); shares are single divisions of exact
+    * integers — cur3's parity design throughout.
+    *
+    * Scale shape: reuses dd3's cached pair pass, dd11's diameter-bounded
+    * label propagation, and dd13's broadcast eval-gram union; on top it
+    * adds ONE documents scan joined to the (≪ corpus) cluster-size and
+    * contaminated sets, one map-side-combined per-source aggregate, and a
+    * broadcast 1-row total. No new shuffle class. */
+  def contaminationAwareMixture(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = Dedup.decontaminate(spark, dir)
+      .filter(col("contaminated")).select(col("doc_id").as("cont_id"))
+    val sizes = Dedup.softDedupWeights(spark, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(words).cast(LongType).as("nt"))
+    val isEval = col("doc_id") % Dedup.EvalMod === 0
+    val eff = d.join(sizes, Seq("doc_id"))
+      .join(broadcast(contaminated), col("doc_id") === col("cont_id"), "left")
+      .select(col("source"), col("nt"), isEval.as("is_eval"),
+        col("cont_id").isNotNull.as("is_cont"),
+        when(isEval || col("cont_id").isNotNull, 0L)
+          .otherwise(floor(col("nt").cast(DoubleType) * lit(1e6) /
+            col("cluster_size").cast(DoubleType)).cast(LongType)).as("eff_micro"))
+    val perSource = eff.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("is_cont"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("eff_micro")).as("eff_tokens_micro"))
+      .withColumn("w_micro",
+        floor(sqrt(col("eff_tokens_micro").cast(DoubleType) / lit(1e6)) * lit(1e6))
+          .cast(LongType))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"), sum(col("w_micro")).as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_eval"), col("n_contaminated"),
+        col("n_tokens"), col("eff_tokens_micro"),
+        (col("n_tokens").cast(DoubleType) / col("tot_tokens")).as("token_share"),
+        (col("w_micro").cast(DoubleType) / col("tot_w")).as("sampled_share"))
+      .orderBy(col("source"))
+  }
+
+  val contaminationAwareMixtureSql: String =
+    s"""WITH sw AS (SELECT doc_id, cluster_size FROM (${Dedup.softDedupWeightsSql})),
+       |cont AS (SELECT doc_id FROM (${Dedup.decontaminateSql}) WHERE contaminated),
+       |d AS (SELECT doc_id, source,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |      FROM documents),
+       |eff AS (SELECT d.source, d.nt,
+       |          (d.doc_id % ${Dedup.EvalMod} = 0) AS is_eval,
+       |          (c.doc_id IS NOT NULL) AS is_cont,
+       |          CASE WHEN d.doc_id % ${Dedup.EvalMod} = 0 OR c.doc_id IS NOT NULL
+       |               THEN 0
+       |               ELSE CAST(floor(CAST(d.nt AS DOUBLE) * 1000000.0 /
+       |                      CAST(sw.cluster_size AS DOUBLE)) AS BIGINT) END AS eff_micro
+       |        FROM d JOIN sw USING (doc_id)
+       |             LEFT JOIN cont c ON d.doc_id = c.doc_id),
+       |s AS (SELECT source, COUNT(*) AS n_docs,
+       |        CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       |        CAST(SUM(CASE WHEN is_cont THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |        CAST(SUM(eff_micro) AS BIGINT) AS eff_tokens_micro
+       |      FROM eff GROUP BY source),
+       |w AS (SELECT *, CAST(floor(sqrt(CAST(eff_tokens_micro AS DOUBLE) / 1000000.0)
+       |        * 1000000.0) AS BIGINT) AS w_micro FROM s),
+       |t AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_micro) AS tot_w FROM w)
+       |SELECT source, n_docs, n_eval, n_contaminated, n_tokens, eff_tokens_micro,
+       |  CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share,
+       |  CAST(w_micro AS DOUBLE) / tot_w AS sampled_share
+       |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+
   // ---------------------------------------------- curriculum (cur5)
 
   private val CurriculumBins = 4
@@ -458,6 +543,7 @@ object Curation {
        |ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur7_contamination_mixture" -> contaminationAwareMixture,
     "cur6_dataset_card" -> datasetCard,
     "cur5_curriculum" -> curriculumSchedule,
     "cur1_corpus_curation" -> corpusCuration,
@@ -466,6 +552,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur7_contamination_mixture" -> contaminationAwareMixtureSql,
     "cur6_dataset_card" -> datasetCardSql,
     "cur5_curriculum" -> curriculumScheduleSql,
     "cur1_corpus_curation" -> corpusCurationSql,

@@ -516,6 +516,94 @@ object TextAnalysis {
        |    AS mean_corpus_freq
        |FROM a ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- bigram-LM quality (tx19)
+
+  /** Bigram table size for tx19 — the B most frequent word pairs, ties
+    * broken lexicographically (deterministic, like [[VocabTopV]]). */
+  private val BigramTopB = 4000
+
+  /** Bigram-LM quality scoring (tx19): the n = 2 extension of tx12 —
+    * sequence-aware corpus fit, which unigram coverage cannot see (a
+    * bag-of-frequent-words doc scores high on tx12 but its word ORDER is
+    * unlike the corpus). Signals per document, all parity-safe:
+    *   - `bigram_coverage` — share of the doc's bigram instances found in
+    *     the corpus's top-B bigram table (the KenLM-style "known n-gram"
+    *     hit rate; low coverage ≈ high perplexity without the libm-log
+    *     ULP hazard tx12's docstring documents)
+    *   - `n_unseen` — bigram instances outside the table (novel
+    *     transitions)
+    *   - `mean_cond_micro` — mean over KNOWN bigram instances of the
+    *     conditional probability p(w2|w1) = c(w1 w2)/c(w1) in exact
+    *     floor-scaled MICRO-units: each instance contributes the BIGINT
+    *     floor(1e6·c12/c1), summed exactly, divided once at the end — the
+    *     aggregation-order-free rendering of mean transition probability.
+    *
+    * Scale posture: the bigram table is one map-side-combined count +
+    * TakeOrdered top-B (O(B) heap per partition); its first-word counts
+    * join INSIDE the B-row table build (B rows, not the corpus); the
+    * table then BROADCASTS to the scoring scan — the corpus is scanned
+    * twice and shuffled once by doc_id, never by word pair. */
+  def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toBigrams = (w: Column) => {
+      val cnt = size(w) - 1
+      when(cnt >= 1, transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(w, i, lit(2)))))
+    }
+    val docBigrams = t(spark, dir, "documents")
+      .withColumn("_w", words)
+      .select(col("doc_id"), explode(toBigrams(col("_w"))).as("bg"))
+    val uni = t(spark, dir, "documents")
+      .select(explode_outer(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bigrams = docBigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("bg").asc).limit(BigramTopB)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uni, col("w1") === col("w"))
+      .select(col("bg"), col("c12"),
+        floor(col("c12").cast(DoubleType) * lit(1e6) /
+          col("c1").cast(DoubleType)).cast(LongType).as("cond_micro"))
+    docBigrams.join(broadcast(bigrams), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(coalesce(col("cond_micro"), lit(0L))).as("cond_mass_micro"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_known"),
+        (col("n_bigrams") - col("n_known")).as("n_unseen"),
+        (col("n_known").cast(DoubleType) / col("n_bigrams")).as("bigram_coverage"),
+        when(col("n_known") > 0,
+          col("cond_mass_micro").cast(DoubleType) / col("n_known"))
+          .otherwise(lit(0.0)).as("mean_cond_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramQualitySql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |db AS (SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(ws) - 1),
+       |           i -> array_to_string(ws[i:i+1], ' '))) AS bg
+       |       FROM w),
+       |uni AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+       |uc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY wd),
+       |bt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM db GROUP BY bg
+       |       ORDER BY c12 DESC, bg ASC LIMIT $BigramTopB),
+       |btc AS (SELECT bt.bg, bt.c12,
+       |          CAST(floor(CAST(bt.c12 AS DOUBLE) * 1000000.0 /
+       |            CAST(uc.c1 AS DOUBLE)) AS BIGINT) AS cond_micro
+       |        FROM bt JOIN uc ON string_split(bt.bg, ' ')[1] = uc.wd),
+       |a AS (SELECT d.doc_id, COUNT(*) AS n_bigrams,
+       |        SUM(CASE WHEN b.c12 IS NOT NULL THEN 1 ELSE 0 END) AS n_known,
+       |        SUM(COALESCE(b.cond_micro, 0)) AS cond_mass_micro
+       |      FROM db d LEFT JOIN btc b USING (bg) GROUP BY d.doc_id)
+       |SELECT doc_id, n_bigrams, CAST(n_known AS BIGINT) AS n_known,
+       |  CAST(n_bigrams - n_known AS BIGINT) AS n_unseen,
+       |  CAST(n_known AS DOUBLE) / n_bigrams AS bigram_coverage,
+       |  CASE WHEN n_known > 0
+       |    THEN CAST(cond_mass_micro AS DOUBLE) / n_known ELSE 0.0 END
+       |    AS mean_cond_micro
+       |FROM a ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- repetition signals (tx13)
 
   /** Gopher/MassiveText-style repetition filters: the fraction of a
@@ -880,6 +968,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx18_bpe_pairs" -> bpePairCounts,
+    "tx19_bigram_quality" -> bigramQuality,
     "tx17_novelty" -> noveltyScore,
     "tx16_dup_spans" -> duplicatedSpans,
     "tx15_quality_classifier" -> classifierScore,
@@ -900,6 +989,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "tx18_bpe_pairs" -> bpePairCountsSql,
+    "tx19_bigram_quality" -> bigramQualitySql,
     "tx17_novelty" -> noveltyScoreSql,
     "tx16_dup_spans" -> duplicatedSpansSql,
     "tx15_quality_classifier" -> classifierScoreSql,
