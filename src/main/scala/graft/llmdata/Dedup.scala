@@ -1198,7 +1198,60 @@ object Dedup {
        |FROM corp c LEFT JOIN shared s USING (doc_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  // --------------------------------- cross-source overlap matrix (dd19)
+
+  /** Cross-source duplication overlap (dd19): which sources clone each
+    * other — dd3's verified near-dup pairs rolled up to the source level.
+    * For each unordered source pair: the pair count and the distinct
+    * documents involved. The diagonal (source_x == source_y) is
+    * within-source boilerplate; off-diagonal mass is cross-source
+    * syndication — the signal that tells mixture design WHICH pairings
+    * caused the duplication cur7 down-weights (a mirror site, a shared
+    * wire feed), and which single source to keep when collapsing.
+    *
+    * Scale: reads the cached confirmed-pair set (≪ corpus, C(cap,2)-
+    * bounded) and joins it to the (doc_id, source) projection twice — at
+    * 100 TB the pair set is millions of rows and the doc→source map joins
+    * by key equality; the rollup is one combinable aggregate over ≤
+    * |sources|² keys. The corpus text is never touched. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val tagged = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+    val pairCounts = tagged.groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = tagged.select(col("source_x"), col("source_y"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    pairCounts.join(docCounts, Seq("source_x", "source_y"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |s AS (SELECT doc_id, source FROM documents),
+       |tg AS (SELECT p.doc_a, p.doc_b,
+       |         least(a.source, b.source) AS source_x,
+       |         greatest(a.source, b.source) AS source_y
+       |       FROM p JOIN s a ON p.doc_a = a.doc_id
+       |              JOIN s b ON p.doc_b = b.doc_id),
+       |c AS (SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |      FROM tg GROUP BY source_x, source_y),
+       |u AS (SELECT source_x, source_y,
+       |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |      FROM (SELECT source_x, source_y, unnest([doc_a, doc_b]) AS doc_id
+       |            FROM tg) GROUP BY source_x, source_y)
+       |SELECT c.source_x, c.source_y, c.n_pairs, u.n_docs
+       |FROM c JOIN u USING (source_x, source_y)
+       |ORDER BY source_x, source_y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd19_source_overlap" -> sourceOverlap,
     "dd15_bloom_prefilter" -> bloomPrefilter,
     "dd14_semantic_dedup" -> semanticDedup,
     "dd13_decontaminate" -> decontaminate,
@@ -1219,6 +1272,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd19_source_overlap" -> sourceOverlapSql,
     "dd15_bloom_prefilter" -> bloomPrefilterSql,
     "dd14_semantic_dedup" -> semanticDedupSql,
     "dd13_decontaminate" -> decontaminateSql,

@@ -470,6 +470,76 @@ object CdcQueries {
       |SELECT * FROM cu UNION ALL SELECT * FROM su
       |ORDER BY entity_name, record_id""".stripMargin
 
+  // ------------------------------------------------------------ cdc14
+
+  /** Snapshot differencing (cdc14): CDC generation when the bus is NOT
+    * available — the backfill path ([[SnapshotDiff]]). The fixture mutates
+    * the customer snapshot deterministically: every k%7==0 row is dropped
+    * (DELETE), k%3==0 rows change name and balance (UPDATE with a
+    * changed-field list), k%5==0 rows rewrite the segment — which for rows
+    * already in that segment writes the SAME value and must emit nothing
+    * (the write-without-change case a naive differ gets wrong) — and
+    * supplier-derived rows appear fresh (CREATE). The oracle rebuilds both
+    * snapshots and diffs them with a DuckDB full-outer join, pinning the
+    * classification, the sorted changed-field list, and the old/new value
+    * columns bit-exact. */
+  def snapshotDiffEvents(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = t(spark, dir, "customer").select(
+      concat(lit("001"), ks).as("record_id"),
+      col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val mutated = t(spark, dir, "customer").filter(!(k % 7 === 0)).select(
+      concat(lit("001"), ks).as("record_id"),
+      when(k % 3 === 0, concat(col("c_name"), lit("-r")))
+        .otherwise(col("c_name")).as("c_name"),
+      when(k % 3 === 0, col("c_acctbal") + lit(10.25))
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      when(k % 5 === 0, lit("MACHINERY"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val created = t(spark, dir, "supplier").select(
+      concat(lit("009"), col("s_suppkey").cast(StringType)).as("record_id"),
+      concat(lit("Acct-"), col("s_suppkey").cast(StringType)).as("c_name"),
+      col("s_acctbal").as("c_acctbal"),
+      lit("BUILDING").as("c_mktsegment"))
+    SnapshotDiff.diff(v1, mutated.unionByName(created), "record_id",
+        Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .orderBy(col("record_id"))
+  }
+
+  val snapshotDiffEventsSql: String =
+    """WITH v1 AS (SELECT '001' || c_custkey AS record_id,
+      |             c_name, c_acctbal, c_mktsegment FROM customer),
+      |v2 AS (
+      |  SELECT '001' || c_custkey AS record_id,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_name || '-r' ELSE c_name END AS c_name,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.25 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT '009' || s_suppkey, 'Acct-' || s_suppkey, s_acctbal, 'BUILDING'
+      |  FROM supplier),
+      |j AS (
+      |  SELECT COALESCE(a.record_id, b.record_id) AS record_id,
+      |    a.record_id IS NOT NULL AS in_old, b.record_id IS NOT NULL AS in_new,
+      |    a.c_acctbal AS old_c_acctbal, b.c_acctbal AS new_c_acctbal,
+      |    a.c_mktsegment AS old_c_mktsegment, b.c_mktsegment AS new_c_mktsegment,
+      |    a.c_name AS old_c_name, b.c_name AS new_c_name
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.record_id = b.record_id),
+      |c AS (
+      |  SELECT *, concat_ws(',',
+      |      CASE WHEN old_c_acctbal IS DISTINCT FROM new_c_acctbal THEN 'c_acctbal' END,
+      |      CASE WHEN old_c_mktsegment IS DISTINCT FROM new_c_mktsegment THEN 'c_mktsegment' END,
+      |      CASE WHEN old_c_name IS DISTINCT FROM new_c_name THEN 'c_name' END) AS cf
+      |  FROM j)
+      |SELECT record_id,
+      |  CASE WHEN NOT in_old THEN 'CREATE' WHEN NOT in_new THEN 'DELETE'
+      |       WHEN cf <> '' THEN 'UPDATE' END AS change_type,
+      |  CASE WHEN in_old AND in_new AND cf <> '' THEN cf ELSE '' END AS changed_fields,
+      |  old_c_acctbal, new_c_acctbal, old_c_mktsegment, new_c_mktsegment,
+      |  old_c_name, new_c_name
+      |FROM c
+      |WHERE NOT in_old OR NOT in_new OR cf <> ''
+      |ORDER BY record_id""".stripMargin
+
   // ------------------------------------------------------------ cdc7
 
   /** As-of enrichment (the temporal upgrade of J1's point-in-time lookup):
@@ -814,6 +884,7 @@ object CdcQueries {
       |ORDER BY transaction_key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc14_snapshot_diff" -> snapshotDiffEvents,
     "cdc13_typed_payloads" -> typedPayloads,
     "cdc12_gap_route" -> gapRouteEnrich,
     "cdc11_txn_assembly" -> txnAssembly,
@@ -829,6 +900,7 @@ object CdcQueries {
     "cdc9_scd2_history" -> scd2History)
 
   val oracle: Map[String, String] = Map(
+    "cdc14_snapshot_diff" -> snapshotDiffEventsSql,
     "cdc13_typed_payloads" -> typedPayloadsSql,
     "cdc12_gap_route" -> gapRouteEnrichSql,
     "cdc11_txn_assembly" -> txnAssemblySql,

@@ -405,4 +405,38 @@ class CdcSpec extends SparkSpec {
     val d = CdcDecode.typedBody(CdcDecode.decodeJson(raw, col("value")), "Account", reg)
     assert(d.select("body.Name").as[String].collect().head == "Acme")
   }
+
+  test("snapshot diff: classification, changed-field list, null transitions") {
+    import graft.operators.SnapshotDiff
+    val old = Seq(
+      ("k1", Option("a"), Option(1.0)),   // unchanged -> no event
+      ("k2", Option("b"), Option(2.0)),   // value change -> UPDATE(bal)
+      ("k3", Option("c"), Option(3.0)),   // gone -> DELETE
+      ("k4", None: Option[String], Option(4.0)), // null -> value = change
+      ("k5", Option("e"), Option(5.0))    // value -> null = change
+    ).toDF("id", "name", "bal")
+    val nu = Seq(
+      ("k1", Option("a"), Option(1.0)),
+      ("k2", Option("b"), Option(2.5)),
+      ("k4", Option("d"), Option(4.0)),
+      ("k5", Option("e"), None: Option[Double]),
+      ("k6", Option("f"), Option(6.0))    // new -> CREATE
+    ).toDF("id", "name", "bal")
+    val got = SnapshotDiff.diff(old, nu, "id", Seq("name", "bal"))
+      .select("id", "change_type", "changed_fields")
+      .as[(String, String, String)].collect()
+      .map { case (k, ct, cf) => k -> ((ct, cf)) }.toMap
+    assert(!got.contains("k1"), "unchanged row must emit nothing")
+    assert(got("k2") == (("UPDATE", "bal")))
+    assert(got("k3") == (("DELETE", "")))
+    assert(got("k4") == (("UPDATE", "name")), "null -> value must register")
+    assert(got("k5") == (("UPDATE", "bal")), "value -> null must register")
+    assert(got("k6") == (("CREATE", "")))
+    // both fields changed -> sorted comma-joined list
+    val both = SnapshotDiff.diff(
+      Seq(("x", "p", 1.0)).toDF("id", "name", "bal"),
+      Seq(("x", "q", 9.0)).toDF("id", "name", "bal"),
+      "id", Seq("name", "bal"))
+    assert(both.select("changed_fields").as[String].collect().head == "bal,name")
+  }
 }
