@@ -534,7 +534,152 @@ object EventsAnalytics {
        |    > $AnomalyZ AS is_anomaly
        |FROM m ORDER BY day, event_type""".stripMargin
 
+  // ------------------------------------------ attribution (ev14)
+
+  /** Last-touch attribution (ev14): for each purchase, the most recent
+    * click by the same user at-or-before the purchase, attributed only
+    * within a 1-hour lookback — the standard conversion-attribution query,
+    * and the events-domain consumer of [[graft.operators.AsOfJoin]] (cdc7
+    * proves the operator against DuckDB's native ASOF JOIN; this row
+    * proves the composition on real event data). Clicks pre-compact to
+    * one row per (user, ts) — max event_id, deterministic — because "the
+    * latest click" is ill-defined under timestamp ties.
+    *
+    * Scale: the as-of join is ONE shuffle on user_id + a per-partition
+    * sort (AsOfJoin's union+window shape — no range-join candidate
+    * blowup); the lookback filter is scan-side on the joined row. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .withColumn("click_ts", col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val lat = unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))
+    val ok = col("click_ts").isNotNull && lat <= 3600
+    graft.operators.AsOfJoin.asOfBackward(purchases, clicks, Seq("user_id"), "ts")
+      .select(
+        col("purchase_id"), col("user_id"),
+        col("ts").cast(DateType).as("purchase_date"),
+        when(ok, col("click_id")).as("click_id"),
+        when(ok, lat).cast(LongType).as("latency_s"),
+        coalesce(ok, lit(false)).as("attributed"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val attributionSql: String =
+    """WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |a AS (SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts
+      |      FROM p ASOF LEFT JOIN c
+      |        ON p.user_id = c.user_id AND p.ts >= c.ts)
+      |SELECT purchase_id, user_id, CAST(ts AS DATE) AS purchase_date,
+      |  CASE WHEN click_ts IS NOT NULL AND date_diff('second', click_ts, ts) <= 3600
+      |       THEN click_id END AS click_id,
+      |  CASE WHEN click_ts IS NOT NULL AND date_diff('second', click_ts, ts) <= 3600
+      |       THEN CAST(date_diff('second', click_ts, ts) AS BIGINT) END AS latency_s,
+      |  COALESCE(click_ts IS NOT NULL AND date_diff('second', click_ts, ts) <= 3600,
+      |           FALSE) AS attributed
+      |FROM a ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------- HyperLogLog distinct (ev15)
+
+  /** HLL register count m = 2^8 (first two md5 hex digits). */
+  private val HllM = 256
+
+  /** Fixed single-division scale α_m·m²·2^49, computed once on the JVM
+    * and interpolated as a literal into the oracle, so both engines
+    * perform ONE identical double division — no cross-engine libm or
+    * association hazard. α_m = 0.7213/(1 + 1.079/m) for m ≥ 128
+    * (Flajolet et al. 2007). */
+  private val HllScale: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * 65536.0 * 562949953421312.0
+
+  /** HyperLogLog distinct-count sketch (ev15) — the industry-standard
+    * cardinality estimator next to ev9's KMV: per event type, each user's
+    * md5 picks a register (first 2 hex digits) and a rank (position of
+    * the first set bit in the next 48 bits); the estimate is
+    * α_m·m²/Σ 2^−M_j over per-register max ranks M_j.
+    *
+    * Exact parity without libm: the rank comes from STRING ops (trim the
+    * leading hex zeros, classify the first significant digit — no log2),
+    * each register's indicator term 2^−M_j is held in units of 2^−49 so
+    * the Σ is an exact BIGINT (empty registers contribute 2^49 each), and
+    * the final estimate is one double division by a JVM-computed literal
+    * scale. The exact distinct rides along so the sketch error is itself
+    * under the gate. No linear-counting small-range correction: that
+    * needs ln() (documented libm ULP hazard, cf. tx12) — v_zero and the
+    * exact count expose when it would apply.
+    *
+    * Scale: aggregate state is m=256 ranks per group — independent of
+    * cardinality, same contract as ev7's CMS / dd8's KMV; one shuffle on
+    * (type, register), one on type. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("user_id").cast(StringType))
+    val sig = ltrim(substring(h, 3, 12), "0")
+    val first = substring(sig, 1, 1)
+    val firstBits = when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), 4)
+      .when(first.isin("4", "5", "6", "7"), 3)
+      .when(first.isin("2", "3"), 2).otherwise(1)
+    val rank = when(length(sig) === 0, lit(49))
+      .otherwise(lit(49) - ((length(sig) - 1) * 4 + firstBits))
+    val regs = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        conv(substring(h, 1, 2), 16, 10).cast(LongType).as("reg"),
+        rank.as("rank"))
+    val perReg = regs.groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rank")).as("mr"))
+    val agg = perReg.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_regs"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - mr AS INT))")).as("s_present"))
+    val exact = t(spark, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val s = col("s_present") + (lit(HllM.toLong) - col("n_regs")) * lit(562949953421312L)
+    agg.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        (lit(HllM.toLong) - col("n_regs")).as("v_zero"),
+        s.as("s_term"),
+        (lit(HllScale) / s.cast(DoubleType)).as("hll_estimate"),
+        col("n_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH h AS (SELECT event_type, user_id,
+       |             md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |r AS (SELECT event_type,
+       |        ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+       |        ltrim(substr(h, 3, 12), '0') AS sig
+       |      FROM h),
+       |rk AS (SELECT event_type, reg,
+       |         CASE WHEN len(sig) = 0 THEN 49
+       |              ELSE 49 - ((len(sig) - 1) * 4 +
+       |                CASE WHEN substr(sig,1,1) IN ('8','9','a','b','c','d','e','f') THEN 4
+       |                     WHEN substr(sig,1,1) IN ('4','5','6','7') THEN 3
+       |                     WHEN substr(sig,1,1) IN ('2','3') THEN 2
+       |                     ELSE 1 END) END AS rank
+       |       FROM r),
+       |mx AS (SELECT event_type, reg, MAX(rank) AS mr FROM rk GROUP BY event_type, reg),
+       |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
+       |          CAST(SUM(CAST(1 AS BIGINT) << CAST(49 - mr AS INT)) AS BIGINT) AS s_present
+       |        FROM mx GROUP BY event_type),
+       |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |       FROM events GROUP BY event_type)
+       |SELECT a.event_type,
+       |  CAST($HllM - a.n_regs AS BIGINT) AS v_zero,
+       |  CAST(a.s_present + ($HllM - a.n_regs) * 562949953421312 AS BIGINT) AS s_term,
+       |  $HllScale / CAST(a.s_present + ($HllM - a.n_regs) * 562949953421312 AS DOUBLE)
+       |    AS hll_estimate,
+       |  ex.n_exact
+       |FROM agg a JOIN ex USING (event_type)
+       |ORDER BY a.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev15_hll_distinct" -> hllDistinct,
+    "ev14_attribution" -> attribution,
     "ev13_rate_anomaly" -> rateAnomaly,
     "ev12_lateness_audit" -> latenessAudit,
     "ev11_trending" -> trendingWindow,
@@ -550,6 +695,8 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev15_hll_distinct" -> hllDistinctSql,
+    "ev14_attribution" -> attributionSql,
     "ev13_rate_anomaly" -> rateAnomalySql,
     "ev12_lateness_audit" -> latenessAuditSql,
     "ev11_trending" -> trendingWindowSql,

@@ -781,7 +781,54 @@ object Relational {
       |FROM q JOIN supplier ON skey = s_suppkey
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  /** TPC-H Q11 shape (q36): per-part revenue from one nation's suppliers,
+    * keeping parts whose value exceeds a FRACTION of the global total —
+    * supplier restriction = even-keyed nations (name-constant-free, so
+    * the query is non-degenerate at every SF) —
+    * the group-vs-scalar-subquery-share pattern. The share compare is
+    * exact: both sides stay DECIMAL and the threshold is rendered as
+    * `v * 2000 > total` (integer scale shift, no decimal division), so
+    * the qualifying set cannot drift on rounding. Plan: broadcast the
+    * one-nation supplier list into the lineitem scan, one combinable
+    * per-part aggregate, then a broadcast 1-row total — no second pass
+    * over lineitem for the subquery. */
+  def q36PartValueShare(spark: SparkSession, dir: String): DataFrame = {
+    // even-keyed nations rather than one name: a single nation owns zero
+    // suppliers at tiny SF (the fixture has ~10 suppliers across 25
+    // nations), and the Q11 SHAPE — restricted supplier set, share-of-
+    // total filter — is what this query pins, not the constant
+    val nat = t(spark, dir, "nation").filter(col("n_nationkey") % 2 === 0)
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = t(spark, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("v"))
+    val total = perPart.agg(sum(col("v")).as("tot"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("v") * lit(2000) > col("tot"))
+      .select(col("l_partkey").as("partkey"), money(col("v")).as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  val q36Sql: String =
+    """WITH s AS (SELECT s_suppkey FROM supplier
+      |           JOIN nation ON s_nationkey = n_nationkey
+      |           WHERE n_nationkey % 2 = 0),
+      |pp AS (SELECT l_partkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+      |       FROM lineitem JOIN s ON l_suppkey = s_suppkey
+      |       GROUP BY l_partkey),
+      |tt AS (SELECT SUM(v) AS tot FROM pp)
+      |SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS value
+      |FROM pp CROSS JOIN tt
+      |WHERE v * 2000 > tot
+      |ORDER BY value DESC, partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_part_value_share" -> q36PartValueShare,
     "q35_sole_late_supplier" -> q35SoleLateSupplier,
     "q33_volume_shipping" -> q33VolumeShipping,
     "q32_cube" -> q32Cube,
@@ -814,6 +861,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q36_part_value_share" -> q36Sql,
     "q32_cube" -> q32Sql,
     "q33_volume_shipping" -> q33Sql,
     "q35_sole_late_supplier" -> q35Sql,

@@ -651,6 +651,57 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ev14: attribution matches a driver-side latest-click recompute") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .selectExpr("event_id", "event_type", "user_id",
+        // raw fixture ts is TIMESTAMP(NANOS)-as-long; the query's
+        // unix_timestamp over the normalized table = ns DIV 1e9
+        "ts DIV 1000000000 AS sec")
+      .as[(Long, String, Long, Long)].collect()
+    // pre-compacted like the query: max click id per (user, second)
+    val clicks = ev.filter(_._2 == "click").groupBy(e => (e._3, e._4))
+      .map { case ((u, s), es) => (u, s, es.map(_._1).max) }.toSeq
+    val byUser = clicks.groupBy(_._1)
+    val rows = graft.relational.EventsAnalytics.attribution(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val pid = r.getAs[Long]("purchase_id")
+      val pSec = ev.find(_._1 == pid).get._4
+      val best = byUser.getOrElse(u, Seq.empty)
+        .filter(_._2 <= pSec).sortBy(c => (c._2, c._3)).lastOption
+        .filter(c => pSec - c._2 <= 3600)
+      assert(r.getAs[Boolean]("attributed") == best.isDefined, s"purchase $pid")
+      best.foreach { c =>
+        assert(r.getAs[Long]("click_id") == c._3, s"purchase $pid click")
+        assert(r.getAs[Long]("latency_s") == pSec - c._2, s"purchase $pid latency")
+      }
+    }
+  }
+
+  test("ev15: HLL estimate lands within the m=256 error envelope") {
+    val rows = graft.relational.EventsAnalytics.hllDistinct(spark, sf()).collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("n_exact")
+      val vZero = r.getAs[Long]("v_zero")
+      val s = r.getAs[Long]("s_term")
+      // every empty register contributes exactly 2^49 to the exact term sum
+      assert(s >= vZero * 562949953421312L)
+      // the query deliberately emits the RAW estimate (linear counting
+      // needs ln(), a cross-engine libm hazard) and exposes v_zero so a
+      // consumer can apply the standard small-range correction — which is
+      // exactly what this spec does before gating on the ±3 sigma
+      // envelope (sigma ~ 1.04/sqrt(256) = 6.5%)
+      val m = 256.0
+      val corrected =
+        if (est <= 2.5 * m && vZero > 0) m * math.log(m / vZero) else est
+      assert(math.abs(corrected - exact) <= 0.20 * math.max(exact, 1),
+        s"${r.getAs[String]("event_type")}: corrected=$corrected exact=$exact")
+    }
+  }
+
   test("ev12: lateness audit matches a driver-side replay of the arrival permutation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
