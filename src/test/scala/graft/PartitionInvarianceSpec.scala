@@ -78,7 +78,14 @@ class PartitionInvarianceSpec extends SparkSpec {
       // ss10's Lloyd-step centroid means — the exact nano-unit sums must
       // hold under any partial-agg schedule
       "ss10_ann_ivf_refined" -> graft.llmdata.Similarity.annIvfRefined _,
-      "cur1_corpus_curation" -> graft.llmdata.Curation.corpusCuration _)
+      "cur1_corpus_curation" -> graft.llmdata.Curation.corpusCuration _,
+      // round-8 additions with order-sensitive inner arithmetic:
+      // tx19/cur7 micro-unit sums, ev15 register max + term sum,
+      // cdc14's changed-field classification under a full-outer join
+      "tx19_bigram_quality" -> graft.llmdata.TextAnalysis.bigramQuality _,
+      "cur7_contamination_mixture" -> graft.llmdata.Curation.contaminationAwareMixture _,
+      "ev15_hll_distinct" -> EventsAnalytics.hllDistinct _,
+      "cdc14_snapshot_diff" -> graft.operators.CdcQueries.snapshotDiffEvents _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -351,4 +351,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "SCD2 must not join")
   }
+
+  test("tx19: the top-B bigram table is the broadcast side of the scoring join") {
+    val p = plan(graft.llmdata.TextAnalysis.bigramQuality(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-row bigram table must broadcast into the doc-bigram scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "top-B must be TakeOrdered, not a window")
+  }
+
+  test("cdc14: snapshot diff is ONE join and zero windows") {
+    val p = plan(graft.operators.CdcQueries.snapshotDiffEvents(spark, sf()))
+    // count operator DETAIL headers only ("(n) SortMergeJoin ...") — the
+    // formatted explain also names each operator once in the tree sketch
+    val joins = p.linesIterator.count(l =>
+      l.matches("""^\(\d+\) .*Join.*""") && !l.contains("BroadcastNestedLoop"))
+    assert(joins == 1, s"expected exactly one join operator, plan had $joins")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("q36: the share filter needs no second fact pass — one lineitem scan") {
+    val p = plan(Relational.q36PartValueShare(spark, sf()))
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 1 ||
+      p.linesIterator.filter(_.contains("Scan parquet"))
+        .count(_.contains("lineitem")) <= 1,
+      "the scalar-subquery total must come from the per-part aggregate, " +
+        "not a second lineitem scan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "supplier restriction and the 1-row total must broadcast")
+  }
+
+  test("ev15: HLL is two combinable aggregates — no window, no text shuffle") {
+    val p = plan(graft.relational.EventsAnalytics.hllDistinct(spark, sf()))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "register max + rollup must hash-aggregate")
+  }
 }
