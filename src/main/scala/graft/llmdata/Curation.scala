@@ -542,7 +542,55 @@ object Curation {
        |FROM vol JOIN dup USING (source) JOIN lt USING (source) JOIN q USING (source)
        |ORDER BY source""".stripMargin
 
+  // ----------------------- deterministic shard export plan (cur8)
+
+  private val NumShards = 16
+
+  /** Deterministic training-shard export manifest (cur8): the write-side
+    * contract of the pipeline — every document is assigned a shard by
+    * content-independent key hash (md5 of doc_id, so re-runs and
+    * re-partitions land every doc in the SAME shard regardless of input
+    * order or cluster shape), and the manifest records per-shard volumes
+    * plus order-free boundary digests (min/max member hash). Training jobs
+    * resume/restart against the manifest; a changed digest pinpoints which
+    * shard's contents drifted. All stats are exact integers or min/max of
+    * hex strings — no aggregation-order hazard anywhere.
+    *
+    * Scale: one documents scan, one combinable aggregate over [[NumShards]]
+    * keys. The actual shard WRITE at 100 TB is
+    * `repartition(NumShards, shard).write` — the assignment column here is
+    * exactly that partitioning expression, so the manifest and the layout
+    * cannot disagree. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast(StringType))
+    t(spark, dir, "documents")
+      .select(
+        (conv(substring(h, 1, 2), 16, 10).cast(LongType) % NumShards).as("shard"),
+        h.as("h"), size(words).cast(LongType).as("nt"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("h")).as("first_digest"),
+        max(col("h")).as("last_digest"))
+      .orderBy(col("shard"))
+  }
+
+  val shardPlanSql: String =
+    s"""WITH d AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS h,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |             n_chars
+       |           FROM documents)
+       |SELECT ('0x' || substr(h, 1, 2))::BIGINT % $NumShards AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  MIN(h) AS first_digest, MAX(h) AS last_digest
+       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur8_shard_plan" -> shardPlan,
     "cur7_contamination_mixture" -> contaminationAwareMixture,
     "cur6_dataset_card" -> datasetCard,
     "cur5_curriculum" -> curriculumSchedule,
@@ -552,6 +600,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur8_shard_plan" -> shardPlanSql,
     "cur7_contamination_mixture" -> contaminationAwareMixtureSql,
     "cur6_dataset_card" -> datasetCardSql,
     "cur5_curriculum" -> curriculumScheduleSql,

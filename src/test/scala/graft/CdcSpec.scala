@@ -439,4 +439,40 @@ class CdcSpec extends SparkSpec {
       "id", Seq("name", "bal"))
     assert(both.select("changed_fields").as[String].collect().head == "bal,name")
   }
+
+  test("snapshot diff round trip: applying the events to v1 reproduces v2") {
+    // the defining invariant of CDC generation — the emitted events must
+    // carry EXACTLY the information separating the snapshots (cdc14's
+    // oracle pins values; this pins completeness)
+    import graft.operators.CdcQueries
+    val dir = sf()
+    val events = CdcQueries.snapshotDiffEvents(spark, dir)
+      .select("record_id", "change_type", "new_c_name", "new_c_acctbal",
+        "new_c_mktsegment")
+      .as[(String, String, Option[String], Option[Double], Option[String])]
+      .collect()
+    val v1 = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("concat('001', CAST(c_custkey AS STRING)) AS id",
+        "c_name", "c_acctbal", "c_mktsegment")
+      .as[(String, String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val deletes = events.filter(_._2 == "DELETE").map(_._1).toSet
+    val upserts = events.filter(e => e._2 == "CREATE" || e._2 == "UPDATE")
+      .map(e => e._1 -> ((e._3.get, e._4.get, e._5.get))).toMap
+    val applied = (v1 -- deletes) ++ upserts
+    // v2 rebuilt independently, mirroring the fixture mutation
+    val v2 = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("c_custkey AS k", "c_name", "c_acctbal", "c_mktsegment")
+      .as[(Long, String, Double, String)].collect()
+      .filter(_._1 % 7 != 0)
+      .map { case (k, n, b, s) =>
+        s"001$k" -> ((if (k % 3 == 0) s"$n-r" else n,
+          if (k % 3 == 0) b + 10.25 else b,
+          if (k % 5 == 0) "MACHINERY" else s)) }.toMap ++
+      spark.read.parquet(s"$dir/supplier.parquet")
+        .selectExpr("s_suppkey AS k", "s_acctbal")
+        .as[(Long, Double)].collect()
+        .map { case (k, b) => s"009$k" -> ((s"Acct-$k", b, "BUILDING")) }.toMap
+    assert(applied == v2, "diff-apply must reproduce the new snapshot exactly")
+  }
 }
