@@ -595,7 +595,82 @@ object Multimodal {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  // ------------------------------------ chunk-hash payload dedup (mm7)
+
+  private val ChunkBytes = 64
+  private val ChunkDfCap = 8
+  private val ChunkJaccardMin = 0.5
+
+  /** Chunk-hash payload near-dup (mm7): fixed-size chunk fingerprints over
+    * the RAW payload — the blob-level complement of mm5/mm6's perceptual
+    * hashing. Perceptual hashes catch "same picture, different encode";
+    * chunk overlap catches "same byte stream, different wrapper" (a
+    * re-containered video, an asset with appended EXIF, a truncated
+    * upload): payloads sharing ≥ [[ChunkJaccardMin]] of their
+    * [[ChunkBytes]]-byte chunk sets pair up even when headers differ and
+    * a whole-payload digest (dd1's shape) catches nothing.
+    *
+    * Scale: the payload collapses to chunk HASHES at the scan (bytes
+    * never enter an exchange — the mm-family invariant); candidates come
+    * off per-chunk posting lists capped at [[ChunkDfCap]] docs (the dd3
+    * C(cap,2) bound); verification is exact set Jaccard over the two
+    * chunk arrays — cost proportional to candidates, never all pairs. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = greatest(
+      ceil(length(col("text")) / lit(ChunkBytes.toDouble)), lit(1))
+      .cast(IntegerType)
+    val chunks = array_distinct(transform(
+      sequence(lit(1), nChunks),
+      i => md5(col("text").substr((i - 1) * ChunkBytes + 1, lit(ChunkBytes)))))
+    val ch = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), chunks.as("chunks"))
+    val capped = ch.select(col("media_id"), explode(col("chunks")).as("c"))
+      .groupBy(col("c"))
+      .agg(slice(sort_array(collect_list(col("media_id"))), 1, ChunkDfCap)
+        .as("docs"))
+    val n = size(col("docs"))
+    val pairGen = when(n >= 2, flatten(transform(
+      sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => struct(element_at(col("docs"), i).as("media_a"),
+          element_at(col("docs"), j).as("media_b"))))))
+    val cands = capped.select(explode(pairGen).as("p"))
+      .select(col("p.media_a"), col("p.media_b")).distinct()
+    val a = ch.select(col("media_id").as("media_a"), col("chunks").as("ca"))
+    val b = ch.select(col("media_id").as("media_b"), col("chunks").as("cb"))
+    cands.join(a, "media_a").join(b, "media_b")
+      .select(col("media_a"), col("media_b"),
+        size(array_intersect(col("ca"), col("cb"))).cast(LongType).as("n_shared"),
+        (size(array_intersect(col("ca"), col("cb"))).cast(DoubleType) /
+          size(array_union(col("ca"), col("cb"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= ChunkJaccardMin)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH ch AS (SELECT doc_id AS media_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(CAST(ceil(len(text) / $ChunkBytes.0) AS BIGINT), 1)),
+       |      i -> md5(substr(text, CAST((i-1)*$ChunkBytes+1 AS BIGINT), $ChunkBytes)))) AS chunks
+       |  FROM documents),
+       |pl AS (SELECT media_id, unnest(chunks) AS c FROM ch),
+       |capped AS (SELECT media_id, c FROM pl
+       |           QUALIFY row_number() OVER (PARTITION BY c ORDER BY media_id) <= $ChunkDfCap),
+       |cands AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |          FROM capped x JOIN capped y
+       |            ON x.c = y.c AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  CAST(len(list_intersect(a.chunks, b.chunks)) AS BIGINT) AS n_shared,
+       |  CAST(len(list_intersect(a.chunks, b.chunks)) AS DOUBLE) /
+       |    CAST(len(list_distinct(a.chunks || b.chunks)) AS DOUBLE) AS jaccard
+       |FROM cands JOIN ch a ON cands.media_a = a.media_id
+       |           JOIN ch b ON cands.media_b = b.media_id
+       |WHERE CAST(len(list_intersect(a.chunks, b.chunks)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.chunks || b.chunks)) AS DOUBLE) >= $ChunkJaccardMin
+       |ORDER BY media_a, media_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm7_chunk_dedup" -> chunkDedup,
     "mm1_binary_meta" -> binaryMeta,
     "mm2_feature_extract" -> featureExtract,
     "mm3_frame_stats" -> frameStats,
@@ -604,6 +679,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm7_chunk_dedup" -> chunkDedupSql,
     "mm1_binary_meta" -> binaryMetaSql,
     "mm2_feature_extract" -> featureExtractSql,
     "mm3_frame_stats" -> frameStatsSql,

@@ -381,6 +381,13 @@ class PlanQualitySpec extends SparkSpec {
       "supplier restriction and the 1-row total must broadcast")
   }
 
+  test("mm7: chunk-dedup candidates come off capped posting lists; no products") {
+    val p = plan(graft.llmdata.Multimodal.chunkDedup(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must come from the capped per-chunk posting join")
+    assert(!p.contains("Window"), "df cap is slice-of-sorted-list, not a window")
+  }
+
   test("ev15: HLL is two combinable aggregates — no window, no text shuffle") {
     val p = plan(graft.relational.EventsAnalytics.hllDistinct(spark, sf()))
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
