@@ -615,15 +615,11 @@ object Multimodal {
     * off per-chunk posting lists capped at [[ChunkDfCap]] docs (the dd3
     * C(cap,2) bound); verification is exact set Jaccard over the two
     * chunk arrays — cost proportional to candidates, never all pairs. */
-  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val nChunks = greatest(
-      ceil(length(col("text")) / lit(ChunkBytes.toDouble)), lit(1))
-      .cast(IntegerType)
-    val chunks = array_distinct(transform(
-      sequence(lit(1), nChunks),
-      i => md5(col("text").substr((i - 1) * ChunkBytes + 1, lit(ChunkBytes)))))
-    val ch = Tables.load(spark, dir, "documents")
-      .select(col("doc_id").as("media_id"), chunks.as("chunks"))
+  /** Candidate (media_a < media_b) pairs off a (media_id, chunks) frame —
+    * per-chunk posting lists capped at [[ChunkDfCap]], so a degenerate
+    * all-identical corpus emits C(cap, 2) pairs, not C(n, 2)
+    * (spec-proven, same contract as Dedup.cappedPairsOfBands). */
+  private[graft] def chunkCandidates(ch: DataFrame): DataFrame = {
     val capped = ch.select(col("media_id"), explode(col("chunks")).as("c"))
       .groupBy(col("c"))
       .agg(slice(sort_array(collect_list(col("media_id"))), 1, ChunkDfCap)
@@ -634,8 +630,20 @@ object Multimodal {
       i => transform(sequence(i + 1, n),
         j => struct(element_at(col("docs"), i).as("media_a"),
           element_at(col("docs"), j).as("media_b"))))))
-    val cands = capped.select(explode(pairGen).as("p"))
+    capped.select(explode(pairGen).as("p"))
       .select(col("p.media_a"), col("p.media_b")).distinct()
+  }
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = greatest(
+      ceil(length(col("text")) / lit(ChunkBytes.toDouble)), lit(1))
+      .cast(IntegerType)
+    val chunks = array_distinct(transform(
+      sequence(lit(1), nChunks),
+      i => md5(col("text").substr((i - 1) * ChunkBytes + 1, lit(ChunkBytes)))))
+    val ch = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), chunks.as("chunks"))
+    val cands = chunkCandidates(ch)
     val a = ch.select(col("media_id").as("media_a"), col("chunks").as("ca"))
     val b = ch.select(col("media_id").as("media_b"), col("chunks").as("cb"))
     cands.join(a, "media_a").join(b, "media_b")

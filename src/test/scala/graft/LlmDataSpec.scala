@@ -280,6 +280,21 @@ class LlmDataSpec extends SparkSpec {
     assert(ids == (1L to 50L).toSet, "sampled members must be the lowest doc_ids")
   }
 
+  test("mm7: degenerate identical payloads hit the chunk-posting cap, not n^2") {
+    // 300 byte-identical payloads: every chunk bucket holds all 300.
+    // The capped generator must emit exactly C(8,2) = 28 pairs over the
+    // 8 lowest ids — the same skew contract as dd3's band buckets.
+    val payload = ("lorem ipsum dolor sit amet " * 10).trim
+    val ch = (1L to 300L).map(i => (i, payload)).toDF("doc_id", "text")
+      .selectExpr("doc_id AS media_id",
+        "array_distinct(transform(sequence(1, CAST(greatest(ceil(length(text)/64.0), 1) AS INT))," +
+          " i -> md5(CAST(substring(text, (i-1)*64+1, 64) AS BINARY)))) AS chunks")
+    val pairs = graft.llmdata.Multimodal.chunkCandidates(ch).collect()
+    assert(pairs.length == 8 * 7 / 2, s"got ${pairs.length} pairs")
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids == (1L to 8L).toSet, "sampled members must be the lowest ids")
+  }
+
   test("dd16: estimate equals a driver-side signature recompute; pairs share a band") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
