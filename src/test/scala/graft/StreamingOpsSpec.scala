@@ -275,6 +275,99 @@ class StreamingOpsSpec extends SparkSpec {
     assert(tkA.getAs[Long]("last_replay_id") == 8L)
   }
 
+  test("cdc14 streaming twin: snapshot reconciliation across triggers + restart") {
+    // The periodic-full-export feed shape: each trigger delivers ONE
+    // complete snapshot version; foreachBatchReconcile diffs it against
+    // the persisted previous snapshot, appends version-tagged events to
+    // the ledger, and swaps the state. Exercised: initial load, update/
+    // delete/create across versions, a mid-stream restart before the
+    // last version, and ledger-replay completeness.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.operators.SnapshotDiff
+    import graft.sources.ReplayBus
+    import java.nio.file.Files
+
+    def row(id: String, name: String, bal: Double, ver: Long) = s"$id|$name|$bal|$ver"
+    val v1 = Seq(row("k1", "a", 1.0, 1), row("k2", "b", 2.0, 1), row("k3", "c", 3.0, 1),
+      row("k4", "d", 4.0, 1), row("k5", "e", 5.0, 1), row("k6", "f", 6.0, 1))
+    val v2 = Seq(row("k1", "a", 1.0, 2), row("k2", "b", 2.5, 2), row("k4", "d", 4.0, 2),
+      row("k5", "e", 5.0, 2), row("k6", "f", 6.0, 2), row("k7", "g", 7.0, 2))
+    val v3 = Seq(row("k1", "a2", 1.0, 3), row("k2", "b", 2.5, 3), row("k4", "d", 4.0, 3),
+      row("k5", "e", 5.0, 3), row("k6", "f", 6.0, 3), row("k8", "h", 8.0, 3))
+
+    def parse(df: DataFrame): DataFrame =
+      df.select(split(col("value"), "\\|").as("p"))
+        .select(col("p").getItem(0).as("id"), col("p").getItem(1).as("name"),
+          col("p").getItem(2).cast(DoubleType).as("bal"),
+          col("p").getItem(3).cast(LongType).as("version"))
+
+    def drive(topic: String, state: String, ledger: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("cdc-replay")
+        .option("topic", topic).option("replayFrom", "-2")
+        .option("batchSize", "6").load()
+        .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+          SnapshotDiff.foreachBatchReconcile(state, ledger, "id",
+            Seq("name", "bal"))(parse(b), id)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val topicA = "t_snap_restart"
+    ReplayBus.clear(topicA)
+    val stateA = Files.createTempDirectory("snap_a").toString + "/state"
+    val ledgerA = Files.createTempDirectory("snap_a").toString + "/ledger"
+    val ckptA = Files.createTempDirectory("snap_a_ckpt").toString
+    (v1 ++ v2).foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, stateA, ledgerA, ckptA)
+    v3.foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, stateA, ledgerA, ckptA) // resumes from WAL
+
+    // final state == latest snapshot, exactly
+    val got = spark.read.parquet(stateA)
+      .select("id", "name", "bal").as[(String, String, Double)].collect().toSet
+    val want = v3.map(_.split("\\|")).map(p => (p(0), p(1), p(2).toDouble)).toSet
+    assert(got == want, "reconciled state must equal the latest snapshot")
+
+    // ledger completeness: replaying events version-by-version from empty
+    // reproduces the latest snapshot
+    val ledger = SnapshotDiff.readLedger(spark, ledgerA, "id")
+      .select("version", "id", "change_type", "new_name", "new_bal")
+      .as[(Long, String, String, Option[String], Option[Double])]
+      .collect().sortBy(e => (e._1, e._2))
+    val replayed = ledger.foldLeft(Map.empty[String, (String, Double)]) {
+      case (m, (_, id, "DELETE", _, _)) => m - id
+      case (m, (_, id, _, n, b)) => m + (id -> ((n.get, b.get)))
+    }
+    assert(replayed.map { case (id, (n, b)) => (id, n, b) }.toSet == want,
+      "ledger replay from empty must reproduce the latest snapshot")
+
+    // event shape: v1 = initial load (all CREATE), v2/v3 = targeted deltas
+    def evs(ver: Long) = ledger.filter(_._1 == ver).map(e => e._3 -> e._2)
+    assert(evs(1).forall(_._1 == "CREATE") && evs(1).length == 6)
+    assert(evs(2).toSet == Set("UPDATE" -> "k2", "DELETE" -> "k3", "CREATE" -> "k7"))
+    assert(evs(3).toSet == Set("UPDATE" -> "k1", "DELETE" -> "k7", "CREATE" -> "k8"))
+
+    // restart-invariance: a single uninterrupted run produces the same ledger
+    val topicB = "t_snap_ref"
+    ReplayBus.clear(topicB)
+    val stateB = Files.createTempDirectory("snap_b").toString + "/state"
+    val ledgerB = Files.createTempDirectory("snap_b").toString + "/ledger"
+    val ckptB = Files.createTempDirectory("snap_b_ckpt").toString
+    (v1 ++ v2 ++ v3).foreach(ReplayBus.publish(topicB, _))
+    drive(topicB, stateB, ledgerB, ckptB)
+    val refLedger = SnapshotDiff.readLedger(spark, ledgerB, "id")
+      .select("version", "id", "change_type", "new_name", "new_bal")
+      .as[(Long, String, String, Option[String], Option[Double])]
+      .collect().sortBy(e => (e._1, e._2))
+    assert(ledger.toSeq == refLedger.toSeq,
+      "restarted reconciliation must emit the identical event ledger")
+  }
+
   test("composition: cdc decode -> bloom-gated admission -> scd2 state across a restart") {
     // The full ingest composition the engine exists for: a replayable CDC
     // bus delivers document change events; each micro-batch is decoded
