@@ -827,7 +827,44 @@ object Relational {
       |WHERE v * 2000 > tot
       |ORDER BY value DESC, partkey""".stripMargin
 
+  /** TPC-H Q15 shape (q37): the revenue view + argmax — suppliers whose
+    * quarterly revenue EQUALS the global maximum. The equality compare
+    * stays DECIMAL (exact partial aggregation ⇒ the max and every
+    * candidate are bit-identical computations), so the tie semantics are
+    * deterministic — the known Q15 subtlety that breaks under double
+    * rounding. One combinable per-supplier aggregate, broadcast 1-row
+    * max, no second lineitem pass and no window. */
+  def q37TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("total_revenue"))
+    val top = perSupp.agg(max(col("total_revenue")).as("max_revenue"))
+    perSupp.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        money(col("total_revenue")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q37Sql: String =
+    """WITH r AS (SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey),
+      |m AS (SELECT MAX(total_revenue) AS max_revenue FROM r)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM r CROSS JOIN m
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = max_revenue
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_top_supplier" -> q37TopSupplier,
     "q36_part_value_share" -> q36PartValueShare,
     "q35_sole_late_supplier" -> q35SoleLateSupplier,
     "q33_volume_shipping" -> q33VolumeShipping,
@@ -861,6 +898,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q37_top_supplier" -> q37Sql,
     "q36_part_value_share" -> q36Sql,
     "q32_cube" -> q32Sql,
     "q33_volume_shipping" -> q33Sql,
