@@ -318,7 +318,7 @@ object Similarity {
     val scored = ex.zipWithIndex.map { case ((_, cv), i) =>
       struct(Dedup.cosine(col(vcol), lit(cv)).as("s"), lit(-i).as("ni"))
     }
-    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    val best = if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
     val cellOf = element_at(lit(ex.map(_._1)), lit(1) - best.getField("ni"))
     df.withColumn("cell", cellOf)
   }
@@ -334,7 +334,7 @@ object Similarity {
     require(ex.nonEmpty, "IVF assignment requires at least one exemplar")
     val scored = array(ex.zipWithIndex.map { case ((_, cv), i) =>
       struct((lit(0.0) - Dedup.cosine(col(vcol), lit(cv))).as("ns"), lit(i).as("i"))
-    }: _*)
+    }.toIndexedSeq: _*)
     val cells = transform(slice(array_sort(scored), 1, probes),
       s => element_at(lit(ex.map(_._1)), s.getField("i") + lit(1)))
     df.withColumn("cell", explode(cells))
@@ -580,7 +580,7 @@ object Similarity {
         subCol(vcol, m), lit(subVec(cv, m))).as("s"),
         lit(-k).as("nk"))
     }
-    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    val best = if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
     (lit(0) - best.getField("nk")).as(s"code_$m")
   }
 
@@ -591,7 +591,7 @@ object Similarity {
       col("query_id") +: (0 until PqM).map { m =>
         array(ex.map { case (_, cv) =>
           graft.functions.VectorFunctions.dotProduct(subCol("q", m), lit(subVec(cv, m)))
-        }: _*).as(s"tab_$m")
+        }.toIndexedSeq: _*).as(s"tab_$m")
       }: _*)
 
   /** ADC score: [[PqM]] table lookups + explicit left-associated adds. */

@@ -87,7 +87,7 @@ object SnapshotDiff {
       valueCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val snap = batch.drop("version")
-    val ver = batch.agg(max(col("version"))).head.getLong(0)
+    val ver = batch.agg(max(col("version"))).head().getLong(0)
     val prev =
       try Some(spark.read.parquet(stateDir)) catch { case _: Exception => None }
     val events = prev match {
