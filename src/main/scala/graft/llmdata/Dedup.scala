@@ -1198,6 +1198,72 @@ object Dedup {
        |FROM corp c LEFT JOIN shared s USING (doc_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ------------------------------ asymmetric containment dedup (dd20)
+
+  private val ContainmentMin = 0.8
+
+  /** Asymmetric containment near-dup (dd20): pairs where one document's
+    * shingle set is (near-)contained in the other's — |A∩B|/|A| ≥
+    * [[ContainmentMin]] in either direction. This is the wholesale-quote
+    * case symmetric Jaccard structurally MISSES: a 50-gram doc embedded
+    * verbatim in a 500-gram doc has containment 1.0 but Jaccard ≤ 0.1,
+    * under every dd3-family threshold. Candidates still come off dd3's
+    * capped band buckets (MinHash under-samples high-containment/low-
+    * Jaccard pairs, but shared-shingle banding still surfaces them at
+    * this corpus's size mix — the exactness lives in the verify tier, the
+    * recall trade is the documented LSH property); verification computes
+    * both directed containments plus Jaccard for contrast, all from
+    * exact intersection counts.
+    *
+    * Scale: identical shape to dd3 — cached signatures, C(cap,2)-bounded
+    * candidates, per-pair verify cost O(|grams|) — no new shuffle. */
+  def containmentDup(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(gramsOf(spark, dir, 2), cappedPairsOfBands(bandedDocs(spark, dir)))
+
+  /** The containment verify tier over an explicit (doc_id, grams) frame
+    * and candidate pairs — the testable seam behind dd20. */
+  private[graft] def containmentOf(docs: DataFrame, cands: DataFrame): DataFrame = {
+    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val ca = inter.cast(DoubleType) / size(col("grams_a")).cast(DoubleType)
+    val cb = inter.cast(DoubleType) / size(col("grams_b")).cast(DoubleType)
+    cands.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast(LongType).as("n_shared"),
+        ca.as("containment_a"), cb.as("containment_b"),
+        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= ContainmentMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentDupSql: String = {
+    val sigList = sigListSql
+    val bandExprs = bandExprsSql
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-1),
+       |         i -> w[i] || ' ' || w[i+1])) AS g FROM w),
+       |sig AS (SELECT doc_id, g, $sigList AS sig FROM sh),
+       |bands AS (SELECT doc_id, band, $bandExprs[band+1] AS bh
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${NumBands - 1})) AS band)),
+       |capped AS (SELECT doc_id, band, bh FROM bands
+       |           QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $BandBucketCap),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM capped x JOIN capped y
+       |            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
+       |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) AS containment_a,
+       |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(b.g) AS containment_b,
+       |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+       |          len(list_distinct(a.g || b.g)) AS jaccard
+       |      FROM cands JOIN sh a ON cands.doc_a = a.doc_id
+       |                 JOIN sh b ON cands.doc_b = b.doc_id)
+       |SELECT * FROM v
+       |WHERE greatest(containment_a, containment_b) >= $ContainmentMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // --------------------------------- cross-source overlap matrix (dd19)
 
   /** Cross-source duplication overlap (dd19): which sources clone each
@@ -1251,6 +1317,7 @@ object Dedup {
        |ORDER BY source_x, source_y""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd20_containment" -> containmentDup,
     "dd19_source_overlap" -> sourceOverlap,
     "dd15_bloom_prefilter" -> bloomPrefilter,
     "dd14_semantic_dedup" -> semanticDedup,
@@ -1272,6 +1339,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd20_containment" -> containmentDupSql,
     "dd19_source_overlap" -> sourceOverlapSql,
     "dd15_bloom_prefilter" -> bloomPrefilterSql,
     "dd14_semantic_dedup" -> semanticDedupSql,

@@ -966,7 +966,72 @@ object TextAnalysis {
        |  pair, n
        |FROM agg ORDER BY n DESC, pair LIMIT $BpeTopPairs""".stripMargin
 
+  // ------------------------------------- encoding quality (tx20)
+
+  /** Encoding/mojibake quality signals (tx20): per document, exact counts
+    * of U+FFFD replacement characters (the fingerprint of a bad decode
+    * upstream), C0 control characters (excluding tab/newline/CR), and
+    * non-ASCII characters (legitimate international text ALSO counts here
+    * — the two corruption counters are what gate, non-ASCII is context),
+    * plus one bad-character ratio. The standard C4/CCNet pre-filter step
+    * that catches double-decoded or truncated-multibyte inputs before
+    * they poison tokenizer statistics.
+    *
+    * The fixture corpus is pure ASCII, so the query plants deterministic
+    * corruption: doc_id % 17 adds replacement + BEL characters (true
+    * mojibake, must flag), doc_id % 11 adds accented letters (legitimate
+    * non-ASCII, must stay clean) — both engines build the identical
+    * suffix from character codes. Counts come from translate (single
+    * chars) and global regexp_replace length deltas; both engines count
+    * CHARACTERS, not bytes.
+    *
+    * Scale: pure scan-side projections — zero shuffle, zero state. */
+  def encodingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val corrupted = when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" \uFFFD\u0007\uFFFD")))
+      .when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" \u00E9\u00FC")))
+      .otherwise(col("text"))
+    val s = col("s")
+    val nRepl = length(s) - length(translate(s, "\uFFFD", ""))
+    val nCtrl = length(s) -
+      length(regexp_replace(s, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val nNonAscii = length(s) - length(regexp_replace(s, "[^\\x00-\\x7F]", ""))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), corrupted.as("s"))
+      .select(col("doc_id"),
+        length(s).cast(LongType).as("n_chars"),
+        nRepl.cast(LongType).as("n_replacement"),
+        nCtrl.cast(LongType).as("n_control"),
+        nNonAscii.cast(LongType).as("n_nonascii"),
+        ((nRepl + nCtrl).cast(DoubleType) / length(s).cast(DoubleType))
+          .as("bad_ratio"),
+        (nRepl + nCtrl === 0).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val encodingQualitySql: String =
+    """WITH c AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN text || ' ' || chr(65533) || chr(7) || chr(65533)
+      |         WHEN doc_id % 11 = 0 THEN text || ' ' || chr(233) || chr(252)
+      |         ELSE text END AS s
+      |  FROM documents),
+      |m AS (SELECT doc_id, s,
+      |    length(s) - length(replace(s, chr(65533), '')) AS n_replacement,
+      |    length(s) - length(regexp_replace(s, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+      |      AS n_control,
+      |    length(s) - length(regexp_replace(s, '[^\x00-\x7F]', '', 'g')) AS n_nonascii
+      |  FROM c)
+      |SELECT doc_id, CAST(length(s) AS BIGINT) AS n_chars,
+      |  CAST(n_replacement AS BIGINT) AS n_replacement,
+      |  CAST(n_control AS BIGINT) AS n_control,
+      |  CAST(n_nonascii AS BIGINT) AS n_nonascii,
+      |  CAST(n_replacement + n_control AS DOUBLE) / length(s) AS bad_ratio,
+      |  n_replacement + n_control = 0 AS clean
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx20_encoding_quality" -> encodingQuality,
     "tx18_bpe_pairs" -> bpePairCounts,
     "tx19_bigram_quality" -> bigramQuality,
     "tx17_novelty" -> noveltyScore,
@@ -988,6 +1053,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx20_encoding_quality" -> encodingQualitySql,
     "tx18_bpe_pairs" -> bpePairCountsSql,
     "tx19_bigram_quality" -> bigramQualitySql,
     "tx17_novelty" -> noveltyScoreSql,

@@ -295,6 +295,25 @@ class LlmDataSpec extends SparkSpec {
     assert(ids == (1L to 8L).toSet, "sampled members must be the lowest ids")
   }
 
+  test("dd20: containment catches a wholesale quote symmetric Jaccard misses") {
+    // A short doc embedded verbatim in a 2.3x-larger one: containment of
+    // A in B is ~1.0 while Jaccard sits under dd3's 0.5 threshold — the
+    // pair every Jaccard-gated near-dup tier drops. The banding still
+    // surfaces it (B's minhash minima often fall in A's gram subset) and
+    // the verify tier must classify it by containment.
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = a + " " + (100 to 152).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val grams = Dedup.gramsOfDocs(docs, 2)
+    val out = Dedup.containmentOf(grams, Dedup.cappedPairsOfBands(Dedup.bandedOf(grams)))
+      .collect()
+    assert(out.length == 1, "the banding must surface the contained pair")
+    val r = out.head
+    assert(r.getAs[Double]("containment_a") == 1.0, "A is wholly inside B")
+    assert(r.getAs[Double]("jaccard") < 0.5,
+      "the pair must sit under the symmetric threshold dd3 gates on")
+  }
+
   test("dd16: estimate equals a driver-side signature recompute; pairs share a band") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
