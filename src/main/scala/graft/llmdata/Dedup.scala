@@ -1264,6 +1264,75 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------------------------- near-dup graph PageRank (dd21)
+
+  private val PagerankIters = 3
+
+  /** PageRank over the near-dup graph (dd21): which documents are the
+    * duplication HUBS — a doc near-duplicated by many docs that are
+    * themselves widely duplicated (a template, a syndicated original)
+    * outranks one with the same degree in a quiet corner; degree (what
+    * dd11's cluster sizes see) cannot make that distinction. Edges are
+    * dd3's verified pairs, undirected; damping 0.85, [[PagerankIters]]
+    * fixed iterations from a uniform start.
+    *
+    * Exact parity for an ITERATIVE numeric algorithm: ranks live in
+    * integer micro-units and every step is integer arithmetic —
+    * contribution = r // deg, next = (15·(1e6 // N) + 85·Σ) // 100 — so
+    * the fixpoint trajectory is bit-identical in any engine and under
+    * any partial-aggregation schedule; one double division renders the
+    * final rank. The driver loop is dd11's documented exception
+    * (iteration count fixed, each step a distributed join); the DuckDB
+    * oracle unrolls the same three steps as chained CTEs.
+    *
+    * Scale: per iteration one edge join + one combinable sum — the
+    * standard Pregel cost; edges are the C(cap,2)-bounded pair set. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").distinct()
+    val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nFrame))
+      .select(col("doc_id"), col("deg"), col("n"),
+        expr("1000000 div n").as("r"))
+    for (_ <- 1 to PagerankIters) {
+      val contribs = edges
+        .join(r.select(col("doc_id").as("src"), expr("r div deg").as("c")), "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = r.drop("r").join(contribs, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), col("deg"), col("n"),
+          expr("(15 * (1000000 div n) + 85 * coalesce(s, 0)) div 100").as("r"))
+    }
+    r.select(col("doc_id"), col("r").as("pagerank_micro"),
+        (col("r").cast(DoubleType) / lit(1e6)).as("pagerank"))
+      .orderBy(col("pagerank_micro").desc, col("doc_id"))
+  }
+
+  val pagerankSql: String = {
+    val steps = (1 to PagerankIters).map { k =>
+      s"""r$k AS (SELECT n0.doc_id, n0.deg, n0.n,
+         |  (15 * (1000000 // n0.n) + 85 * COALESCE(s.s, 0)) // 100 AS r
+         |  FROM n0 LEFT JOIN (
+         |    SELECT e.dst, SUM(r${k - 1}.r // r${k - 1}.deg) AS s
+         |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.doc_id
+         |    GROUP BY e.dst) s ON n0.doc_id = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |d AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |n0 AS (SELECT doc_id, deg, (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n FROM d),
+       |r0 AS (SELECT doc_id, deg, n, 1000000 // n AS r FROM n0),
+       |$steps
+       |SELECT doc_id, CAST(r AS BIGINT) AS pagerank_micro,
+       |  CAST(r AS DOUBLE) / 1000000.0 AS pagerank
+       |FROM r$PagerankIters
+       |ORDER BY pagerank_micro DESC, doc_id""".stripMargin
+  }
+
   // --------------------------------- cross-source overlap matrix (dd19)
 
   /** Cross-source duplication overlap (dd19): which sources clone each
@@ -1317,6 +1386,7 @@ object Dedup {
        |ORDER BY source_x, source_y""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd21_pagerank" -> pagerank,
     "dd20_containment" -> containmentDup,
     "dd19_source_overlap" -> sourceOverlap,
     "dd15_bloom_prefilter" -> bloomPrefilter,
@@ -1339,6 +1409,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd21_pagerank" -> pagerankSql,
     "dd20_containment" -> containmentDupSql,
     "dd19_source_overlap" -> sourceOverlapSql,
     "dd15_bloom_prefilter" -> bloomPrefilterSql,

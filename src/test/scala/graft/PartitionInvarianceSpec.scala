@@ -85,7 +85,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "tx19_bigram_quality" -> graft.llmdata.TextAnalysis.bigramQuality _,
       "cur7_contamination_mixture" -> graft.llmdata.Curation.contaminationAwareMixture _,
       "ev15_hll_distinct" -> EventsAnalytics.hllDistinct _,
-      "cdc14_snapshot_diff" -> graft.operators.CdcQueries.snapshotDiffEvents _)
+      "cdc14_snapshot_diff" -> graft.operators.CdcQueries.snapshotDiffEvents _,
+      // iterative integer recurrence — the trajectory must not depend on
+      // how the edge joins and contribution sums are scheduled
+      "dd21_pagerank" -> graft.llmdata.Dedup.pagerank _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
