@@ -448,6 +448,116 @@ object Curation {
        |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
        |FROM agg ORDER BY epoch""".stripMargin
 
+  // ------------------------------- curriculum, sketch tier (cur5b)
+
+  /** Score-bin width scale for the sketch-tier curriculum: bin =
+    * floor(clf_score · 256). 256 = 2^8, so the multiply only shifts the
+    * double's exponent — no rounding — making the bin id bit-deterministic
+    * in any engine that computed the same score (tx15's fold is, and is
+    * itself oracle-gated). */
+  private val CurricBinScale = 256
+
+  /** Sketch-tier curriculum schedule (cur5b) — [[curriculumSchedule]]'s
+    * 100 TB path, as specified in cur5's scale note. cur5's exact ntile
+    * funnels the whole scored corpus through ONE task (a partitionBy-less
+    * window sort — the verification tier, like q31's exact percentiles);
+    * here the epoch assignment is ev8's mergeable-histogram contract
+    * instead:
+    *
+    *  1. histogram: one map-side-combined (bin → count) aggregate whose
+    *     post-shuffle size is ≤ [[CurricBinScale]] cells REGARDLESS of
+    *     corpus size;
+    *  2. cut points: the ≤256-row histogram is collected (the k-row
+    *     codebook pattern of Similarity's IVF) and the three quartile
+    *     bin thresholds t1 ≥ t2 ≥ t3 are derived in exact integer
+    *     arithmetic — tk = the highest bin whose descending cumulative
+    *     count reaches ceil(k·n/4);
+    *  3. assignment: the thresholds fold into the plan as literals — a
+    *     scan-side CASE, zero extra shuffle, no window anywhere;
+    *  4. the schedule rollup (≤4 rows) computes its cumulative budget
+    *     with a broadcast triangular self-join instead of a window, so
+    *     the WHOLE plan is window-free (PlanQualitySpec asserts this).
+    *
+    * The trade vs cur5 is bin-granular quartiles: every doc in one bin
+    * lands in one epoch, so epoch populations deviate from n/4 by at most
+    * one bin's population — and tier ordering becomes STRICT (equal
+    * scores can never straddle epochs, which ntile's row-split allows).
+    * The DuckDB twin derives the same cut points in SQL, so the
+    * approximation itself is under the hash gate, like ev8's bin lower
+    * bounds. */
+  def curriculumScheduleSketch(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.classifierScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("clf_score"))
+    val bin = floor(col("clf_score") * CurricBinScale).cast(LongType)
+    val hist = scored.select(bin.as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    // descending cumulative over the collected histogram: cums(b) =
+    // #docs with bin ≥ b; tk = max bin with cums ≥ ceil(k·n/4)
+    val cums = hist.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.drop(1)
+    def cut(q: Int): Long = {
+      val thr = (q * n + 3) / 4
+      cums.filter(_._2 >= thr).map(_._1).max
+    }
+    val epoch =
+      if (n == 0) lit(null).cast(LongType)
+      else when(bin >= cut(1), 1L).when(bin >= cut(2), 2L)
+        .when(bin >= cut(3), 3L).otherwise(4L)
+    val agg = scored.withColumn("epoch", epoch)
+      .groupBy(col("epoch")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("clf_score")).as("min_score"),
+        max(col("clf_score")).as("max_score"))
+    // window-free rollup over the ≤4-row schedule: cumulative budget via
+    // a broadcast triangular self-join, total via a broadcast 1-row agg
+    val tot = agg.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val parts = agg.select(col("epoch").as("e2"), col("n_tokens").as("nt2"))
+    agg.join(broadcast(parts), col("e2") <= col("epoch"))
+      .groupBy(col("epoch"), col("n_docs"), col("n_tokens"),
+        col("min_score"), col("max_score"))
+      .agg(sum(col("nt2")).as("cum_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("epoch"), col("n_docs"), col("n_tokens"), col("cum_tokens"),
+        col("min_score"), col("max_score"),
+        (col("n_tokens").cast(DoubleType) / col("tot_tokens").cast(DoubleType))
+          .as("token_share"))
+      .orderBy(col("epoch"))
+  }
+
+  val curriculumScheduleSketchSql: String =
+    s"""WITH cs AS (SELECT doc_id, n_tokens, clf_score
+       |            FROM (${TextAnalysis.classifierScoreSql})),
+       |b AS (SELECT doc_id, n_tokens, clf_score,
+       |        CAST(floor(clf_score * $CurricBinScale) AS BIGINT) AS bin FROM cs),
+       |h AS (SELECT bin, COUNT(*) AS c FROM b WHERE bin IS NOT NULL GROUP BY 1),
+       |cw AS (SELECT bin,
+       |    SUM(c) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER () AS n FROM h),
+       |t AS (SELECT
+       |    MAX(CASE WHEN cum >= (1*n+3)//4 THEN bin END) AS t1,
+       |    MAX(CASE WHEN cum >= (2*n+3)//4 THEN bin END) AS t2,
+       |    MAX(CASE WHEN cum >= (3*n+3)//4 THEN bin END) AS t3 FROM cw),
+       |e AS (SELECT b.n_tokens, b.clf_score,
+       |        CASE WHEN bin >= t1 THEN 1 WHEN bin >= t2 THEN 2
+       |             WHEN bin >= t3 THEN 3 ELSE 4 END AS epoch
+       |      FROM b CROSS JOIN t),
+       |agg AS (SELECT CAST(epoch AS BIGINT) AS epoch,
+       |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |          MIN(clf_score) AS min_score, MAX(clf_score) AS max_score
+       |        FROM e GROUP BY 1)
+       |SELECT epoch, n_docs, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |  min_score, max_score,
+       |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM agg ORDER BY epoch""".stripMargin
+
   // ---------------------------------------------- dataset card (cur6)
 
   /** Per-source dataset card (cur6) — the datasheet a corpus release
@@ -594,6 +704,7 @@ object Curation {
     "cur7_contamination_mixture" -> contaminationAwareMixture,
     "cur6_dataset_card" -> datasetCard,
     "cur5_curriculum" -> curriculumSchedule,
+    "cur5b_curriculum_sketch" -> curriculumScheduleSketch,
     "cur1_corpus_curation" -> corpusCuration,
     "cur2_neardup_curation" -> curationNearDup,
     "cur3_mixture_weights" -> mixtureWeights,
@@ -604,6 +715,7 @@ object Curation {
     "cur7_contamination_mixture" -> contaminationAwareMixtureSql,
     "cur6_dataset_card" -> datasetCardSql,
     "cur5_curriculum" -> curriculumScheduleSql,
+    "cur5b_curriculum_sketch" -> curriculumScheduleSketchSql,
     "cur1_corpus_curation" -> corpusCurationSql,
     "cur2_neardup_curation" -> curationNearDupSql,
     "cur3_mixture_weights" -> mixtureWeightsSql,

@@ -1286,25 +1286,41 @@ object Dedup {
     * oracle unrolls the same three steps as chained CTEs.
     *
     * Scale: per iteration one edge join + one combinable sum — the
-    * standard Pregel cost; edges are the C(cap,2)-bounded pair set. */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    * standard Pregel cost; edges are the C(cap,2)-bounded pair set.
+    * Like dd11's [[minLabelComponents]], each iteration's rank frame is
+    * localCheckpoint-materialized: without it the final plan nests
+    * `iters` edge-joins deep, so every downstream stage re-optimizes and
+    * re-executes the whole prefix (r8 bench: dd21 was the slowest query
+    * in the battery at 4.07 s purely from the nested lineage; the
+    * trajectory is unchanged — integer arithmetic is oblivious to where
+    * materialization barriers sit). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankIterated(spark, dir, PagerankIters)
+
+  /** [[pagerank]] with the iteration count as a knob; the public entry
+    * pins it to [[PagerankIters]] so the DuckDB oracle's unrolled CTE
+    * chain always matches. */
+  private[llmdata] def pagerankIterated(
+      spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").distinct()
+      .toDF("src", "dst").distinct().localCheckpoint()
     val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("doc_id"), col("deg"))
     val nFrame = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.crossJoin(broadcast(nFrame))
       .select(col("doc_id"), col("deg"), col("n"),
         expr("1000000 div n").as("r"))
-    for (_ <- 1 to PagerankIters) {
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
       val contribs = edges
         .join(r.select(col("doc_id").as("src"), expr("r div deg").as("c")), "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = r.drop("r").join(contribs, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), col("deg"), col("n"),
           expr("(15 * (1000000 div n) + 85 * coalesce(s, 0)) div 100").as("r"))
+        .localCheckpoint()
     }
     r.select(col("doc_id"), col("r").as("pagerank_micro"),
         (col("r").cast(DoubleType) / lit(1e6)).as("pagerank"))

@@ -178,10 +178,16 @@ object CdcQueries {
     * GAP_UPDATE/GAP_DELETE/GAP_UNDELETE — and GAP_OVERFLOW on the
     * /data/ChangeEvents overflow channel — when change payloads cannot be
     * delivered (recordIds, no field values). A literal DELETE rides along
-    * so the mix exercises both router branches. */
+    * so the mix exercises both router branches, and a literal UNDELETE
+    * pins quirk Q2's decision through the full wire round trip: the
+    * reference leaves UNDELETE TBD (`worker/lambda/app.py:77` routes on
+    * `== 'DELETE'` only), so an undeleted record takes the enrichment
+    * branch and re-fetches current state — exactly what a restored record
+    * needs. */
   private val gapChangeType: Column =
-    when(k % 5 === 0, "GAP_CREATE").when(k % 5 === 1, "GAP_UPDATE")
-      .when(k % 5 === 2, "GAP_DELETE").when(k % 5 === 3, "GAP_OVERFLOW")
+    when(k % 7 === 0, "GAP_CREATE").when(k % 7 === 1, "GAP_UPDATE")
+      .when(k % 7 === 2, "GAP_DELETE").when(k % 7 === 3, "GAP_OVERFLOW")
+      .when(k % 7 === 4, "GAP_UNDELETE").when(k % 7 === 5, "UNDELETE")
       .otherwise("DELETE")
 
   /** GAP/OVERFLOW recovery under the gate (cdc12): the reference's router
@@ -650,8 +656,9 @@ object CdcQueries {
   val routeEnrichSql: String = synthHdrSql + routeEnrichTailSql
 
   val gapRouteEnrichSql: String = synthHdrSqlWith(
-    "CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'GAP_CREATE' WHEN 1 THEN 'GAP_UPDATE' " +
-      "WHEN 2 THEN 'GAP_DELETE' WHEN 3 THEN 'GAP_OVERFLOW' ELSE 'DELETE' END") +
+    "CASE CAST(c_custkey % 7 AS INT) WHEN 0 THEN 'GAP_CREATE' WHEN 1 THEN 'GAP_UPDATE' " +
+      "WHEN 2 THEN 'GAP_DELETE' WHEN 3 THEN 'GAP_OVERFLOW' " +
+      "WHEN 4 THEN 'GAP_UNDELETE' WHEN 5 THEN 'UNDELETE' ELSE 'DELETE' END") +
     routeEnrichTailSql
 
   val serializeSinkSql: String = synthHdrSql +

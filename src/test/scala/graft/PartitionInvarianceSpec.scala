@@ -88,7 +88,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "cdc14_snapshot_diff" -> graft.operators.CdcQueries.snapshotDiffEvents _,
       // iterative integer recurrence — the trajectory must not depend on
       // how the edge joins and contribution sums are scheduled
-      "dd21_pagerank" -> graft.llmdata.Dedup.pagerank _)
+      "dd21_pagerank" -> graft.llmdata.Dedup.pagerank _,
+      // cur5b's quartile cut points come off a collected histogram — the
+      // exact bin counts (and so the cuts) must not depend on split size
+      "cur5b_curriculum_sketch" -> graft.llmdata.Curation.curriculumScheduleSketch _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
