@@ -476,18 +476,31 @@ object Curation {
     *     scan-side CASE, zero extra shuffle, no window anywhere;
     *  4. the schedule rollup (≤4 rows) computes its cumulative budget
     *     with a broadcast triangular self-join instead of a window, so
-    *     the WHOLE plan is window-free (PlanQualitySpec asserts this).
+    *     the WHOLE plan is window-free (PlanQualitySpec "cur5b" asserts
+    *     this — zero Window nodes, no sort-merge join).
+    *
+    * The scored projection feeds TWO jobs (the histogram collect and the
+    * returned assignment plan), so it is localCheckpoint'ed: tx15's
+    * classifier fold runs ONCE per call instead of twice (the uncached-
+    * derived-table trap that made dd21 the slowest query in r8). The
+    * pinned frame is 3 narrow columns per doc — per-doc metadata, not
+    * bodies — and is released by the ContextCleaner when the returned
+    * frame is dropped.
     *
     * The trade vs cur5 is bin-granular quartiles: every doc in one bin
     * lands in one epoch, so epoch populations deviate from n/4 by at most
     * one bin's population — and tier ordering becomes STRICT (equal
     * scores can never straddle epochs, which ntile's row-split allows).
+    * Degenerate corpus (every clf_score NULL, so the histogram is empty):
+    * every row lands in epoch 4, matching the SQL twin's CASE ELSE — a
+    * NULL epoch would silently vanish through the inner triangular join.
     * The DuckDB twin derives the same cut points in SQL, so the
     * approximation itself is under the hash gate, like ev8's bin lower
     * bounds. */
   def curriculumScheduleSketch(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.classifierScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("clf_score"))
+      .localCheckpoint()
     val bin = floor(col("clf_score") * CurricBinScale).cast(LongType)
     val hist = scored.select(bin.as("bin"))
       .filter(col("bin").isNotNull)
@@ -503,8 +516,12 @@ object Curation {
       val thr = (q * n + 3) / 4
       cums.filter(_._2 >= thr).map(_._1).max
     }
+    // n == 0 with rows present means every score is NULL: the SQL twin's
+    // CASE (NULL >= NULL → no branch) lands them in ELSE 4, so mirror
+    // that here — a NULL epoch would be dropped by the inner triangular
+    // rollup join below and the row would vanish from the schedule
     val epoch =
-      if (n == 0) lit(null).cast(LongType)
+      if (n == 0) lit(4L)
       else when(bin >= cut(1), 1L).when(bin >= cut(2), 2L)
         .when(bin >= cut(3), 3L).otherwise(4L)
     val agg = scored.withColumn("epoch", epoch)

@@ -209,6 +209,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "drop-id sets must broadcast")
   }
 
+  test("cur5b: sketch curriculum is window-free — histogram cuts fold into a scan-side CASE") {
+    val p = plan(graft.llmdata.Curation.curriculumScheduleSketch(spark, sf()))
+    // the whole point of the sketch tier: NO window anywhere (cur5's exact
+    // ntile is the single-task global sort this path exists to avoid)
+    assert(!p.contains("Window"), "sketch tier must not contain a window:\n" + p.take(2000))
+    // the ≤4-row rollup joins must broadcast, never shuffle-sort both sides
+    assert(!p.contains("SortMergeJoin"), "schedule rollup joins must broadcast")
+    assert(p.contains("BroadcastExchange"), "triangular self-join + total must broadcast")
+    // the only Sort is the trailing ≤4-row presentation ORDER BY (epoch);
+    // no sort may feed an aggregate or join
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dd15: the bloom bitset broadcasts; membership is evaluated at the incoming scan") {
     val p = plan(Dedup.bloomPrefilter(spark, sf()))
     // the single-row bitset rides a broadcast nested-loop (cross of 1 row),
