@@ -1,20 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query timings + CDC throughput.
+/** Benchmark main: one JSON line with per-query timings + CDC throughput
+  * + per-micro-batch latency percentiles.
   *
-  * Noise control: each query runs twice and reports the MIN — a single
-  * hash-ordered pass let JIT/session warm-up land on whichever query ran
-  * first, making r(N)-vs-r(N-1) per-query deltas unreadable. Failures are
-  * recorded in an `errors` map (a crashed query used to score -1 s, i.e.
-  * "fastest in the battery"). CDC throughput is measured BEFORE the query
-  * battery (a fresh session, the number a dedicated ingest cluster would
-  * see) and again after it (detects state leaked by the battery — the r2
-  * 7× eps regression was exactly pinned-storage buildup). A MARGINAL
-  * throughput (difference quotient between a 10k and a 60k run) isolates
-  * the per-event pipeline cost from the fixed per-query streaming
-  * overhead, whose ±30% run-to-run variance is what moved the fresh
-  * number across rounds with zero pipeline change.
+  * Noise control — the MIN-OF-3 PROTOCOL (standard since r10): each query
+  * gets one untimed warm-up pass (per family) and THREE timed runs, and
+  * reports the minimum. Rationale, measured: r9's bench showed a
+  * coordinated 1.4–2.8× "regression" across four untouched queries while
+  * the post-battery throughput probe DOUBLED with zero code change — the
+  * sandbox's ambient variance (page cache, JIT, CPU contention) is larger
+  * than most per-query deltas, so a single sample (and sometimes two) is
+  * not signal. The min is the right estimator here because noise on a
+  * warm in-memory workload is strictly additive. Failures are recorded in
+  * an `errors` map (a crashed query used to score -1 s, i.e. "fastest in
+  * the battery"). CDC throughput is measured BEFORE the query battery (a
+  * fresh session, the number a dedicated ingest cluster would see) and
+  * again after it (detects state leaked by the battery — the r2 7× eps
+  * regression was exactly pinned-storage buildup). A MARGINAL throughput
+  * (difference quotient between a 10k and a 60k run) isolates the
+  * per-event pipeline cost from the fixed per-query streaming overhead,
+  * whose ±30% run-to-run variance is what moved the fresh number across
+  * rounds with zero pipeline change.
+  *
+  * Latency: `cdc_latency_*` fields report nearest-rank p50/p95 of
+  * per-micro-batch `triggerExecution` wall time for the CDC pipeline
+  * under `Trigger.ProcessingTime(100 ms)` with a fixed-rate feeder —
+  * the number a CDC consumer actually experiences per delivery, which
+  * the throughput probes (AvailableNow, one giant batch) cannot show.
+  *
+  * External baseline: if `DUCKDB_BASELINE.json` exists at the repo root
+  * (written by `tools/duckdb_bench.py` — per-query DuckDB wall times for
+  * every oracle twin at the same SF), its total is surfaced as
+  * `duckdb_total_secs` so the line carries a real-engine ratio; the
+  * per-query map lives in the sidecar file.
+  *
+  * Output: the driver keeps only the TAIL of the printed line, so fields
+  * are ordered least-important-first (boilerplate → probes → total →
+  * per-query map last); the COMPLETE line is also written to
+  * `BENCH_FULL.json` for a lossless copy.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,6 +78,7 @@ object Bench {
       if (tSmall.nonEmpty && tLarge.nonEmpty && tLarge.min > tSmall.min)
         50000.0 / (tLarge.min - tSmall.min)
       else -1.0
+    val (latP50, latP95, latN) = cdcLatencyMs(spark)
 
     val errors = scala.collection.mutable.Map.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -94,16 +119,15 @@ object Bench {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
         }
         val timed = fam.flatMap { case (name, fn) =>
-          (timeOnce(name, fn), timeOnce(name, fn)) match {
-            case (Some(a), Some(b)) => Some(name -> math.min(a, b))
-            case (one, two) =>
-              val r = one.orElse(two).map(name -> _)
-              // one run succeeded: report its (single-sample) timing and
-              // drop the transient failure — a query must not appear in
-              // BOTH maps
-              if (r.isDefined) errors.remove(name)
-              r
-          }
+          // min-of-3 (see object doc): ambient noise is additive on a
+          // warm workload, so the min of three samples is the estimator
+          val samples = Seq.fill(3)(timeOnce(name, fn)).flatten
+          if (samples.nonEmpty) {
+            // at least one run succeeded: report it and drop any
+            // transient failure — a query must not appear in BOTH maps
+            errors.remove(name)
+            Some(name -> samples.min)
+          } else None
         }
         releaseCaches()
         timed
@@ -135,13 +159,41 @@ object Bench {
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // External real-engine baseline, if tools/duckdb_bench.py has been
+    // run for this SF: surface the aggregate on the line (per-query map
+    // stays in the sidecar — it would double the line and push the
+    // queries map out of the driver's tail window).
+    val duckdbTotal: Double = try {
+      val p = java.nio.file.Paths.get("DUCKDB_BASELINE.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sfOk = txt.contains("\"sf\": \"" + new java.io.File(sfDir).getName + "\"") ||
+          txt.contains("\"sf\":\"" + new java.io.File(sfDir).getName + "\"")
+        val m = """"total_secs":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+        if (sfOk) m.map(_.group(1).toDouble).getOrElse(-1.0) else -1.0
+      } else -1.0
+    } catch { case _: Throwable => -1.0 }
     // CDC pipeline throughput (events/s): end-to-end decode→route→enrich
     // over the in-memory replay source. The reference's implied ceiling is
     // ~50 records/s per worker (BASELINE.md BATCH_SIZE/INTERVAL).
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""errors":$errs,"cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
+    // KEY ORDER IS LOAD-BEARING: the driver keeps only the tail of this
+    // line, so boilerplate leads and value+queries close it; the complete
+    // line also lands in BENCH_FULL.json.
+    val line =
+      s"""{"metric":"total","unit":"sec","errors":$errs,""" +
+      s""""cdc_latency_batch_ms_p50":${ms(latP50)},""" +
+      s""""cdc_latency_batch_ms_p95":${ms(latP95)},""" +
+      s""""cdc_latency_batches":$latN,""" +
+      s""""cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
       s""""cdc_pipeline_events_per_sec_marginal":${ms(epsMarginal)},""" +
-      s""""cdc_pipeline_events_per_sec_postbattery":${ms(epsPost)},"sf":"$sfDir"}""")
+      s""""cdc_pipeline_events_per_sec_postbattery":${ms(epsPost)},""" +
+      s""""sf":"$sfDir","duckdb_total_secs":${ms(duckdbTotal)},""" +
+      (if (duckdbTotal > 0) s""""spark_vs_duckdb":${ms(total / duckdbTotal)},""" else "") +
+      s""""value":${ms(total)},"queries":$qs}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 
