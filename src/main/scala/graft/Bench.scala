@@ -197,30 +197,32 @@ object Bench {
     spark.stop()
   }
 
+  private def cdcEventJson(i: Int): String =
+    s"""{"schema":"fp","payload":{"Name":"N$i","ChangeEventHeader":{""" +
+      s""""commitNumber":$i,"commitUser":"u","sequenceNumber":1,""" +
+      s""""entityName":"Account","changeType":"${if (i % 5 == 0) "DELETE" else "UPDATE"}",""" +
+      s""""changedFields":[],"changeOrigin":"t","transactionKey":"tk$i",""" +
+      s""""commitTimestamp":${1583300894000L + i},"recordIds":["001${i % 1000}"]}},""" +
+      s""""event":{"replayId":${i + 1}}}"""
+
+  private def cdcSnapshot(spark: SparkSession) = {
+    import org.apache.spark.sql.functions._
+    spark.range(1000)
+      .select(concat(lit("001"), col("id")).as("Id"),
+        concat(lit("Name"), col("id")).as("Name"), (col("id") * 1.5).as("Balance"))
+  }
+
   private def cdcThroughputSecs(spark: SparkSession, n: Int): Double = {
     import graft.sources.ReplayBus
     val topic = "bench_cdc"
     ReplayBus.clear(topic)
     var i = 0
-    while (i < n) {
-      ReplayBus.publish(topic,
-        s"""{"schema":"fp","payload":{"Name":"N$i","ChangeEventHeader":{""" +
-          s""""commitNumber":$i,"commitUser":"u","sequenceNumber":1,""" +
-          s""""entityName":"Account","changeType":"${if (i % 5 == 0) "DELETE" else "UPDATE"}",""" +
-          s""""changedFields":[],"changeOrigin":"t","transactionKey":"tk$i",""" +
-          s""""commitTimestamp":${1583300894000L + i},"recordIds":["001${i % 1000}"]}},""" +
-          s""""event":{"replayId":${i + 1}}}""")
-      i += 1
-    }
-    import org.apache.spark.sql.functions._
-    val snapshot = spark.range(1000)
-      .select(concat(lit("001"), col("id")).as("Id"),
-        concat(lit("Name"), col("id")).as("Name"), (col("id") * 1.5).as("Balance"))
+    while (i < n) { ReplayBus.publish(topic, cdcEventJson(i)); i += 1 }
     val raw = spark.readStream.format("cdc-replay")
       .option("topic", topic).option("replayFrom", "-2").load()
     val t0 = System.nanoTime()
     val q = graft.streaming.CdcPipeline.toJsonLines(
-      graft.streaming.CdcPipeline.transform(raw, snapshot))
+      graft.streaming.CdcPipeline.transform(raw, cdcSnapshot(spark)))
       .writeStream.format("noop")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -228,4 +230,56 @@ object Bench {
     ReplayBus.clear(topic)
     secs
   }
+
+  /** Per-micro-batch delivery latency under a FIXED-RATE feed — the
+    * steady-state regime a deployed CDC consumer actually sits in, which
+    * the throughput probes (one giant AvailableNow drain) cannot show.
+    *
+    * A feeder loop publishes `perTick` events onto the replay bus every
+    * `tickMs`, paced against the wall clock (publish cost is deducted
+    * from the sleep, so the offered rate stays fixed at
+    * perTick/tickMs = 5000 events/s regardless of bus speed). The
+    * pipeline consumes under `Trigger.ProcessingTime(tickMs)`; per-batch
+    * wall time is Spark's own `triggerExecution` duration from
+    * `StreamingQueryProgress` — queue wait + planning + execution + commit,
+    * i.e. the time from trigger fire to delivery. p50/p95 are nearest-rank
+    * over non-empty batches (empty keep-alive batches after the feed stops
+    * would dilute the percentiles with no-op times). Returns (p50, p95,
+    * batches); (-1, -1, 0) if the run produced no non-empty batch or threw.
+    */
+  private def cdcLatencyMs(spark: SparkSession): (Double, Double, Int) = try {
+    import graft.sources.ReplayBus
+    val topic = "bench_cdc_latency"
+    ReplayBus.clear(topic)
+    val raw = spark.readStream.format("cdc-replay")
+      .option("topic", topic).option("replayFrom", "-2").load()
+    val q = graft.streaming.CdcPipeline.toJsonLines(
+      graft.streaming.CdcPipeline.transform(raw, cdcSnapshot(spark)))
+      .writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    val ticks = 40; val perTick = 500; val tickNanos = 100L * 1000000L
+    var i = 0; var t = 0
+    while (t < ticks) {
+      val next = System.nanoTime() + tickNanos
+      var j = 0
+      while (j < perTick) { ReplayBus.publish(topic, cdcEventJson(i)); i += 1; j += 1 }
+      val sleepMs = (next - System.nanoTime()) / 1000000L
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+      t += 1
+    }
+    Thread.sleep(500) // drain the tail batch before stopping
+    q.stop(); q.awaitTermination()
+    val lats = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      .sorted
+    ReplayBus.clear(topic)
+    if (lats.isEmpty) (-1.0, -1.0, 0)
+    else {
+      def rank(p: Double): Double =
+        lats(math.min(lats.size - 1, math.max(0, math.ceil(p * lats.size).toInt - 1)))
+      (rank(0.50), rank(0.95), lats.size)
+    }
+  } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0, 0) }
 }
