@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -36,14 +36,22 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as LongType
-    // nanos (spark.sql.legacy.parquet.nanosAsLong=true, set by every
-    // session builder in this project); surface it as a micros timestamp,
-    // which is exactly what DuckDB's reader yields for the same file.
-    // DIV is integral (no double round-trip — ns values exceed 2^53).
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
+    // Normalize events.ts to TimestampType (micros, UTC instant) — the
+    // type every downstream operator (unix_millis, window(), as-of join)
+    // expects, and what DuckDB's reader yields for the same file. The
+    // fixture has shipped two physical encodings of the same instants:
+    //  - TIMESTAMP(NANOS) → LongType nanos under
+    //    spark.sql.legacy.parquet.nanosAsLong=true (rounds ≤9):
+    //    integral DIV (no double round-trip — ns values exceed 2^53);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType
+    //    (round 10 regeneration): cast is value-preserving because every
+    //    session in this project pins spark.sql.session.timeZone=UTC.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

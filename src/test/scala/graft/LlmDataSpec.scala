@@ -658,7 +658,9 @@ class LlmDataSpec extends SparkSpec {
 
   test("ev13: rate anomalies match a driver-side trailing-window recompute") {
     val daily = spark.read.parquet(s"${sf()}/events.parquet")
-      .selectExpr("event_type", "ts DIV 1000000 DIV 86400000 AS day")
+      // raw fixture ts is TIMESTAMP(MICROS) NTZ; session tz is UTC so the
+      // cast to an instant is value-preserving (independent of Tables.load)
+      .selectExpr("event_type", "unix_millis(cast(ts AS timestamp)) DIV 86400000 AS day")
       .as[(String, Long)].collect()
       .groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .map { case ((tpe, day), n) => (tpe, day, n) }
@@ -688,9 +690,10 @@ class LlmDataSpec extends SparkSpec {
   test("ev14: attribution matches a driver-side latest-click recompute") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
       .selectExpr("event_id", "event_type", "user_id",
-        // raw fixture ts is TIMESTAMP(NANOS)-as-long; the query's
-        // unix_timestamp over the normalized table = ns DIV 1e9
-        "ts DIV 1000000000 AS sec")
+        // raw fixture ts is TIMESTAMP(MICROS) NTZ; the query's
+        // unix_timestamp over the normalized table = the same whole-second
+        // floor (session tz UTC makes the cast value-preserving)
+        "unix_seconds(cast(ts AS timestamp)) AS sec")
       .as[(Long, String, Long, Long)].collect()
     // pre-compacted like the query: max click id per (user, second)
     val clicks = ev.filter(_._2 == "click").groupBy(e => (e._3, e._4))
@@ -741,7 +744,7 @@ class LlmDataSpec extends SparkSpec {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val events = spark.read.parquet(s"${sf()}/events.parquet")
-      .selectExpr("event_id", "event_type", "ts DIV 1000000 AS ms")
+      .selectExpr("event_id", "event_type", "unix_millis(cast(ts AS timestamp)) AS ms")
       .as[(Long, String, Long)].collect()
     val dayMs = 24L * 3600 * 1000
     val expected = events.groupBy(_._2).map { case (tpe, es) =>

@@ -82,10 +82,10 @@ class StreamingOpsSpec extends SparkSpec {
   test("unified API: streaming window counts over the events fixture match batch") {
     import org.apache.spark.sql.types._
     val dir = sf()
-    // file-stream the fixture with the same nanos→micros conversion the
-    // batch loader applies (Tables.load)
+    // file-stream the fixture with the same ts normalization the batch
+    // loader applies (Tables.load)
     val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file-stream source wants a directory; stage the fixture into one
@@ -94,7 +94,9 @@ class StreamingOpsSpec extends SparkSpec {
       staged.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(rawSchema)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // raw fixture ts is TIMESTAMP(MICROS) NTZ; same normalization as
+      // Tables.load (session tz UTC → value-preserving instant cast)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = EventStreamOps.windowedCounts(stream, "1 day", "0 seconds")
       .writeStream.format("memory").queryName("ev_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -114,7 +116,7 @@ class StreamingOpsSpec extends SparkSpec {
     import org.apache.spark.sql.types._
     val dir = sf()
     val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val staged = java.nio.file.Files.createTempDirectory("ev_hop_src")
@@ -122,7 +124,9 @@ class StreamingOpsSpec extends SparkSpec {
       staged.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(rawSchema)
       .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // raw fixture ts is TIMESTAMP(MICROS) NTZ; same normalization as
+      // Tables.load (session tz UTC → value-preserving instant cast)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = EventStreamOps.windowedCounts(stream, "1 day", "0 seconds", slide = "6 hours")
       .writeStream.format("memory").queryName("ev_hop_stream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
