@@ -40,6 +40,44 @@ object EventStreamOps {
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
   }
 
+  /** Stream-stream attribution join: every purchase paired with the
+    * clicks of the same user in the preceding `withinMs` window — the
+    * streaming twin of the candidate set ev14's as-of attribution
+    * reduces (batch picks the latest click; a streaming consumer gets
+    * the full candidate set in append mode and reduces downstream,
+    * because "latest" is only final once the watermark passes).
+    *
+    * Scale posture — this is the one operator class where Spark's
+    * streaming state story actually bites: both sides are watermarked
+    * AND the join condition carries an event-time range
+    * (`p.ts - within <= c.ts <= p.ts`), which is exactly what the state
+    * store needs to EVICT buffered rows once the watermark passes their
+    * last possible match. Without the range condition the click buffer
+    * grows without bound; with it, state is O(events inside the
+    * watermark+within horizon) per side. Join keys shuffle both streams
+    * on user_id once; no other exchange.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      withinMs: Long = 3600 * 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

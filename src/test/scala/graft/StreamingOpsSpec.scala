@@ -148,6 +148,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(hopTotal == 4 * dayTotal)
   }
 
+  test("unified API: stream-stream attribution interval join matches the batch join") {
+    import org.apache.spark.sql.types._
+    val dir = sf()
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staged = java.nio.file.Files.createTempDirectory("ev_join_src")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // two independent file streams over the same fixture, split by type —
+    // each side buffers in the join state store, keyed by user_id
+    def side(tpe: String) = spark.readStream.schema(rawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter($"event_type" === tpe)
+    val q = EventStreamOps.attributionJoin(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("ev_join_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ev_join_stream")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    // batch twin: the same interval predicate as a plain join
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val batchPairs = p.join(c,
+        $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 3600 SECONDS"))
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batchPairs)
+    assert(batchPairs.nonEmpty)
+  }
+
   test("streaming incremental dedup: admission composes into foreachBatch with growing corpus") {
     // three micro-batches of documents; each batch admits against the
     // corpus accumulated from everything admitted so far — the streaming
