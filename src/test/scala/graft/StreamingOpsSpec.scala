@@ -169,6 +169,13 @@ class StreamingOpsSpec extends SparkSpec {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // the join must have run as a STATEFUL stream-stream join (symmetric
+    // hash join buffering both sides in the state store), not a batch
+    // rewrite — state rows prove the buffer existed
+    val stateOps = q.recentProgress.flatMap(_.stateOperators)
+    assert(stateOps.exists(s =>
+      s.operatorName.contains("symmetricHashJoin") && s.numRowsTotal > 0),
+      s"expected symmetricHashJoin state, got: ${stateOps.map(_.operatorName).toSeq}")
     val streamed = spark.table("ev_join_stream")
       .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
     // batch twin: the same interval predicate as a plain join
