@@ -70,6 +70,55 @@ object CdcDecode {
     (decoded.filter(!bad), decoded.filter(bad))
   }
 
+  /** Wire-level dead-letter routing with REASONS — the production
+    * upgrade of [[partitionValid]]'s post-decode null test. The reference
+    * has no error handling at all (`worker/lambda/app.py:47-72` lets a
+    * malformed record throw and leans on the Lambda retry machinery,
+    * which retries a poison record forever); a deployed pipeline instead
+    * classifies each wire record ONCE and routes it:
+    *
+    *  - `dlq_bad_base64`  — not base64 text (charset/padding/length)
+    *  - `dlq_bad_json`    — decodes, but the bytes are not JSON
+    *  - `dlq_missing_header` — JSON, but no ChangeEventHeader.entityName
+    *  - `ok`              — decodes end-to-end
+    *
+    * Classification is pure column expressions (regex gate → lenient
+    * unbase64 behind it → `try_parse_json` validity → header path probe),
+    * so the whole routing stays in one codegen'd scan pass — no
+    * exceptions, no UDFs, no second read of the wire. Fields extractable
+    * BEFORE the failing stage are surfaced on DLQ rows too (a
+    * missing-header record still carries its replayId), which is what a
+    * reprocessing consumer needs to resume past a poison record.
+    *
+    * Base64 validity is checked structurally (standard alphabet, tail
+    * padding only, length ≡ 0 mod 4) rather than by catching a decode
+    * error: Spark's `unbase64` is LENIENT (it skips invalid bytes), so an
+    * error-based test would silently mis-accept; the structural test is
+    * also engine-portable, which keeps the DuckDB twin bit-identical. */
+  def routeDlq(wire: DataFrame, dataCol: Column): DataFrame = {
+    val b64ok = dataCol.rlike("^[A-Za-z0-9+/]*={0,2}$") &&
+      length(dataCol) % 4 === 0
+    val s = when(b64ok, unbase64(dataCol).cast(StringType))
+    val jsonOk = try_parse_json(col("_s")).isNotNull
+    val entity =
+      get_json_object(col("_s"), "$.payload.ChangeEventHeader.entityName")
+    wire
+      .withColumn("_b64ok", b64ok)
+      .withColumn("_s", s)
+      .withColumn("_jok", when(col("_s").isNotNull, jsonOk).otherwise(lit(false)))
+      .withColumn("status",
+        when(!col("_b64ok"), lit("dlq_bad_base64"))
+          .when(!col("_jok"), lit("dlq_bad_json"))
+          .when(entity.isNull, lit("dlq_missing_header"))
+          .otherwise(lit("ok")))
+      .withColumn("entity_name", when(col("_jok"), entity))
+      .withColumn("change_type", when(col("_jok"),
+        get_json_object(col("_s"), "$.payload.ChangeEventHeader.changeType")))
+      .withColumn("replay_id", when(col("_jok"),
+        get_json_object(col("_s"), "$.event.replayId").cast(LongType)))
+      .drop("_b64ok", "_s", "_jok")
+  }
+
   /** §1.3 catalog re-typing: parse the dynamic body with the entity's
     * registered schema (the cached `describe()` — fixes quirk Q5). Only
     * valid on a single-entity slice, like the reference's per-entity loop. */

@@ -64,8 +64,8 @@ object CdcQueries {
     * `kinesis.data` shape). `bodyFields` are the dynamic entity body —
     * to_json drops null fields (default ignoreNullFields), so a null body
     * column is ABSENT from the wire JSON, as on a real schema-v1 event. */
-  private def synthRaw(customer: DataFrame, fp: Column, bodyFields: Seq[Column],
-                       ct: Column = changeType): DataFrame = {
+  private def wireJson(fp: Column, bodyFields: Seq[Column],
+                       ct: Column = changeType): Column = {
     val header = struct(
       (k * 10).as("commitNumber"),
       concat(lit("u"), (k % 5).cast(StringType)).as("commitUser"),
@@ -81,8 +81,21 @@ object CdcQueries {
       fp.as("schema"),
       struct(bodyFields :+ header.as("ChangeEventHeader"): _*).as("payload"),
       struct((k + 10).as("replayId")).as("event"))
-    customer.select(base64(to_json(env).cast(BinaryType)).as("data"))
+    to_json(env)
   }
+
+  /** Unchunked base64, the actual transport convention: Spark's `base64`
+    * emits MIME-chunked text (a `\r\n` every 76 chars) that a strict
+    * RFC 4648 validator rejects; the reference's Kinesis payload
+    * (`worker/lambda/app.py:51-54`) is SDK-produced unchunked base64, so
+    * the wire fixture strips the chunking. DuckDB's `base64` is already
+    * unchunked — this also makes the two engines' wires bit-identical. */
+  private def wireB64(bytes: Column): Column =
+    regexp_replace(base64(bytes), "[\\r\\n]", "")
+
+  private def synthRaw(customer: DataFrame, fp: Column, bodyFields: Seq[Column],
+                       ct: Column = changeType): DataFrame =
+    customer.select(wireB64(wireJson(fp, bodyFields, ct).cast(BinaryType)).as("data"))
 
   private def custName: Column = concat(lit("Cust-"), ks)
 
@@ -890,7 +903,93 @@ object CdcQueries {
       |FROM chg GROUP BY transaction_key
       |ORDER BY transaction_key""".stripMargin
 
+  // ------------------------------------------------------------ cdc15
+
+  /** Wire-level DLQ routing ([[CdcDecode.routeDlq]]) under the oracle
+    * gate: the cdc1 wire with per-record corruption injected by key —
+    * k%11==3 appends non-alphabet bytes to the base64 text, k%11==5
+    * replaces the record with base64 of a non-JSON byte string, k%11==7
+    * ships a valid envelope MISSING its ChangeEventHeader. Both engines
+    * classify every record (bad_base64 / bad_json / missing_header / ok)
+    * and surface whatever fields survive up to the failing stage — a
+    * missing-header record still yields its replayId, which is what a
+    * consumer resuming past a poison record needs. */
+  def dlqRoute(spark: SparkSession, dir: String): DataFrame = {
+    val good = wireB64(wireJson(lit("fp_v1"), Seq(custName.as("Name"))).cast(BinaryType))
+    val noHeader = wireB64(to_json(struct(
+      lit("fp_v1").as("schema"),
+      struct(custName.as("Name")).as("payload"),
+      struct((k + 10).as("replayId")).as("event"))).cast(BinaryType))
+    val data = when(k % 11 === 3, concat(good, lit("!!")))
+      .when(k % 11 === 5, wireB64(lit("{\"oops\"").cast(BinaryType)))
+      .when(k % 11 === 7, noHeader)
+      .otherwise(good)
+    val wire = t(spark, dir, "customer").select(k.as("wire_key"), data.as("data"))
+    CdcDecode.routeDlq(wire, col("data"))
+      .select(col("wire_key"), col("status"), col("entity_name"),
+        col("change_type"), col("replay_id"))
+      .orderBy(col("wire_key"))
+  }
+
+  val dlqRouteSql: String =
+    """WITH src AS (
+      |  SELECT c_custkey AS k, 'Cust-' || c_custkey AS name,
+      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE' WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END AS change_type,
+      |    CASE WHEN c_custkey % 7 = 0 THEN ['001' || c_custkey, '001' || c_custkey]
+      |         WHEN c_custkey % 5 = 0 THEN ['001' || c_custkey, '002' || c_custkey]
+      |         ELSE ['001' || c_custkey] END AS record_ids,
+      |    CASE WHEN c_custkey % 4 = 1 THEN ['c_name','c_acctbal'] ELSE [] END AS changed_fields
+      |  FROM customer),
+      |wires AS (
+      |  SELECT k,
+      |    base64(encode(CAST(to_json({
+      |      'schema': 'fp_v1',
+      |      'payload': {'Name': name, 'ChangeEventHeader': {
+      |         'commitNumber': k*10, 'commitUser': 'u' || (k%5),
+      |         'sequenceNumber': CAST(1 + k%3 AS INT),
+      |         'entityName': 'Customer', 'changeType': change_type,
+      |         'changedFields': changed_fields, 'changeOrigin': 'api',
+      |         'transactionKey': 'tk-' || k,
+      |         'commitTimestamp': 1583300894000 + k*1000, 'recordIds': record_ids
+      |      }}, 'event': {'replayId': k + 10}
+      |    }) AS VARCHAR))) AS good,
+      |    base64(encode(CAST(to_json({
+      |      'schema': 'fp_v1', 'payload': {'Name': name},
+      |      'event': {'replayId': k + 10}
+      |    }) AS VARCHAR))) AS nohdr
+      |  FROM src),
+      |wire AS (
+      |  SELECT k AS wire_key,
+      |    CASE WHEN k % 11 = 3 THEN good || '!!'
+      |         WHEN k % 11 = 5 THEN base64(encode('{"oops"'))
+      |         WHEN k % 11 = 7 THEN nohdr
+      |         ELSE good END AS data
+      |  FROM wires),
+      |cls AS (
+      |  SELECT wire_key, data,
+      |    (regexp_full_match(data, '[A-Za-z0-9+/]*={0,2}') AND length(data) % 4 = 0) AS b64ok
+      |  FROM wire),
+      |dec AS (SELECT wire_key, decode(from_base64(data)) AS s FROM cls WHERE b64ok),
+      |jv AS (SELECT wire_key, s, json_valid(s) AS jok FROM dec),
+      |fields AS (
+      |  SELECT wire_key,
+      |    s->>'$.payload.ChangeEventHeader.entityName' AS entity_name,
+      |    s->>'$.payload.ChangeEventHeader.changeType' AS change_type,
+      |    CAST(s->'$.event.replayId' AS BIGINT) AS replay_id
+      |  FROM jv WHERE jok)
+      |SELECT c.wire_key,
+      |  CASE WHEN NOT c.b64ok THEN 'dlq_bad_base64'
+      |       WHEN NOT coalesce(j.jok, false) THEN 'dlq_bad_json'
+      |       WHEN f.entity_name IS NULL THEN 'dlq_missing_header'
+      |       ELSE 'ok' END AS status,
+      |  f.entity_name, f.change_type, f.replay_id
+      |FROM cls c
+      |LEFT JOIN jv j USING (wire_key)
+      |LEFT JOIN fields f USING (wire_key)
+      |ORDER BY wire_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc15_dlq_route" -> dlqRoute,
     "cdc14_snapshot_diff" -> snapshotDiffEvents,
     "cdc13_typed_payloads" -> typedPayloads,
     "cdc12_gap_route" -> gapRouteEnrich,
@@ -907,6 +1006,7 @@ object CdcQueries {
     "cdc9_scd2_history" -> scd2History)
 
   val oracle: Map[String, String] = Map(
+    "cdc15_dlq_route" -> dlqRouteSql,
     "cdc14_snapshot_diff" -> snapshotDiffEventsSql,
     "cdc13_typed_payloads" -> typedPayloadsSql,
     "cdc12_gap_route" -> gapRouteEnrichSql,
