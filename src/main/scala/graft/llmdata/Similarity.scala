@@ -449,6 +449,78 @@ object Similarity {
   val annIvfSql: String = annIvfSqlWith(exemplarCteSql)
   val annIvfRefinedSql: String = annIvfSqlWith(refinedExemplarCteSql)
 
+  // ------------------------------------------------- metadata-filtered ANN
+
+  /** Corpus-metadata predicate for ss11 — deliberately a RANGE compare,
+    * the shape Spark's parquet datasource can push into the scan
+    * (PushedFilters; a modulo or expression predicate cannot push). At
+    * 100 TB with a label-partitioned lake layout the same predicate
+    * becomes partition PRUNING: filtered search then never opens the
+    * excluded files at all. */
+  private[llmdata] val FilterLabelLt = 5
+
+  /** ss11: metadata-FILTERED ANN — "nearest neighbors among vectors
+    * satisfying a predicate", the query every production vector store
+    * serves (filter by tenant/language/license/date) and the classic
+    * pre-filter-vs-post-filter design fork. This is the PRE-FILTER
+    * composition: the predicate applies to the corpus BEFORE cell-join
+    * and ranking, so recall among eligible vectors is exactly ss3's
+    * recall (post-filtering the unfiltered top-k instead can return
+    * FEWER than k — or zero — eligible neighbors when the predicate is
+    * selective). Same plan as ss3 otherwise: scan-side cell argmax, ≤P
+    * probed cells per query, broadcast query side, bounded ranking.
+    *
+    * Scale posture: the filter reaches the parquet scan (PushedFilters,
+    * PlanQualitySpec-pinned), so the filtered index scan reads LESS than
+    * the unfiltered one — selectivity is pure savings, never extra work;
+    * the IVF cell structure is untouched (cells just thin out), which is
+    * how FAISS/Milvus-style filtered IVF behaves with bitset filters. */
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val ex = exemplarsOf(spark, dir)
+    val filteredCorpus = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= NumQueries && col("label") < FilterLabelLt)
+      .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
+    val c = assignCells(filteredCorpus, "v", ex)
+    val q = assignCellsTopP(queriesDf(spark, dir), "q", ex, ivfProbes(spark))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[annIvfSqlWith]] with the label predicate on the corpus assignment
+    * only — exemplar training and query probing stay UNFILTERED, exactly
+    * as the Spark side composes (one codebook serves every predicate). */
+  val annIvfFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |$exemplarCteSql,
+       |ca AS (SELECT vec_id, v, cell FROM (
+       |         SELECT e.vec_id, e.v, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex
+       |         WHERE e.vec_id >= $NumQueries AND e.label < $FilterLabelLt) x
+       |       WHERE rn = 1),
+       |qa AS (SELECT query_id, q, cell FROM (
+       |         SELECT e.vec_id AS query_id, e.v AS q, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex WHERE e.vec_id < $NumQueries) x
+       |       WHERE rn <= $DefaultIvfProbes),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosSql("q", "v")} AS cos_sim
+       |           FROM ca JOIN qa USING (cell))
+       |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) x
+       |WHERE rank <= $AnnTopK ORDER BY query_id, rank""".stripMargin
+
   private def annIvfSqlWith(exCte: String): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
@@ -1020,7 +1092,8 @@ object Similarity {
     "ss2_ann_lsh" -> annLsh,
     "ss3_ann_ivf" -> annIvf,
     "ss4_ann_lsh_multiprobe" -> annLshMultiprobe,
-    "ss10_ann_ivf_refined" -> annIvfRefined)
+    "ss10_ann_ivf_refined" -> annIvfRefined,
+    "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
     "ss6_ann_pq" -> annPqSql,
@@ -1032,5 +1105,6 @@ object Similarity {
     "ss2_ann_lsh" -> annLshSql,
     "ss3_ann_ivf" -> annIvfSql,
     "ss4_ann_lsh_multiprobe" -> annLshMultiprobeSql,
-    "ss10_ann_ivf_refined" -> annIvfRefinedSql)
+    "ss10_ann_ivf_refined" -> annIvfRefinedSql,
+    "ss11_ann_filtered" -> annIvfFilteredSql)
 }

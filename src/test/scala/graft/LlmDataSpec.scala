@@ -481,6 +481,29 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.3, s"refined IVF recall@3 = $recall")
   }
 
+  test("ss11: filtered ANN returns only predicate-passing corpus vectors, " +
+      "and pre-filter dominates post-filtering ss3") {
+    val labels = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = Similarity.annIvfFiltered(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) < 5, s"neighbor $n has label ${labels(n)}")
+      assert(n >= 10, "queries must never be returned as neighbors")
+    }
+    // pre-filter vs post-filter: filtering ss3's UNFILTERED top-k after
+    // the fact can only lose eligible neighbors, never gain them
+    val pre = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val post = Similarity.annIvf(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .filter { case (_, n) => labels(n) < 5 }.toSet
+    assert(post.subsetOf(pre),
+      s"post-filtered ss3 found pairs pre-filter missed: ${post -- pre}")
+    assert(pre.size >= post.size)
+  }
+
   test("ss6: PQ/ADC recall@3 is useful and the ADC score tracks true similarity") {
     val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

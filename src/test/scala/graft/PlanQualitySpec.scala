@@ -111,6 +111,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("cosine_sim"), "native cosine expected in the argmax")
   }
 
+  test("ss11: the metadata filter pushes into the embeddings parquet scan") {
+    val p = plan(Similarity.annIvfFiltered(spark, sf()))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    // pre-filter composition: label < N must reach the scan (at 100 TB
+    // with a label-partitioned layout this same predicate PRUNES files)
+    assert(pushed.contains("label"), "label predicate must be pushed:\n" + pushed)
+    assert(pushed.contains("vec_id"), "corpus split predicate must be pushed:\n" + pushed)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ann paths: multiprobe LSH and IVF near-dup stay on equi-joins") {
     for (df <- Seq(Similarity.annLshMultiprobe(spark, sf()),
         Dedup.ivfNearDup(spark, sf()))) {
