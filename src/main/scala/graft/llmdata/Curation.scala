@@ -716,7 +716,111 @@ object Curation {
        |  MIN(h) AS first_digest, MAX(h) AS last_digest
        |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------------------ cur9
+
+  /** Total training budget in "corpus epochs": budget = 2 × Σ m_s. */
+  private val BudgetEpochs = 2L
+
+  /** cur9: token-budget WATERFILLING under license-tiered repetition
+    * caps — the allocation step between mixture weighting (cur3/cur7:
+    * what SHARE each source deserves) and the shard plan (cur8: how the
+    * chosen tokens lay out): given a total token budget B and a hard
+    * per-source repetition cap (restricted-license sources — even src
+    * index — may be seen ONCE; permissive sources up to 4 epochs),
+    * compute the exact per-source token allocation a_s = min(cap_s, λ)
+    * with the water level λ set so Σ a_s = B.
+    *
+    * Deterministic exact form: sort sources by cap ascending; the
+    * cap-bound set is provably a PREFIX of that order (if filling row i
+    * to its cap is affordable, so is filling any j < i), so k* = the
+    * largest prefix where cumcap_{k-1} + cap_k·(n−k+1) ≤ B; rows ≤ k*
+    * take their cap, the remainder R = B − cumcap_{k*} divides as
+    * R DIV cnt per level-bound row with the first R MOD cnt rows (in the
+    * same sort order) taking one extra token — all BIGINT, no float in
+    * the allocation; `epochs` is the single a_s/m_s division at the end.
+    *
+    * Scale posture: the corpus contributes one combinable token-mass
+    * aggregate; everything after runs on the ≤|sources| table (the
+    * windows order 20 rows, corpus-size-independent — the cur3/cur6
+    * reporting-tier contract). */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = expr("CAST(substring(source, 4) AS INT)")
+    val masses = t(spark, dir, "documents")
+      .select(col("source"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast(LongType).as("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("m"))
+      .withColumn("emax", when(srcIdx % 2 === 0, 1L).otherwise(4L))
+      .withColumn("cap", col("m") * col("emax"))
+    val wOrd = Window.orderBy(col("cap"), col("source"))
+    val ordered = masses
+      .withColumn("i", row_number().over(wOrd).cast(LongType))
+      .withColumn("cumcap", sum(col("cap"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tots = masses.agg(count(lit(1)).cast(LongType).as("n"),
+      (sum(col("m")) * lit(BudgetEpochs)).as("budget"))
+    val feas = ordered.crossJoin(broadcast(tots))
+      .withColumn("feasible",
+        col("cumcap") - col("cap") + col("cap") * (col("n") - col("i") + 1) <= col("budget"))
+    val ks = feas.agg(
+      coalesce(max(when(col("feasible"), col("i"))), lit(0L)).as("kstar"),
+      coalesce(max(when(col("feasible"), col("cumcap"))), lit(0L)).as("capsum"))
+    feas.crossJoin(broadcast(ks))
+      .withColumn("alloc",
+        when(col("i") <= col("kstar"), col("cap"))
+          .when(col("n") - col("kstar") === 0, col("cap"))
+          .otherwise(
+            expr("(budget - capsum) DIV (n - kstar)") +
+              when(col("i") - col("kstar") <= (col("budget") - col("capsum")) % (col("n") - col("kstar")),
+                1L).otherwise(0L)))
+      .select(col("source"), col("m").as("n_tokens"), col("emax"),
+        col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
+        (col("alloc").cast(DoubleType) / col("m").cast(DoubleType)).as("epochs"),
+        (col("i") <= col("kstar")).as("capped"))
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH masses AS (
+       |  SELECT source,
+       |    CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS m
+       |  FROM documents GROUP BY source),
+       |caps AS (
+       |  SELECT source, m,
+       |    CAST(CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 1 ELSE 4 END AS BIGINT) AS emax,
+       |    m * (CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 1 ELSE 4 END) AS cap
+       |  FROM masses),
+       |ordered AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+       |    SUM(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING) AS cumcap
+       |  FROM caps),
+       |tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |                $BudgetEpochs * SUM(m) AS budget FROM masses),
+       |feas AS (
+       |  SELECT o.*, t.n, t.budget,
+       |    (o.cumcap - o.cap + o.cap * (t.n - o.i + 1) <= t.budget) AS feasible
+       |  FROM ordered o CROSS JOIN tots t),
+       |ks AS (SELECT COALESCE(MAX(CASE WHEN feasible THEN i END), 0) AS kstar,
+       |              COALESCE(MAX(CASE WHEN feasible THEN cumcap END), 0) AS capsum
+       |       FROM feas),
+       |alloc AS (
+       |  SELECT f.source, f.m, f.emax, f.cap, f.i, k.kstar,
+       |    CASE WHEN f.i <= k.kstar THEN f.cap
+       |         WHEN f.n - k.kstar = 0 THEN f.cap
+       |         ELSE (f.budget - k.capsum) // (f.n - k.kstar)
+       |              + (CASE WHEN f.i - k.kstar <= (f.budget - k.capsum) % (f.n - k.kstar)
+       |                 THEN 1 ELSE 0 END)
+       |    END AS a
+       |  FROM feas f CROSS JOIN ks k)
+       |SELECT source, m AS n_tokens, emax, cap AS cap_tokens,
+       |  CAST(a AS BIGINT) AS alloc_tokens,
+       |  CAST(a AS DOUBLE) / CAST(m AS DOUBLE) AS epochs,
+       |  (i <= kstar) AS capped
+       |FROM alloc ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur9_token_budget" -> tokenBudget,
     "cur8_shard_plan" -> shardPlan,
     "cur7_contamination_mixture" -> contaminationAwareMixture,
     "cur6_dataset_card" -> datasetCard,
@@ -728,6 +832,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur9_token_budget" -> tokenBudgetSql,
     "cur8_shard_plan" -> shardPlanSql,
     "cur7_contamination_mixture" -> contaminationAwareMixtureSql,
     "cur6_dataset_card" -> datasetCardSql,

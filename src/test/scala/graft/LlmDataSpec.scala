@@ -481,6 +481,24 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.3, s"refined IVF recall@3 = $recall")
   }
 
+  test("cur9: waterfilling exhausts the budget exactly, respects caps, " +
+      "and level-bound allocations differ by at most one token") {
+    val rows = graft.llmdata.Curation.tokenBudget(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val budget = 2L * rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == budget,
+      "the water level must exhaust the budget exactly")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"))
+      if (r.getAs[Boolean]("capped"))
+        assert(r.getAs[Double]("epochs") == r.getAs[Long]("emax").toDouble,
+          "a capped source is seen exactly emax times")
+    }
+    val level = rows.filter(!_.getAs[Boolean]("capped")).map(_.getAs[Long]("alloc_tokens"))
+    if (level.nonEmpty)
+      assert(level.max - level.min <= 1, "level-bound shares differ by > 1 token")
+  }
+
   test("ss11: filtered ANN returns only predicate-passing corpus vectors, " +
       "and pre-filter dominates post-filtering ss3") {
     val labels = spark.read.parquet(s"${sf()}/embeddings.parquet")
