@@ -60,6 +60,57 @@ object CdcPipeline {
       .withWatermark("commitTimestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark("replayId")
 
+  /** Streaming-side DLQ split — poison-pill handling for the LIVE
+    * pipeline (the batch classification twin is `CdcDecode.routeDlq` /
+    * oracle cdc15; the bus transport has already unwrapped T1 base64, so
+    * here the failure modes are the JSON tail: unparseable envelope or
+    * parseable-but-headerless). Without the split, a malformed record
+    * either nulls through `from_json` into silent inner-join loss (the
+    * reference's behavior, quirk Q8) or — under ANSI-strict settings —
+    * fails the micro-batch and wedges the query on the SAME record at
+    * every retry, which is precisely how a poison pill takes down a
+    * consumer. Classification is two scan-side expressions; DLQ rows
+    * carry reason + raw text + replayId (when extractable), which is the
+    * resume-past-poison contract. */
+  def transformWithDlq(rawJson: DataFrame, snapshot: DataFrame): (DataFrame, DataFrame) = {
+    val jok = try_parse_json(col("value")).isNotNull
+    val entity = get_json_object(col("value"), "$.payload.ChangeEventHeader.entityName")
+    val classified = rawJson.withColumn("_dlq_reason",
+      when(!jok, lit("dlq_bad_json"))
+        .when(entity.isNull, lit("dlq_missing_header")))
+    val dlq = classified.filter(col("_dlq_reason").isNotNull)
+      .select(col("_dlq_reason").as("reason"), col("value").as("raw"),
+        when(jok, get_json_object(col("value"), "$.event.replayId").cast("long"))
+          .as("replay_id"))
+    val ok = classified.filter(col("_dlq_reason").isNull).drop("_dlq_reason")
+    (transform(ok, snapshot), dlq)
+  }
+
+  /** [[writer]] with the DLQ split: one checkpointed query fans each
+    * micro-batch into the partitioned record sink AND a quarantine
+    * directory via `foreachBatch` (two sinks, one offset WAL — the
+    * delivered stream and its dead letters advance atomically from the
+    * source's point of view). File appends inside foreachBatch are
+    * at-least-once under batch RETRY (same-batch replay can re-append);
+    * at scale the append targets a transactional table where the batchId
+    * makes the write idempotent. */
+  def writerWithDlq(
+      rawJson: DataFrame,
+      snapshot: DataFrame,
+      outputDir: String,
+      checkpointDir: String,
+      config: Config = Config()): DataStreamWriter[Row] =
+    rawJson.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"${config.intervalSecs} seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (routed, dlq) = transformWithDlq(batch, snapshot)
+        toJsonLines(routed).write.mode("append")
+          .partitionBy("entityName").json(s"$outputDir/${config.outputPrefix}")
+        dlq.write.mode("append").json(s"$outputDir/dlq")
+        ()
+      }
+
   /** Serialize to the sink shape: one JSON line per record (K2/K3), keyed
     * by entity for the partitioned layout (K1). */
   def toJsonLines(routed: DataFrame): DataFrame =

@@ -187,6 +187,48 @@ class CdcReplaySourceSpec extends SparkSpec {
     assert(rows.exists(v => v.contains("\"Id\":\"003X\"") && v.contains("\"UIND\":\"DELETE\"")))
   }
 
+  test("writerWithDlq: poison records quarantine with reasons; the query survives and resumes") {
+    val topic = "t_dlq_writer"
+    ReplayBus.clear(topic)
+    def env(id: Long, rid: String): String =
+      s"""{"schema":"fp","payload":{"ChangeEventHeader":{"commitNumber":1,""" +
+        s""""commitUser":"u","sequenceNumber":1,"entityName":"Account",""" +
+        s""""changeType":"CREATE","changedFields":[],"changeOrigin":"t",""" +
+        s""""transactionKey":"tk","commitTimestamp":1583300894000,""" +
+        s""""recordIds":["$rid"]}},"event":{"replayId":$id}}"""
+    ReplayBus.publish(topic, env(1, "001A"))
+    ReplayBus.publish(topic, """{"oops""")                       // unparseable
+    ReplayBus.publish(topic, """{"payload":{},"event":{"replayId":3}}""") // headerless
+    ReplayBus.publish(topic, env(4, "001B"))
+    val snapshot = Seq(("001A", "Alice"), ("001B", "Bob")).toDF("Id", "Name")
+    val out = Files.createTempDirectory("dlq_out").toString
+    val ckpt = Files.createTempDirectory("dlq_ckpt").toString
+    def runOnce(): Unit = {
+      val q = graft.streaming.CdcPipeline.writerWithDlq(
+          readTopic(topic, "replayFrom" -> "-2"), snapshot, out, ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val ok1 = spark.read.json(s"$out/sfdc-cdc").select("value").as[String].collect()
+    assert(ok1.length == 2, ok1.mkString("; "))
+    assert(ok1.forall(_.contains("\"UIND\":\"CREATE\"")))
+    val dlq1 = spark.read.json(s"$out/dlq")
+      .select("reason", "raw", "replay_id").collect()
+    assert(dlq1.length == 2, dlq1.mkString("; "))
+    val byReason = dlq1.map(r => r.getAs[String]("reason") -> r).toMap
+    assert(byReason.contains("dlq_bad_json") && byReason.contains("dlq_missing_header"))
+    // the headerless record still surfaces its replayId (resume-past-poison)
+    assert(byReason("dlq_missing_header").getAs[Long]("replay_id") == 3L)
+    assert(byReason("dlq_bad_json").isNullAt(2))
+    // restart from the checkpoint: only NEW records process (offset WAL
+    // advanced past the poison records — they are not re-delivered)
+    ReplayBus.publish(topic, env(5, "001A"))
+    runOnce()
+    assert(spark.read.json(s"$out/sfdc-cdc").count() == 3)
+    assert(spark.read.json(s"$out/dlq").count() == 2)
+  }
+
   test("end-to-end: cdc-replay source through the CDC pipeline") {
     val topic = "t_pipeline"
     ReplayBus.clear(topic)
