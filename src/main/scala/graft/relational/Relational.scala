@@ -863,7 +863,54 @@ object Relational {
       |WHERE total_revenue = max_revenue
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q20 shape (q38): a semi-join driven by a PER-GROUP correlated
+    * aggregate threshold — Q20 keeps suppliers whose availqty exceeds
+    * half of a part's shipped volume; with no partsupp fixture the same
+    * structure becomes "suppliers shipping MORE THAN THE PER-SUPPLIER
+    * AVERAGE of a part" (`q·n > total`, non-degenerate at every SF where
+    * a fixed-share threshold empties out as per-part supplier fan-out
+    * grows). The compare stays DECIMAL end to end — quantity sums and
+    * the count product never touch a double, so the threshold is exact
+    * (the q36/q37 idiom).
+    *
+    * Scale: two combinable aggregates over the same (part, supplier)
+    * shuffle — the per-part rollup reuses the pair table rather than
+    * re-scanning lineitem — then one ≪-corpus join back; no window, no
+    * correlated re-scan (the naive Q20 runs the inner aggregate per
+    * outer row). */
+  def q38AboveAvgSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+    val pt = ps.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("total"), count(lit(1)).as("n_supps"))
+    val lead = ps.join(pt, "l_partkey")
+      .filter(col("q") * col("n_supps") > col("total"))
+    lead.join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_lead_parts"),
+        money(sum(col("q"))).as("lead_qty"))
+      .orderBy(col("s_name"))
+  }
+
+  val q38Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |pt AS (
+      |  SELECT l_partkey, SUM(q) AS total, COUNT(*) AS n_supps
+      |  FROM ps GROUP BY l_partkey),
+      |lead AS (
+      |  SELECT ps.l_suppkey, ps.q FROM ps JOIN pt USING (l_partkey)
+      |  WHERE ps.q * pt.n_supps > pt.total)
+      |SELECT s_name, COUNT(*) AS n_lead_parts,
+      |  CAST(SUM(q) AS DOUBLE) AS lead_qty
+      |FROM lead JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_above_avg_supplier" -> q38AboveAvgSupplier,
     "q37_top_supplier" -> q37TopSupplier,
     "q36_part_value_share" -> q36PartValueShare,
     "q35_sole_late_supplier" -> q35SoleLateSupplier,
@@ -898,6 +945,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q38_above_avg_supplier" -> q38Sql,
     "q37_top_supplier" -> q37Sql,
     "q36_part_value_share" -> q36Sql,
     "q32_cube" -> q32Sql,
