@@ -111,6 +111,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("cosine_sim"), "native cosine expected in the argmax")
   }
 
+  test("cdc15: DLQ classification is scan-side — no hash exchange, no window, no UDF") {
+    val p = plan(graft.operators.CdcQueries.dlqRoute(spark, sf()))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "classification must not shuffle:\n" + p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
   test("ss11: the metadata filter pushes into the embeddings parquet scan") {
     val p = plan(Similarity.annIvfFiltered(spark, sf()))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
