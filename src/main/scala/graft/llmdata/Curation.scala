@@ -631,7 +631,7 @@ object Curation {
     * frame inside the query (tx14's SQL already contains one), silently
     * corrupting the generated oracle — so anchor to the suffix and fail
     * loudly at class-load if the upstream shape ever changes. */
-  private def classifierScoreSqlNoOrder: String = {
+  private[llmdata] def classifierScoreSqlNoOrder: String = {
     val sql = TextAnalysis.classifierScoreSql
     val idx = sql.lastIndexOf("ORDER BY doc_id")
     require(idx >= 0 && sql.substring(idx).trim == "ORDER BY doc_id",

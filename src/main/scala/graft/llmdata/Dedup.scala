@@ -1401,7 +1401,72 @@ object Dedup {
        |FROM c JOIN u USING (source_x, source_y)
        |ORDER BY source_x, source_y""".stripMargin
 
+  // --------------------------------------------- canonical representatives
+
+  /** dd22: QUALITY-AWARE canonical representative per near-dup cluster —
+    * the decision a dedup pass actually ships. cur2's keep-first rule
+    * keeps the LOWEST doc_id of each duplicate class; real pipelines keep
+    * the BEST member (highest quality-classifier score) and map every
+    * other member to it, so downstream joins (attribution, provenance,
+    * URL canonicalization) have a stable, quality-chosen target. Clusters
+    * are dd11's min-label components over dd3's confirmed pairs; quality
+    * is tx15's deterministic hashed-classifier score; the representative
+    * is argmax (clf_score, −doc_id) — score ties break to the lowest id.
+    *
+    * Scale shape: no new shuffle class — labels (≪ corpus: only docs in
+    * some pair) join the score scan, the per-cluster argmax is ONE
+    * combinable struct-MAX aggregate (no window over members), and the
+    * map-back is a join on the ≪-corpus cluster table. The argmax
+    * compare is exact: clf_score is tx15's fixed-order fold, so both
+    * engines rank identical doubles. */
+  def canonicalReps(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labels = minLabelComponents(pairs)
+    val scores = TextAnalysis.classifierScore(spark, dir)
+      .select(col("doc_id"), col("clf_score"))
+    val members = labels.join(scores, col("node") === col("doc_id"))
+      .select(col("label").as("cluster_id"), col("doc_id"), col("clf_score"))
+    val reps = members.groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("clf_score").as("s"), (-col("doc_id")).as("ni"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.ni")).as("rep_id"), col("n_members"))
+    members.join(reps, "cluster_id")
+      .select(col("cluster_id"), col("doc_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("is_rep"),
+        col("n_members"), col("clf_score"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val canonicalRepsSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |reach AS (
+       |  SELECT node AS src, node AS dst FROM n
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+       |),
+       |lab AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |mem AS (SELECT lab.cluster_id, s.doc_id, s.clf_score
+       |        FROM lab JOIN (${Curation.classifierScoreSqlNoOrder}) s
+       |          ON lab.node = s.doc_id),
+       |rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+       |          SELECT cluster_id, doc_id,
+       |            ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |              ORDER BY clf_score DESC, doc_id) AS rn
+       |          FROM mem) x WHERE rn = 1),
+       |cnt AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |        FROM mem GROUP BY cluster_id)
+       |SELECT m.cluster_id, m.doc_id, r.rep_id,
+       |  m.doc_id = r.rep_id AS is_rep, c.n_members, m.clf_score
+       |FROM mem m JOIN rep r USING (cluster_id) JOIN cnt c USING (cluster_id)
+       |ORDER BY m.cluster_id, m.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd22_canonical_rep" -> canonicalReps,
     "dd21_pagerank" -> pagerank,
     "dd20_containment" -> containmentDup,
     "dd19_source_overlap" -> sourceOverlap,
@@ -1425,6 +1490,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd22_canonical_rep" -> canonicalRepsSql,
     "dd21_pagerank" -> pagerankSql,
     "dd20_containment" -> containmentDupSql,
     "dd19_source_overlap" -> sourceOverlapSql,

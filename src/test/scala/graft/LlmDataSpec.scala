@@ -481,6 +481,20 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.3, s"refined IVF recall@3 = $recall")
   }
 
+  test("dd22: exactly one representative per cluster, and it is the max-quality member") {
+    val rows = graft.llmdata.Dedup.canonicalReps(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, ms) =>
+      assert(ms.count(_.getAs[Boolean]("is_rep")) == 1)
+      val best = ms.maxBy(r => (r.getAs[Double]("clf_score"), -r.getAs[Long]("doc_id")))
+      val rep = ms.find(_.getAs[Boolean]("is_rep")).get
+      assert(rep.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"),
+        "representative must be argmax (clf_score, -doc_id)")
+      assert(ms.forall(_.getAs[Long]("rep_id") == rep.getAs[Long]("doc_id")))
+      assert(ms.length == ms.head.getAs[Long]("n_members"))
+    }
+  }
+
   test("cur9: waterfilling exhausts the budget exactly, respects caps, " +
       "and level-bound allocations differ by at most one token") {
     val rows = graft.llmdata.Curation.tokenBudget(spark, sf()).collect()
