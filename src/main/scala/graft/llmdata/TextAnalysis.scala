@@ -1030,7 +1030,74 @@ object TextAnalysis {
       |  n_replacement + n_control = 0 AS clean
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ lexical complexity (tx21)
+
+  /** tx21: lexical-complexity profile — the readability axis of the
+    * quality-filter stack (tx7 measures punctuation/stopword hygiene,
+    * tx12 vocabulary coverage, tx20 encoding health; none measures HOW
+    * HARD the prose is). Syllables are proxied by VOWEL GROUPS
+    * (`[aeiou]+` runs — the deterministic, engine-portable core of every
+    * readability formula's syllable counter), counted in ONE
+    * `regexp_count` over the full text (a space can't extend a vowel
+    * group, so text-level counting equals the per-word sum); long-word
+    * and monosyllable fractions classify each doc into a complexity
+    * band on exact integer ratios. Per-source × band rollup with BIGINT
+    * sums and one final division — no cross-row float accumulation.
+    *
+    * Scale: pure scan-side maps + one combinable aggregate over
+    * ≤ |sources|×3 groups — the tx1 shape. */
+  def lexicalComplexity(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words).cast(LongType)
+    val nSyl = regexp_count(col("text"), lit("[aeiou]+")).cast(LongType)
+    val nLong = size(filter(words, w => length(w) >= 7)).cast(LongType)
+    val nMono = size(filter(words,
+      w => regexp_count(w, lit("[aeiou]+")) === 1)).cast(LongType)
+    val avgSyl = nSyl.cast(DoubleType) / nWords.cast(DoubleType)
+    val band = when(avgSyl >= 1.8, lit("complex"))
+      .when(avgSyl >= 1.4, lit("moderate"))
+      .otherwise(lit("simple"))
+    t(spark, dir, "documents")
+      .select(col("source"), band.as("band"), nWords.as("nw"),
+        nSyl.as("ns"), nLong.as("nl"), nMono.as("nm"))
+      .groupBy(col("source"), col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(col("ns")).as("total_vowel_groups"),
+        (sum(col("ns")).cast(DoubleType) / sum(col("nw")).cast(DoubleType))
+          .as("avg_syl_per_word"),
+        (sum(col("nl")).cast(DoubleType) / sum(col("nw")).cast(DoubleType))
+          .as("long_word_frac"),
+        (sum(col("nm")).cast(DoubleType) / sum(col("nw")).cast(DoubleType))
+          .as("monosyllable_frac"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  val lexicalComplexitySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS ns,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) >= 7)) AS BIGINT) AS nl,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> len(regexp_extract_all(w, '[aeiou]+')) = 1)) AS BIGINT) AS nm
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, nw, ns, nl, nm,
+      |    CASE WHEN CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE) >= 1.8 THEN 'complex'
+      |         WHEN CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE) >= 1.4 THEN 'moderate'
+      |         ELSE 'simple' END AS band
+      |  FROM d)
+      |SELECT source, band, COUNT(*) AS n_docs,
+      |  CAST(SUM(nw) AS BIGINT) AS total_words,
+      |  CAST(SUM(ns) AS BIGINT) AS total_vowel_groups,
+      |  CAST(SUM(ns) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS avg_syl_per_word,
+      |  CAST(SUM(nl) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS long_word_frac,
+      |  CAST(SUM(nm) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS monosyllable_frac
+      |FROM b GROUP BY source, band ORDER BY source, band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx21_lexical_complexity" -> lexicalComplexity,
     "tx20_encoding_quality" -> encodingQuality,
     "tx18_bpe_pairs" -> bpePairCounts,
     "tx19_bigram_quality" -> bigramQuality,
@@ -1053,6 +1120,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx21_lexical_complexity" -> lexicalComplexitySql,
     "tx20_encoding_quality" -> encodingQualitySql,
     "tx18_bpe_pairs" -> bpePairCountsSql,
     "tx19_bigram_quality" -> bigramQualitySql,
