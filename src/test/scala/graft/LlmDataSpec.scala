@@ -17,7 +17,12 @@ class LlmDataSpec extends SparkSpec {
     Dedup.kmvDistinctShingles(spark, sf()).count()
     Dedup.minhashLsh(spark, sf()).count()
     val after2 = spark.sparkContext.getPersistentRDDs.size
-    assert(after2 == after1,
+    // <= not ==: the count can legitimately SHRINK mid-test — component
+    // queries' localCheckpoint RDDs (dd11/dd14/dd22, e.g. run by
+    // EntrySpec earlier in this JVM) are unpersisted ASYNCHRONOUSLY by
+    // the ContextCleaner once unreferenced. The invariant guarded here
+    // is only that repeated builds pin no NEW storage.
+    assert(after2 <= after1,
       s"persisted RDD count grew across repeated queries: $after1 -> $after2")
   }
 
