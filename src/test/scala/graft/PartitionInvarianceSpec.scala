@@ -91,7 +91,17 @@ class PartitionInvarianceSpec extends SparkSpec {
       "dd21_pagerank" -> graft.llmdata.Dedup.pagerank _,
       // cur5b's quartile cut points come off a collected histogram — the
       // exact bin counts (and so the cuts) must not depend on split size
-      "cur5b_curriculum_sketch" -> graft.llmdata.Curation.curriculumScheduleSketch _)
+      "cur5b_curriculum_sketch" -> graft.llmdata.Curation.curriculumScheduleSketch _,
+      // round-10 additions: cur9's waterfilling runs off corpus token-mass
+      // sums (the level selection must not move with partial-agg order),
+      // dd22's per-cluster struct-MAX argmax, tx21's per-band BIGINT
+      // rollup, q38's per-group DECIMAL threshold, ss11's filtered
+      // assignment + rank
+      "cur9_token_budget" -> graft.llmdata.Curation.tokenBudget _,
+      "dd22_canonical_rep" -> Dedup.canonicalReps _,
+      "tx21_lexical_complexity" -> TextAnalysis.lexicalComplexity _,
+      "q38_above_avg_supplier" -> Relational.q38AboveAvgSupplier _,
+      "ss11_ann_filtered" -> graft.llmdata.Similarity.annIvfFiltered _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
