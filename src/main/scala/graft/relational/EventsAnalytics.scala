@@ -677,7 +677,77 @@ object EventsAnalytics {
        |FROM agg a JOIN ex USING (event_type)
        |ORDER BY a.event_type""".stripMargin
 
+  // ------------------------------------------- mergeable sketch tables (ev16)
+
+  /** ev16: sketch tables + sketch ALGEBRA — the DataSketches-style
+    * warehouse pattern ev7 stops short of: instead of one inline sketch,
+    * persist a PER-DAY CMS cell table (day, depth, bucket, count) — the
+    * storable artifact an ingest job writes per partition — then answer a
+    * range query by MERGING sketches cell-wise (CMS merge = cell-wise
+    * SUM, an associative/commutative monoid) and reading estimates off
+    * the merged sketch. For CMS the merge is LOSSLESS: summing per-day
+    * cell counts reproduces the whole-range sketch exactly, so the
+    * merged estimate equals ev7's single-sketch estimate bit-for-bit
+    * (spec-asserted) — which is why a 100 TB deployment sketches each
+    * ingest partition once and never re-scans history for a new range.
+    *
+    * Scale shape: the day table is one map-side-combinable count
+    * (|days|×d×w rows regardless of event count); the merge aggregates
+    * ≤ |days|×d×w rows; per-key estimates join d rows per key. History
+    * is never re-read. */
+  def cmsMergeDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinSketch
+    val d = CountMinSketch.DefaultDepth
+    val w = CountMinSketch.DefaultWidth
+    val ev = t(spark, dir, "events").filter(col("event_type").isNotNull)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast(DateType).as("day"))
+    def bucketOf(i: Column, key: Column): Column =
+      conv(substring(md5(concat(i.cast(StringType), lit(":"), key)), 1, 15), 16, 10)
+        .cast(LongType) % w
+    // the persisted artifact: one sketch (d×w cells) per day
+    val daily = ev
+      .select(col("day"), col("event_type"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("b", bucketOf(col("i"), col("event_type")))
+      .groupBy(col("day"), col("i"), col("b")).agg(count(lit(1)).as("v"))
+    // range query: cell-wise monoid merge, no event re-scan
+    val merged = daily.groupBy(col("i"), col("b")).agg(sum(col("v")).as("v"))
+    val nDays = daily.agg(countDistinct(col("day")).as("n_days"))
+    val keys = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
+    val kb = keys
+      .select(col("event_type"), col("exact_count"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("b", bucketOf(col("i"), col("event_type")))
+    kb.join(merged, Seq("i", "b"))
+      .groupBy(col("event_type"), col("exact_count"))
+      .agg(min(col("v")).as("cms_estimate"))
+      .crossJoin(broadcast(nDays))
+      .select(col("event_type"), col("n_days"), col("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+      .orderBy(col("event_type"))
+  }
+
+  val cmsMergeDailySql: String =
+    """WITH dx AS (SELECT unnest([0,1,2,3]) AS i),
+      |daily AS (SELECT day, i, b, CAST(COUNT(*) AS BIGINT) AS v FROM (
+      |    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, dx.i AS i,
+      |      CAST(('0x' || substr(md5(dx.i || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS b
+      |    FROM events, dx WHERE event_type IS NOT NULL) GROUP BY 1, 2, 3),
+      |merged AS (SELECT i, b, CAST(SUM(v) AS BIGINT) AS v FROM daily GROUP BY 1, 2),
+      |nd AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM daily),
+      |keys AS (SELECT event_type, COUNT(*) AS exact_count FROM events
+      |         WHERE event_type IS NOT NULL GROUP BY 1),
+      |kb AS (SELECT event_type, exact_count, dx.i AS i,
+      |    CAST(('0x' || substr(md5(dx.i || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS b
+      |  FROM keys, dx)
+      |SELECT kb.event_type, nd.n_days, kb.exact_count, MIN(m.v) AS cms_estimate,
+      |  MIN(m.v) - kb.exact_count AS overcount
+      |FROM kb JOIN merged m ON kb.i = m.i AND kb.b = m.b CROSS JOIN nd
+      |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev16_cms_merge" -> cmsMergeDaily,
     "ev15_hll_distinct" -> hllDistinct,
     "ev14_attribution" -> attribution,
     "ev13_rate_anomaly" -> rateAnomaly,
@@ -695,6 +765,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev16_cms_merge" -> cmsMergeDailySql,
     "ev15_hll_distinct" -> hllDistinctSql,
     "ev14_attribution" -> attributionSql,
     "ev13_rate_anomaly" -> rateAnomalySql,

@@ -38,6 +38,20 @@ class LlmDataSpec extends SparkSpec {
     assert(r.exists(_.getAs[Long]("overcount") == 0L))
   }
 
+  test("ev16: merging per-day CMS sketches is lossless — merged estimates " +
+      "equal the single whole-range sketch's") {
+    val merged = graft.relational.EventsAnalytics.cmsMergeDaily(spark, sf())
+      .select($"event_type", $"cms_estimate").as[(String, Long)].collect().toMap
+    val single = graft.relational.EventsAnalytics.cmsHeavyHitters(spark, sf())
+      .select($"event_type", $"cms_estimate").as[(String, Long)].collect().toMap
+    assert(merged.nonEmpty)
+    assert(merged == single,
+      "cell-wise sum of per-day sketches must reproduce the whole-range sketch")
+    val nDays = graft.relational.EventsAnalytics.cmsMergeDaily(spark, sf())
+      .select($"n_days").as[Long].head()
+    assert(nDays > 1, "the merge must actually span multiple daily sketches")
+  }
+
   test("dedup: degenerate docs (one word, empty text) don't crash shingle consumers") {
     // sequence(1, 0) counts DOWN without the size guard and element_at(w, 0)
     // throws under ANSI — exercised only by docs shorter than the shingle
