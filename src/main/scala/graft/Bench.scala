@@ -165,17 +165,34 @@ object Bench {
     // External real-engine baseline, if tools/duckdb_bench.py has been
     // run for this SF: surface the aggregate on the line (per-query map
     // stays in the sidecar — it would double the line and push the
-    // queries map out of the driver's tail window).
-    val duckdbTotal: Double = try {
+    // queries map out of the driver's tail window). The ratio is REFUSED
+    // — with the reason surfaced — unless the baseline provably measured
+    // the SAME workload: same sf basename, same fixture bytes (content
+    // digest; a fixture regen like r10's ts MICROS-NTZ change silently
+    // invalidates a stale baseline), and same query count (a grown
+    // battery vs a stale 144-query DuckDB total is not a ratio).
+    val (duckdbTotal, duckdbStatus): (Double, String) = try {
       val p = java.nio.file.Paths.get("DUCKDB_BASELINE.json")
-      if (java.nio.file.Files.exists(p)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val sfOk = txt.contains("\"sf\": \"" + new java.io.File(sfDir).getName + "\"") ||
-          txt.contains("\"sf\":\"" + new java.io.File(sfDir).getName + "\"")
-        val m = """"total_secs":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-        if (sfOk) m.map(_.group(1).toDouble).getOrElse(-1.0) else -1.0
-      } else -1.0
-    } catch { case _: Throwable => -1.0 }
+      if (!java.nio.file.Files.exists(p)) (-1.0, "absent")
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
+        val sfName = new java.io.File(sfDir).getName
+        val nq = root.path("n_queries").asInt(-1)
+        val digest = root.path("fixture_digest").asText("")
+        val total = root.path("total_secs").asDouble(-1.0)
+        if (root.path("sf").asText("") != sfName)
+          (-1.0, s"sf_mismatch:${root.path("sf").asText("")}!=$sfName")
+        else if (nq != results.size)
+          (-1.0, s"n_queries_mismatch:$nq!=${results.size}")
+        else if (digest.isEmpty) (-1.0, "unstamped_baseline")
+        else if (digest != fixtureDigest(sfDir))
+          (-1.0, "fixture_digest_mismatch")
+        else if (total <= 0) (-1.0, "missing_total")
+        else (total, "ok")
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      (-1.0, s"parse_error:${e.getClass.getSimpleName}")
+    }
     // CDC pipeline throughput (events/s): end-to-end decode→route→enrich
     // over the in-memory replay source. The reference's implied ceiling is
     // ~50 records/s per worker (BASELINE.md BATCH_SIZE/INTERVAL).
@@ -191,6 +208,7 @@ object Bench {
       s""""cdc_pipeline_events_per_sec_marginal":${ms(epsMarginal)},""" +
       s""""cdc_pipeline_events_per_sec_postbattery":${ms(epsPost)},""" +
       s""""sf":"$sfDir","duckdb_total_secs":${ms(duckdbTotal)},""" +
+      s""""duckdb_baseline_status":${jq(duckdbStatus)},""" +
       (if (duckdbTotal > 0) s""""spark_vs_duckdb":${ms(total / duckdbTotal)},""" else "") +
       s""""value":${ms(total)},"queries":$qs}"""
     println(line)
@@ -198,6 +216,33 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** Content digest of the SF fixture — md5 over "name:md5(bytes)\n"
+    * lines in fixed table order (existing files only). MUST stay in
+    * lockstep with tools/duckdb_bench.py's fixture_digest: the two sides
+    * computing the same value is what binds a DUCKDB_BASELINE.json to
+    * the exact parquet bytes it measured. */
+  private val FixtureTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def fixtureDigest(sfDir: String): String = {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val outer = java.security.MessageDigest.getInstance("MD5")
+    FixtureTables.foreach { t =>
+      val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
+      if (java.nio.file.Files.exists(p)) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val in = java.nio.file.Files.newInputStream(p)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        outer.update(s"$t:${hex(md.digest())}\n".getBytes("UTF-8"))
+      }
+    }
+    hex(outer.digest())
   }
 
   private def cdcEventJson(i: Int): String =

@@ -739,6 +739,17 @@ object Curation {
     * same sort order) taking one extra token — all BIGINT, no float in
     * the allocation; `epochs` is the single a_s/m_s division at the end.
     *
+    * Precondition for EXACT budget exhaustion (Σ a_s = B): Σ cap_s ≥ B.
+    * With B = 2·Σm and emax ∈ {1, 4}, that holds iff permissive sources
+    * carry ≥ 1/3 of the token mass (Σcap = Σm + 3·Σm_permissive). When
+    * it does NOT hold (e.g. every source restricted-license), the math
+    * still degrades losslessly — every row is cap-feasible, k* = n, and
+    * the allocation caps out at Σ a_s = Σcap < B with epochs = emax
+    * everywhere — but the exhaustion invariant the spec asserts
+    * (Σ alloc = B) is then deliberately unattainable: a budget larger
+    * than the license-admissible corpus cannot be spent. Callers sizing
+    * B against a restricted-heavy mix should check Σcap first.
+    *
     * Scale posture: the corpus contributes one combinable token-mass
     * aggregate; everything after runs on the ≤|sources| table (the
     * windows order 20 rows, corpus-size-independent — the cur3/cur6

@@ -96,8 +96,13 @@ object CdcDecode {
     * error-based test would silently mis-accept; the structural test is
     * also engine-portable, which keeps the DuckDB twin bit-identical. */
   def routeDlq(wire: DataFrame, dataCol: Column): DataFrame = {
-    val b64ok = dataCol.rlike("^[A-Za-z0-9+/]*={0,2}$") &&
-      length(dataCol) % 4 === 0
+    // A NULL payload must classify as a transport-level failure, not fall
+    // through to dlq_bad_json: rlike(NULL) is NULL and `when` skips NULL
+    // conditions, so the structural test is coalesced to false.
+    val b64ok = coalesce(
+      dataCol.rlike("^[A-Za-z0-9+/]*={0,2}$") &&
+        length(dataCol) % 4 === 0,
+      lit(false))
     val s = when(b64ok, unbase64(dataCol).cast(StringType))
     val jsonOk = try_parse_json(col("_s")).isNotNull
     val entity =

@@ -86,14 +86,66 @@ object CdcPipeline {
     (transform(ok, snapshot), dlq)
   }
 
+  /** Exactly-once-per-batch guard for a side-effecting sink write inside
+    * `foreachBatch`: runs `write` only if no commit marker exists for
+    * (outputDir, sink, batchId), then creates the marker. foreachBatch is
+    * at-least-once PER SINK — a crash anywhere inside the function replays
+    * the whole batch (same batchId) on restart — so a two-sink writer
+    * that crashed BETWEEN its writes would otherwise re-append the first
+    * sink's rows on replay. With markers, the replay skips every sink
+    * that already committed and completes only the missing ones.
+    *
+    * Delivery contract (stated, not assumed): batch-replay duplication is
+    * eliminated; the residual window is a crash between a sink's data
+    * write and its marker creation, which re-runs THAT sink's append —
+    * the irreducible at-least-once of a non-transactional file append
+    * (Spark's own file sink closes it with a _spark_metadata manifest;
+    * at scale the append targets a transactional table where the batchId
+    * column itself makes the write idempotent). Markers go through the
+    * Hadoop FileSystem API, so the scheme holds on HDFS/S3A, not just
+    * local disk. Returns true iff `write` ran. */
+  def idempotentSinkWrite(
+      spark: SparkSession, outputDir: String, sink: String, batchId: Long)(
+      write: => Unit): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(outputDir, "_commits")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, s"$sink-$batchId")
+    if (fs.exists(marker)) false
+    else {
+      write
+      fs.mkdirs(dir)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** One micro-batch of [[writerWithDlq]]: the record sink and the DLQ
+    * sink each guarded by [[idempotentSinkWrite]]. Public so the crash
+    * adjudication spec can drive the IDENTICAL write path with a
+    * failpoint between the two sinks. */
+  def writeBatchWithDlq(
+      snapshot: DataFrame, outputDir: String, config: Config = Config(),
+      betweenSinks: Long => Unit = _ => ())(
+      batch: DataFrame, batchId: Long): Unit = {
+    val (routed, dlq) = transformWithDlq(batch, snapshot)
+    idempotentSinkWrite(batch.sparkSession, outputDir, "records", batchId) {
+      toJsonLines(routed).write.mode("append")
+        .partitionBy("entityName").json(s"$outputDir/${config.outputPrefix}")
+    }
+    betweenSinks(batchId)
+    idempotentSinkWrite(batch.sparkSession, outputDir, "dlq", batchId) {
+      dlq.write.mode("append").json(s"$outputDir/dlq")
+    }
+  }
+
   /** [[writer]] with the DLQ split: one checkpointed query fans each
     * micro-batch into the partitioned record sink AND a quarantine
     * directory via `foreachBatch` (two sinks, one offset WAL — the
     * delivered stream and its dead letters advance atomically from the
-    * source's point of view). File appends inside foreachBatch are
-    * at-least-once under batch RETRY (same-batch replay can re-append);
-    * at scale the append targets a transactional table where the batchId
-    * makes the write idempotent. */
+    * source's point of view). Each sink's append is made idempotent
+    * under batch replay by [[idempotentSinkWrite]]'s per-(sink, batchId)
+    * commit markers — see that method's scaladoc for the exact delivery
+    * contract, including the crash-between-sinks case. */
   def writerWithDlq(
       rawJson: DataFrame,
       snapshot: DataFrame,
@@ -103,13 +155,7 @@ object CdcPipeline {
     rawJson.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"${config.intervalSecs} seconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (routed, dlq) = transformWithDlq(batch, snapshot)
-        toJsonLines(routed).write.mode("append")
-          .partitionBy("entityName").json(s"$outputDir/${config.outputPrefix}")
-        dlq.write.mode("append").json(s"$outputDir/dlq")
-        ()
-      }
+      .foreachBatch(writeBatchWithDlq(snapshot, outputDir, config) _)
 
   /** Serialize to the sink shape: one JSON line per record (K2/K3), keyed
     * by entity for the partitioned layout (K1). */

@@ -73,7 +73,7 @@ object EventStreamOps {
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $withinMs MILLISECONDS"))
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("p_ts"), col("click_id"), col("c_ts"))
   }

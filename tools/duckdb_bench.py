@@ -25,15 +25,34 @@ O(len^2) substring lambdas), so per-query ratios are honest only
 query-by-query — the total is a summary, not a horse race on identical
 plans.
 """
+import hashlib
 import json
 import sys
 import time
+from datetime import datetime, timezone
 from pathlib import Path
 
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 RUNS = 3
+
+
+def fixture_digest(sf_dir):
+    """Content digest binding a baseline to the exact parquet it measured.
+
+    md5 over "name:md5(bytes)\\n" lines in fixed TABLES order (existing
+    files only). MUST stay in lockstep with Bench.scala's fixtureDigest —
+    the bench refuses the spark_vs_duckdb ratio on mismatch, because a
+    fixture regeneration (e.g. r10's ts MICROS-NTZ change) silently
+    invalidates a stale baseline.
+    """
+    outer = hashlib.md5()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            outer.update(f"{t}:{hashlib.md5(p.read_bytes()).hexdigest()}\n".encode())
+    return outer.hexdigest()
 
 
 def main():
@@ -66,6 +85,8 @@ def main():
         "engine": f"duckdb {duckdb.__version__}",
         "threads": int(threads),
         "sf": Path(sf_dir).name,
+        "generated_at": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "fixture_digest": fixture_digest(sf_dir),
         "protocol": f"warm-up + min-of-{RUNS}, full fetchall",
         "n_queries": len(queries),
         "total_secs": round(sum(queries.values()), 4),
