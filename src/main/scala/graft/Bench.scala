@@ -53,6 +53,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the latency probes run ~70+ triggers per rate; the default
+      // recentProgress window (100) must not evict their early batches
+      .config("spark.sql.streaming.numRecentProgressUpdates", "400")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,11 +65,23 @@ object Bench {
     // then best-of-2 (the eps analogue of the queries' min-of-2). Each run
     // fails independently — one transient failure must not discard a
     // valid sample from the other run.
+    // SPARK_GRAFT_SKIP_PROBES=1 skips the CDC throughput/latency probes
+    // (fixed-cost, SF-independent) — the scaling-slope audit re-runs the
+    // battery per SF and only the per-query map varies with data size
+    val skipProbes = sys.env.get("SPARK_GRAFT_SKIP_PROBES").contains("1")
     def secsOnce(n: Int): Double =
-      try cdcThroughputSecs(spark, n) catch { case _: Throwable => -1.0 }
+      if (skipProbes) -1.0
+      else try cdcThroughputSecs(spark, n) catch { case _: Throwable => -1.0 }
     def epsOnce(n: Int): Double = { val s = secsOnce(n); if (s > 0) n / s else -1.0 }
-    epsOnce(5000)
-    val epsFresh = math.max(epsOnce(50000), epsOnce(50000))
+    // warm-up is TWO probes (5k + 25k): ColdStartProfile shows the
+    // position effect is JIT compilation of the pipeline's hot paths
+    // (task CPU halves from probe 2 to probe 5 on identical code), and a
+    // 5k-event warm-up alone leaves the first timed probe paying ~0.3 s
+    // of JIT. "Fresh" means a fresh streaming QUERY in a warm JVM — the
+    // warm-up's job is to make the JVM actually warm. Best-of-3 mirrors
+    // the battery's min-of-3 (noise on a warm workload is additive).
+    epsOnce(5000); epsOnce(25000)
+    val epsFresh = Seq(epsOnce(50000), epsOnce(50000), epsOnce(50000)).max
     // MARGINAL throughput: the 50k probe's wall time is part fixed
     // per-query streaming overhead (planning, checkpoint, commit) and
     // part per-event pipeline cost; the fixed part varies ±30% run to
@@ -81,7 +96,10 @@ object Bench {
       if (tSmall.nonEmpty && tLarge.nonEmpty && tLarge.min > tSmall.min)
         50000.0 / (tLarge.min - tSmall.min)
       else -1.0
-    val (latP50, latP95, latN) = cdcLatencyMs(spark)
+    // two offered rates bracket the knee: 5k (the r10 steady-state rate)
+    // and 25k (5× — approaching the fresh-throughput ceiling)
+    val lat5k = if (skipProbes) LatencyProbeEmpty else cdcLatencyMs(spark, 5000)
+    val lat25k = if (skipProbes) LatencyProbeEmpty else cdcLatencyMs(spark, 25000)
 
     val errors = scala.collection.mutable.Map.empty[String, String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -201,9 +219,7 @@ object Bench {
     // line also lands in BENCH_FULL.json.
     val line =
       s"""{"metric":"total","unit":"sec","errors":$errs,""" +
-      s""""cdc_latency_batch_ms_p50":${ms(latP50)},""" +
-      s""""cdc_latency_batch_ms_p95":${ms(latP95)},""" +
-      s""""cdc_latency_batches":$latN,""" +
+      latencyJson("cdc_lat5k", lat5k) + latencyJson("cdc_lat25k", lat25k) +
       s""""cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
       s""""cdc_pipeline_events_per_sec_marginal":${ms(epsMarginal)},""" +
       s""""cdc_pipeline_events_per_sec_postbattery":${ms(epsPost)},""" +
@@ -216,6 +232,17 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** Flat JSON fields for one latency probe, prefixed (trailing comma
+    * included so the caller concatenates fields directly). */
+  private def latencyJson(prefix: String, l: LatencyProbe): String = {
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    s""""${prefix}_batch_ms_p50":${ms(l.p50)},""" +
+      s""""${prefix}_batch_ms_p95":${ms(l.p95)},""" +
+      s""""${prefix}_batch_ms_p99":${ms(l.p99)},""" +
+      s""""${prefix}_batches":${l.batches},""" +
+      s""""${prefix}_backlog_ok":${l.backlogOk},"""
   }
 
   /** Content digest of the SF fixture — md5 over "name:md5(bytes)\n"
@@ -253,13 +280,23 @@ object Bench {
       s""""commitTimestamp":${1583300894000L + i},"recordIds":["001${i % 1000}"]}},""" +
       s""""event":{"replayId":${i + 1}}}"""
 
+  /** 4 partitions, not the default-parallelism 32: the snapshot is a
+    * 1000-row lookup table, and ColdStartProfile measured ~60 ms of
+    * per-task launch overhead at local[32] — 28 needless tasks were
+    * ~0.3 s of the fresh probe's fixed cost (r10 verdict task 2). */
   private def cdcSnapshot(spark: SparkSession) = {
     import org.apache.spark.sql.functions._
-    spark.range(1000)
+    spark.range(0, 1000, 1, 4)
       .select(concat(lit("001"), col("id")).as("Id"),
         concat(lit("Name"), col("id")).as("Name"), (col("id") * 1.5).as("Balance"))
   }
 
+  /** numShards=32 matches the probe's core count so the decode chain
+    * parallelizes across all threads (the production default of 4 mirrors
+    * the reference's Kinesis shard count; a throughput probe wants the
+    * ingest-cluster configuration). ColdStartProfile: 4→32 shards plus
+    * the 4-partition snapshot moved the fresh 50k probe 1.4 s → 0.87 s
+    * (37k → ~57k eps). */
   private def cdcThroughputSecs(spark: SparkSession, n: Int): Double = {
     import graft.sources.ReplayBus
     val topic = "bench_cdc"
@@ -267,7 +304,8 @@ object Bench {
     var i = 0
     while (i < n) { ReplayBus.publish(topic, cdcEventJson(i)); i += 1 }
     val raw = spark.readStream.format("cdc-replay")
-      .option("topic", topic).option("replayFrom", "-2").load()
+      .option("topic", topic).option("replayFrom", "-2")
+      .option("numShards", "32").load()
     val t0 = System.nanoTime()
     val q = graft.streaming.CdcPipeline.toJsonLines(
       graft.streaming.CdcPipeline.transform(raw, cdcSnapshot(spark)))
@@ -279,34 +317,46 @@ object Bench {
     secs
   }
 
+  /** One rate's worth of latency-probe results: nearest-rank percentiles
+    * of per-batch `triggerExecution`, non-empty batch count, and whether
+    * processing kept up with the offered rate over the whole run. */
+  final case class LatencyProbe(
+      p50: Double, p95: Double, p99: Double, batches: Int, backlogOk: Boolean)
+
+  private val LatencyProbeEmpty = LatencyProbe(-1.0, -1.0, -1.0, 0, backlogOk = false)
+
   /** Per-micro-batch delivery latency under a FIXED-RATE feed — the
     * steady-state regime a deployed CDC consumer actually sits in, which
     * the throughput probes (one giant AvailableNow drain) cannot show.
     *
-    * A feeder loop publishes `perTick` events onto the replay bus every
-    * `tickMs`, paced against the wall clock (publish cost is deducted
-    * from the sleep, so the offered rate stays fixed at
-    * perTick/tickMs = 5000 events/s regardless of bus speed). The
-    * pipeline consumes under `Trigger.ProcessingTime(tickMs)`; per-batch
-    * wall time is Spark's own `triggerExecution` duration from
-    * `StreamingQueryProgress` — queue wait + planning + execution + commit,
-    * i.e. the time from trigger fire to delivery. p50/p95 are nearest-rank
-    * over non-empty batches (empty keep-alive batches after the feed stops
-    * would dilute the percentiles with no-op times). Returns (p50, p95,
-    * batches); (-1, -1, 0) if the run produced no non-empty batch or threw.
-    */
-  private def cdcLatencyMs(spark: SparkSession): (Double, Double, Int) = try {
+    * A feeder loop publishes `rate/10` events onto the replay bus every
+    * 100 ms, paced against the wall clock (publish cost is deducted from
+    * the sleep, so the offered rate stays fixed regardless of bus speed).
+    * The pipeline consumes under `Trigger.ProcessingTime(100 ms)`;
+    * per-batch wall time is Spark's own `triggerExecution` duration from
+    * `StreamingQueryProgress` — queue wait + planning + execution +
+    * commit, i.e. the time from trigger fire to delivery. p50/p95/p99 are
+    * nearest-rank over non-empty batches (empty keep-alive batches after
+    * the feed stops would dilute the percentiles with no-op times); the
+    * 25 s feed yields 50+ non-empty batches at both probe rates, a real
+    * percentile base (the r10 probe's 11 batches were not — verdict
+    * task 5). `backlogOk` is the sustained-backlog check: every event
+    * offered during the feed was PROCESSED by the end of the short drain
+    * window, i.e. processedRowsPerSecond kept up with inputRowsPerSecond
+    * over the run rather than quietly queueing. */
+  private def cdcLatencyMs(spark: SparkSession, rate: Int): LatencyProbe = try {
     import graft.sources.ReplayBus
-    val topic = "bench_cdc_latency"
+    val topic = s"bench_cdc_latency_$rate"
     ReplayBus.clear(topic)
     val raw = spark.readStream.format("cdc-replay")
-      .option("topic", topic).option("replayFrom", "-2").load()
+      .option("topic", topic).option("replayFrom", "-2")
+      .option("numShards", "32").load()
     val q = graft.streaming.CdcPipeline.toJsonLines(
       graft.streaming.CdcPipeline.transform(raw, cdcSnapshot(spark)))
       .writeStream.format("noop")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       .start()
-    val ticks = 40; val perTick = 500; val tickNanos = 100L * 1000000L
+    val ticks = 250; val perTick = rate / 10; val tickNanos = 100L * 1000000L
     var i = 0; var t = 0
     while (t < ticks) {
       val next = System.nanoTime() + tickNanos
@@ -316,18 +366,34 @@ object Bench {
       if (sleepMs > 0) Thread.sleep(sleepMs)
       t += 1
     }
-    Thread.sleep(500) // drain the tail batch before stopping
+    // sustained-backlog check via the offset WAL, not numInputRows (the
+    // enrich ∪ tombstone plan scans the source twice, so numInputRows
+    // double-counts): the committed endOffset is the last consumed
+    // replayId; events carry replayId 1..i. If processing kept pace with
+    // the offered rate, the backlog at feed-end is at most the in-flight
+    // batch plus one successor — it must drain within 2× the observed
+    // worst batch (bounded, ~4 s cap); a query that was quietly queueing
+    // the whole run cannot catch up in that window.
+    def committed(): Long = Option(q.lastProgress)
+      .flatMap(p => p.sources.headOption)
+      .flatMap(s => Option(s.endOffset))
+      .flatMap(o => scala.util.Try(o.trim.toLong).toOption)
+      .getOrElse(-1L)
+    val drainDeadline = System.nanoTime() + 4L * 1000000000L
+    while (committed() < i && System.nanoTime() < drainDeadline) Thread.sleep(100)
+    val caughtUp = committed() >= i
     q.stop(); q.awaitTermination()
-    val lats = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
+    val nonEmpty = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val lats = nonEmpty
       .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
       .sorted
     ReplayBus.clear(topic)
-    if (lats.isEmpty) (-1.0, -1.0, 0)
+    if (lats.isEmpty) LatencyProbeEmpty
     else {
       def rank(p: Double): Double =
         lats(math.min(lats.size - 1, math.max(0, math.ceil(p * lats.size).toInt - 1)))
-      (rank(0.50), rank(0.95), lats.size)
+      LatencyProbe(rank(0.50), rank(0.95), rank(0.99), lats.size,
+        backlogOk = caughtUp)
     }
-  } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0, 0) }
+  } catch { case scala.util.control.NonFatal(_) => LatencyProbeEmpty }
 }
