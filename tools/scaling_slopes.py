@@ -28,7 +28,9 @@ import sys
 
 def load(path):
     with open(path) as f:
-        doc = json.load(f)
+        text = f.read()
+    # tolerate sbt's "[info] " line prefix
+    doc = json.loads(text[text.index("{"):])
     return doc["queries"]
 
 
@@ -44,14 +46,23 @@ def main():
         d2, d3 = b - a, c - a
         slope = d3 / d2 if d2 > 0.005 else float("inf") if d3 > 0.1 else 0.0
         raw = c / b if b > 0 else float("nan")
-        if d3 < 0.15 or (0 < slope < 3):
-            cls = "flat"
-        elif slope <= 20:
-            cls = "linear-ish"
+        # Classification is on the RAW 10x-step ratio: the adjusted slope
+        # explodes whenever t(0.01) ~= t(0.001) (both pure overhead, the
+        # denominator is timing noise), so it is a diagnostic column, not
+        # the verdict. At a 10x data step: raw <= ~4 means the query is
+        # still mostly fixed overhead even at sf0.1 (sublinear); ~10 is
+        # linear in data; above ~13 the data term grows FASTER than the
+        # data — the thing this audit exists to catch.
+        if d3 < 0.15:
+            cls = "overhead-bound"
+        elif raw <= 4:
+            cls = "sublinear"
+        elif raw <= 13:
+            cls = "linear"
         else:
             cls = "super-linear"
         rows.append((n, a, b, c, slope, raw, cls))
-    rows.sort(key=lambda r: -r[4] if r[4] != float("inf") else -1e9)
+    rows.sort(key=lambda r: -r[5])
     print("| query | t(0.001)s | t(0.01)s | t(0.1)s | slope (overhead-adj, 10x data) | raw t0.1/t0.01 | class |")
     print("|---|---|---|---|---|---|---|")
     for n, a, b, c, slope, raw, cls in rows:
