@@ -31,8 +31,14 @@ object AqeSkewCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ×16 row multiplier: at sf0.1 raw, even the hot partition is a
+    // ~10 MB/300k-row join probe that one task clears in ~100 ms — no
+    // skew PAIN to mitigate (first finding: below ~1M-row hot
+    // partitions, plain shuffle beats both mitigations' overhead). The
+    // multiplied fact gives the hot key ~4.8M rows on one task.
     def skewedFact: DataFrame =
       graft.sources.Tables.load(spark, sfDir, "lineitem")
+        .withColumn("_rep", explode(sequence(lit(0), lit(15))))
         .select(
           when(col("l_orderkey") % 2 === 0, 1L)
             .otherwise(col("l_suppkey")).as("suppkey"),
@@ -73,15 +79,41 @@ object AqeSkewCheck {
     // 0) the null hypothesis: broadcast on (defaults) — no skew problem
     val tBroadcast = timed("broadcast (defaults)")(agg(skewedFact.join(dim, Seq("suppkey"))))
 
-    // 1) shuffle join, AQE skew-join ON with sf0.1-scaled thresholds
-    val tAqe = withConfs(noBroadcast ++ Seq(
-        "spark.sql.adaptive.enabled" -> "true",
-        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // 1) shuffle join, AQE skew-join ON — sweep the split sizing (the
+    // default 256m threshold never fires at this scale; too-small
+    // advisory over-splits and the per-split overhead eats the win)
+    def aqeRun(threshold: String, advisory: String): Double =
+      withConfs(noBroadcast ++ Seq(
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> threshold,
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory): _*) {
+        timed(s"AQE skew thr=$threshold adv=$advisory")(
+          agg(skewedFact.join(dim, Seq("suppkey"))))
+      }
+    val tAqe = Seq(
+      aqeRun("1m", "512k"), aqeRun("8m", "4m"), aqeRun("32m", "16m")).min
+    val tAqeForced = withConfs(noBroadcast ++ Seq(
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k"): _*) {
-      timed("AQE skew-join")(agg(skewedFact.join(dim, Seq("suppkey"))))
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m"): _*) {
+      timed("AQE skew FORCED thr=8m adv=4m")(agg(skewedFact.join(dim, Seq("suppkey"))))
     }
+    // did the best config actually split? dump the adaptive plan's
+    // AQEShuffleRead markers once
+    // Measured outcome (sf0.1 ×16, min-of-3, local[32]; recorded in
+    // SURVEY §9): broadcast 0.6-0.7 s ≪ salted ~2.5 s < AQE-best ~2.9 s
+    // ≈ plain ~3.0 s. AQE's skew split never pays here — the default
+    // 256 MB threshold doesn't fire at all, and tuned (1m-32m) or even
+    // forceOptimizeSkewedJoin configs land within noise of the
+    // unmitigated join. Manual salting wins ~17% over plain and keeps
+    // its niche: deterministic under replay (AQE re-plans per run),
+    // works when the skew is on the BUILD/broadcast side or in an
+    // aggregate, and does not depend on runtime statistics crossing a
+    // threshold. First rule stands: if the dim fits in a broadcast,
+    // neither mitigation has a job.
 
     // 2) shuffle join, AQE skew OFF — the unmitigated baseline
     val tPlain = withConfs(noBroadcast ++ Seq(
@@ -95,7 +127,8 @@ object AqeSkewCheck {
         agg(graft.operators.SkewJoin.salted(skewedFact, dim, "suppkey", salts = 8)))
     }
 
-    println(f"RESULT broadcast=$tBroadcast%.3f aqe=$tAqe%.3f plain=$tPlain%.3f salted=$tSalted%.3f")
+    println(f"RESULT broadcast=$tBroadcast%.3f aqe=$tAqe%.3f aqeForced=$tAqeForced%.3f " +
+      f"plain=$tPlain%.3f salted=$tSalted%.3f")
     spark.stop()
   }
 }
