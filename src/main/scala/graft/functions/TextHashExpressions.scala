@@ -199,6 +199,57 @@ object TextHashUtil {
     d
   }
 
+  /** Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner): edit
+    * distance where adjacent-transposition is a first-class unit edit and
+    * — unlike the optimal-string-alignment restriction — a transposed pair
+    * may be edited again (DL("ca","abc") = 2, OSA gives 3). This is the
+    * variant DuckDB's `damerau_levenshtein` implements, which the fm4
+    * oracle compares against; parity is exact because the distance is an
+    * integer. Operates on UTF-16 chars — identical to per-character
+    * semantics on the ASCII fixture strings it runs over. */
+  def damerauLevenshtein(au: UTF8String, bu: UTF8String): Long = {
+    val a = au.toString
+    val b = bu.toString
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n.toLong
+    if (n == 0) return m.toLong
+    val inf = m + n
+    // H is (m+2) x (n+2), row-major
+    val w = n + 2
+    val h = new Array[Int]((m + 2) * w)
+    h(0) = inf
+    var i = 0
+    while (i <= m) { h((i + 1) * w) = inf; h((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= n) { h(j + 1) = inf; h(w + j + 1) = j; j += 1 }
+    // last row in `a` (1-based) where each char was seen
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= m) {
+      var db = 0
+      j = 1
+      while (j <= n) {
+        val k = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val sub = h(i * w + j) + cost
+        val ins = h((i + 1) * w + j) + 1
+        val del = h(i * w + j + 1) + 1
+        val trans = h(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var best = sub
+        if (ins < best) best = ins
+        if (del < best) best = del
+        if (trans < best) best = trans
+        h((i + 1) * w + j + 1) = best
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    h((m + 1) * w + n + 1).toLong
+  }
+
   /** Jaccard similarity of two distinct-element string arrays. */
   def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -459,6 +510,36 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native unrestricted Damerau-Levenshtein distance — the linkage metric
+  * that charges an adjacent-character SWAP (the classic hand-entry typo)
+  * one edit where plain Levenshtein charges two. Spark ships `levenshtein`
+  * but no Damerau variant; this is the (b)-tier custom-Expression path
+  * (compose > Expression > custom plan) with codegen via a static JVM
+  * call, so the fm4 verification stage stays inside WholeStageCodegen. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"damerau requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "damerau"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.damerauLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashUtil.damerauLevenshtein($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points. */
 object TextHashFunctions {
   def simhash32(tokens: Column): Column =
@@ -479,4 +560,6 @@ object TextHashFunctions {
     GraftColumn.of(JaccardSimilarity(GraftColumn.expr(a), GraftColumn.expr(b)))
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumn.of(JaccardSortedLong(GraftColumn.expr(a), GraftColumn.expr(b)))
+  def damerau(a: Column, b: Column): Column =
+    GraftColumn.of(DamerauLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
 }

@@ -830,7 +830,79 @@ object Curation {
        |  (i <= kstar) AS capped
        |FROM alloc ORDER BY source""".stripMargin
 
+  // ----------------------------------------------------------- cur10
+
+  /** Perplexity threshold for [[unigramLmFilter]], in micro-nats per
+    * token: a doc whose mean unigram surprisal exceeds this is flagged
+    * for the drop side of the quality split. */
+  private val LmThresholdMicroNats = 3_410_000L
+
+  /** cur10: unigram-LM perplexity filter — the CCNet/RedPajama quality
+    * gate re-expressed Spark-first. A language-model score is the one
+    * quality axis the rule-based signals (tx4/tx7/tx15) cannot see: a doc
+    * of individually-reasonable words in an improbable mix (keyword
+    * stuffing, mixed-corpus pastes, OCR soup) reads as high-surprisal
+    * under a model fit on the corpus itself. The model here is the exact
+    * unigram MLE — P(w) = count(w)/total — the degenerate-but-real end of
+    * the KenLM family whose higher orders differ only in the key being an
+    * n-gram context.
+    *
+    * Exact-parity discipline for an inherently-float score: each TYPE's
+    * surprisal −ln P(w) is quantized ONCE to integer micro-nats (the tx4
+    * nano-unit rule applied at the vocab, not the doc); a doc's total NLL
+    * is then an exact BIGINT sum — independent of partial-aggregation
+    * order — and the keep/drop decision compares integers
+    * (nll_micro ≤ thr·n_tokens), so no engine ever compares accumulated
+    * doubles. One final division renders nats/token for the report.
+    *
+    * Scale: two token-keyed combinable aggregates (the tx6-df exchange
+    * class) + one vocab→token-stream join. The vocab (distinct types,
+    * ≪ corpus — Heaps: ~n^0.6) BROADCASTS here; at 100 TB vocab it
+    * degrades to an ordinary shuffle join on the token key with the same
+    * plan otherwise. Corpus text crosses no exchange — tokens are
+    * exploded and reduced scan-side. */
+  def unigramLmFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val totFrame = toks.agg(count(lit(1)).as("tot"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totFrame))
+      .select(col("w"),
+        round(-log(col("cnt").cast(DoubleType) / col("tot").cast(DoubleType))
+          * lit(1000000.0)).cast(LongType).as("surprisal_micro"))
+    val perDoc = toks.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprisal_micro")).as("nll_micro"))
+    perDoc
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("nll_micro"),
+        (col("nll_micro").cast(DoubleType) /
+          (lit(1000000.0) * col("n_tokens").cast(DoubleType))).as("nats_per_token"),
+        (col("nll_micro") <= lit(LmThresholdMicroNats) * col("n_tokens")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLmFilterSql: String =
+    s"""WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |             FROM documents),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM toks),
+       |vocab AS (SELECT w,
+       |    CAST(round(-ln(CAST(COUNT(*) AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS surprisal_micro
+       |  FROM toks, tot GROUP BY w, tot.tot),
+       |pd AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(surprisal_micro) AS BIGINT) AS nll_micro
+       |       FROM toks JOIN vocab USING (w)
+       |       GROUP BY doc_id, source)
+       |SELECT doc_id, source, n_tokens, nll_micro,
+       |  CAST(nll_micro AS DOUBLE) /
+       |    (1000000.0 * CAST(n_tokens AS DOUBLE)) AS nats_per_token,
+       |  nll_micro <= $LmThresholdMicroNats * n_tokens AS keep
+       |FROM pd ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur10_unigram_lm_filter" -> unigramLmFilter,
     "cur9_token_budget" -> tokenBudget,
     "cur8_shard_plan" -> shardPlan,
     "cur7_contamination_mixture" -> contaminationAwareMixture,
@@ -843,6 +915,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur10_unigram_lm_filter" -> unigramLmFilterSql,
     "cur9_token_budget" -> tokenBudgetSql,
     "cur8_shard_plan" -> shardPlanSql,
     "cur7_contamination_mixture" -> contaminationAwareMixtureSql,

@@ -1465,7 +1465,83 @@ object Dedup {
        |FROM mem m JOIN rep r USING (cluster_id) JOIN cnt c USING (cluster_id)
        |ORDER BY m.cluster_id, m.doc_id""".stripMargin
 
+  // ------------------------------- near-dup graph triangle census (dd23)
+
+  /** dd23: triangle census of the near-dup graph — per-document triangle
+    * participation and local clustering coefficient. Distinguishes two
+    * duplication topologies that degree and PageRank (dd21) conflate: a
+    * TEMPLATE family (all copies pairwise-similar → dense triangles, high
+    * clustering) vs a CHAIN of incremental edits (A~B~C but A≁C → zero
+    * triangles at the same degree). Cluster-shape is what decides whether
+    * dd11's transitive-closure clusters over-merge: high triangle density
+    * says the cluster is a genuine clique family; a triangle-free
+    * high-degree hub says transitivity is doing the merging and a
+    * containment check (dd20) should gate it.
+    *
+    * Edges are dd3's verified pairs (already oriented doc_a < doc_b). The
+    * triangle enumerator is the standard ORIENTED edge-iterator: wedges
+    * (a<b, a<c, b<c) from a self-join on the lower endpoint, closed by a
+    * semi-join against the edge set — each triangle found exactly once,
+    * never materialized per-permutation. Per-doc counts are one explode +
+    * combinable count; clustering = 2·tri/(deg·(deg−1)) is a single
+    * integer-ratio division, bit-identical in any engine.
+    *
+    * Scale: the wedge join is the only super-edge-linear step; its size is
+    * Σ_a C(deg(a),2) over LOWER-endpoint degrees, which the C(cap,2) pair
+    * bound already caps per bucket — at 100 TB the standard upgrade is
+    * degree-ordering the orientation (point edges at the higher-degree
+    * endpoint) which this operator's a<b orientation approximates for
+    * id-assigned-by-arrival corpora; the edge table (≪ corpus) is the only
+    * shuffled data, never the text. */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val wedges = pairs
+      .join(pairs.select(col("doc_a"), col("doc_b").as("doc_c")), "doc_a")
+      .filter(col("doc_b") < col("doc_c"))
+    val triangles = wedges.join(
+      pairs.select(col("doc_a").as("doc_b"), col("doc_b").as("doc_c")),
+      Seq("doc_b", "doc_c"), "leftsemi")
+    val perDoc = triangles
+      .select(explode(array(col("doc_a"), col("doc_b"), col("doc_c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast(DoubleType) /
+            (col("degree") * (col("degree") - 1)).cast(DoubleType))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("doc_id"))
+  }
+
+  val triangleCensusSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |tr AS (SELECT w.doc_a, w.doc_b, w.doc_c
+       |       FROM (SELECT e1.doc_a, e1.doc_b, e2.doc_b AS doc_c
+       |             FROM p e1 JOIN p e2
+       |               ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b) w
+       |       WHERE EXISTS (SELECT 1 FROM p e3
+       |                     WHERE e3.doc_a = w.doc_b AND e3.doc_b = w.doc_c)),
+       |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles
+       |       FROM (SELECT unnest([doc_a, doc_b, doc_c]) AS doc_id FROM tr)
+       |       GROUP BY doc_id),
+       |deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+       |        FROM (SELECT unnest([doc_a, doc_b]) AS doc_id FROM p)
+       |        GROUP BY doc_id)
+       |SELECT deg.doc_id, deg.degree,
+       |  COALESCE(tc.triangles, 0) AS triangles,
+       |  CASE WHEN deg.degree >= 2 THEN
+       |    2.0 * CAST(COALESCE(tc.triangles, 0) AS DOUBLE) /
+       |    CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+       |  ELSE 0.0 END AS clustering
+       |FROM deg LEFT JOIN tc USING (doc_id)
+       |ORDER BY deg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd23_triangle_census" -> triangleCensus,
     "dd22_canonical_rep" -> canonicalReps,
     "dd21_pagerank" -> pagerank,
     "dd20_containment" -> containmentDup,
@@ -1490,6 +1566,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd23_triangle_census" -> triangleCensusSql,
     "dd22_canonical_rep" -> canonicalRepsSql,
     "dd21_pagerank" -> pagerankSql,
     "dd20_containment" -> containmentDupSql,

@@ -1096,7 +1096,105 @@ object TextAnalysis {
       |  CAST(SUM(nm) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS monosyllable_frac
       |FROM b GROUP BY source, band ORDER BY source, band""".stripMargin
 
+  // ------------------------------------ tx22: vocabulary growth (Heaps)
+
+  /** Checkpoint count for the vocabulary-growth curve: the corpus is cut
+    * into this many equal doc-id slices and vocabulary is measured
+    * cumulatively at each cut. */
+  private val VocabBuckets = 10
+
+  /** tx22: vocabulary-growth (Heaps-law) profile — how fast the corpus
+    * keeps yielding NEW types as documents accumulate. The curve is the
+    * standard corpus-health diagnostic: a healthy crawl keeps minting
+    * types (V ∝ n^β, β ≈ 0.5–0.7); a curve that flattens early says the
+    * tail of the corpus is re-treading the head's vocabulary (template
+    * spam, a looping crawler) and more data will not buy more diversity —
+    * the decision input for "do we crawl more or curate harder". The TYPE
+    * unit is the word TRIGRAM, not the single word: a closed-class word
+    * list saturates in the first slice of any corpus (this fixture's
+    * word vocabulary is complete after one decile), while trigram contexts
+    * keep growing exactly when genuinely-new text keeps arriving — the
+    * same reason decontamination (dd13) and novelty (tx17) key on n-grams.
+    *
+    * The naive form ("distinct types among the first k docs", per k) is
+    * k re-scans. This is the one-pass formulation: each type is owned by
+    * its FIRST document (min doc_id — one combinable aggregate over the
+    * gram stream), first-appearance rolls up to the doc-id slice, and the
+    * cumulative-over-slices sum is a 10-row window. Gram totals come from
+    * scan-side `size`; the corpus text crosses no shuffle — the only
+    * keyed exchange is the gram→min(doc_id) aggregate, map-side
+    * combinable. All counts are exact BIGINTs; the type/token ratio is
+    * one final division.
+    *
+    * At 100 TB: identical shape — one gram-keyed aggregate (the same
+    * exchange class as tx6's df computation) + a |buckets|-row window. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words
+    // sequence(1, n) counts DOWN for n <= 0 — short docs must yield none
+    val grams = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val docs = t(spark, dir, "documents")
+    val nFrame = docs.agg((max(col("doc_id")) + 1).as("n"))
+    val bucket = expr(s"least((doc_id * $VocabBuckets) div n, ${VocabBuckets - 1})")
+    val perBucket = docs.crossJoin(broadcast(nFrame))
+      .select(bucket.as("bucket"), size(grams).cast(LongType).as("nw"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(grams).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val newTypes = firstSeen.crossJoin(broadcast(nFrame))
+      .select(expr(s"least((fd * $VocabBuckets) div n, ${VocabBuckets - 1})").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        sum(coalesce(col("new_types"), lit(0L))).over(cum).as("vocab_cum"),
+        sum(col("tokens")).over(cum).as("tokens_cum"))
+      .withColumn("type_token_ratio",
+        col("vocab_cum").cast(DoubleType) / col("tokens_cum").cast(DoubleType))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String = {
+    val b = VocabBuckets
+    s"""WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+       |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+       |      FROM ws),
+       |d AS (SELECT least((doc_id * $b) // n.n, ${b - 1}) AS bucket,
+       |        CAST(len(grams) AS BIGINT) AS nw
+       |      FROM g, n),
+       |pb AS (SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens
+       |       FROM d GROUP BY bucket),
+       |fw AS (SELECT w, MIN(doc_id) AS fd
+       |       FROM (SELECT doc_id, unnest(grams) AS w FROM g) GROUP BY w),
+       |nt AS (SELECT least((fd * $b) // n.n, ${b - 1}) AS bucket,
+       |         CAST(COUNT(*) AS BIGINT) AS new_types
+       |       FROM fw, n GROUP BY 1),
+       |c AS (SELECT pb.bucket, pb.n_docs,
+       |        COALESCE(nt.new_types, 0) AS new_types,
+       |        CAST(SUM(COALESCE(nt.new_types, 0)) OVER
+       |          (ORDER BY pb.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS BIGINT) AS vocab_cum,
+       |        CAST(SUM(pb.tokens) OVER
+       |          (ORDER BY pb.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS BIGINT) AS tokens_cum
+       |      FROM pb LEFT JOIN nt USING (bucket))
+       |SELECT bucket, n_docs, new_types, vocab_cum, tokens_cum,
+       |  CAST(vocab_cum AS DOUBLE) / CAST(tokens_cum AS DOUBLE) AS type_token_ratio
+       |FROM c ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx22_vocab_growth" -> vocabGrowth,
     "tx21_lexical_complexity" -> lexicalComplexity,
     "tx20_encoding_quality" -> encodingQuality,
     "tx18_bpe_pairs" -> bpePairCounts,
@@ -1120,6 +1218,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx22_vocab_growth" -> vocabGrowthSql,
     "tx21_lexical_complexity" -> lexicalComplexitySql,
     "tx20_encoding_quality" -> encodingQualitySql,
     "tx18_bpe_pairs" -> bpePairCountsSql,

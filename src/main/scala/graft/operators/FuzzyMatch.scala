@@ -309,13 +309,116 @@ object FuzzyMatch {
        |FROM probes p LEFT JOIN best b USING (probe_key)
        |ORDER BY p.probe_key""".stripMargin
 
+  // ------------------------------------- fm4: transposition-typo linkage
+
+  /** Swap stride for fm4's probes: the chars at 1-based positions
+    * (i, i+1) with i ≡ 1 (mod [[SwapStride]]) are transposed — the
+    * hand-entry typo class (teh, recieve) that [[fuzzyMatchEdit]]'s plain
+    * Levenshtein over-charges 2 edits for. */
+  private val SwapStride = 6
+
+  private def swapCorrupt(c: Column): Column =
+    concat_ws("",
+      transform(sequence(lit(1), length(c)), i =>
+        when(i % SwapStride === 1 && i < length(c), c.substr(i + 1, lit(1)))
+          .when(i % SwapStride === 2, c.substr(i - 1, lit(1)))
+          .otherwise(c.substr(i, lit(1)))))
+
+  /** fm4 — fm1's rare-trigram blocking with native DAMERAU-LEVENSHTEIN
+    * verification (unrestricted Lowrance-Wagner, the variant DuckDB's
+    * `damerau_levenshtein` implements): probes are names with every
+    * [[SwapStride]]-th adjacent character pair transposed, the typo class
+    * where DL is the right metric — each swap costs 1 DL edit but 2 plain
+    * Levenshtein edits, so DL separates swap-corrupted true matches from
+    * genuinely-different names at half the distance. The output carries
+    * BOTH metrics per matched pair so the margin is itself under the
+    * oracle. Spark has no Damerau builtin → the (b)-tier custom codegen
+    * Expression [[graft.functions.DamerauLevenshtein]] (O(|a|·|b|) per
+    * candidate pair, candidates bounded by the df-capped block exactly as
+    * fm1/fm3). */
+  def fuzzyMatchDamerau(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey").as("base_key"), col("c_name").as("base_name"),
+        trigramsOf(col("c_name")).as("base_grams"))
+    val probes = t(spark, dir, "customer")
+      .filter(col("c_custkey") % ProbeMod === 0)
+      .select(col("c_custkey").as("probe_key"),
+        swapCorrupt(col("c_name")).as("probe_name"))
+      .withColumn("probe_grams", trigramsOf(col("probe_name")))
+
+    val basePost = base.select(col("base_key"), explode(col("base_grams")).as("g"))
+    val rare = basePost.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= BlockDfCap).select(col("g"))
+    val probePost = probes.select(col("probe_key"), explode(col("probe_grams")).as("g"))
+    val cands = probePost.join(rare, "g").join(basePost, "g")
+      .select(col("probe_key"), col("base_key")).distinct()
+
+    val scored = cands
+      .join(probes.select(col("probe_key"), col("probe_name")), "probe_key")
+      .join(base.select(col("base_key"), col("base_name")), "base_key")
+      .select(col("probe_key"), col("base_key"),
+        graft.functions.TextHashFunctions
+          .damerau(col("probe_name"), col("base_name")).as("dl_dist"),
+        levenshtein(col("probe_name"), col("base_name")).cast(LongType).as("lev_dist"))
+    // best match per probe: min DL distance, tie → min base key (max-struct
+    // over negated keys — no per-probe window sort)
+    val best = scored.groupBy(col("probe_key"))
+      .agg(max(struct((lit(0L) - col("dl_dist")).as("nd"),
+        (lit(0L) - col("base_key")).as("nb"),
+        col("lev_dist").as("lv"))).as("m"))
+      .select(col("probe_key"), (lit(0L) - col("m.nb")).as("matched_key"),
+        (lit(0L) - col("m.nd")).as("dl_dist"), col("m.lv").as("lev_dist"))
+    probes.select(col("probe_key"))
+      .join(best, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("matched_key"), col("dl_dist"), col("lev_dist"),
+        coalesce(col("matched_key") === col("probe_key"), lit(false)).as("correct"))
+      .orderBy(col("probe_key"))
+  }
+
+  val fuzzyMatchDamerauSql: String =
+    s"""WITH gset AS (SELECT c_custkey AS base_key, c_name AS base_name,
+       |    CASE WHEN len(c_name) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(c_name)-2), i -> substr(c_name, i, 3)))
+       |    ELSE [c_name] END AS base_grams
+       |  FROM customer),
+       |probe0 AS (SELECT c_custkey AS probe_key,
+       |    array_to_string(list_transform(generate_series(1, len(c_name)), i ->
+       |      CASE WHEN i % $SwapStride = 1 AND i < len(c_name) THEN substr(c_name, i+1, 1)
+       |           WHEN i % $SwapStride = 2 THEN substr(c_name, i-1, 1)
+       |           ELSE substr(c_name, i, 1) END), '') AS probe_name
+       |  FROM customer WHERE c_custkey % $ProbeMod = 0),
+       |probes AS (SELECT probe_key, probe_name,
+       |    CASE WHEN len(probe_name) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(probe_name)-2), i -> substr(probe_name, i, 3)))
+       |    ELSE [probe_name] END AS probe_grams
+       |  FROM probe0),
+       |bpost AS (SELECT base_key, unnest(base_grams) AS g FROM gset),
+       |rare AS (SELECT g FROM bpost GROUP BY g HAVING COUNT(*) <= $BlockDfCap),
+       |ppost AS (SELECT probe_key, unnest(probe_grams) AS g FROM probes),
+       |cands AS (SELECT DISTINCT probe_key, base_key
+       |          FROM ppost JOIN rare USING (g) JOIN bpost USING (g)),
+       |scored AS (SELECT c.probe_key, c.base_key,
+       |    CAST(damerau_levenshtein(p.probe_name, b.base_name) AS BIGINT) AS dl_dist,
+       |    CAST(levenshtein(p.probe_name, b.base_name) AS BIGINT) AS lev_dist
+       |  FROM cands c JOIN probes p USING (probe_key) JOIN gset b USING (base_key)),
+       |best AS (SELECT probe_key, base_key AS matched_key, dl_dist, lev_dist
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+       |          ORDER BY dl_dist, base_key) AS rank FROM scored) x
+       |  WHERE rank = 1)
+       |SELECT p.probe_key, b.matched_key, b.dl_dist, b.lev_dist,
+       |  COALESCE(b.matched_key = p.probe_key, false) AS correct
+       |FROM probes p LEFT JOIN best b USING (probe_key)
+       |ORDER BY p.probe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fm1_fuzzy_match" -> fuzzyMatch,
     "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhash,
-    "fm3_fuzzy_match_edit" -> fuzzyMatchEdit)
+    "fm3_fuzzy_match_edit" -> fuzzyMatchEdit,
+    "fm4_fuzzy_match_damerau" -> fuzzyMatchDamerau)
 
   val oracle: Map[String, String] = Map(
     "fm1_fuzzy_match" -> fuzzyMatchSql,
     "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhashSql,
-    "fm3_fuzzy_match_edit" -> fuzzyMatchEditSql)
+    "fm3_fuzzy_match_edit" -> fuzzyMatchEditSql,
+    "fm4_fuzzy_match_damerau" -> fuzzyMatchDamerauSql)
 }

@@ -746,7 +746,112 @@ object EventsAnalytics {
       |FROM kb JOIN merged m ON kb.i = m.i AND kb.b = m.b CROSS JOIN nd
       |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
 
+  /** ev17: MERGEABLE histogram-quantile tables — ev16's warehouse pattern
+    * (per-day sketch artifacts + monoid range-merge) applied to the
+    * quantile sketch. The persisted artifact is one fixed-width histogram
+    * per day (|bins| integer cells); a range query ("p99 of week N") is a
+    * cell-wise SUM over the requested days — NO re-scan of raw events —
+    * followed by the |bins|-row cumulative walk. Unlike CMS (ev16, whose
+    * merge preserves the ESTIMATE's error bound), a fixed-grid histogram
+    * merge is exactly lossless: merging day cells then walking equals
+    * walking the raw week. The query PROVES that property in-band — each
+    * week's p50/p90/p99 is computed BOTH ways (merged daily artifacts vs
+    * a raw re-scan of the week) and the equality ships as a column the
+    * oracle hash-checks.
+    *
+    * All arithmetic is exact: integer cells, integer cumulative ranks
+    * (ceil(q·n)), bin lower-bound estimates = bin·width (one exact double
+    * product per output cell; same floor/ceil in both engines).
+    *
+    * Scale: the daily table is |days|×|bins| rows regardless of event
+    * count — the merge input at 100 TB is thousands of rows, not 100 TB;
+    * the only event-sized pass is building the daily cells (scan-side
+    * floor + one combinable count). The audit rescan exists only to prove
+    * losslessness at fixture scale; a deployment runs the merged side. */
+  def histMergeWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val binned = t(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).cast(DateType).as("day"),
+        floor(col("value") / HistBinWidth).as("bin"))
+    // the persisted artifact: one histogram (bin → count) per day
+    val daily = binned.groupBy(col("day"), col("bin")).agg(count(lit(1)).as("c"))
+    // range query: cell-wise monoid merge of day sketches into ISO weeks
+    val weekly = daily
+      .select(date_trunc("week", col("day")).cast(DateType).as("week"),
+        col("bin"), col("c"))
+      .groupBy(col("week"), col("bin")).agg(sum(col("c")).as("c"))
+
+    def quantiles(cells: DataFrame, prefix: String): DataFrame = {
+      val cumW = Window.partitionBy(col("week")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("week"))
+      val cum = cells
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("n", sum(col("c")).over(totW))
+      def pick(p: Double): Column =
+        min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin"))) *
+          lit(HistBinWidth)
+      cum.groupBy(col("week"))
+        .agg(max(col("n")).as(s"${prefix}n"),
+          pick(0.5).as(s"${prefix}p50_lo"), pick(0.9).as(s"${prefix}p90_lo"),
+          pick(0.99).as(s"${prefix}p99_lo"))
+    }
+
+    val merged = quantiles(weekly, "")
+    // audit tier: the same quantiles off a raw re-scan of each week
+    val rescan = quantiles(
+      binned.select(date_trunc("week", col("day")).cast(DateType).as("week"),
+          col("bin"))
+        .groupBy(col("week"), col("bin")).agg(count(lit(1)).as("c")),
+      "r_")
+    merged.join(rescan, "week")
+      .select(col("week"), col("n").as("n_events"),
+        col("p50_lo"), col("p90_lo"), col("p99_lo"),
+        (col("p50_lo") === col("r_p50_lo") && col("p90_lo") === col("r_p90_lo") &&
+          col("p99_lo") === col("r_p99_lo") && col("n") === col("r_n"))
+          .as("merge_lossless"))
+      .orderBy(col("week"))
+  }
+
+  val histMergeWeeklySql: String =
+    """WITH binned AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(value / 16.0) AS BIGINT) AS bin
+      |  FROM events),
+      |daily AS (SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS c
+      |          FROM binned GROUP BY day, bin),
+      |weekly AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+      |             CAST(SUM(c) AS BIGINT) AS c
+      |           FROM daily GROUP BY 1, 2),
+      |mq AS (SELECT week, MAX(n) AS n,
+      |    MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) * 16.0 AS p50_lo,
+      |    MIN(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) * 16.0 AS p90_lo,
+      |    MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) * 16.0 AS p99_lo
+      |  FROM (SELECT week, bin, c,
+      |          SUM(c) OVER (PARTITION BY week ORDER BY bin
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |          SUM(c) OVER (PARTITION BY week) AS n
+      |        FROM weekly) x GROUP BY week),
+      |rweek AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+      |            CAST(COUNT(*) AS BIGINT) AS c
+      |          FROM binned GROUP BY 1, 2),
+      |rq AS (SELECT week, MAX(n) AS n,
+      |    MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) * 16.0 AS p50_lo,
+      |    MIN(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) * 16.0 AS p90_lo,
+      |    MIN(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) * 16.0 AS p99_lo
+      |  FROM (SELECT week, bin, c,
+      |          SUM(c) OVER (PARTITION BY week ORDER BY bin
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |          SUM(c) OVER (PARTITION BY week) AS n
+      |        FROM rweek) x GROUP BY week)
+      |SELECT mq.week, CAST(mq.n AS BIGINT) AS n_events,
+      |  mq.p50_lo, mq.p90_lo, mq.p99_lo,
+      |  (mq.p50_lo = rq.p50_lo AND mq.p90_lo = rq.p90_lo
+      |   AND mq.p99_lo = rq.p99_lo AND mq.n = rq.n) AS merge_lossless
+      |FROM mq JOIN rq USING (week)
+      |ORDER BY mq.week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev17_hist_merge" -> histMergeWeekly,
     "ev16_cms_merge" -> cmsMergeDaily,
     "ev15_hll_distinct" -> hllDistinct,
     "ev14_attribution" -> attribution,
@@ -765,6 +870,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev17_hist_merge" -> histMergeWeeklySql,
     "ev16_cms_merge" -> cmsMergeDailySql,
     "ev15_hll_distinct" -> hllDistinctSql,
     "ev14_attribution" -> attributionSql,

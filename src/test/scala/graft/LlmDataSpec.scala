@@ -1100,6 +1100,141 @@ class LlmDataSpec extends SparkSpec {
     assert(acc >= 0.8, s"minhash linkage accuracy $acc")
   }
 
+  test("fm4: damerau expression matches known vectors — unrestricted DL, " +
+      "not OSA — and is bounded by levenshtein") {
+    import graft.functions.TextHashFunctions
+    val cases = Seq(
+      ("ca", "abc", 2L),      // the OSA/DL separator: OSA=3, true DL=2
+      ("teh", "the", 1L),     // one adjacent swap = one edit
+      ("abcdef", "abdcef", 1L),
+      ("kitten", "sitting", 3L), // no transpositions → equals levenshtein
+      ("", "abc", 3L), ("abc", "", 3L), ("same", "same", 0L))
+    val df = cases.toDF("a", "b", "want")
+      .withColumn("dl", TextHashFunctions.damerau($"a", $"b"))
+      .withColumn("dl_rev", TextHashFunctions.damerau($"b", $"a"))
+      .withColumn("lev", levenshtein($"a", $"b").cast("long"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("dl") == r.getAs[Long]("want"),
+        s"DL(${r.getAs[String]("a")}, ${r.getAs[String]("b")})")
+      assert(r.getAs[Long]("dl") == r.getAs[Long]("dl_rev"), "DL must be symmetric")
+      assert(r.getAs[Long]("dl") <= r.getAs[Long]("lev"),
+        "DL can never exceed plain Levenshtein")
+    }
+  }
+
+  test("fm4: swap-typo linkage recovers sources, and DL strictly beats " +
+      "Levenshtein on the transposition class") {
+    val rows = graft.operators.FuzzyMatch.fuzzyMatchDamerau(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val correct = rows.filter(_.getAs[Boolean]("correct"))
+    assert(correct.length.toDouble / rows.length >= 0.9,
+      s"linkage accuracy ${correct.length}/${rows.length}")
+    // every probe is pure-swap corrupted, so the true pair's DL is the
+    // number of swapped pairs while Levenshtein charges each swap twice —
+    // the margin the operator exists to exploit must actually appear
+    correct.foreach { r =>
+      assert(r.getAs[Long]("dl_dist") <= r.getAs[Long]("lev_dist"))
+    }
+    assert(correct.count(r =>
+      r.getAs[Long]("dl_dist") < r.getAs[Long]("lev_dist")) >=
+      correct.length / 2, "DL < Levenshtein must hold on most true swap pairs")
+  }
+
+  test("dd23: per-doc triangle counts re-derive from a brute-force census " +
+      "and clustering is a valid wedge ratio") {
+    val edges = Dedup.minhashLsh(spark, sf())
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    // brute-force reference: count triangles per node off the edge set
+    def linked(a: Long, b: Long) =
+      edges.contains((math.min(a, b), math.max(a, b)))
+    val byNode = nodes.map { v =>
+      val nbrs = nodes.filter(u => u != v && linked(u, v)).toSeq.sorted
+      v -> nbrs.combinations(2).count { case Seq(x, y) => linked(x, y) }
+    }.toMap
+    val rows = graft.llmdata.Dedup.triangleCensus(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == nodes,
+      "census must cover exactly the graph's nodes")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val deg = r.getAs[Long]("degree")
+      val tri = r.getAs[Long]("triangles")
+      assert(tri == byNode(id), s"doc $id: $tri vs brute ${byNode(id)}")
+      assert(tri <= deg * (deg - 1) / 2, "triangles cannot exceed wedges")
+      val c = r.getAs[Double]("clustering")
+      assert(c >= 0.0 && c <= 1.0)
+      if (deg >= 2) assert(c == 2.0 * tri / (deg * (deg - 1)))
+    }
+  }
+
+  test("tx22: the growth curve's endpoints re-derive from the corpus and " +
+      "cumulative columns are consistent") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .as[(Long, Seq[String])].collect()
+    val grams = docs.flatMap { case (_, w) =>
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty }
+    val rows = graft.llmdata.TextAnalysis.vocabGrowth(spark, sf())
+      .orderBy($"bucket").collect()
+    assert(rows.length == 10)
+    val last = rows.last
+    assert(last.getAs[Long]("vocab_cum") == grams.distinct.length,
+      "final cumulative vocabulary must equal the corpus type count")
+    assert(last.getAs[Long]("tokens_cum") == grams.length)
+    assert(rows.map(_.getAs[Long]("new_types")).sum == grams.distinct.length)
+    // cumulative columns must be the running sums of the per-bucket ones
+    rows.foldLeft((0L, 0L)) { case ((v, t), r) =>
+      val v2 = v + r.getAs[Long]("new_types")
+      assert(r.getAs[Long]("vocab_cum") == v2)
+      val t2 = r.getAs[Long]("tokens_cum")
+      assert(t2 >= t)
+      (v2, t2)
+    }
+    // the curve must actually DECAY on this corpus (the reason the type
+    // unit is the trigram): later slices mint fewer types than the head
+    assert(rows.last.getAs[Long]("new_types") <
+      rows.head.getAs[Long]("new_types"))
+  }
+
+  test("cur10: per-doc NLL re-derives from corpus type frequencies and the " +
+      "keep rule is the integer threshold") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .as[(Long, Seq[String])].collect()
+    val all = docs.flatMap(_._2)
+    val tot = all.length.toDouble
+    val surprisal = all.groupBy(identity).map { case (w, os) =>
+      w -> math.round(-math.log(os.length / tot) * 1e6) }
+    val rows = graft.llmdata.Curation.unigramLmFilter(spark, sf()).collect()
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = byId(id)
+      val nll = ws.map(surprisal).sum
+      assert(r.getAs[Long]("n_tokens") == ws.length)
+      assert(r.getAs[Long]("nll_micro") == nll,
+        s"doc $id NLL ${r.getAs[Long]("nll_micro")} vs $nll")
+      assert(r.getAs[Boolean]("keep") == (nll <= 3410000L * ws.length))
+    }
+  }
+
+  test("ev17: merged weekly histograms are lossless and quantiles are ordered") {
+    val rows = graft.relational.EventsAnalytics.histMergeWeekly(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val nEvents = spark.read.parquet(s"${sf()}/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents,
+      "weekly histogram masses must partition the event count")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_lossless"),
+        s"week ${r.get(0)}: merged-artifact quantiles diverged from raw rescan")
+      val (p50, p90, p99) = (r.getAs[Double]("p50_lo"),
+        r.getAs[Double]("p90_lo"), r.getAs[Double]("p99_lo"))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

@@ -101,7 +101,17 @@ class PartitionInvarianceSpec extends SparkSpec {
       "dd22_canonical_rep" -> Dedup.canonicalReps _,
       "tx21_lexical_complexity" -> TextAnalysis.lexicalComplexity _,
       "q38_above_avg_supplier" -> Relational.q38AboveAvgSupplier _,
-      "ss11_ann_filtered" -> graft.llmdata.Similarity.annIvfFiltered _)
+      "ss11_ann_filtered" -> graft.llmdata.Similarity.annIvfFiltered _,
+      // round-11 additions: cur10's vocab surprisal table is a token-keyed
+      // count reduction feeding exact BIGINT sums, tx22's type→min(doc_id)
+      // first-appearance is the classic partial-agg-order trap, dd23's
+      // wedge join reads the order-free edge set, fm4's df-capped blocking
+      // + min-struct pick, ev17's day-cell counts feed the merged walk
+      "cur10_unigram_lm_filter" -> graft.llmdata.Curation.unigramLmFilter _,
+      "tx22_vocab_growth" -> TextAnalysis.vocabGrowth _,
+      "dd23_triangle_census" -> Dedup.triangleCensus _,
+      "fm4_fuzzy_match_damerau" -> graft.operators.FuzzyMatch.fuzzyMatchDamerau _,
+      "ev17_hist_merge" -> EventsAnalytics.histMergeWeekly _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

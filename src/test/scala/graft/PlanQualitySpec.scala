@@ -424,4 +424,59 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
     assert(p.contains("HashAggregate"), "register max + rollup must hash-aggregate")
   }
+
+  test("fm4: damerau verify is codegen'd over blocked candidates; " +
+      "top-1 is an aggregate, not a window") {
+    val df = graft.operators.FuzzyMatch.fuzzyMatchDamerau(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the rare-trigram posting join")
+    assert(p.contains("damerau"), "native DL expression expected in verify")
+    assert(!p.contains("Window"),
+      "per-probe best match must be the max-struct aggregate")
+    // pre-execution AQE plans don't render codegen spans — check with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cg = graft.operators.FuzzyMatch.fuzzyMatchDamerau(spark, sf())
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      assert(!cg.contains("Found 0 WholeStageCodegen"), cg.take(200))
+      assert(cg.contains("damerauLevenshtein"),
+        "the DL kernel must appear in generated code, not interpreted eval")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dd23: triangle close is an equi-semi-join; no products, no windows") {
+    val p = plan(Dedup.triangleCensus(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the wedge join and the closing semi-join must both be key-equality")
+    assert(!p.contains("Window"))
+    assert(p.linesIterator.exists(l => l.contains("LeftSemi")),
+      "triangle closure must be a semi-join against the edge set")
+  }
+
+  test("cur10: the vocab surprisal table broadcasts into the token stream") {
+    val p = plan(graft.llmdata.Curation.unigramLmFilter(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      "the (Heaps-small) vocab must broadcast; corpus tokens never build a hash side")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("tx22: first-appearance is a combinable aggregate; the only window " +
+      "is the 10-row cumulative walk") {
+    val p = plan(graft.llmdata.TextAnalysis.vocabGrowth(spark, sf()))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastExchange"))
+    // min(doc_id) per type must be a hash aggregate (map-side combinable),
+    // not any form of per-type sort
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("ev17: the merged tier aggregates day cells — no event re-scan joins") {
+    val p = plan(graft.relational.EventsAnalytics.histMergeWeekly(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly two events scans by design: the artifact build + the audit
+    // rescan (fixture-scale proof); the merged path itself re-reads cells
+    val scans = p.linesIterator.filter(_.contains("Scan parquet"))
+      .count(_.contains("events"))
+    assert(scans <= 2, s"merged quantiles must not re-scan events: $scans scans")
+  }
 }
