@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("decoded_phash64", classOf[DecodedPhash],
       args => DecodedPhash(args(0), intArg(args(1), "decoded_phash64")))
     reg("stub_reencode", classOf[StubReencodeExpr], args => StubReencodeExpr(args(0)))
+    reg("damerau", classOf[DamerauLevenshtein],
+      args => DamerauLevenshtein(args(0), args(1)))
   }
 }

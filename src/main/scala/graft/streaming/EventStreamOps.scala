@@ -78,6 +78,35 @@ object EventStreamOps {
         col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** Native session-window aggregation — Spark's built-in MERGING window
+    * (`session_window(ts, gap)`) as the declarative twin of [[sessionize]]'s
+    * hand-rolled flatMapGroupsWithState. The two implement the same gap
+    * semantics with different machinery and different trade-offs, and the
+    * engine ships both deliberately: session_window keeps the query in the
+    * aggregation operator family (partial merge, RocksDB provider support,
+    * no user state class, `numRowsTotal` observability) and is what you
+    * reach for when the per-session result is an AGGREGATE; the custom
+    * state path is for logic a merge can't express (e.g. emitting
+    * per-event session ordinals). Window bounds: a session's `end` is
+    * last-event + gap (the merge invariant), where [[sessionize]] reports
+    * last-event itself — the parity spec pins the exact mapping.
+    *
+    * Scale: one shuffle on the grouping key; state = one merged window
+    * per open (user, session), evicted when the watermark passes
+    * session end — the same O(active sessions) bound as the custom path. */
+  def sessionWindowCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -45,7 +45,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |       simhash64(array('a','b')) AS s64,
         |       minhash_sig(array('a','b'), 4) AS mh,
         |       hamming('0011', '0101') AS h,
-        |       jaccard(array('a','b'), array('b','c')) AS j""".stripMargin)
+        |       jaccard(array('a','b'), array('b','c')) AS j,
+        |       damerau('ca', 'abc') AS dl""".stripMargin)
       .collect().head
     assert(r.getString(0).matches("[01]{32}"))
     assert(r.getString(1).matches("[01]{64}"))
@@ -54,6 +55,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](2).length == 4)
     assert(r.getLong(3) == 2L)
     assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-12)
+    // unrestricted DL: transpose then insert = 2 (OSA would say 3)
+    assert(r.getLong(5) == 2L)
     val code = spark.sql(
       "SELECT lsh_code(array_repeat(1.0D, 64)) AS c").collect().head.getString(0)
     assert(code.matches("[01]{8}"))

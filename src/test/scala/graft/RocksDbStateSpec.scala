@@ -128,4 +128,42 @@ class RocksDbStateSpec extends SparkSpec {
       ReplayBus.clear(topic)
     }
   }
+
+  test("native session_window sessions are identical under RocksDB") {
+    // the MERGING window state (one row per open session, merged as
+    // events extend it) is the state shape most sensitive to a provider
+    // swap — pin append-mode output equality across providers
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreamOps.Event
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, t: String, user: Long = 1L): Event =
+      Event(id, Timestamp.valueOf(t), user, "click", 1.0)
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+      ev(4, "2024-01-01 10:30:00", user = 2L),
+      ev(3, "2024-01-01 12:00:00"),
+      ev(99, "2024-01-02 00:00:00", user = 99L))
+    val hdfsDefault =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    def run(provider: String): Set[(Long, Long, Long, Long)] = withProvider(provider) {
+      val name = s"rocks_sw_${provider.hashCode.abs}"
+      val stream = MemoryStream[Event]
+      val q = EventStreamOps.sessionWindowCounts(
+          stream.toDF(), "10 minutes", "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      try {
+        data.foreach { e => stream.addData(e); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).filter($"user_id" =!= 99L)
+        .select($"user_id", unix_millis($"session_start"),
+          unix_millis($"session_end"), $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val rocks = run(RocksDb)
+    val hdfs = run(hdfsDefault)
+    assert(rocks == hdfs, "session windows must not depend on the provider")
+    assert(rocks.size == 3)
+  }
 }

@@ -616,6 +616,71 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: native merging sessions match the custom state path " +
+      "and the batch form — with the documented end-bound mapping") {
+    implicit val ctx = spark.sqlContext
+    val gapMs = 10 * 60 * 1000L
+    // two users, a burst + a gap-separated singleton, plus a far-future
+    // flush event (user 99) that advances the watermark past every real
+    // session so append mode emits them all
+    // event-time order (watermark delay is 0, so any out-of-order event
+    // would be dropped as late — that behavior has its own test)
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+      ev(4, "2024-01-01 10:30:00", user = 2L),
+      ev(3, "2024-01-01 12:00:00"),
+      ev(99, "2024-01-02 00:00:00", user = 99L))
+
+    def run(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val stream = MemoryStream[Event]
+      val q = mk(stream.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        data.init.foreach { e => stream.addData(e); q.processAllAvailable() }
+        stream.addData(data.last); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+    }
+
+    val native = run("sw_native",
+      df => EventStreamOps.sessionWindowCounts(df, "10 minutes", "0 seconds"))
+      .filter($"user_id" =!= 99L)
+      .select($"user_id", unix_millis($"session_start"),
+        unix_millis($"session_end"), $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // batch form: identical session_window call over the same rows
+    val batch = EventStreamOps.sessionWindowCounts(
+        data.toDF(), "10 minutes", "0 seconds")
+      .filter($"user_id" =!= 99L)
+      .select($"user_id", unix_millis($"session_start"),
+        unix_millis($"session_end"), $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(native == batch, "streaming append must equal the batch sessions")
+    assert(native.size == 3)
+
+    // custom-state twin: same sessions; its end bound is LAST EVENT, the
+    // native end is last-event + gap — the exact documented mapping
+    val stream = MemoryStream[Event]
+    val q = EventStreamOps.sessionize(stream.toDS(), gapMs = gapMs,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sw_custom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      data.init.foreach { e => stream.addData(e); q.processAllAvailable() }
+      stream.addData(data.last); q.processAllAvailable()
+    } finally q.stop()
+    val custom = spark.table("sw_custom")
+      .filter($"user_id" =!= 99L)
+      .select($"user_id", $"session_start_ms",
+        ($"session_end_ms" + gapMs), $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(custom == native,
+      "custom-state sessions (end = last event) must map onto native " +
+        "session windows (end = last event + gap)")
+  }
+
   test("sessionize: gap splits sessions; in-batch ordering is by (ts, id)") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[Event]
