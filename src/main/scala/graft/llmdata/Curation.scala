@@ -901,7 +901,107 @@ object Curation {
        |  nll_micro <= $LmThresholdMicroNats * n_tokens AS keep
        |FROM pd ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- cur11
+
+  /** Hashed-feature bucket count for [[dsirWeights]] (DSIR's 10k-bucket
+    * hashed n-gram space, scaled to the fixture vocabulary). */
+  private val DsirBuckets = 1024L
+
+  /** cur11: DSIR importance weights — "Data Selection for Language Models
+    * via Importance Resampling" (Xie et al. 2023). Where cur10 scores
+    * docs against the corpus's OWN distribution, DSIR scores them against
+    * a TARGET domain: hash every word bigram into [[DsirBuckets]]
+    * buckets, fit two smoothed multinomials — the target sample (here
+    * the `lang='en'` slice, the "looks like quality English" proxy) and
+    * the raw corpus — and weight each doc by its log likelihood RATIO
+    * Σ ln p̂_target(f)/p̂_raw(f) over its feature instances. Docs with
+    * positive log-ratio read as more target-like than corpus-average and
+    * are admitted; resampling ∝ weight is the paper's sampling step, the
+    * deterministic admission here is its selection-tier rendering.
+    *
+    * Exactness (cur10's discipline, applied to a ratio): each BUCKET's
+    * add-one-smoothed log-ratio ln((c_t+1)/(T_t+B)) − ln((c_r+1)/(T_r+B))
+    * is quantized ONCE to integer micro-nats at the 1024-row bucket
+    * table; a doc's log-weight is then an exact BIGINT sum of bucket
+    * values — aggregation-order-free — and the admit decision is an
+    * integer sign test. One final division renders nats/feature.
+    *
+    * Scale: the bucket table is B rows regardless of corpus size and
+    * BROADCASTS into the feature stream; the corpus crosses exactly one
+    * exchange (the doc-key rollup). Refreshing the target re-fits a
+    * B-row table — the corpus is never re-shuffled. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val feats = docs
+      .withColumn("_w", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("_w")) - 1),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at(col("_w"), i), element_at(col("_w"), i + 1))), 1, 15), 16, 10)
+            .cast(LongType) % DsirBuckets)).as("b"))
+    val rawCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val tgtCnt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val totals = feats.agg(count(lit(1)).as("t_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_t"))
+    // B-row bucket table: every observed bucket, both smoothed masses,
+    // ONE quantization of the log-ratio to micro-nats
+    val buckets = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("c_t") + 1).cast(DoubleType) /
+          (col("t_t") + DsirBuckets).cast(DoubleType)) -
+          log((col("c_r") + 1).cast(DoubleType) /
+            (col("t_r") + DsirBuckets).cast(DoubleType))) * lit(1000000.0))
+          .cast(LongType).as("lr_micro"))
+    val perDoc = feats.join(broadcast(buckets), "b")
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("logw_micro"))
+    perDoc
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_feats"), col("logw_micro"),
+        (col("logw_micro").cast(DoubleType) /
+          (lit(1000000.0) * col("n_feats").cast(DoubleType))).as("nats_per_feat"),
+        (col("logw_micro") > 0L).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH d AS (SELECT doc_id, source, lang, string_split(text, ' ') AS w
+       |           FROM documents),
+       |i0 AS (SELECT doc_id, source, lang, w,
+       |         unnest(generate_series(1, len(w) - 1)) AS i
+       |       FROM d WHERE len(w) >= 2),
+       |feats AS (SELECT doc_id, source, lang,
+       |    CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT)
+       |      % $DsirBuckets AS b
+       |  FROM i0),
+       |raw_cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM feats GROUP BY b),
+       |tgt_cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM feats
+       |            WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_r,
+       |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_t
+       |        FROM feats),
+       |buckets AS (SELECT r.b,
+       |    CAST(round((ln(CAST(coalesce(t.c_t, 0) + 1 AS DOUBLE) /
+       |                   CAST(tot.t_t + $DsirBuckets AS DOUBLE)) -
+       |                ln(CAST(r.c_r + 1 AS DOUBLE) /
+       |                   CAST(tot.t_r + $DsirBuckets AS DOUBLE))) * 1000000.0)
+       |      AS BIGINT) AS lr_micro
+       |  FROM raw_cnt r LEFT JOIN tgt_cnt t ON r.b = t.b CROSS JOIN tot),
+       |pd AS (SELECT doc_id, source, lang, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |         CAST(SUM(lr_micro) AS BIGINT) AS logw_micro
+       |       FROM feats JOIN buckets USING (b)
+       |       GROUP BY doc_id, source, lang)
+       |SELECT doc_id, source, lang, n_feats, logw_micro,
+       |  CAST(logw_micro AS DOUBLE) /
+       |    (1000000.0 * CAST(n_feats AS DOUBLE)) AS nats_per_feat,
+       |  logw_micro > 0 AS admit
+       |FROM pd ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur11_dsir_weights" -> dsirWeights,
     "cur10_unigram_lm_filter" -> unigramLmFilter,
     "cur9_token_budget" -> tokenBudget,
     "cur8_shard_plan" -> shardPlan,
@@ -915,6 +1015,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur11_dsir_weights" -> dsirWeightsSql,
     "cur10_unigram_lm_filter" -> unigramLmFilterSql,
     "cur9_token_budget" -> tokenBudgetSql,
     "cur8_shard_plan" -> shardPlanSql,

@@ -87,6 +87,7 @@ object Dedup {
     sigCache.clear(spark)
     pairsCache.clear(spark)
     ivfPairsCache.clear(spark)
+    winnowCache.clear(spark)
     Similarity.clearExemplars(spark)
     Multimodal.clearSignatures(spark)
   }
@@ -1540,7 +1541,122 @@ object Dedup {
        |FROM deg LEFT JOIN tc USING (doc_id)
        |ORDER BY deg.doc_id""".stripMargin
 
+  // ------------------------------- winnowing fingerprints (dd24)
+
+  /** Gram width (words) for winnowing fingerprints. */
+  private val WinnowK = 4
+
+  /** Winnowing window (grams): each window of [[WinnowW]] consecutive
+    * gram hashes contributes its minimum as a fingerprint. */
+  private val WinnowW = 4
+
+  /** Fingerprint-set Jaccard threshold for a confirmed winnowing pair. */
+  private val WinnowJaccardThreshold = 0.5
+
+  /** dd24: WINNOWING fingerprint near-dup (Schleimer, Wilkerson, Aiken
+    * 2003 — the MOSS local fingerprinting algorithm). Each document's
+    * [[WinnowK]]-word gram hashes pass a sliding window of [[WinnowW]];
+    * every window's MINIMUM hash is selected, and the distinct selected
+    * values are the document's fingerprints. The winnowing guarantee:
+    * any shared word run of ≥ k+w−1 words yields at least one SHARED
+    * fingerprint, at an expected density of 2/(w+1) of the gram count —
+    * a principled, locality-preserving sample where dd3's MinHash is a
+    * whole-document sketch (winnowing localizes: partial overlaps keep
+    * matching). Docs sharing a fingerprint are candidates; exact
+    * fingerprint-set Jaccard verifies.
+    *
+    * Scale shape: gram hashing, the rolling window minimum, and the
+    * distinct-fingerprint set are ALL scan-side higher-order functions —
+    * zero shuffle until the (already ~2/(w+1)-compressed) fingerprints
+    * explode into capped posting lists (dd6's `ShingleDfCap` machinery:
+    * pairs bounded at C(cap,2) per fingerprint, no self-join); the
+    * verify walks two sorted fingerprint arrays, each a fraction of the
+    * gram array dd6's verify carries. Short docs (< k+w−1 words) take
+    * one degenerate window over whatever grams exist; docs under k words
+    * have no grams and exit the tier (dd1/dd3 cover them). Float parity:
+    * the reported jaccard is one division of two exact BIGINTs. */
+  /** Per-(session, dir) winnowing fingerprint table — the signature table
+    * IS the index (dd3's sigCache contract): one scan signs the corpus,
+    * and the query's three consumers (posting build + both verify sides)
+    * read the cached rows instead of re-hashing every gram per consumer. */
+  private val winnowCache = SessionCache.persisted()
+
+  /** (doc_id, fps) via the native [[graft.functions.WinnowFingerprints]]
+    * expression — sorted distinct window minima, one codegen'd JVM pass.
+    * The composable HOF twin [[winnowFpsComposable]] is the A/B parity
+    * baseline (bit-identity spec-asserted); interpreted, it cost ~20 ms
+    * PER DOCUMENT (a lambda frame per window element + a fresh slice
+    * array per window), which made dd24 the battery's 10 s outlier. */
+  private def winnowFpTable(spark: SparkSession, dir: String): DataFrame =
+    winnowCache.get(spark, s"$dir#winnow")(
+      t(spark, dir, "documents").withColumn("_w", words)
+        .filter(size(col("_w")) >= WinnowK)
+        .select(col("doc_id"),
+          graft.functions.TextHashFunctions.winnowFps(col("_w"), WinnowK, WinnowW)
+            .as("fps"))
+        .persist())
+
+  /** The composable-column reference form of the fingerprint derivation —
+    * gram hashes via md5 slices, window minima via transform/slice/
+    * array_min — kept as the readable spec of the native expression's
+    * semantics and its parity baseline. */
+  private[graft] def winnowFpsComposable(wordsCol: Column): Column = {
+    val h = transform(
+      sequence(lit(1), size(wordsCol) - (WinnowK - 1)),
+      i => conv(substring(md5(concat_ws(" ", slice(wordsCol, i, lit(WinnowK)))), 1, 15), 16, 10)
+        .cast(LongType))
+    sort_array(array_distinct(transform(
+      sequence(lit(1), greatest(size(h) - (WinnowW - 1), lit(1))),
+      j => array_min(slice(h, j, lit(WinnowW))))))
+  }
+
+  def winnowingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFpTable(spark, dir)
+    val postings = fp.select(col("doc_id"), explode(col("fps")).as("f"))
+      .groupBy(col("f"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, ShingleDfCap).as("docs"))
+    val cands = cappedBucketPairs(postings)
+    val fa = fp.select(col("doc_id").as("doc_a"),
+      col("fps").as("fa"), size(col("fps")).cast(LongType).as("n_fp_a"))
+    val fb = fp.select(col("doc_id").as("doc_b"),
+      col("fps").as("fb"), size(col("fps")).cast(LongType).as("n_fp_b"))
+    cands.join(fa, "doc_a").join(fb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_fp_a"), col("n_fp_b"),
+        graft.functions.TextHashFunctions.jaccardSorted(col("fa"), col("fb"))
+          .as("fp_jaccard"))
+      .filter(col("fp_jaccard") >= WinnowJaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowingNearDupSql: String = {
+    val e = WinnowK - 1
+    val we = WinnowW - 1
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, len(w) - $e),
+       |        i -> CAST('0x' || substr(md5(array_to_string(w[i:i+$e], ' ')), 1, 15) AS BIGINT)) AS h
+       |      FROM w WHERE len(w) >= $WinnowK),
+       |fp AS (SELECT doc_id, list_distinct(list_transform(
+       |         generate_series(1, greatest(len(h) - $we, 1)),
+       |         j -> list_aggregate(h[j:j+$we], 'min'))) AS fps FROM g),
+       |inv_all AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+       |inv AS (SELECT doc_id, f FROM inv_all
+       |        QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) <= $ShingleDfCap),
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM inv x JOIN inv y ON x.f = y.f AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(a.fps) AS BIGINT) AS n_fp_a,
+       |  CAST(len(b.fps) AS BIGINT) AS n_fp_b,
+       |  CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+       |  CAST(len(list_distinct(a.fps || b.fps)) AS DOUBLE) AS fp_jaccard
+       |FROM cands JOIN fp a ON cands.doc_a = a.doc_id
+       |           JOIN fp b ON cands.doc_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.fps || b.fps)) AS DOUBLE) >= $WinnowJaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd24_winnowing" -> winnowingNearDup,
     "dd23_triangle_census" -> triangleCensus,
     "dd22_canonical_rep" -> canonicalReps,
     "dd21_pagerank" -> pagerank,
@@ -1566,6 +1682,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd24_winnowing" -> winnowingNearDupSql,
     "dd23_triangle_census" -> triangleCensusSql,
     "dd22_canonical_rep" -> canonicalRepsSql,
     "dd21_pagerank" -> pagerankSql,

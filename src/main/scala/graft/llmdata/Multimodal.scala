@@ -677,7 +677,87 @@ object Multimodal {
        |      CAST(len(list_distinct(a.chunks || b.chunks)) AS DOUBLE) >= $ChunkJaccardMin
        |ORDER BY media_a, media_b""".stripMargin
 
+  // ------------------------------------------------------------ mm8
+
+  /** Entropy flag threshold (micro-nats/byte): above this a payload reads
+    * as compressed/encrypted-like (uniform bytes → ln 256 ≈ 5.545 nats;
+    * plain text sits near 2.5–3.2). */
+  private val HighEntropyMicroNats = 4500000L
+
+  /** mm8: payload byte-entropy profile — the "is this blob already
+    * compressed/encrypted?" triage signal. Magic-byte sniffing (mm1's
+    * header census) identifies CONTAINERS; a raw/container-less stream
+    * (embedded JPEG scan data, encrypted chunks, random padding) is only
+    * visible through its byte DISTRIBUTION: Shannon entropy of the byte
+    * histogram approaches ln 256 for compressed/encrypted payloads and
+    * sits far lower for text, sparse binaries, and bitmaps. A training
+    * pipeline uses this to skip re-compression, flag undecodable media
+    * before the codec pays for the failure, and catch corrupted/
+    * truncated-to-garbage payloads.
+    *
+    * Exactness (cur10's discipline on an inherently-float measure): each
+    * histogram CELL's entropy term c·ln(n/c)/n is quantized ONCE to
+    * integer micro-nats off exact (c, n) BIGINTs; the per-payload entropy
+    * is then a ≤ 256-term BIGINT sum (order-free), the flag an integer
+    * compare, and the reported nats one final division.
+    *
+    * Scale shape: ONE hex pass per payload at the scan, then the
+    * (media, byte)-keyed count — map-side combine collapses each payload
+    * to ≤ 256 cells before the exchange, so the shuffle carries histogram
+    * cells, not payload bytes (mm7's chunk-hash contract: derived
+    * features cross, bodies never do). Rollup joins are per-media. */
+  def byteEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+      .select(col("media_id"), col("kind"),
+        octet_length(col("content")).cast(LongType).as("n_bytes"),
+        lower(hex(col("content"))).as("hx"))
+      .filter(col("n_bytes") > 0)
+    val cells = m
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        explode(transform(sequence(lit(1), col("n_bytes").cast(IntegerType)),
+          i => substring(col("hx"), i * 2 - 1, lit(2)))).as("bh"))
+      .groupBy(col("media_id"), col("kind"), col("n_bytes"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+    val terms = cells.select(col("media_id"), col("kind"), col("n_bytes"),
+      round(lit(1000000.0) * col("c").cast(DoubleType) *
+        log(col("n_bytes").cast(DoubleType) / col("c").cast(DoubleType)) /
+        col("n_bytes").cast(DoubleType)).cast(LongType).as("term_micro"))
+    terms.groupBy(col("media_id"), col("kind"), col("n_bytes"))
+      .agg(count(lit(1)).as("n_distinct_bytes"),
+        sum(col("term_micro")).as("entropy_micro"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("n_distinct_bytes"), col("entropy_micro"),
+        (col("entropy_micro").cast(DoubleType) / lit(1000000.0)).as("entropy_nats"),
+        (col("entropy_micro") > HighEntropyMicroNats).as("high_entropy"))
+      .orderBy(col("media_id"))
+  }
+
+  val byteEntropySql: String =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    lower(hex(encode(text))) AS hx
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |pos AS (SELECT media_id, kind, n_bytes, hx,
+       |    unnest(generate_series(1, CAST(n_bytes AS INT))) AS i FROM m),
+       |cells AS (SELECT media_id, kind, n_bytes, substr(hx, i*2-1, 2) AS bh,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pos GROUP BY media_id, kind, n_bytes, bh),
+       |terms AS (SELECT media_id, kind, n_bytes,
+       |    CAST(round(1000000.0 * CAST(c AS DOUBLE) *
+       |      ln(CAST(n_bytes AS DOUBLE) / CAST(c AS DOUBLE)) /
+       |      CAST(n_bytes AS DOUBLE)) AS BIGINT) AS term_micro
+       |  FROM cells)
+       |SELECT media_id, kind, n_bytes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       |  CAST(SUM(term_micro) AS BIGINT) AS entropy_micro,
+       |  CAST(SUM(term_micro) AS DOUBLE) / 1000000.0 AS entropy_nats,
+       |  CAST(SUM(term_micro) AS BIGINT) > $HighEntropyMicroNats AS high_entropy
+       |FROM terms GROUP BY media_id, kind, n_bytes
+       |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_byte_entropy" -> byteEntropy,
     "mm7_chunk_dedup" -> chunkDedup,
     "mm1_binary_meta" -> binaryMeta,
     "mm2_feature_extract" -> featureExtract,
@@ -687,6 +767,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm8_byte_entropy" -> byteEntropySql,
     "mm7_chunk_dedup" -> chunkDedupSql,
     "mm1_binary_meta" -> binaryMetaSql,
     "mm2_feature_extract" -> featureExtractSql,

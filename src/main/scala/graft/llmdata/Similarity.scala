@@ -1082,7 +1082,66 @@ object Similarity {
        |WHERE rank <= $AnnTopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ss12: ANN recall@k audit — the measurement layer every ANN
+    * deployment runs before trusting an index (FAISS's `eval` loop as an
+    * operator): per query, how many of the EXACT top-k (ss1 truncated to
+    * the ANN k) each approximate index actually returned. Recall is THE
+    * index-tuning signal — nprobe/band/cap knobs move it, and a recall
+    * regression after a corpus refresh is how index staleness surfaces.
+    * Output: per (index, query) k / hits / recall@k for the LSH (ss2)
+    * and IVF (ss3) tiers, so per-query tail behavior (the queries an
+    * index FAILS on) is visible, not just the mean — the mean is one
+    * aggregate away and the spec asserts it.
+    *
+    * Exactness: hits are integer set intersections of result lists;
+    * recall is one division of exact BIGINTs.
+    *
+    * Scale: joins RESULT LISTS only (≤ k rows per query per index —
+    * ss9's contract); the corpus is touched exactly by the underlying
+    * index queries themselves. The exact tier is the audit's cost at
+    * 100 TB — run it over a sampled query set (the standard practice:
+    * ground truth for 10k queries, not the corpus). */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(spark, dir).filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"))
+    def audit(ann: DataFrame, name: String): DataFrame =
+      exact.join(
+        ann.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(name).as("index_name"), col("query_id"), col("k"),
+          col("hits"),
+          (col("hits").cast(DoubleType) / col("k").cast(DoubleType)).as("recall"))
+    audit(annLsh(spark, dir), "lsh")
+      .unionByName(audit(annIvf(spark, dir), "ivf"))
+      .orderBy(col("index_name"), col("query_id"))
+  }
+
+  val annRecallAuditSql: String =
+    s"""WITH e AS (SELECT query_id, neighbor_id FROM ($knnBruteForceSql) x
+       |           WHERE rank <= $AnnTopK),
+       |l AS (SELECT query_id, neighbor_id FROM ($annLshSql) x),
+       |i AS (SELECT query_id, neighbor_id FROM ($annIvfSql) x),
+       |rl AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM e LEFT JOIN l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY e.query_id),
+       |ri AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM e LEFT JOIN i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT index_name, query_id, k, hits,
+       |  CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+       |FROM (
+       |  SELECT 'lsh' AS index_name, * FROM rl
+       |  UNION ALL
+       |  SELECT 'ivf' AS index_name, * FROM ri) u
+       |ORDER BY index_name, query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss12_recall_audit" -> annRecallAudit,
     "ss6_ann_pq" -> annPq,
     "ss7_ann_ivfpq" -> annIvfPq,
     "ss8_ann_sq8" -> annSq,
@@ -1096,6 +1155,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss12_recall_audit" -> annRecallAuditSql,
     "ss6_ann_pq" -> annPqSql,
     "ss7_ann_ivfpq" -> annIvfPqSql,
     "ss8_ann_sq8" -> annSqSql,

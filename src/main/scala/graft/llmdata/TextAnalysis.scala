@@ -1193,7 +1193,75 @@ object TextAnalysis {
        |FROM c ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------- tx23: Zipf head-concentration profile
+
+  /** Head size (types) for [[zipfProfile]]'s concentration measure. */
+  private val ZipfHeadK = 10
+
+  /** tx23: Zipf head-concentration profile — the rank-frequency
+    * complement of tx22's type-minting curve: per source, how much of
+    * the token mass the frequency HEAD carries. A crawl slice whose
+    * top-[[ZipfHeadK]] types cover an outsized token share is
+    * boilerplate/templated (the Zipf exponent steepened); one whose
+    * hapax share balloons is OCR soup or ID-like noise minting one-off
+    * types. Both tails of the same diagnostic; per source so mixture
+    * design sees WHICH feed drifted.
+    *
+    * Per source: exact token/type/hapax counts, the top-K types' token
+    * mass (rank by count desc with lexicographic tiebreak — fully
+    * deterministic), and two ratios (each ONE division of exact
+    * BIGINTs): head_share = top-K mass / tokens, hapax_share =
+    * hapax types / types.
+    *
+    * Scale shape: one (source, word)-keyed combinable count — the tx6-df
+    * exchange class; every rollup after it runs over TYPE rows (≪
+    * tokens, Heaps-bounded), and the top-K rank windows over per-source
+    * type counts exactly like ev11's trending rank (group = |types|).
+    * Corpus text never crosses an exchange. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val types = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val perSrc = types.groupBy(col("source")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_types"))
+    val rankW = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("w"))
+    val head = types.withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= ZipfHeadK)
+      .groupBy(col("source")).agg(sum(col("cnt")).as("head_tokens"))
+    perSrc.join(head, "source")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("hapax_types"), col("head_tokens"),
+        (col("head_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("head_share"),
+        (col("hapax_types").cast(DoubleType) / col("n_types").cast(DoubleType))
+          .as("hapax_share"))
+      .orderBy(col("source"))
+  }
+
+  val zipfProfileSql: String =
+    s"""WITH types AS (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY source, w),
+       |per_src AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types
+       |  FROM types GROUP BY source),
+       |head AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS head_tokens FROM (
+       |    SELECT source, cnt, row_number() OVER
+       |      (PARTITION BY source ORDER BY cnt DESC, w) AS rk FROM types)
+       |  WHERE rk <= $ZipfHeadK GROUP BY source)
+       |SELECT source, n_tokens, n_types, hapax_types, head_tokens,
+       |  CAST(head_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS head_share,
+       |  CAST(hapax_types AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share
+       |FROM per_src JOIN head USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx23_zipf_profile" -> zipfProfile,
     "tx22_vocab_growth" -> vocabGrowth,
     "tx21_lexical_complexity" -> lexicalComplexity,
     "tx20_encoding_quality" -> encodingQuality,
@@ -1218,6 +1286,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx23_zipf_profile" -> zipfProfileSql,
     "tx22_vocab_growth" -> vocabGrowthSql,
     "tx21_lexical_complexity" -> lexicalComplexitySql,
     "tx20_encoding_quality" -> encodingQualitySql,

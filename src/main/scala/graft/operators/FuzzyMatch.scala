@@ -410,13 +410,120 @@ object FuzzyMatch {
        |FROM probes p LEFT JOIN best b USING (probe_key)
        |ORDER BY p.probe_key""".stripMargin
 
+  // ----------------------------------- fm5: token-sort-normalized linkage
+
+  /** fm5 — word-order-robust linkage (the fuzzywuzzy `token_sort_ratio`
+    * shape): real-world descriptors arrive with fields permuted
+    * ("SMITH, JOHN" vs "John Smith"; "bolt red small" vs "small red
+    * bolt"), a corruption class where raw edit distance explodes while
+    * the CONTENT is identical. The fix is canonicalization, not a
+    * cleverer metric: sort each descriptor's tokens before comparing, so
+    * any pure reorder collapses to distance 0. Probes are part
+    * descriptors (name ∥ brand ∥ type) with their word order REVERSED;
+    * the output carries the token-sort distance AND the raw-form
+    * distance per matched pair, so the margin the normalization buys is
+    * itself under the oracle — as is linkage accuracy (`correct`; note
+    * duplicate descriptors across partkeys make some probes land on the
+    * min-key twin, a determinism the tiebreak pins, not noise).
+    *
+    * Blocking runs on the NORMALIZED form's rare trigrams (df ≤ cap, the
+    * fm1 rule) — blocking on the raw form would miss every reorder whose
+    * boundary trigrams changed. Verify cost bounded by the df-capped
+    * blocks; never probe×base. */
+  def fuzzyMatchTokenSort(spark: SparkSession, dir: String): DataFrame = {
+    def normed(c: Column): Column =
+      concat_ws(" ", sort_array(split(c, " ")))
+    val base = t(spark, dir, "part")
+      .select(col("p_partkey").as("base_key"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("base_desc"))
+      .withColumn("base_norm", normed(col("base_desc")))
+      .withColumn("base_grams", trigramsOf(col("base_norm")))
+    val probes = t(spark, dir, "part")
+      .filter(col("p_partkey") % ProbeMod === 0)
+      .select(col("p_partkey").as("probe_key"),
+        concat_ws(" ", reverse(split(
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")), " ")))
+          .as("probe_desc"))
+      .withColumn("probe_norm", normed(col("probe_desc")))
+      .withColumn("probe_grams", trigramsOf(col("probe_norm")))
+
+    val basePost = base.select(col("base_key"), explode(col("base_grams")).as("g"))
+    val rare = basePost.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= BlockDfCap).select(col("g"))
+    val probePost = probes.select(col("probe_key"), explode(col("probe_grams")).as("g"))
+    val cands = probePost.join(rare, "g").join(basePost, "g")
+      .select(col("probe_key"), col("base_key")).distinct()
+
+    val scored = cands
+      .join(probes.select(col("probe_key"), col("probe_desc"), col("probe_norm")), "probe_key")
+      .join(base.select(col("base_key"), col("base_desc"), col("base_norm")), "base_key")
+      .select(col("probe_key"), col("base_key"),
+        levenshtein(col("probe_norm"), col("base_norm")).cast(LongType).as("ts_dist"),
+        levenshtein(col("probe_desc"), col("base_desc")).cast(LongType).as("raw_dist"))
+    val best = scored.groupBy(col("probe_key"))
+      .agg(max(struct((lit(0L) - col("ts_dist")).as("nd"),
+        (lit(0L) - col("base_key")).as("nb"),
+        col("raw_dist").as("rd"))).as("m"))
+      .select(col("probe_key"), (lit(0L) - col("m.nb")).as("matched_key"),
+        (lit(0L) - col("m.nd")).as("ts_dist"), col("m.rd").as("raw_dist"))
+    probes.select(col("probe_key"))
+      .join(best, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("matched_key"), col("ts_dist"), col("raw_dist"),
+        coalesce(col("matched_key") === col("probe_key"), lit(false)).as("correct"))
+      .orderBy(col("probe_key"))
+  }
+
+  val fuzzyMatchTokenSortSql: String =
+    s"""WITH b0 AS (SELECT p_partkey AS base_key,
+       |    p_name || ' ' || p_brand || ' ' || p_type AS base_desc
+       |  FROM part),
+       |gset AS (SELECT base_key, base_desc,
+       |    array_to_string(list_sort(string_split(base_desc, ' ')), ' ') AS base_norm
+       |  FROM b0),
+       |gset2 AS (SELECT *, CASE WHEN len(base_norm) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1, len(base_norm)-2),
+       |        i -> substr(base_norm, i, 3)))
+       |    ELSE [base_norm] END AS base_grams
+       |  FROM gset),
+       |p0 AS (SELECT p_partkey AS probe_key,
+       |    array_to_string(list_reverse(string_split(
+       |      p_name || ' ' || p_brand || ' ' || p_type, ' ')), ' ') AS probe_desc
+       |  FROM part WHERE p_partkey % $ProbeMod = 0),
+       |probes0 AS (SELECT probe_key, probe_desc,
+       |    array_to_string(list_sort(string_split(probe_desc, ' ')), ' ') AS probe_norm
+       |  FROM p0),
+       |probes AS (SELECT *, CASE WHEN len(probe_norm) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1, len(probe_norm)-2),
+       |        i -> substr(probe_norm, i, 3)))
+       |    ELSE [probe_norm] END AS probe_grams
+       |  FROM probes0),
+       |bpost AS (SELECT base_key, unnest(base_grams) AS g FROM gset2),
+       |rare AS (SELECT g FROM bpost GROUP BY g HAVING COUNT(*) <= $BlockDfCap),
+       |ppost AS (SELECT probe_key, unnest(probe_grams) AS g FROM probes),
+       |cands AS (SELECT DISTINCT probe_key, base_key
+       |          FROM ppost JOIN rare USING (g) JOIN bpost USING (g)),
+       |scored AS (SELECT c.probe_key, c.base_key,
+       |    CAST(levenshtein(p.probe_norm, b.base_norm) AS BIGINT) AS ts_dist,
+       |    CAST(levenshtein(p.probe_desc, b.base_desc) AS BIGINT) AS raw_dist
+       |  FROM cands c JOIN probes p USING (probe_key) JOIN gset2 b USING (base_key)),
+       |best AS (SELECT probe_key, base_key AS matched_key, ts_dist, raw_dist
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+       |          ORDER BY ts_dist, base_key) AS rank FROM scored) x
+       |  WHERE rank = 1)
+       |SELECT p.probe_key, b.matched_key, b.ts_dist, b.raw_dist,
+       |  COALESCE(b.matched_key = p.probe_key, false) AS correct
+       |FROM probes p LEFT JOIN best b USING (probe_key)
+       |ORDER BY p.probe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fm5_fuzzy_match_token_sort" -> fuzzyMatchTokenSort,
     "fm1_fuzzy_match" -> fuzzyMatch,
     "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhash,
     "fm3_fuzzy_match_edit" -> fuzzyMatchEdit,
     "fm4_fuzzy_match_damerau" -> fuzzyMatchDamerau)
 
   val oracle: Map[String, String] = Map(
+    "fm5_fuzzy_match_token_sort" -> fuzzyMatchTokenSortSql,
     "fm1_fuzzy_match" -> fuzzyMatchSql,
     "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhashSql,
     "fm3_fuzzy_match_edit" -> fuzzyMatchEditSql,

@@ -850,7 +850,130 @@ object EventsAnalytics {
       |FROM mq JOIN rq USING (week)
       |ORDER BY mq.week""".stripMargin
 
+  /** ev18: MERGEABLE HLL register tables — the third leg of the sketch
+    * warehouse (ev16 CMS merge = cell-wise SUM, ev17 histogram merge =
+    * cell-wise SUM, here HLL merge = cell-wise MAX). The persisted
+    * artifact is one register table per (day, type): reg → max rank,
+    * ≤ m=256 rows per key per day regardless of event volume. A range
+    * query ("distinct users per type for week N") merges the requested
+    * days' registers with MAX — associative, commutative, IDEMPOTENT, so
+    * unlike CMS the merge is exactly lossless even under overlapping or
+    * replayed day ranges (re-merging a day twice changes nothing — the
+    * property that makes HLL artifacts safe under at-least-once ingest).
+    * Losslessness is proven IN-BAND: the merged s_term is compared
+    * against a direct sketch of the raw week and shipped as a hash-gated
+    * `merge_lossless` column, exactly ev17's audit contract.
+    *
+    * Arithmetic parity: identical to ev15 — string-derived ranks (no
+    * log2), Σ 2^−M_j as exact BIGINT in 2^−49 units, ONE double division
+    * by a JVM-literal scale; exact weekly distinct rides along.
+    *
+    * Scale: daily tables are |days|×|types|×m rows; the merge reads
+    * those, never the events; the only event-sized pass builds the day
+    * registers (one combinable MAX). */
+  def hllMergeWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("user_id").cast(StringType))
+    val sig = ltrim(substring(h, 3, 12), "0")
+    val first = substring(sig, 1, 1)
+    val firstBits = when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), 4)
+      .when(first.isin("4", "5", "6", "7"), 3)
+      .when(first.isin("2", "3"), 2).otherwise(1)
+    val rank = when(length(sig) === 0, lit(49))
+      .otherwise(lit(49) - ((length(sig) - 1) * 4 + firstBits))
+    val regs = t(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).cast(DateType).as("day"),
+        col("event_type"), col("user_id"),
+        conv(substring(h, 1, 2), 16, 10).cast(LongType).as("reg"),
+        rank.as("rank"))
+    // the persisted artifact: one register table per (day, type)
+    val daily = regs.groupBy(col("day"), col("event_type"), col("reg"))
+      .agg(max(col("rank")).as("mr"))
+    def estimate(regTable: DataFrame, prefix: String): DataFrame =
+      regTable.groupBy(col("week"), col("event_type")).agg(
+        count(lit(1)).as(s"${prefix}n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - mr AS INT))"))
+          .as(s"${prefix}s_present"))
+    // range query: cell-wise MAX merge of the day artifacts into weeks
+    val merged = estimate(
+      daily.select(date_trunc("week", col("day")).cast(DateType).as("week"),
+          col("event_type"), col("reg"), col("mr"))
+        .groupBy(col("week"), col("event_type"), col("reg"))
+        .agg(max(col("mr")).as("mr")),
+      "")
+    // audit tier: a direct sketch of the raw week (no day artifact hop)
+    val rescan = estimate(
+      regs.select(date_trunc("week", col("day")).cast(DateType).as("week"),
+          col("event_type"), col("reg"), col("rank"))
+        .groupBy(col("week"), col("event_type"), col("reg"))
+        .agg(max(col("rank")).as("mr")),
+      "r_")
+    val exact = regs
+      .select(date_trunc("week", col("day")).cast(DateType).as("week"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("week"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val emptyTerm = lit(562949953421312L)
+    val s = col("s_present") + (lit(HllM.toLong) - col("n_regs")) * emptyTerm
+    val rs = col("r_s_present") + (lit(HllM.toLong) - col("r_n_regs")) * emptyTerm
+    merged.join(rescan, Seq("week", "event_type"))
+      .join(exact, Seq("week", "event_type"))
+      .select(col("week"), col("event_type"),
+        (lit(HllM.toLong) - col("n_regs")).as("v_zero"),
+        s.as("s_term"),
+        (lit(HllScale) / s.cast(DoubleType)).as("hll_estimate"),
+        col("n_exact"),
+        (s === rs).as("merge_lossless"))
+      .orderBy(col("week"), col("event_type"))
+  }
+
+  val hllMergeWeeklySql: String =
+    s"""WITH h AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |             event_type, user_id,
+       |             md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |r AS (SELECT day, event_type, user_id,
+       |        ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+       |        ltrim(substr(h, 3, 12), '0') AS sig
+       |      FROM h),
+       |rk AS (SELECT day, event_type, user_id, reg,
+       |         CASE WHEN len(sig) = 0 THEN 49
+       |              ELSE 49 - ((len(sig) - 1) * 4 +
+       |                CASE WHEN substr(sig,1,1) IN ('8','9','a','b','c','d','e','f') THEN 4
+       |                     WHEN substr(sig,1,1) IN ('4','5','6','7') THEN 3
+       |                     WHEN substr(sig,1,1) IN ('2','3') THEN 2
+       |                     ELSE 1 END) END AS rank
+       |       FROM r),
+       |daily AS (SELECT day, event_type, reg, MAX(rank) AS mr
+       |          FROM rk GROUP BY day, event_type, reg),
+       |wmerge AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+       |             event_type, reg, MAX(mr) AS mr
+       |           FROM daily GROUP BY 1, 2, 3),
+       |magg AS (SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
+       |           CAST(SUM(CAST(1 AS BIGINT) << CAST(49 - mr AS INT)) AS BIGINT) AS s_present
+       |         FROM wmerge GROUP BY week, event_type),
+       |wscan AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+       |            event_type, reg, MAX(rank) AS mr
+       |          FROM rk GROUP BY 1, 2, 3),
+       |ragg AS (SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
+       |           CAST(SUM(CAST(1 AS BIGINT) << CAST(49 - mr AS INT)) AS BIGINT) AS s_present
+       |         FROM wscan GROUP BY week, event_type),
+       |ex AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
+       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |       FROM rk GROUP BY 1, 2)
+       |SELECT m.week, m.event_type,
+       |  CAST($HllM - m.n_regs AS BIGINT) AS v_zero,
+       |  CAST(m.s_present + ($HllM - m.n_regs) * 562949953421312 AS BIGINT) AS s_term,
+       |  $HllScale / CAST(m.s_present + ($HllM - m.n_regs) * 562949953421312 AS DOUBLE)
+       |    AS hll_estimate,
+       |  ex.n_exact,
+       |  (m.s_present + ($HllM - m.n_regs) * 562949953421312
+       |   = r.s_present + ($HllM - r.n_regs) * 562949953421312) AS merge_lossless
+       |FROM magg m
+       |JOIN ragg r USING (week, event_type)
+       |JOIN ex USING (week, event_type)
+       |ORDER BY m.week, m.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev18_hll_merge" -> hllMergeWeekly,
     "ev17_hist_merge" -> histMergeWeekly,
     "ev16_cms_merge" -> cmsMergeDaily,
     "ev15_hll_distinct" -> hllDistinct,
@@ -870,6 +993,7 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev18_hll_merge" -> hllMergeWeeklySql,
     "ev17_hist_merge" -> histMergeWeeklySql,
     "ev16_cms_merge" -> cmsMergeDailySql,
     "ev15_hll_distinct" -> hllDistinctSql,

@@ -909,7 +909,58 @@ object Relational {
       |FROM lead JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  /** TPC-H Q22 shape (q39): the "idle rich customers" census — customers
+    * whose balance beats the average POSITIVE balance and who placed no
+    * RECENT orders (none since mid-1998 — the fixture's order history is
+    * dense enough that literally-orderless customers don't exist below
+    * sf0.1, so the anti-join is windowed like q14's, with the cutoff
+    * placed where every SF keeps at least one idle-rich customer), rolled up per
+    * country code (the fixture carries no phone column, so `c_nationkey`
+    * plays Q22's substring country code — the SHAPE pinned here is
+    * scalar-avg subquery + NOT EXISTS anti-join + rollup, not the
+    * constants).
+    *
+    * Exactness: the average is never divided out — a customer qualifies
+    * when `acctbal · n_pos > total_pos` with both sides DECIMAL (q36's
+    * integer scale-shift trick applied to AVG), so the qualifying set
+    * cannot drift on rounding; the final balance sum goes to double once.
+    *
+    * Plan: the positive-balance aggregate is one combinable pass
+    * broadcast back as a 1-row table; the anti-join shuffles customer
+    * and the projected o_custkey column on the key (at 100 TB both
+    * sides partition by custkey — co-located if the lake buckets on it);
+    * the rollup is a combinable aggregate over ≤ |nations| keys. */
+  def q39IdleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val pos = c.filter(dec(col("c_acctbal")) > lit(0))
+      .agg(sum(dec(col("c_acctbal"))).as("tot_pos"),
+        count(lit(1)).as("n_pos"))
+    val rich = c.crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("tot_pos"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1998-06-01")).select(col("o_custkey"))
+    rich.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        money(sum(dec(col("c_acctbal")))).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val q39Sql: String =
+    """WITH pos AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_pos,
+      |    COUNT(*) AS n_pos
+      |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+      |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, pos
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.tot_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-06-01')
+      |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_idle_rich_customers" -> q39IdleRichCustomers,
     "q38_above_avg_supplier" -> q38AboveAvgSupplier,
     "q37_top_supplier" -> q37TopSupplier,
     "q36_part_value_share" -> q36PartValueShare,
@@ -945,6 +996,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q39_idle_rich_customers" -> q39Sql,
     "q38_above_avg_supplier" -> q38Sql,
     "q37_top_supplier" -> q37Sql,
     "q36_part_value_share" -> q36Sql,

@@ -1235,6 +1235,214 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("dd24: winnowing fingerprints re-derive brute-force and identical " +
+      "texts share identical fingerprint sets") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hash60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val fps: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length >= 4) {
+        val h = w.sliding(4).map(g => hash60(g.mkString(" "))).toIndexedSeq
+        val nWin = math.max(h.length - 3, 1)
+        id -> (0 until nWin).map(j => h.slice(j, j + 4).min).toSet
+      } else id -> Set.empty[Long]
+    }.toMap
+    // identical texts → identical fingerprint sets (winnowing is a pure
+    // function of content)
+    docs.groupBy(_._2).values.filter(_.length >= 2).foreach { twins =>
+      val sets = twins.map(t => fps(t._1)).distinct
+      assert(sets.length == 1, "equal texts must winnow identically")
+    }
+    val rows = Dedup.winnowingNearDup(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b)
+      val (fa, fb) = (fps(a), fps(b))
+      assert(r.getAs[Long]("n_fp_a") == fa.size)
+      assert(r.getAs[Long]("n_fp_b") == fb.size)
+      assert((fa intersect fb).nonEmpty, "candidates must share a fingerprint")
+      val j = (fa intersect fb).size.toDouble / (fa union fb).size.toDouble
+      assert(r.getAs[Double]("fp_jaccard") == j, s"pair ($a,$b)")
+      assert(j >= 0.5)
+    }
+  }
+
+  test("dd24: native winnow_fps is bit-identical to the composable HOF form") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("_w", split($"text", " "))
+      .filter(size($"_w") >= 4)
+    val both = docs.select($"doc_id",
+      graft.functions.TextHashFunctions.winnowFps($"_w", 4, 4).as("native"),
+      Dedup.winnowFpsComposable($"_w").as("composable"))
+    val diff = both.filter(not($"native" <=> $"composable")).count()
+    assert(diff == 0, s"$diff docs diverge between native and composable winnowing")
+  }
+
+  test("cur11: DSIR log-weights re-derive from the smoothed bucket " +
+      "multinomials and admit is the integer sign test") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16) % 1024L
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val feats = docs.map { case (id, lang, text) =>
+      val w = text.split(" ", -1)
+      (id, lang, w.sliding(2).filter(_.length == 2)
+        .map(p => bucket(p.mkString(" "))).toSeq)
+    }
+    val all = feats.flatMap(_._3)
+    val tgt = feats.filter(_._2 == "en").flatMap(_._3)
+    val cR = all.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val cT = tgt.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val (tR, tT) = (all.length.toLong, tgt.length.toLong)
+    val lr: Map[Long, Long] = cR.map { case (b, cr) =>
+      b -> math.round((math.log((cT.getOrElse(b, 0L) + 1).toDouble / (tT + 1024L)) -
+        math.log((cr + 1).toDouble / (tR + 1024L))) * 1e6)
+    }
+    val rows = graft.llmdata.Curation.dsirWeights(spark, sf()).collect()
+    assert(rows.length == feats.count(_._3.nonEmpty))
+    val byId = feats.map(f => f._1 -> f._3).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bs = byId(id)
+      val w = bs.map(lr).sum
+      assert(r.getAs[Long]("n_feats") == bs.length)
+      assert(r.getAs[Long]("logw_micro") == w, s"doc $id")
+      assert(r.getAs[Boolean]("admit") == (w > 0))
+    }
+    // the target slice itself must skew positive: en docs should admit at
+    // a higher rate than the rest (DSIR's whole point)
+    val byLang = rows.groupBy(r => byId.keySet
+      .contains(r.getAs[Long]("doc_id")) && docs.find(_._1 == r.getAs[Long]("doc_id")).get._2 == "en")
+    val enRate = byLang(true).count(_.getAs[Boolean]("admit")).toDouble / byLang(true).length
+    val restRate = byLang(false).count(_.getAs[Boolean]("admit")).toDouble / byLang(false).length
+    assert(enRate > restRate, s"en admit rate $enRate vs rest $restRate")
+  }
+
+  test("tx23: per-source Zipf profile re-derives brute-force") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2.split(" ", -1))
+    }
+    val rows = graft.llmdata.TextAnalysis.zipfProfile(spark, sf()).collect()
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val toks = bySrc(r.getAs[String]("source"))
+      val counts = toks.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_types") == counts.size)
+      assert(r.getAs[Long]("hapax_types") == counts.count(_._2 == 1L))
+      val head = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(10).map(_._2).sum
+      assert(r.getAs[Long]("head_tokens") == head)
+      assert(r.getAs[Double]("head_share") == head.toDouble / toks.length)
+    }
+  }
+
+  test("ev18: merged weekly HLL registers are lossless, registers bounded, " +
+      "and estimates track exact counts") {
+    val rows = graft.relational.EventsAnalytics.hllMergeWeekly(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val distinctPairs = spark.read.parquet(s"${sf()}/events.parquet")
+      .selectExpr("cast(date_trunc('week', ts) AS DATE) AS w", "event_type")
+      .distinct().count()
+    assert(rows.length == distinctPairs,
+      "one row per (week, type) present in the raw events")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_lossless"),
+        "day-register MAX-merge must equal the direct week sketch")
+      val vz = r.getAs[Long]("v_zero")
+      assert(vz >= 0 && vz <= 256)
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("n_exact")
+      assert(est > 0)
+      // 3σ for m=256 is ~20%; only judge groups big enough for the
+      // asymptotic regime (and where linear counting wouldn't apply)
+      if (exact >= 200 && vz == 0)
+        assert(math.abs(est / exact - 1.0) < 0.35, s"est $est vs exact $exact")
+    }
+  }
+
+  test("fm5: token-sort normalization collapses every reorder to distance 0 " +
+      "and unique descriptors link exactly") {
+    val parts = spark.read.parquet(s"${sf()}/part.parquet")
+      .selectExpr("p_partkey", "concat_ws(' ', p_name, p_brand, p_type) AS d")
+      .as[(Long, String)].collect()
+    val descCount = parts.groupBy(_._2).map { case (d, xs) => d -> xs.length }
+    val uniqueKeys = parts.filter(p => descCount(p._2) == 1).map(_._1).toSet
+    val minKeyByDesc = parts.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1).min }
+    val rows = graft.operators.FuzzyMatch.fuzzyMatchTokenSort(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("probe_key")
+      assert(!r.isNullAt(r.fieldIndex("matched_key")), s"probe $pk unmatched")
+      assert(r.getAs[Long]("ts_dist") == 0L,
+        "a pure reorder must normalize to its own descriptor: distance 0")
+      val desc = parts.find(_._1 == pk).get._2
+      assert(r.getAs[Long]("matched_key") == minKeyByDesc(desc),
+        "tie on distance 0 resolves to the min key sharing the descriptor")
+      if (uniqueKeys(pk)) assert(r.getAs[Boolean]("correct"))
+    }
+    // the raw-form distance must show the damage normalization repaired
+    assert(rows.exists(_.getAs[Long]("raw_dist") > 0))
+  }
+
+  test("q39: the scalar-avg threshold and windowed anti-join re-derive " +
+      "brute-force (Q22 shape)") {
+    val d = sf("sf0.01")
+    val custs = spark.read.parquet(s"$d/customer.parquet")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal".cast("decimal(18,2)"))
+      .as[(Long, Int, java.math.BigDecimal)].collect()
+    val recent = spark.read.parquet(s"$d/orders.parquet")
+      .filter($"o_orderdate" >= "1998-06-01")
+      .select($"o_custkey").as[Long].collect().toSet
+    val pos = custs.filter(_._3.signum > 0)
+    val tot = pos.map(_._3).reduce(_.add(_))
+    val n = java.math.BigDecimal.valueOf(pos.length.toLong)
+    val hits = custs.filter { case (k, _, b) =>
+      b.multiply(n).compareTo(tot) > 0 && !recent(k) }
+    val expected = hits.groupBy(_._2).map { case (nk, xs) =>
+      nk -> (xs.length.toLong, xs.map(_._3).reduce(_.add(_)).doubleValue) }
+    val rows = graft.relational.Relational.q39IdleRichCustomers(spark, d).collect()
+    assert(rows.nonEmpty, "the windowed Q22 must be non-degenerate at sf0.01")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nc, tb) = expected(r.getAs[Int]("cntrycode"))
+      assert(r.getAs[Long]("numcust") == nc)
+      assert(r.getAs[Double]("totacctbal") == tb)
+    }
+  }
+
+  test("ss12: recall audit re-derives from the index result lists") {
+    val annK = 3
+    def lists(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = lists(Similarity.knnBruteForce(spark, sf()).filter($"rank" <= annK))
+    val byIndex = Map(
+      "lsh" -> lists(Similarity.annLsh(spark, sf())),
+      "ivf" -> lists(Similarity.annIvf(spark, sf())))
+    val rows = Similarity.annRecallAudit(spark, sf()).collect()
+    assert(rows.length == 2 * exact.size, "one row per (index, query)")
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val e = exact(q)
+      val got = byIndex(r.getAs[String]("index_name")).getOrElse(q, Set.empty)
+      assert(r.getAs[Long]("k") == e.size)
+      assert(r.getAs[Long]("hits") == (e intersect got).size, s"query $q")
+      assert(r.getAs[Double]("recall") ==
+        (e intersect got).size.toDouble / e.size)
+    }
+    // the indexes must actually retrieve something across the query set
+    assert(rows.map(_.getAs[Long]("hits")).sum > 0)
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

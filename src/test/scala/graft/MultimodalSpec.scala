@@ -132,4 +132,34 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.map(_.getAs[String]("kind")).toSeq == Seq("audio", "image", "video"))
     assert(meta.map(_.getAs[Long]("n_media")).sum == 500L)
   }
+
+  test("mm8: byte entropy re-derives brute-force and bounds hold") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2.nonEmpty)
+    val expected = docs.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length.toDouble
+      val hist = bytes.groupBy(identity).map { case (_, xs) => xs.length }
+      id -> (hist.size.toLong,
+        hist.map(c => math.round(1e6 * c * math.log(n / c) / n)).sum)
+    }.toMap
+    val rows = Multimodal.byteEntropy(spark, sf()).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (nd, em) = expected(id)
+      assert(r.getAs[Long]("n_distinct_bytes") == nd)
+      assert(r.getAs[Long]("entropy_micro") == em, s"media $id")
+      // Shannon bounds: 0 ≤ H ≤ ln(distinct) ≤ ln 256, up to ±1 micro-nat
+      // per histogram cell of quantization slack
+      val e = r.getAs[Long]("entropy_micro")
+      assert(e >= -nd && e <= math.round(math.log(256.0) * 1e6) + nd)
+      assert(r.getAs[Boolean]("high_entropy") == (e > 4500000L))
+    }
+    // plain ASCII text must NOT read as encrypted
+    assert(rows.count(_.getAs[Boolean]("high_entropy")) == 0,
+      "fixture text payloads sit well under the compressed-stream band")
+  }
 }

@@ -111,7 +111,21 @@ class PartitionInvarianceSpec extends SparkSpec {
       "tx22_vocab_growth" -> TextAnalysis.vocabGrowth _,
       "dd23_triangle_census" -> Dedup.triangleCensus _,
       "fm4_fuzzy_match_damerau" -> graft.operators.FuzzyMatch.fuzzyMatchDamerau _,
-      "ev17_hist_merge" -> EventsAnalytics.histMergeWeekly _)
+      "ev17_hist_merge" -> EventsAnalytics.histMergeWeekly _,
+      // this round's additions: cur11's per-bucket log-ratio table feeds
+      // exact BIGINT doc sums, dd24's capped fingerprint postings, ev18's
+      // idempotent register-MAX merge, tx23's per-source type counts +
+      // head rank, fm5's min-struct pick, q39's scalar-threshold compare
+      "cur11_dsir_weights" -> graft.llmdata.Curation.dsirWeights _,
+      "dd24_winnowing" -> Dedup.winnowingNearDup _,
+      "ev18_hll_merge" -> EventsAnalytics.hllMergeWeekly _,
+      "tx23_zipf_profile" -> TextAnalysis.zipfProfile _,
+      "fm5_fuzzy_match_token_sort" -> graft.operators.FuzzyMatch.fuzzyMatchTokenSort _,
+      "q39_idle_rich_customers" -> Relational.q39IdleRichCustomers _,
+      // mm8's per-cell micro-nat quantization must see the SAME exact
+      // (c, n) integers under any split; ss12 joins bounded result lists
+      "mm8_byte_entropy" -> graft.llmdata.Multimodal.byteEntropy _,
+      "ss12_recall_audit" -> graft.llmdata.Similarity.annRecallAudit _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -479,4 +479,61 @@ class PlanQualitySpec extends SparkSpec {
       .count(_.contains("events"))
     assert(scans <= 2, s"merged quantiles must not re-scan events: $scans scans")
   }
+
+  test("cur11: the B-row bucket table broadcasts into the feature stream") {
+    val p = plan(graft.llmdata.Curation.dsirWeights(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1024-row log-ratio table must broadcast; the corpus never builds a hash side")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("dd24: fingerprint derivation is scan-side; candidates off capped " +
+      "postings — no window, no products") {
+    val p = plan(Dedup.winnowingNearDup(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must come from the capped fingerprint posting join")
+    assert(!p.contains("Window"),
+      "the rolling window-min is a HOF inside the scan, not a Window operator; " +
+        "the df cap is slice-of-sorted-list")
+  }
+
+  test("ev18: the merged tier aggregates day registers — bounded event scans") {
+    val p = plan(graft.relational.EventsAnalytics.hllMergeWeekly(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("Window"))
+    // three events scans by design: the register build, the audit-tier
+    // direct week sketch, and the exact distinct verification column
+    val scans = p.linesIterator.filter(_.contains("Scan parquet"))
+      .count(_.contains("events"))
+    assert(scans <= 3, s"merged HLL must not re-scan events beyond its tiers: $scans")
+  }
+
+  test("tx23: rollups run over type rows; the only window ranks per-source types") {
+    val p = plan(graft.llmdata.TextAnalysis.zipfProfile(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"), "the (source, word) count must hash-aggregate")
+  }
+
+  test("mm8: the exchange carries histogram cells — combinable count, " +
+      "no window, no products") {
+    val p = plan(graft.llmdata.Multimodal.byteEntropy(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("Window"))
+    assert(p.contains("HashAggregate"),
+      "the (media, byte) count must be a hash aggregate (map-side combine " +
+        "collapses each payload to ≤256 cells before the shuffle)")
+  }
+
+  test("q39: the positive-balance average broadcasts; the recency check is " +
+      "an anti-join, not a correlated re-scan") {
+    val p = plan(Relational.q39IdleRichCustomers(spark, sf("sf0.01")))
+    assert(p.contains("BroadcastExchange"), "the 1-row aggregate must broadcast")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti-join")
+    assert(!p.contains("CartesianProduct") ||
+      p.linesIterator.count(_.contains("CartesianProduct")) == 0)
+    // customer feeds the threshold pass and the anti-join; two scans max
+    val scans = p.linesIterator.filter(_.contains("Scan parquet"))
+      .count(_.contains("customer"))
+    assert(scans <= 2, s"customer scans: $scans")
+  }
 }
