@@ -932,6 +932,11 @@ object Curation {
     * B-row table — the corpus is never re-shuffled. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // transform-then-explode, not explode-then-project: measured at
+    // sf0.1, the per-bigram lambda costs LESS (1.2 s) than a Generate
+    // that duplicates (doc_id, source, lang, _w) across 10M position
+    // rows (1.5 s) — the bigram md5 is cheap relative to the row fanout,
+    // the opposite trade from mm8's per-byte extraction
     val feats = docs
       .withColumn("_w", split(col("text"), " "))
       .select(col("doc_id"), col("source"), col("lang"),

@@ -104,6 +104,30 @@ class PropertySpec extends SparkSpec {
     }, minTests = 15)
   }
 
+  test("property: native winnow_fps matches the composable form and honors " +
+      "the winnowing guarantee") {
+    val wordGen = Gen.chooseNum(4, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "ee", "ff", "gg")))
+    checkProp(Prop.forAll(wordGen, wordGen) { (wa, wb) =>
+      // plant a shared run of k+w-1 = 7 words: the guarantee says the two
+      // docs must then share at least one fingerprint
+      val run = Seq("r1", "r2", "r3", "r4", "r5", "r6", "r7")
+      val da = (wa ++ run).mkString(" ")
+      val db = (run ++ wb).mkString(" ")
+      val df = Seq(da, db).toDF("text")
+        .withColumn("_w", split(col("text"), " "))
+        .select(
+          graft.functions.TextHashFunctions.winnowFps(col("_w"), 4, 4).as("native"),
+          graft.llmdata.Dedup.winnowFpsComposable(col("_w")).as("composable"))
+      val rows = df.collect()
+      val parity = rows.forall(r =>
+        r.getSeq[Long](0) == r.getSeq[Long](1))
+      val shared = rows(0).getSeq[Long](0).toSet
+        .intersect(rows(1).getSeq[Long](0).toSet)
+      parity && shared.nonEmpty
+    }, minTests = 15)
+  }
+
   lazy val snapshot = (1 to 8).map(i => (f"001$i%03d", s"Name$i", i * 1.5))
     .toDF("Id", "Name", "Balance")
 
