@@ -1005,7 +1005,175 @@ object Curation {
        |  logw_micro > 0 AS admit
        |FROM pd ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- cur12
+
+  /** Backoff penalty −ln(0.4) in micro-nats, quantized ONCE as a shared
+    * integer constant so neither engine evaluates the float. */
+  private val BackoffPenaltyMicroNats = 916291L
+
+  /** Keep threshold for [[trigramLmFilter]], micro-nats per token: sits
+    * between the train-half ceiling (~2.85) and the held-out median
+    * (~3.67) at the fixture, so the gate actually discriminates. */
+  private val TrigramLmThresholdMicroNats = 3_500_000L
+
+  /** cur12: trigram-LM perplexity filter with Stupid Backoff — the full
+    * CCNet/KenLM-shaped quality gate whose degenerate unigram case is
+    * cur10. The model is fit on a HELD-OUT half of the corpus (docs whose
+    * `md5(doc_id)` leads 0–7 — the deterministic split discipline of
+    * cur4) and scores EVERY doc, so unseen n-grams really occur and the
+    * backoff chain is exercised, not just implemented. Scoring follows
+    * Brants et al. 2007 ("Large Language Models in Machine Translation"):
+    * S(w|w₋₂w₋₁) = c₃/c₂ if the trigram was seen, else 0.4·S(w|w₋₁),
+    * else 0.4²·c₁/N, with an OOV floor of c₁:=1; a position whose context
+    * is shorter (first/second token) starts lower in the chain with no
+    * penalty.
+    *
+    * Exact-parity discipline (cur10's, applied per MODEL ORDER): each
+    * model row's surprisal −ln(count ratio) is quantized to integer
+    * micro-nats AT THE MODEL — the 0.4 backoff penalty is the shared
+    * integer constant [[BackoffPenaltyMicroNats]], never a float — so a
+    * token's surprisal is `base(deepest hit) + (lvl − hit)·P`, all
+    * BIGINT, and the doc NLL is an order-independent exact sum.
+    *
+    * Scale: context is attached SCAN-SIDE (transform-then-explode over
+    * the token array — no lag window, so the corpus text never shuffles
+    * for ordering); the model fit is three gram-keyed combinable
+    * aggregates over the train slice; the three model tables broadcast at
+    * closed-vocab fixture scale and degrade to ordinary co-partitioned
+    * joins on the gram key at open-vocab scale (the plan is otherwise
+    * identical — this is KenLM's sharded-model lookup, declaratively).
+    * The per-doc rollup is the corpus's one exchange. */
+  def trigramLmFilter(spark: SparkSession, dir: String): DataFrame = {
+    val P = BackoffPenaltyMicroNats
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("_w"))
+    // (w, w1=prev, w2=prev2) per position, built scan-side; transform's
+    // lambda index is 0-based, element_at is 1-based
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(transform(col("_w"), (x, i) =>
+          struct(x.as("w"),
+            when(i >= 1, element_at(col("_w"), i)).as("w1"),
+            when(i >= 2, element_at(col("_w"), i - 1)).as("w2")))).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.w"), col("g.w1"), col("g.w2"),
+        (substring(md5(col("doc_id").cast(StringType)), 1, 1) < "8")
+          .as("is_train"))
+    val tr = toks.filter(col("is_train"))
+    val totF = tr.agg(count(lit(1)).as("tot"))
+    val uni = tr.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = tr.filter(col("w1").isNotNull)
+      .groupBy(col("w1").as("p"), col("w")).agg(count(lit(1)).as("c2"))
+    val tri = tr.filter(col("w2").isNotNull)
+      .groupBy(col("w2").as("p2"), col("w1").as("p1"), col("w"))
+      .agg(count(lit(1)).as("c3"))
+    def q(x: Column): Column = round(-log(x) * lit(1000000.0)).cast(LongType)
+    val m3 = tri.join(bi.select(col("p").as("_bp"), col("w").as("_bw"),
+        col("c2").as("_bc2")),
+        col("p2") === col("_bp") && col("p1") === col("_bw"))
+      .select(col("p2"), col("p1"), col("w"),
+        q(col("c3").cast(DoubleType) / col("_bc2").cast(DoubleType)).as("s3"))
+    val m2 = bi.join(uni.select(col("w").as("_uw"), col("c1").as("_uc1")),
+        col("p") === col("_uw"))
+      .select(col("p"), col("w"),
+        q(col("c2").cast(DoubleType) / col("_uc1").cast(DoubleType)).as("s2"))
+    val m1 = uni.crossJoin(broadcast(totF))
+      .select(col("w"),
+        q(col("c1").cast(DoubleType) / col("tot").cast(DoubleType)).as("s1"))
+    val oovF = totF.select(
+      round(log(col("tot").cast(DoubleType)) * lit(1000000.0))
+        .cast(LongType).as("s_oov"))
+    val lvl = when(col("w2").isNotNull, 2)
+      .when(col("w1").isNotNull, 1).otherwise(0)
+    val hit = when(col("s3").isNotNull, 2)
+      .when(col("s2").isNotNull, 1).otherwise(0)
+    val scored = toks
+      .join(broadcast(m3.withColumnRenamed("w", "_w3")),
+        col("w2") === col("p2") && col("w1") === col("p1") &&
+          col("w") === col("_w3"), "left")
+      .join(broadcast(m2.withColumnRenamed("w", "_w2c")),
+        col("w1") === col("p") && col("w") === col("_w2c"), "left")
+      .join(broadcast(m1.withColumnRenamed("w", "_w1c")),
+        col("w") === col("_w1c"), "left")
+      .crossJoin(broadcast(oovF))
+      .select(col("doc_id"), col("source"), col("is_train"),
+        (coalesce(col("s3"), col("s2"), col("s1"), col("s_oov")) +
+          (lvl - hit).cast(LongType) * lit(P)).as("surpr"),
+        (lvl - hit).cast(LongType).as("bk"),
+        col("s1").isNull.as("oov"))
+    scored
+      .groupBy(col("doc_id"), col("source"), col("is_train"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surpr")).as("nll_micro"),
+        sum(col("bk")).as("n_backoff"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("source"), col("is_train"), col("n_tokens"),
+        col("nll_micro"), col("n_backoff"), col("n_oov"),
+        (col("nll_micro").cast(DoubleType) /
+          (lit(1000000.0) * col("n_tokens").cast(DoubleType)))
+          .as("nats_per_token"),
+        (col("nll_micro") <= lit(TrigramLmThresholdMicroNats) * col("n_tokens"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trigramLmFilterSql: String = {
+    val P = BackoffPenaltyMicroNats
+    s"""WITH w AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+       |tk AS (SELECT doc_id, source, unnest(w) AS w,
+       |         unnest(list_transform(generate_series(1, len(w)),
+       |           i -> CASE WHEN i >= 2 THEN w[i-1] END)) AS w1,
+       |         unnest(list_transform(generate_series(1, len(w)),
+       |           i -> CASE WHEN i >= 3 THEN w[i-2] END)) AS w2,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train
+       |       FROM w),
+       |tr AS (SELECT * FROM tk WHERE is_train),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM tr),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY w),
+       |bi AS (SELECT w1 AS p, w, CAST(count(*) AS BIGINT) AS c2 FROM tr
+       |       WHERE w1 IS NOT NULL GROUP BY w1, w),
+       |tri AS (SELECT w2 AS p2, w1 AS p1, w, CAST(count(*) AS BIGINT) AS c3
+       |        FROM tr WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+       |m3 AS (SELECT t.p2, t.p1, t.w,
+       |         CAST(round(-ln(CAST(t.c3 AS DOUBLE) / CAST(b.c2 AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS s3
+       |       FROM tri t JOIN bi b ON b.p = t.p2 AND b.w = t.p1),
+       |m2 AS (SELECT b.p, b.w,
+       |         CAST(round(-ln(CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS s2
+       |       FROM bi b JOIN uni u ON u.w = b.p),
+       |m1 AS (SELECT u.w,
+       |         CAST(round(-ln(CAST(u.c1 AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+       |           * 1000000.0) AS BIGINT) AS s1
+       |       FROM uni u, tot),
+       |sc AS (SELECT tk.doc_id, tk.source, tk.is_train,
+       |         CASE WHEN tk.w2 IS NOT NULL THEN 2
+       |              WHEN tk.w1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+       |         CASE WHEN m3.s3 IS NOT NULL THEN 2
+       |              WHEN m2.s2 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+       |         m1.s1 IS NULL AS oov,
+       |         COALESCE(m3.s3, m2.s2, m1.s1,
+       |           (SELECT CAST(round(ln(CAST(tot AS DOUBLE)) * 1000000.0)
+       |              AS BIGINT) FROM tot)) AS base
+       |       FROM tk
+       |       LEFT JOIN m3 ON m3.p2 = tk.w2 AND m3.p1 = tk.w1 AND m3.w = tk.w
+       |       LEFT JOIN m2 ON m2.p = tk.w1 AND m2.w = tk.w
+       |       LEFT JOIN m1 ON m1.w = tk.w),
+       |pd AS (SELECT doc_id, source, is_train,
+       |         CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(base + (lvl - hit) * $P) AS BIGINT) AS nll_micro,
+       |         CAST(SUM(lvl - hit) AS BIGINT) AS n_backoff,
+       |         CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |       FROM sc GROUP BY doc_id, source, is_train)
+       |SELECT doc_id, source, is_train, n_tokens, nll_micro, n_backoff, n_oov,
+       |  CAST(nll_micro AS DOUBLE) /
+       |    (1000000.0 * CAST(n_tokens AS DOUBLE)) AS nats_per_token,
+       |  nll_micro <= $TrigramLmThresholdMicroNats * n_tokens AS keep
+       |FROM pd ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur12_trigram_lm_filter" -> trigramLmFilter,
     "cur11_dsir_weights" -> dsirWeights,
     "cur10_unigram_lm_filter" -> unigramLmFilter,
     "cur9_token_budget" -> tokenBudget,
@@ -1020,6 +1188,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur12_trigram_lm_filter" -> trigramLmFilterSql,
     "cur11_dsir_weights" -> dsirWeightsSql,
     "cur10_unigram_lm_filter" -> unigramLmFilterSql,
     "cur9_token_budget" -> tokenBudgetSql,

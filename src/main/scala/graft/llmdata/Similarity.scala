@@ -1140,7 +1140,89 @@ object Similarity {
        |  SELECT 'ivf' AS index_name, * FROM ri) u
        |ORDER BY index_name, query_id""".stripMargin
 
+  // ------------------------------------------------ MIPS reduction (ss13)
+
+  /** ss13: maximum-INNER-PRODUCT search via norm augmentation — the
+    * reduction (Bachrach et al. 2014, "Speeding Up the Xbox Recommender";
+    * Neyshabur & Srebro 2015) that makes every cosine ANN tier in this
+    * file serve MIPS, the ranking recommenders and reward models actually
+    * need (un-normalized embeddings, where cosine and inner product
+    * disagree): corpus x → [x/M ; √(1−‖x/M‖²)] (unit norm by
+    * construction, M = max corpus norm), query q → [q ; 0]. Then
+    * cos(q′, x′) = (q·x)/(M‖q‖) — a per-query-constant scaling of the
+    * inner product, so the cosine RANKING over augmented vectors IS the
+    * MIPS ranking. The query computes both rankings exactly — raw-dot
+    * top-k and augmented-cosine top-k through the SAME native cosine
+    * expression the ANN tiers use — and ships the per-row rank agreement
+    * as an output column (all-true at the fixture; the float caveat is
+    * that ‖x′‖ re-computes as 1±ε, so equality of ranks is measured, not
+    * assumed).
+    *
+    * Scale: augmentation is scan-side (one broadcast 1-row max-norm
+    * aggregate); after it, MIPS inherits every ANN scale path unchanged —
+    * IVF cells, PQ codes, SQ8 — because they only ever see unit-sphere
+    * cosine. The brute-force twin here is the ss1-shaped proof layer. */
+  def mipsAugmented(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val mF = c.agg(max(Dedup.norm(col("v"))).as("m"))
+    val scaled = transform(col("v"), x => x / col("m"))
+    val ca = c.crossJoin(broadcast(mF))
+      .select(col("vec_id"), col("v"),
+        concat(scaled, array(sqrt(greatest(lit(0.0),
+          lit(1.0) - Dedup.dot(scaled, scaled))))).as("va"))
+    val qa = queriesDf(spark, dir)
+      .select(col("query_id"), col("q"),
+        concat(col("q"), array(lit(0.0))).as("qa"))
+    val scored = ca.crossJoin(broadcast(qa))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.dot(col("q"), col("v")).as("ip"),
+        Dedup.cosine(col("qa"), col("va")).as("aug_cos"))
+    val wIp = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    val wAug = Window.partitionBy(col("query_id"))
+      .orderBy(col("aug_cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(wIp).cast(LongType))
+      .withColumn("rank_aug", row_number().over(wAug).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("ip"), col("aug_cos"), (col("rank") === col("rank_aug")).as("agree"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val mipsAugmentedSql: String = {
+    val dot65 =
+      "list_reduce(list_transform(generate_series(1,65), i -> qa[i] * va[i]), (x,y) -> x+y)"
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |m AS (SELECT max(sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS m
+       |      FROM c),
+       |ca AS (SELECT vec_id, v,
+       |         list_transform(v, x -> x / m.m) ||
+       |           [sqrt(greatest(0.0, 1.0 -
+       |              list_reduce(list_transform(list_transform(v, x -> x / m.m),
+       |                x -> x*x), (x,y) -> x+y)))] AS va
+       |       FROM c, m),
+       |q AS (SELECT vec_id AS query_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) || [0.0] AS qa
+       |      FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${dotSql.format("q", "v")} AS ip,
+       |    $dot65
+       |      / (sqrt(list_reduce(list_transform(qa, x -> x*x), (x,y) -> x+y))
+       |         * sqrt(list_reduce(list_transform(va, x -> x*x), (x,y) -> x+y))) AS aug_cos
+       |  FROM ca CROSS JOIN q),
+       |rk AS (SELECT query_id, neighbor_id, ip, aug_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY aug_cos DESC, neighbor_id) AS rank_aug
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ip, aug_cos, rank = rank_aug AS agree
+       |FROM rk WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss13_mips_augmented" -> mipsAugmented,
     "ss12_recall_audit" -> annRecallAudit,
     "ss6_ann_pq" -> annPq,
     "ss7_ann_ivfpq" -> annIvfPq,
@@ -1155,6 +1237,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss13_mips_augmented" -> mipsAugmentedSql,
     "ss12_recall_audit" -> annRecallAuditSql,
     "ss6_ann_pq" -> annPqSql,
     "ss7_ann_ivfpq" -> annIvfPqSql,

@@ -972,7 +972,286 @@ object EventsAnalytics {
        |JOIN ex USING (week, event_type)
        |ORDER BY m.week, m.event_type""".stripMargin
 
+  // ------------------------------------------------- theta set ops (ev19)
+
+  /** Sketch size for [[thetaSetOps]] — small enough that estimation (not
+    * exhaustion) is exercised at every fixture SF (sets are ~1.6k
+    * elements at sf0.01). */
+  private val ThetaK = 64
+
+  /** ev19: KMV/theta-sketch SET ALGEBRA — the fourth leg of the sketch
+    * warehouse (ev16 CMS = SUM-merge, ev17 histograms = SUM-merge, ev18
+    * HLL = MAX-merge) and the one HLL cannot provide: distinct
+    * INTERSECTION and DIFFERENCE, not just union. Per event type the
+    * sketch is the k smallest 48-bit hash prefixes of the type's
+    * distinct user-day activity set (the KMV θ-sketch of Beyer et al.
+    * 2007 / the DataSketches theta family); for a pair of sketches all
+    * three estimates are computed AT THE COMMON θ = min(θ_a, θ_b):
+    * |A∪B| ≈ |{h∈S_A∪S_B : h<θ}|/θ, likewise ∩ and A∖B — which makes the
+    * estimates exactly inclusion-exclusion-consistent (union = |A|<θ +
+    * |B|<θ − inter at θ; the spec asserts it). A sketch holding its whole
+    * set (n < k) has θ = 1 and degrades to exact membership.
+    *
+    * Determinism/parity: the sketch is a SET MINIMUM (no randomness, no
+    * insertion-order dependence); θ's numeric form derives from the same
+    * 12-hex-char integer in both engines, so even the float estimates
+    * hash-match. Exact tiers (the distinct-element self-join) ride along
+    * as the fixture-scale audit layer, ev18's contract.
+    *
+    * Scale: sketch build = one map-side-combined distinct on
+    * (type, hash) + an O(k)-state bounded-heap aggregate (BottomKByKey —
+    * never a per-type sort of the full set); the pair algebra runs on
+    * |types|² rows of k-element arrays. The exact tier is the only
+    * event-sized join and is the audit layer you drop at 100 TB. */
+  def thetaSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val K = ThetaK
+    val elem = concat(col("user_id").cast(StringType), lit("#"),
+      col("ts").cast(DateType).cast(StringType))
+    val evu = t(spark, dir, "events")
+      .select(col("event_type"), elem.as("e")).distinct()
+    val ev = evu.select(col("event_type"), md5(col("e")).substr(1, 12).as("h"))
+      .distinct()
+    val d = ev.groupBy(col("event_type")).agg(count(lit(1)).as("dx"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(graft.functions.BottomKByKey
+        .bottomK(col("h"), lit(0L), lit(0L), K).as("ents"))
+      .select(col("event_type"), transform(col("ents"), e => e("key")).as("sk"))
+      .join(d, "event_type")
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"),
+      col("dx").as("exact_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"),
+      col("dx").as("exact_b"))
+    val th = when(size(col("ska")) >= K && size(col("skb")) >= K,
+        least(element_at(col("ska"), K), element_at(col("skb"), K)))
+      .when(size(col("ska")) >= K, element_at(col("ska"), K))
+      .when(size(col("skb")) >= K, element_at(col("skb"), K))
+    val pr = a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("th", th)
+      .withColumn("th_norm", when(col("th").isNull, lit(1.0))
+        .otherwise(conv(col("th"), 16, 10).cast(DoubleType) /
+          lit(281474976710656.0)))
+    def below(arr: Column): Column =
+      size(filter(arr, x => col("th").isNull || x < col("th"))).cast(LongType)
+    val cnts = pr.select(col("type_a"), col("type_b"),
+      col("exact_a"), col("exact_b"), col("th_norm"),
+      below(array_distinct(concat(col("ska"), col("skb")))).as("u_cnt"),
+      below(array_intersect(col("ska"), col("skb"))).as("i_cnt"),
+      size(filter(col("ska"), x => !array_contains(col("skb"), x) &&
+        (col("th").isNull || x < col("th")))).cast(LongType).as("dcnt"))
+    val l = evu.select(col("event_type").as("type_a"), col("e"))
+    val r = evu.select(col("event_type").as("type_b"), col("e"))
+    val exi = l.join(r, l("e") === r("e") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    cnts.join(exi, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"),
+        (col("u_cnt").cast(DoubleType) / col("th_norm")).as("union_est"),
+        (col("i_cnt").cast(DoubleType) / col("th_norm")).as("inter_est"),
+        (col("dcnt").cast(DoubleType) / col("th_norm")).as("diff_est"),
+        (col("exact_a") + col("exact_b") - col("exact_inter"))
+          .as("exact_union"),
+        col("exact_inter"),
+        (col("exact_a") - col("exact_inter")).as("exact_diff"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val thetaSetOpsSql: String = {
+    val K = ThetaK
+    val hex2dbl =
+      """list_reduce(list_transform(generate_series(1,12),
+        |    i -> CAST(strpos('0123456789abcdef', substr(th,i,1)) - 1 AS DOUBLE)
+        |         * power(16.0, CAST(12 - i AS DOUBLE))), (x,y) -> x+y)
+        |  / power(16.0, 12.0)""".stripMargin
+    s"""WITH evu AS (SELECT DISTINCT event_type,
+       |    CAST(user_id AS VARCHAR) || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS e
+       |  FROM events),
+       |ev AS (SELECT DISTINCT event_type, substr(md5(e), 1, 12) AS h FROM evu),
+       |d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dx FROM ev GROUP BY 1),
+       |sk AS (SELECT event_type, (list(h ORDER BY h))[1:$K] AS sk FROM ev GROUP BY 1),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         a.sk AS ska, b.sk AS skb, da.dx AS exact_a, db.dx AS exact_b,
+       |         CASE WHEN len(a.sk) >= $K AND len(b.sk) >= $K
+       |                THEN least(a.sk[$K], b.sk[$K])
+       |              WHEN len(a.sk) >= $K THEN a.sk[$K]
+       |              WHEN len(b.sk) >= $K THEN b.sk[$K] END AS th
+       |       FROM sk a JOIN sk b ON a.event_type < b.event_type
+       |       JOIN d da ON da.event_type = a.event_type
+       |       JOIN d db ON db.event_type = b.event_type),
+       |cnts AS (SELECT type_a, type_b, exact_a, exact_b,
+       |         CASE WHEN th IS NULL THEN 1.0 ELSE $hex2dbl END AS th_norm,
+       |         CAST(len(list_filter(list_distinct(ska || skb),
+       |           x -> th IS NULL OR x < th)) AS BIGINT) AS u_cnt,
+       |         CAST(len(list_filter(list_intersect(ska, skb),
+       |           x -> th IS NULL OR x < th)) AS BIGINT) AS i_cnt,
+       |         CAST(len(list_filter(ska, x -> NOT list_contains(skb, x)
+       |           AND (th IS NULL OR x < th))) AS BIGINT) AS dcnt
+       |       FROM pr),
+       |exi AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |          CAST(count(*) AS BIGINT) AS exact_inter
+       |        FROM evu a JOIN evu b
+       |          ON a.e = b.e AND a.event_type < b.event_type
+       |        GROUP BY 1, 2)
+       |SELECT c.type_a, c.type_b,
+       |  CAST(c.u_cnt AS DOUBLE) / c.th_norm AS union_est,
+       |  CAST(c.i_cnt AS DOUBLE) / c.th_norm AS inter_est,
+       |  CAST(c.dcnt AS DOUBLE) / c.th_norm AS diff_est,
+       |  c.exact_a + c.exact_b - x.exact_inter AS exact_union,
+       |  x.exact_inter,
+       |  c.exact_a - x.exact_inter AS exact_diff
+       |FROM cnts c JOIN exi x USING (type_a, type_b)
+       |ORDER BY c.type_a, c.type_b""".stripMargin
+  }
+
+  // ------------------------------------------- sequence match (ev20)
+
+  /** Per-step horizon for [[sequenceMatch]]: each step must follow the
+    * previous within this many milliseconds (24 h — at the fixture it
+    * yields a real gradient: 150 → 60 → 25 users at sf0.01). */
+  private val SeqHorizonMs = 24L * 3600L * 1000L
+
+  /** ev20: time-bounded SEQUENCE-PATTERN detection — the MATCH_RECOGNIZE
+    * shape (`PATTERN (V C P) ... ONE ROW PER MATCH`, greedy) that ev5's
+    * unbounded funnel cannot express: find per user the greedy
+    * view→click→purchase chain where EACH step follows the previous
+    * within [[SeqHorizonMs]], and emit the MATCHED ROWS (step timestamps,
+    * per-step and end-to-end durations, and how far the user got), not
+    * just stage counts. Greedy semantics, stated: the chain anchors at
+    * the user's FIRST view, then takes the first horizon-compatible
+    * click, then the first horizon-compatible purchase — the same
+    * skip-past-last-row determinism a streaming state machine implements,
+    * and the documented trade (a later anchor could convert where the
+    * greedy one does not) for linear per-user state.
+    *
+    * Scale: each step is one equi-join on user_id + a combinable MIN —
+    * three user-keyed exchanges total, no window over a user's full
+    * event history, state per user is one timestamp per step (the
+    * streaming twin would be a 3-state mapGroupsWithState). */
+  def sequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val H = SeqHorizonMs
+    val e = t(spark, dir, "events").select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ms") > col("v_ms") && col("ms") <= col("v_ms") + H)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ms") > col("c_ms") && col("ms") <= col("c_ms") + H)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+    s1.join(s2.select(col("user_id"), col("c_ms")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("p_ms")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("p_ms").isNotNull, 3L).when(col("c_ms").isNotNull, 2L)
+          .otherwise(1L).as("step_reached"),
+        col("v_ms"), col("c_ms"), col("p_ms"),
+        (col("c_ms") - col("v_ms")).as("v_to_c_ms"),
+        (col("p_ms") - col("c_ms")).as("c_to_p_ms"),
+        (col("p_ms") - col("v_ms")).as("v_to_p_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val sequenceMatchSql: String = {
+    val H = SeqHorizonMs
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |s1 AS (SELECT user_id, MIN(ms) AS v_ms FROM e
+       |       WHERE event_type = 'view' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, MIN(ms) AS c_ms FROM e JOIN s1 USING (user_id)
+       |       WHERE event_type = 'click' AND ms > v_ms AND ms <= v_ms + $H
+       |       GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, MIN(ms) AS p_ms FROM e JOIN s2 USING (user_id)
+       |       WHERE event_type = 'purchase' AND ms > c_ms AND ms <= c_ms + $H
+       |       GROUP BY e.user_id)
+       |SELECT s1.user_id,
+       |  CAST(CASE WHEN s3.p_ms IS NOT NULL THEN 3
+       |            WHEN s2.c_ms IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+       |    AS step_reached,
+       |  s1.v_ms, s2.c_ms, s3.p_ms,
+       |  s2.c_ms - s1.v_ms AS v_to_c_ms,
+       |  s3.p_ms - s2.c_ms AS c_to_p_ms,
+       |  s3.p_ms - s1.v_ms AS v_to_p_ms
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY s1.user_id""".stripMargin
+  }
+
+  // --------------------------------------- decayed counters (ev21)
+
+  /** Weight scale exponent for [[decayedCounters]]: weights are
+    * 2^(Scale − age_weeks) BIGINT units, i.e. fixed-point with 2^Scale
+    * = 1.0. */
+  private val DecayScale = 40
+
+  /** ev21: exponentially-DECAYED counters — the "what's popular NOW"
+    * aggregate (Cormode et al. 2009, forward-decay; the popularity score
+    * every feed/trending system keeps) that a plain count can't express
+    * and ev11's fixed window only approximates: each event contributes
+    * weight 2^−age, halving per week, measured from the corpus's max
+    * timestamp (a deterministic "now"). The decay trade is explicit:
+    * unlike a sliding window there is no cliff — yesterday's burst still
+    * counts, half as much each week.
+    *
+    * Exactness without quantization: weights are DYADIC RATIONALS —
+    * age_weeks is an integer (BIGINT millisecond floor-division), so the
+    * weight is exactly 2^(40−n) fixed-point units, summed as BIGINT (no
+    * float accumulates anywhere; one final division renders the decayed
+    * count). Ages beyond 40 weeks clamp to weight 0 — at a 1-week
+    * half-life they contribute < 1e−12 of an event anyway. The BIGINT
+    * headroom is 2^23 events per (type) at this scale — beyond that,
+    * drop Scale (the spec's property: halving Scale halves every unit
+    * weight, the ratio is invariant).
+    *
+    * Scale posture: one broadcast 1-row max-ts aggregate, then the
+    * weighted count is a single combinable per-type SUM at the scan —
+    * decayed counters shuffle exactly what a plain count shuffles. */
+  def decayedCounters(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+    val tF = e.agg(max(col("ms")).as("t_ms"))
+    val n = expr("(t_ms - ms) DIV 604800000")
+    // functions.shiftleft takes a literal shift; the SQL form shifts by a
+    // column (codegen'd ShiftLeft either way)
+    val w = when(n <= DecayScale,
+      expr(s"shiftleft(cast(1 as bigint), " +
+        s"cast($DecayScale - ((t_ms - ms) DIV 604800000) as int))"))
+      .otherwise(lit(0L))
+    e.crossJoin(broadcast(tF))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(w).as("w_units"),
+        max(n).as("max_age_weeks"))
+      .select(col("event_type"), col("n_events"), col("w_units"),
+        col("max_age_weeks"),
+        (col("w_units").cast(DoubleType) /
+          lit(math.pow(2.0, DecayScale))).as("decayed_count"),
+        (col("w_units").cast(DoubleType) /
+          (lit(math.pow(2.0, DecayScale)) * col("n_events").cast(DoubleType)))
+          .as("decay_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  val decayedCountersSql: String = {
+    val S = DecayScale
+    s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+       |t AS (SELECT max(ms) AS t_ms FROM e),
+       |w AS (SELECT event_type,
+       |        (t_ms - ms) // 604800000 AS n
+       |      FROM e, t),
+       |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |          CAST(SUM(CASE WHEN n <= $S
+       |            THEN (CAST(1 AS BIGINT) << CAST($S - n AS INTEGER))
+       |            ELSE 0 END) AS BIGINT) AS w_units,
+       |          CAST(max(n) AS BIGINT) AS max_age_weeks
+       |        FROM w GROUP BY event_type)
+       |SELECT event_type, n_events, w_units, max_age_weeks,
+       |  CAST(w_units AS DOUBLE) / power(2.0, $S.0) AS decayed_count,
+       |  CAST(w_units AS DOUBLE) / (power(2.0, $S.0) * CAST(n_events AS DOUBLE))
+       |    AS decay_ratio
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev21_decayed_counters" -> decayedCounters,
+    "ev20_sequence_match" -> sequenceMatch,
+    "ev19_theta_set_ops" -> thetaSetOps,
     "ev18_hll_merge" -> hllMergeWeekly,
     "ev17_hist_merge" -> histMergeWeekly,
     "ev16_cms_merge" -> cmsMergeDaily,
@@ -993,6 +1272,9 @@ object EventsAnalytics {
     "ev4_top_event_per_user_day" -> topEventPerUserDay)
 
   val oracle: Map[String, String] = Map(
+    "ev21_decayed_counters" -> decayedCountersSql,
+    "ev20_sequence_match" -> sequenceMatchSql,
+    "ev19_theta_set_ops" -> thetaSetOpsSql,
     "ev18_hll_merge" -> hllMergeWeeklySql,
     "ev17_hist_merge" -> histMergeWeeklySql,
     "ev16_cms_merge" -> cmsMergeDailySql,

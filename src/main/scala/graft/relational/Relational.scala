@@ -959,7 +959,51 @@ object Relational {
       |                  AND o_orderdate >= TIMESTAMP '1998-06-01')
       |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin
 
+  /** Explicit GROUPING SETS (q40) — the asymmetric multi-rollup neither
+    * ROLLUP (q8) nor CUBE (q32) can express: (status, priority),
+    * (status, year), and the grand total in ONE aggregate pass — the
+    * reporting shape that otherwise takes a UNION ALL of three scans.
+    * Spark 4's `Dataset.groupingSets` is the declarative form; per-column
+    * `grouping()` flags keep the set-id portable (engines pack
+    * grouping_id bits differently). Scale: same single hash-aggregate as
+    * a plain groupBy — each row feeds |sets| combiner cells map-side; key
+    * space is bounded by the dimension cardinalities, so the exchange is
+    * tiny at any SF. */
+  def q40GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus"), col("o_year")),
+          Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"), col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("total_price"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
+        grouping(col("o_year")).cast(LongType).as("g_year"))
+      .orderBy(col("g_status"), col("g_priority"), col("g_year"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first,
+        col("o_year").asc_nulls_first)
+  }
+
+  val q40Sql: String =
+    """WITH o AS (SELECT *, CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders)
+      |SELECT o_orderstatus, o_orderpriority, o_year, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  CAST(GROUPING(o_year) AS BIGINT) AS g_year
+      |FROM o
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus, o_year), ())
+      |ORDER BY g_status, g_priority, g_year,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+      |  o_year ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_grouping_sets" -> q40GroupingSets,
     "q39_idle_rich_customers" -> q39IdleRichCustomers,
     "q38_above_avg_supplier" -> q38AboveAvgSupplier,
     "q37_top_supplier" -> q37TopSupplier,
@@ -996,6 +1040,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q40_grouping_sets" -> q40Sql,
     "q39_idle_rich_customers" -> q39Sql,
     "q38_above_avg_supplier" -> q38Sql,
     "q37_top_supplier" -> q37Sql,

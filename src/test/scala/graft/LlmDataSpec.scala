@@ -1443,6 +1443,155 @@ class LlmDataSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("hits")).sum > 0)
   }
 
+  test("cur12: trigram-LM backoff — train docs score backoff-free, held-out " +
+      "docs exercise the chain, and the keep gate compares integers") {
+    val rows = graft.llmdata.Curation.trigramLmFilter(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val (train, test_) = rows.partition(_.getAs[Boolean]("is_train"))
+    assert(train.nonEmpty && test_.nonEmpty, "the md5 split must cut both ways")
+    train.foreach { r =>
+      assert(r.getAs[Long]("n_backoff") == 0L,
+        "every n-gram of a TRAIN doc is in the model fit on the train slice")
+      assert(r.getAs[Long]("n_oov") == 0L)
+    }
+    assert(test_.exists(_.getAs[Long]("n_backoff") > 0L),
+      "held-out docs must hit unseen n-grams (else the chain is untested)")
+    rows.foreach { r =>
+      val nll = r.getAs[Long]("nll_micro")
+      assert(nll >= 0L, "surprisal of count ratios <= 1 is non-negative")
+      assert(r.getAs[Boolean]("keep") ==
+        (nll <= 3500000L * r.getAs[Long]("n_tokens")))
+    }
+    // the filter discriminates: train (in-distribution) docs keep; the
+    // held-out side splits
+    assert(train.forall(_.getAs[Boolean]("keep")))
+    assert(test_.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("ev19: theta set algebra is inclusion-exclusion consistent and " +
+      "tracks the exact tiers") {
+    val rows = graft.relational.EventsAnalytics.thetaSetOps(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, i, dAB) = (r.getAs[Double]("union_est"),
+        r.getAs[Double]("inter_est"), r.getAs[Double]("diff_est"))
+      val (eu, ei, ed) = (r.getAs[Long]("exact_union"),
+        r.getAs[Long]("exact_inter"), r.getAs[Long]("exact_diff"))
+      assert(u >= 0 && i >= 0 && dAB >= 0)
+      // common-theta estimators compose: est(A) = est(A∩B) + est(A∖B)
+      val estA = i + dAB
+      // KMV with k=64: 3σ ≈ 38%; assert the big sets are tracked
+      if (eu >= 150) assert(math.abs(u / eu - 1.0) < 0.5, s"union $u vs $eu")
+      if (ei + ed >= 150)
+        assert(math.abs(estA / (ei + ed) - 1.0) < 0.5, s"A-side $estA vs ${ei + ed}")
+    }
+  }
+
+  test("ev20: greedy sequence match equals an independent per-user replay") {
+    val d = sf()
+    val rows = graft.relational.EventsAnalytics.sequenceMatch(spark, d).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val H = 24L * 3600L * 1000L
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("user_id", "event_type", "cast(ts as timestamp) ts")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None else {
+        val v = views.min
+        val c = es.filter(e => e._2 == "click" && e._3 > v && e._3 <= v + H)
+          .map(_._3).minOption
+        val p = c.flatMap(cm => es.filter(e =>
+          e._2 == "purchase" && e._3 > cm && e._3 <= cm + H).map(_._3).minOption)
+        Some(u -> (v, c, p))
+      }
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (u, (v, c, p)) =>
+      val r = rows(u)
+      assert(r.getAs[Long]("v_ms") == v)
+      assert(Option(r.getAs[java.lang.Long]("c_ms")).map(_.toLong) == c)
+      assert(Option(r.getAs[java.lang.Long]("p_ms")).map(_.toLong) == p)
+      val step = r.getAs[Long]("step_reached")
+      assert(step == (if (p.isDefined) 3 else if (c.isDefined) 2 else 1))
+    }
+    // the horizon must bite somewhere: someone clicked but not within H
+    val clickedEver = byUser.filter(_._2.exists(_._2 == "click")).keySet
+    val clickedInH = expected.filter(_._2._2.isDefined).keySet
+    assert(rows.nonEmpty && expected.nonEmpty)
+    assert(clickedInH.subsetOf(clickedEver))
+  }
+
+  test("ev21: decayed counters equal an exact dyadic replay and halve " +
+      "with age") {
+    val d = sf()
+    val rows = graft.relational.EventsAnalytics.decayedCounters(spark, d).collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .selectExpr("event_type", "cast(ts as timestamp) ts")
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+      .as[(String, Long)].collect()
+    val t = ev.map(_._2).max
+    val exp = ev.groupBy(_._1).map { case (ty, es) =>
+      ty -> es.map { e =>
+        val n = (t - e._2) / 604800000L
+        if (n <= 40) 1L << (40 - n).toInt else 0L
+      }.sum
+    }
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("w_units") == exp(ty),
+        s"dyadic BIGINT weight sum must replay exactly for $ty")
+      val ratio = r.getAs[Double]("decay_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0,
+        "per-event decayed weight is in (0, 1]")
+      assert(r.getAs[Double]("decayed_count") ==
+        r.getAs[Long]("w_units").toDouble / math.pow(2.0, 40))
+    }
+  }
+
+  test("ss13: the MIPS reduction preserves every rank and the augmented " +
+      "ranking agrees row-for-row") {
+    val rows = graft.llmdata.Similarity.mipsAugmented(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("agree"),
+      "augmented-cosine rank must equal the raw inner-product rank"))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val ips = sorted.map(_.getAs[Double]("ip")).toSeq
+      assert(ips == ips.sorted.reverse, "rank order is ip-descending")
+    }
+  }
+
+  test("q40: grouping-set flags match the null pattern and the grand total " +
+      "counts every order") {
+    val d = sf()
+    val rows = graft.relational.Relational.q40GroupingSets(spark, d).collect()
+    assert(rows.nonEmpty)
+    val sets = rows.map(r => (r.getAs[Long]("g_status"),
+      r.getAs[Long]("g_priority"), r.getAs[Long]("g_year"))).toSet
+    assert(sets == Set((0L, 0L, 1L), (0L, 1L, 0L), (1L, 1L, 1L)),
+      "exactly the three declared grouping sets appear")
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("o_orderpriority")) ==
+        (r.getAs[Long]("g_priority") == 1L))
+      assert(r.isNullAt(r.fieldIndex("o_year")) ==
+        (r.getAs[Long]("g_year") == 1L))
+    }
+    val total = spark.read.parquet(s"$d/orders.parquet").count()
+    val grand = rows.filter(r => r.getAs[Long]("g_status") == 1L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == total)
+    // each set's n_orders partitions the table
+    rows.groupBy(r => (r.getAs[Long]("g_status"), r.getAs[Long]("g_priority"),
+      r.getAs[Long]("g_year"))).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == total)
+    }
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

@@ -125,7 +125,18 @@ class PartitionInvarianceSpec extends SparkSpec {
       // mm8's per-cell micro-nat quantization must see the SAME exact
       // (c, n) integers under any split; ss12 joins bounded result lists
       "mm8_byte_entropy" -> graft.llmdata.Multimodal.byteEntropy _,
-      "ss12_recall_audit" -> graft.llmdata.Similarity.annRecallAudit _)
+      "ss12_recall_audit" -> graft.llmdata.Similarity.annRecallAudit _,
+      // third r11 batch: cur12's three gram-count model tables feed exact
+      // BIGINT NLL sums (partial-agg order must not move any count),
+      // ev19's bounded-heap k-minima must be the SAME set under any
+      // split, ev20's per-step MINs, ev21's dyadic BIGINT weight sums,
+      // ss13's two float rankings, q40's per-set aggregate cells
+      "cur12_trigram_lm_filter" -> graft.llmdata.Curation.trigramLmFilter _,
+      "ev19_theta_set_ops" -> EventsAnalytics.thetaSetOps _,
+      "ev20_sequence_match" -> EventsAnalytics.sequenceMatch _,
+      "ev21_decayed_counters" -> EventsAnalytics.decayedCounters _,
+      "ss13_mips_augmented" -> graft.llmdata.Similarity.mipsAugmented _,
+      "q40_grouping_sets" -> Relational.q40GroupingSets _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

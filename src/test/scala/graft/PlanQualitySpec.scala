@@ -532,8 +532,58 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") ||
       p.linesIterator.count(_.contains("CartesianProduct")) == 0)
     // customer feeds the threshold pass and the anti-join; two scans max
-    val scans = p.linesIterator.filter(_.contains("Scan parquet"))
-      .count(_.contains("customer"))
-    assert(scans <= 2, s"customer scans: $scans")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("customer.parquet"))
+    assert(scans >= 1 && scans <= 2, s"customer scans: $scans")
+  }
+
+  test("cur12: the trigram model attaches by broadcast joins — no window, " +
+      "no sort of the token stream") {
+    val p = plan(graft.llmdata.Curation.trigramLmFilter(spark, sf("sf0.01")))
+    assert(!p.contains("Window"),
+      "context attaches scan-side (transform-then-explode), never by lag()")
+    assert(p.contains("BroadcastHashJoin"),
+      "the closed-vocab model tables must broadcast into the token scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ev19: the sketch build is a bounded-heap aggregate, not a per-type " +
+      "sort; only the exact audit tier joins elements") {
+    val p = plan(graft.relational.EventsAnalytics.thetaSetOps(spark, sf("sf0.01")))
+    // the k-minima come from the combinable Aggregator: the only Sort
+    // allowed is the final ORDER BY over |types|^2 rows
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "BottomKByKey must aggregate, not window")
+    assert(!p.contains("Window"))
+  }
+
+  test("ev20/ev21: per-step MINs and decayed sums are hash aggregates; the " +
+      "1-row max-ts broadcasts") {
+    val p20 = plan(graft.relational.EventsAnalytics.sequenceMatch(spark, sf("sf0.01")))
+    assert(!p20.contains("Window") && !p20.contains("CartesianProduct"))
+    assert(p20.contains("HashAggregate"))
+    val p21 = plan(graft.relational.EventsAnalytics.decayedCounters(spark, sf("sf0.01")))
+    assert(p21.contains("BroadcastExchange"),
+      "the max-ts reference must broadcast, not re-scan")
+    assert(!p21.contains("Window"))
+  }
+
+  test("ss13: augmentation is scan-side off one broadcast max-norm row; " +
+      "queries broadcast into the corpus scan") {
+    val p = plan(graft.llmdata.Similarity.mipsAugmented(spark, sf("sf0.01")))
+    assert(p.contains("BroadcastExchange"))
+    val corpusScans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("embeddings.parquet"))
+    assert(corpusScans >= 1 && corpusScans <= 3, s"embeddings scans: $corpusScans")
+  }
+
+  test("q40: grouping sets run as ONE aggregate pass (Expand), not a " +
+      "union of scans") {
+    val p = plan(Relational.q40GroupingSets(spark, sf("sf0.01")))
+    assert(p.contains("Expand"), "grouping sets plan via Expand")
+    // the parquet path sits on the Location line, one per scan node
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("orders.parquet"))
+    assert(scans == 1, s"orders scans: $scans")
   }
 }
