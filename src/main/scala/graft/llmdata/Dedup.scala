@@ -1655,7 +1655,77 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------- LSH parameter tuning (dd25)
+
+  /** dd25: MinHash-LSH S-CURVE parameter tuning, grounded in the corpus —
+    * the design-of-experiments layer over dd3: for every (bands b, rows r)
+    * factorization of the 12-component signature, the collision
+    * probability of a pair at Jaccard s is P(s) = 1−(1−s^r)^b (the
+    * S-curve; Leskovec/Rajaraman/Ullman ch. 3), the curve's midpoint is
+    * t50 = (1−0.5^(1/b))^(1/r), and the EXPECTED RECALL over the
+    * corpus's own dd3-verified near-dup pairs is the mean of P(jaccard)
+    * across them — so the recommendation ("which banding for THIS
+    * corpus?") is measured against real pair mass, not a rule of thumb.
+    *
+    * Parity discipline: each pair's P is quantized ONCE to integer
+    * micro-units (round(P·1e6) — both engines evaluate the same closed
+    * form on the same doubles), the per-(b,r) mean is an exact BIGINT sum
+    * with one final division, and t50 ships quantized to micro too.
+    *
+    * Scale: the pair table is dd3's cached, C(cap,2)-bounded candidate
+    * set; the combo table is the ≤ d(12) divisor pairs broadcast; the
+    * rollup groups 6 keys. Nothing here re-touches documents. */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val combos = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+      .toDF("bands", "rows_per_band")
+      .select(col("bands").cast(LongType), col("rows_per_band").cast(LongType))
+    val pairs = minhashLsh(spark, dir).select(col("jaccard"))
+    val pCol = lit(1.0) - pow(lit(1.0) -
+      pow(col("jaccard"), col("rows_per_band").cast(DoubleType)),
+      col("bands").cast(DoubleType))
+    val t50 = pow(lit(1.0) - pow(lit(0.5),
+        lit(1.0) / col("bands").cast(DoubleType)),
+      lit(1.0) / col("rows_per_band").cast(DoubleType))
+    pairs.crossJoin(broadcast(combos))
+      .select(col("bands"), col("rows_per_band"),
+        round(pCol * lit(1000000.0)).cast(LongType).as("p_micro"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("p_micro")).as("sum_p"))
+      .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+        round(t50 * lit(1000000.0)).cast(LongType).as("t50_micro"),
+        (col("sum_p").cast(DoubleType) /
+          (lit(1000000.0) * col("n_pairs").cast(DoubleType)))
+          .as("expected_recall"),
+        (col("bands") === NumBands.toLong).as("is_configured"))
+      .orderBy(col("bands"))
+  }
+
+  val lshTuningSql: String =
+    s"""WITH pairs AS (${minhashLshSql.replace("ORDER BY doc_a, doc_b", "")}),
+       |combos AS (SELECT CAST(bands AS BIGINT) AS bands,
+       |             CAST(rows_per_band AS BIGINT) AS rows_per_band
+       |           FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2),
+       |                        (12, 1)) AS t(bands, rows_per_band)),
+       |pm AS (SELECT bands, rows_per_band,
+       |         CAST(round((1.0 - power(1.0 - power(jaccard,
+       |             CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)))
+       |           * 1000000.0) AS BIGINT) AS p_micro
+       |       FROM pairs CROSS JOIN combos),
+       |agg AS (SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_pairs,
+       |          CAST(SUM(p_micro) AS BIGINT) AS sum_p
+       |        FROM pm GROUP BY bands, rows_per_band)
+       |SELECT bands, rows_per_band, n_pairs,
+       |  CAST(round(power(1.0 - power(0.5, 1.0 / CAST(bands AS DOUBLE)),
+       |      1.0 / CAST(rows_per_band AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    AS t50_micro,
+       |  CAST(sum_p AS DOUBLE) / (1000000.0 * CAST(n_pairs AS DOUBLE))
+       |    AS expected_recall,
+       |  bands = $NumBands AS is_configured
+       |FROM agg ORDER BY bands""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd25_lsh_tuning" -> lshTuning,
     "dd24_winnowing" -> winnowingNearDup,
     "dd23_triangle_census" -> triangleCensus,
     "dd22_canonical_rep" -> canonicalReps,
@@ -1682,6 +1752,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd25_lsh_tuning" -> lshTuningSql,
     "dd24_winnowing" -> winnowingNearDupSql,
     "dd23_triangle_census" -> triangleCensusSql,
     "dd22_canonical_rep" -> canonicalRepsSql,

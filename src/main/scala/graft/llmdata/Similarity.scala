@@ -1221,7 +1221,81 @@ object Similarity {
        |FROM rk WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------- cluster quality audit (ss14)
+
+  /** ss14: IVF CLUSTER-QUALITY audit — the SemDeDup/embedding-clustering
+    * QA layer: per cell, how tight is it (mean cosine of members to their
+    * OWN exemplar) and how close is the nearest competing exemplar (mean
+    * second-best cosine) — the exemplar-level silhouette margin that says
+    * which cells are trustworthy dedup/sampling units and which need
+    * re-training (margin ≈ 0 means members sit on a cell boundary and
+    * assignment is effectively arbitrary there — the cells semantic dedup
+    * should NOT hard-trust). Both similarities come from the SAME sorted
+    * scan-side score array the ss3 assignment uses, so the audit measures
+    * exactly the quantizer it audits.
+    *
+    * Parity: per-vector cosines quantize ONCE to integer micro-units;
+    * per-cell means are exact BIGINT sums with one final division.
+    *
+    * Scale: one corpus scan (the k-exemplar codebook folds in as
+    * literals, zero shuffle for scoring) + one cell-keyed combinable
+    * rollup of three BIGINTs — the audit costs what one IVF assignment
+    * pass costs, regardless of corpus size. */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val all = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
+    val ex = collectedExemplars(exemplarsOf(spark, dir))
+    require(ex.length >= 2, "cluster quality needs at least two cells")
+    val scored = array(ex.zipWithIndex.map { case ((_, cv), i) =>
+      struct((lit(0.0) - Dedup.cosine(col("v"), lit(cv))).as("ns"), lit(i).as("i"))
+    }.toIndexedSeq: _*)
+    val top2 = slice(array_sort(scored), 1, 2)
+    val per = all
+      .withColumn("_t", top2)
+      .select(
+        element_at(lit(ex.map(_._1)),
+          element_at(col("_t"), 1).getField("i") + lit(1)).as("cell"),
+        round((lit(0.0) - element_at(col("_t"), 1).getField("ns")) *
+          lit(1000000.0)).cast(LongType).as("coh_micro"),
+        round((lit(0.0) - element_at(col("_t"), 2).getField("ns")) *
+          lit(1000000.0)).cast(LongType).as("sep_micro"))
+    per.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("coh_micro")).as("sc"), sum(col("sep_micro")).as("ss"))
+      .select(col("cell"), col("n_vecs"),
+        (col("sc").cast(DoubleType) /
+          (lit(1000000.0) * col("n_vecs").cast(DoubleType))).as("cohesion"),
+        (col("ss").cast(DoubleType) /
+          (lit(1000000.0) * col("n_vecs").cast(DoubleType))).as("separation"),
+        ((col("sc") - col("ss")).cast(DoubleType) /
+          (lit(1000000.0) * col("n_vecs").cast(DoubleType))).as("margin"))
+      .orderBy(col("cell"))
+  }
+
+  val clusterQualitySql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |$exemplarCteSql,
+       |ranked AS (SELECT e.vec_id, ex.cell,
+       |    CAST(round(${cosSql("e.v", "ex.cv")} * 1000000.0) AS BIGINT) AS s_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |  FROM e CROSS JOIN ex WHERE e.vec_id >= $NumQueries),
+       |own AS (SELECT vec_id, cell, s_micro AS coh FROM ranked WHERE rn = 1),
+       |sec AS (SELECT vec_id, s_micro AS sep FROM ranked WHERE rn = 2),
+       |per AS (SELECT own.cell, own.coh, sec.sep FROM own JOIN sec USING (vec_id)),
+       |agg AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |          CAST(SUM(coh) AS BIGINT) AS sc, CAST(SUM(sep) AS BIGINT) AS ss
+       |        FROM per GROUP BY cell)
+       |SELECT cell, n_vecs,
+       |  CAST(sc AS DOUBLE) / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS cohesion,
+       |  CAST(ss AS DOUBLE) / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS separation,
+       |  CAST(sc - ss AS DOUBLE) / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS margin
+       |FROM agg ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss14_cluster_quality" -> clusterQuality,
     "ss13_mips_augmented" -> mipsAugmented,
     "ss12_recall_audit" -> annRecallAudit,
     "ss6_ann_pq" -> annPq,
@@ -1237,6 +1311,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss14_cluster_quality" -> clusterQualitySql,
     "ss13_mips_augmented" -> mipsAugmentedSql,
     "ss12_recall_audit" -> annRecallAuditSql,
     "ss6_ann_pq" -> annPqSql,

@@ -1592,6 +1592,42 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("dd25: the S-curve tuning table covers every signature factorization " +
+      "and the curve behaves monotonically") {
+    val rows = Dedup.lshTuning(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("bands"))
+    assert(rows.map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")))
+      .toSeq == Seq((1L, 12L), (2L, 6L), (3L, 4L), (4L, 3L), (6L, 2L), (12L, 1L)))
+    // more bands (with b·r fixed) always lowers the midpoint threshold
+    val t50s = rows.map(_.getAs[Long]("t50_micro")).toSeq
+    assert(t50s == t50s.sorted.reverse, s"t50 must fall as bands rise: $t50s")
+    // ... and never lowers expected recall over the same pair mass
+    val recalls = rows.map(_.getAs[Double]("expected_recall")).toSeq
+    assert(recalls == recalls.sorted, s"recall must rise with bands: $recalls")
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    assert(rows.count(_.getAs[Boolean]("is_configured")) == 1)
+    val n = rows.map(_.getAs[Long]("n_pairs")).distinct
+    assert(n.length == 1, "every combo scores the same pair table")
+  }
+
+  test("ss14: cluster margins are non-negative, cohesion bounds separation, " +
+      "and every corpus vector is audited") {
+    val rows = graft.llmdata.Similarity.clusterQuality(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (coh, sep, m) = (r.getAs[Double]("cohesion"),
+        r.getAs[Double]("separation"), r.getAs[Double]("margin"))
+      // best-cosine >= second-best holds per vector, so it holds in mean
+      assert(coh >= sep, s"cell ${r.getAs[Long]("cell")}: $coh < $sep")
+      assert(math.abs(m - (coh - sep)) < 1e-9)
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+    val audited = rows.map(_.getAs[Long]("n_vecs")).sum
+    val corpus = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") >= 10).count()
+    assert(audited == corpus, "the audit partitions the corpus across cells")
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

@@ -136,7 +136,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ev20_sequence_match" -> EventsAnalytics.sequenceMatch _,
       "ev21_decayed_counters" -> EventsAnalytics.decayedCounters _,
       "ss13_mips_augmented" -> graft.llmdata.Similarity.mipsAugmented _,
-      "q40_grouping_sets" -> Relational.q40GroupingSets _)
+      "q40_grouping_sets" -> Relational.q40GroupingSets _,
+      // dd25's per-pair quantized S-curve sums, ss14's per-cell micro sums
+      "dd25_lsh_tuning" -> Dedup.lshTuning _,
+      "ss14_cluster_quality" -> graft.llmdata.Similarity.clusterQuality _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

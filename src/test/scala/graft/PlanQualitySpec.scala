@@ -577,6 +577,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(corpusScans >= 1 && corpusScans <= 3, s"embeddings scans: $corpusScans")
   }
 
+  test("ss14: the audit is one corpus scan + a cell-keyed hash rollup — " +
+      "no shuffle before the rollup, no window") {
+    val p = plan(graft.llmdata.Similarity.clusterQuality(spark, sf("sf0.01")))
+    assert(!p.contains("Window"),
+      "top-2 exemplar scores come off the scan-side sorted literal array")
+    assert(p.contains("HashAggregate"))
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("embeddings.parquet"))
+    assert(scans == 1, s"embeddings scans: $scans")
+  }
+
   test("q40: grouping sets run as ONE aggregate pass (Expand), not a " +
       "union of scans") {
     val p = plan(Relational.q40GroupingSets(spark, sf("sf0.01")))
