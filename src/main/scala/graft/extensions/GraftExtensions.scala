@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, JaroWinklerSim, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("stub_reencode", classOf[StubReencodeExpr], args => StubReencodeExpr(args(0)))
     reg("damerau", classOf[DamerauLevenshtein],
       args => DamerauLevenshtein(args(0), args(1)))
+    reg("jaro_winkler", classOf[JaroWinklerSim],
+      args => JaroWinklerSim(args(0), args(1)))
     reg("winnow_fps", classOf[WinnowFingerprints],
       args => WinnowFingerprints(args(0), intArg(args(1), "winnow_fps"),
         intArg(args(2), "winnow_fps")))

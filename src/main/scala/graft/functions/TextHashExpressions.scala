@@ -263,6 +263,61 @@ object TextHashUtil {
     d
   }
 
+  /** Jaro-Winkler similarity, matched to DuckDB's `jaro_winkler_similarity`
+    * semantics (probed empirically and pinned by the fm6 oracle): empty
+    * input on EITHER side → 0.0 (even both-empty); match window
+    * max(⌊max(|a|,|b|)/2⌋−1, 0); transpositions = half the mismatched
+    * positions among the matched subsequences; Winkler prefix boost
+    * (ℓ ≤ 4, p = 0.1) applied only when jaro > 0.7 — the classic boost
+    * threshold. Returns a double; query-level parity quantizes to
+    * micro-units, so a last-ULP divergence between this JVM arithmetic
+    * and DuckDB's C++ cannot flip the hash. UTF-16 chars — identical to
+    * per-character semantics on the ASCII fixture strings. */
+  def jaroWinkler(au: UTF8String, bu: UTF8String): Double = {
+    val a = au.toString
+    val b = bu.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var half = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = half / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val lmax = math.min(4, math.min(la, lb))
+    while (l < lmax && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
   /** Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner): edit
     * distance where adjacent-transposition is a first-class unit edit and
     * — unlike the optimal-string-alignment restriction — a transposed pair
@@ -629,6 +684,35 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Jaro-Winkler similarity — the record-linkage metric built for
+  * short name fields (Winkler 1990, census record linkage), codegen'd like
+  * [[DamerauLevenshtein]]. Spark ships levenshtein but neither Jaro nor
+  * Jaro-Winkler; DuckDB's built-in `jaro_winkler_similarity` is the fm6
+  * oracle twin. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler requires (string, string), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashUtil.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points. */
 object TextHashFunctions {
   def simhash32(tokens: Column): Column =
@@ -651,6 +735,8 @@ object TextHashFunctions {
     GraftColumn.of(JaccardSortedLong(GraftColumn.expr(a), GraftColumn.expr(b)))
   def damerau(a: Column, b: Column): Column =
     GraftColumn.of(DamerauLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumn.of(JaroWinklerSim(GraftColumn.expr(a), GraftColumn.expr(b)))
   def winnowFps(words: Column, k: Int, w: Int): Column =
     GraftColumn.of(WinnowFingerprints(GraftColumn.expr(words), k, w))
 }

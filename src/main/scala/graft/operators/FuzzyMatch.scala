@@ -515,7 +515,116 @@ object FuzzyMatch {
        |FROM probes p LEFT JOIN best b USING (probe_key)
        |ORDER BY p.probe_key""".stripMargin
 
+  // ------------------------------------------ fm6: Jaro-Winkler linkage
+
+  /** fm6: JARO-WINKLER record linkage — the census-linkage similarity
+    * built for short NAME fields (Winkler 1990): position-windowed
+    * character matching with a shared-prefix boost, which tolerates the
+    * mid-string deletions fm1's trigram Jaccard punishes and rewards the
+    * intact prefixes typo'd names keep. The metric runs as the native
+    * codegen expression `jaro_winkler` (Spark ships levenshtein but no
+    * Jaro family; DuckDB's built-in `jaro_winkler_similarity` is the
+    * oracle twin — its exact semantics, incl. the 0.7 boost threshold
+    * and empty→0, are probed and pinned in
+    * [[graft.functions.TextHashUtil.jaroWinkler]]'s contract).
+    *
+    * Parity: the float similarity quantizes ONCE to integer micro-units
+    * per candidate pair; ranking, tie-breaks, and the match-accept
+    * threshold all compare BIGINTs, so a last-ULP divergence between
+    * JVM and C++ arithmetic cannot reorder anything.
+    *
+    * Scale: fm1's rare-trigram blocking bounds candidates (never
+    * probe×base); best-match is the combinable max-struct aggregate. */
+  def fuzzyMatchJaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    // the part composite descriptor (fm5's field): enough entropy for a
+    // name-shaped metric — customer/supplier names are serial-numbered
+    // with an 9-char shared prefix, the known degenerate regime for a
+    // prefix-boosting similarity (documented, not hidden: that trade is
+    // WHY fm1's trigram blocking scores those)
+    val descOf = concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+    val base = t(spark, dir, "part")
+      .select(col("p_partkey").as("base_key"), descOf.as("base_name"))
+      .withColumn("base_grams", trigramsOf(col("base_name")))
+    val probes = t(spark, dir, "part")
+      .filter(col("p_partkey") % ProbeMod === 0)
+      .select(col("p_partkey").as("probe_key"), descOf.as("orig_name"),
+        corrupt(descOf).as("probe_name"))
+      .withColumn("probe_grams", trigramsOf(col("probe_name")))
+    val basePost = base.select(col("base_key"), explode(col("base_grams")).as("g"))
+    val rare = basePost.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= BlockDfCap).select(col("g"))
+    val probePost = probes.select(col("probe_key"), explode(col("probe_grams")).as("g"))
+    val cands = probePost.join(rare, "g").join(basePost, "g")
+      .select(col("probe_key"), col("base_key")).distinct()
+    val scored = cands
+      .join(probes.select(col("probe_key"), col("probe_name")), "probe_key")
+      .join(base.select(col("base_key"), col("base_name")), "base_key")
+      .select(col("probe_key"), col("base_key"), col("base_name"),
+        round(graft.functions.TextHashFunctions
+          .jaroWinkler(col("probe_name"), col("base_name")) * lit(1000000.0))
+          .cast(LongType).as("jw_micro"))
+    val best = scored.groupBy(col("probe_key"))
+      .agg(max(struct(col("jw_micro").as("s"),
+        (lit(0L) - col("base_key")).as("nb"))).as("m"))
+      .select(col("probe_key"), (lit(0L) - col("m.nb")).as("matched_key"),
+        col("m.s").as("jw_micro"))
+    // correct = the matched record carries the probe's own descriptor
+    // (duplicate descriptors tie-break to the min key, fm5's contract)
+    val matchedDesc = base.select(col("base_key").as("matched_key"),
+      col("base_name").as("matched_name"))
+    probes.select(col("probe_key"), col("orig_name"))
+      .join(best, Seq("probe_key"), "left")
+      .join(matchedDesc, Seq("matched_key"), "left")
+      .select(col("probe_key"), col("matched_key"),
+        coalesce(col("jw_micro"), lit(0L)).as("jw_micro"),
+        coalesce(col("matched_name") === col("orig_name"), lit(false))
+          .as("correct"))
+      .orderBy(col("probe_key"))
+  }
+
+  val fuzzyMatchJaroWinklerSql: String =
+    s"""WITH b0 AS (SELECT p_partkey AS base_key,
+       |    p_name || ' ' || p_brand || ' ' || p_type AS base_name FROM part),
+       |base AS (SELECT base_key, base_name,
+       |    CASE WHEN len(base_name) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(base_name)-2), i -> substr(base_name, i, 3)))
+       |    ELSE [base_name] END AS base_grams
+       |  FROM b0),
+       |p0 AS (SELECT p_partkey AS probe_key,
+       |    p_name || ' ' || p_brand || ' ' || p_type AS orig_name
+       |  FROM part WHERE p_partkey % $ProbeMod = 0),
+       |probe0 AS (SELECT probe_key, orig_name,
+       |    array_to_string(list_transform(
+       |      list_filter(generate_series(1, len(orig_name)), i -> i % $CorruptStride <> 0),
+       |      i -> substr(orig_name, i, 1)), '') AS probe_name
+       |  FROM p0),
+       |probes AS (SELECT probe_key, orig_name, probe_name,
+       |    CASE WHEN len(probe_name) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(probe_name)-2), i -> substr(probe_name, i, 3)))
+       |    ELSE [probe_name] END AS probe_grams
+       |  FROM probe0),
+       |bpost AS (SELECT base_key, unnest(base_grams) AS g FROM base),
+       |rare AS (SELECT g FROM bpost GROUP BY g HAVING COUNT(*) <= $BlockDfCap),
+       |ppost AS (SELECT probe_key, unnest(probe_grams) AS g FROM probes),
+       |cands AS (SELECT DISTINCT probe_key, base_key
+       |          FROM ppost JOIN rare USING (g) JOIN bpost USING (g)),
+       |scored AS (SELECT c.probe_key, c.base_key,
+       |    CAST(round(jaro_winkler_similarity(p.probe_name, b.base_name)
+       |      * 1000000.0) AS BIGINT) AS jw_micro
+       |  FROM cands c JOIN probes p USING (probe_key) JOIN base b USING (base_key)),
+       |best AS (SELECT probe_key, base_key AS matched_key, jw_micro
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+       |          ORDER BY jw_micro DESC, base_key) AS rank FROM scored) x
+       |  WHERE rank = 1)
+       |SELECT p.probe_key, b.matched_key,
+       |  COALESCE(b.jw_micro, CAST(0 AS BIGINT)) AS jw_micro,
+       |  COALESCE(m.base_name = p.orig_name, false) AS correct
+       |FROM probes p LEFT JOIN best b USING (probe_key)
+       |LEFT JOIN b0 m ON m.base_key = b.matched_key
+       |ORDER BY p.probe_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fm6_fuzzy_match_jaro_winkler" -> fuzzyMatchJaroWinkler,
     "fm5_fuzzy_match_token_sort" -> fuzzyMatchTokenSort,
     "fm1_fuzzy_match" -> fuzzyMatch,
     "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhash,
@@ -523,6 +632,7 @@ object FuzzyMatch {
     "fm4_fuzzy_match_damerau" -> fuzzyMatchDamerau)
 
   val oracle: Map[String, String] = Map(
+    "fm6_fuzzy_match_jaro_winkler" -> fuzzyMatchJaroWinklerSql,
     "fm5_fuzzy_match_token_sort" -> fuzzyMatchTokenSortSql,
     "fm1_fuzzy_match" -> fuzzyMatchSql,
     "fm2_fuzzy_match_minhash" -> fuzzyMatchMinhashSql,

@@ -46,7 +46,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |       minhash_sig(array('a','b'), 4) AS mh,
         |       hamming('0011', '0101') AS h,
         |       jaccard(array('a','b'), array('b','c')) AS j,
-        |       damerau('ca', 'abc') AS dl""".stripMargin)
+        |       damerau('ca', 'abc') AS dl,
+        |       jaro_winkler('martha', 'marhta') AS jw""".stripMargin)
       .collect().head
     assert(r.getString(0).matches("[01]{32}"))
     assert(r.getString(1).matches("[01]{64}"))
@@ -57,6 +58,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-12)
     // unrestricted DL: transpose then insert = 2 (OSA would say 3)
     assert(r.getLong(5) == 2L)
+    // the census-linkage classic: jaro 17/18, prefix 3 -> 0.9611...
+    assert(math.abs(r.getDouble(6) - 0.9611111111111111) < 1e-12)
     val code = spark.sql(
       "SELECT lsh_code(array_repeat(1.0D, 64)) AS c").collect().head.getString(0)
     assert(code.matches("[01]{8}"))

@@ -1628,6 +1628,43 @@ class LlmDataSpec extends SparkSpec {
     assert(audited == corpus, "the audit partitions the corpus across cells")
   }
 
+  test("fm6: native jaro_winkler reproduces DuckDB's probed values exactly " +
+      "and the linkage behaves") {
+    // cross-engine pin: these literals were read from DuckDB 1.0.0's
+    // jaro_winkler_similarity — the exact semantics the oracle compares
+    // (0.7 boost threshold, zero-clamped window, empty -> 0)
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("prefix", "prefixxxxlong", 0.8923076923076924),
+      ("ab", "abzzzzzzzzzz", 0.7777777777777779), // boosted: jaro > 0.7
+      ("abcdefgh", "abzzzzzz", 0.5), // NOT boosted despite prefix 2
+      ("aaaa", "aazz", 0.6666666666666666), // NOT boosted at exactly <= 0.7
+      ("ab", "ba", 0.0), // window 0: no cross-position match
+      ("a", "a", 1.0),
+      ("abc", "xyz", 0.0),
+      ("a", "", 0.0), ("", "", 0.0))
+    val got = pinned.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(graft.functions.TextHashFunctions
+        .jaroWinkler(col("a"), col("b")).as("jw")).collect().map(_.getDouble(0))
+    pinned.zip(got).foreach { case ((a, b, want), have) =>
+      assert(have == want, s"jw($a, $b): $have != $want")
+    }
+    val rows = graft.operators.FuzzyMatch.fuzzyMatchJaroWinkler(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // the char-drop corruption keeps prefixes, JW's favored regime: the
+    // overwhelming majority must relink to their own record
+    val correct = rows.count(_.getAs[Boolean]("correct"))
+    assert(correct.toDouble / rows.length > 0.9,
+      s"only $correct/${rows.length} relinked")
+    rows.foreach { r =>
+      val jw = r.getAs[Long]("jw_micro")
+      assert(jw >= 0L && jw <= 1000000L)
+    }
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

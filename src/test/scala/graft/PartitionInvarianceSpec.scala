@@ -139,7 +139,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "q40_grouping_sets" -> Relational.q40GroupingSets _,
       // dd25's per-pair quantized S-curve sums, ss14's per-cell micro sums
       "dd25_lsh_tuning" -> Dedup.lshTuning _,
-      "ss14_cluster_quality" -> graft.llmdata.Similarity.clusterQuality _)
+      "ss14_cluster_quality" -> graft.llmdata.Similarity.clusterQuality _,
+      // fm6's max-struct pick over quantized JW scores
+      "fm6_fuzzy_match_jaro_winkler" ->
+        graft.operators.FuzzyMatch.fuzzyMatchJaroWinkler _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
