@@ -1294,7 +1294,78 @@ object Similarity {
        |  CAST(sc - ss AS DOUBLE) / (1000000.0 * CAST(n_vecs AS DOUBLE)) AS margin
        |FROM agg ORDER BY cell""".stripMargin
 
+  // ---------------------------------------- hard-negative mining (ss15)
+
+  /** False-negative guard for [[hardNegativeMining]]: a candidate scoring
+    * above this fraction of the query's nearest POSITIVE is presumed an
+    * unlabeled positive and excluded (the RocketQA/SBERT denoising rule). */
+  private val HardNegMarginFactor = 0.95
+
+  /** ss15: HARD-NEGATIVE mining — the contrastive-training data op
+    * (RocketQA, Karpukhin et al. DPR, SBERT mining): for each query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label, excluding
+    * candidates scoring above 0.95× the query's nearest same-label
+    * similarity (near-positive candidates are more likely unlabeled
+    * positives than useful negatives — the documented denoising margin).
+    * These are the negatives that actually move a contrastive loss;
+    * random negatives are trivially separable.
+    *
+    * Scale: the nearest-positive anchor is one combinable per-query MAX;
+    * candidate scoring inherits ss1's broadcast-queries/one-corpus-scan
+    * shape here and ss3's IVF composition at scale (mine within probed
+    * cells — the label filter composes with ss11's pushed predicate at a
+    * label-partitioned lake); ranking is per-query over the margin-
+    * filtered shortlist. */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val c = e.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("label").as("neighbor_label"),
+        Dedup.vecD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        Dedup.vecD(col("embedding")).as("q"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"), col("neighbor_label"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+    val pos = scored.filter(col("neighbor_label") === col("q_label"))
+      .groupBy(col("query_id")).agg(max(col("cos_sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.filter(col("neighbor_label") =!= col("q_label"))
+      .join(broadcast(pos), "query_id")
+      .filter(col("cos_sim") < lit(HardNegMarginFactor) * col("pos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("cos_sim"), col("pos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativeMiningSql: String =
+    s"""WITH c AS (SELECT vec_id, label AS neighbor_label,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |q AS (SELECT vec_id AS query_id, label AS q_label,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+       |      FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT query_id, q_label, vec_id AS neighbor_id,
+       |             neighbor_label, ${cosSql("q", "v")} AS cos_sim
+       |           FROM c CROSS JOIN q),
+       |pos AS (SELECT query_id, max(cos_sim) AS pos_sim FROM scored
+       |        WHERE neighbor_label = q_label GROUP BY query_id),
+       |neg AS (SELECT s.query_id, s.neighbor_id, s.neighbor_label,
+       |          s.cos_sim, p.pos_sim,
+       |          ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |            ORDER BY s.cos_sim DESC, s.neighbor_id) AS rank
+       |        FROM scored s JOIN pos p USING (query_id)
+       |        WHERE s.neighbor_label <> s.q_label
+       |          AND s.cos_sim < $HardNegMarginFactor * p.pos_sim)
+       |SELECT query_id, rank, neighbor_id, neighbor_label, cos_sim, pos_sim
+       |FROM neg WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss15_hard_negatives" -> hardNegativeMining,
     "ss14_cluster_quality" -> clusterQuality,
     "ss13_mips_augmented" -> mipsAugmented,
     "ss12_recall_audit" -> annRecallAudit,
@@ -1311,6 +1382,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss15_hard_negatives" -> hardNegativeMiningSql,
     "ss14_cluster_quality" -> clusterQualitySql,
     "ss13_mips_augmented" -> mipsAugmentedSql,
     "ss12_recall_audit" -> annRecallAuditSql,

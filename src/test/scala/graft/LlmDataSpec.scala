@@ -1665,6 +1665,31 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ss15: hard negatives are cross-label, margin-denoised, and " +
+      "rank-ordered under the positive anchor") {
+    val d = sf()
+    val rows = graft.llmdata.Similarity.hardNegativeMining(spark, d).collect()
+    assert(rows.nonEmpty)
+    val labels = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val qLabel = labels(qid)
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+      sorted.foreach { r =>
+        assert(r.getAs[Int]("neighbor_label") != qLabel,
+          "a hard negative must carry a different label")
+        assert(r.getAs[Int]("neighbor_label") ==
+          labels(r.getAs[Long]("neighbor_id")))
+        // the denoising margin: never harder than 0.95x the best positive
+        assert(r.getAs[Double]("cos_sim") < 0.95 * r.getAs[Double]("pos_sim"))
+      }
+    }
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

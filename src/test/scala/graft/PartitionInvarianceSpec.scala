@@ -142,7 +142,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ss14_cluster_quality" -> graft.llmdata.Similarity.clusterQuality _,
       // fm6's max-struct pick over quantized JW scores
       "fm6_fuzzy_match_jaro_winkler" ->
-        graft.operators.FuzzyMatch.fuzzyMatchJaroWinkler _)
+        graft.operators.FuzzyMatch.fuzzyMatchJaroWinkler _,
+      // ss15's per-query positive-anchor MAX then margin-filtered rank
+      "ss15_hard_negatives" -> graft.llmdata.Similarity.hardNegativeMining _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
