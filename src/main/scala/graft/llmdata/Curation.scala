@@ -1059,14 +1059,25 @@ object Curation {
         col("g.w"), col("g.w1"), col("g.w2"),
         (substring(md5(col("doc_id").cast(StringType)), 1, 1) < "8")
           .as("is_train"))
-    val tr = toks.filter(col("is_train"))
-    val totF = tr.agg(count(lit(1)).as("tot"))
-    val uni = tr.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = tr.filter(col("w1").isNotNull)
-      .groupBy(col("w1").as("p"), col("w")).agg(count(lit(1)).as("c2"))
-    val tri = tr.filter(col("w2").isNotNull)
+    // ONE aggregate pass over the train stream builds a full-context
+    // count cube (null-keyed rows keep the short-context positions); the
+    // three model count tables are marginals of the CUBE, not re-scans —
+    // without this the plan re-exploded the corpus once per model table
+    // (6 Generates at sf0.1; 2 corpus passes total now: fit + score)
+    // localCheckpoint pins the cube (|trigram types| rows, ~27k at sf0.1)
+    // so its six consumers (tot×2, uni, bi, tri, and m1's cross) read one
+    // materialization instead of re-aggregating the corpus — cur5b's
+    // single-scoring-scan discipline applied to the model fit
+    val ctxCube = toks.filter(col("is_train"))
+      .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totF = ctxCube.agg(sum(col("c")).as("tot"))
+    val uni = ctxCube.groupBy(col("w")).agg(sum(col("c")).as("c1"))
+    val bi = ctxCube.filter(col("w1").isNotNull)
+      .groupBy(col("w1").as("p"), col("w")).agg(sum(col("c")).as("c2"))
+    val tri = ctxCube.filter(col("w2").isNotNull)
       .groupBy(col("w2").as("p2"), col("w1").as("p1"), col("w"))
-      .agg(count(lit(1)).as("c3"))
+      .agg(sum(col("c")).as("c3"))
     def q(x: Column): Column = round(-log(x) * lit(1000000.0)).cast(LongType)
     val m3 = tri.join(bi.select(col("p").as("_bp"), col("w").as("_bw"),
         col("c2").as("_bc2")),
