@@ -120,6 +120,31 @@ class CdcReplaySourceSpec extends SparkSpec {
     assert(sub.toSeq == (6 to 15).map(i => s"e$i").sorted)
   }
 
+  test("bootstrap handoff: a batch backfill to replayId X then a stream " +
+      "from X covers the log exactly once across the seam") {
+    // the deployment pattern the two read paths exist FOR: bulk-load
+    // history with the (cheap, sharded) batch scan, record the highest
+    // replayId it delivered, subscribe the stream from exactly there —
+    // no gap, no overlap, even with events published between the two
+    val topic = "t_handoff"
+    ReplayBus.clear(topic)
+    (1 to 20).foreach(i => ReplayBus.publish(topic, s"e$i"))
+    val bootstrap = spark.read.format("cdc-replay")
+      .option("topic", topic).option("replayUntil", "15").option("numShards", "4")
+      .load().select("replayId", "value").as[(Long, String)].collect()
+    val seam = bootstrap.map(_._1).max
+    assert(seam == 15L, "the backfill reports the offset the stream resumes at")
+    // events 16..20 were already published BEFORE the stream starts — the
+    // seam must not drop them; more land while the stream is conceptually up
+    (21 to 25).foreach(i => ReplayBus.publish(topic, s"e$i"))
+    drain(topic, "src_handoff", "replayFrom" -> seam.toString)
+    val streamed = spark.table("src_handoff").as[(Long, String)].collect()
+    val all = (bootstrap ++ streamed).sortBy(_._1)
+    assert(all.map(_._1).toSeq == (1L to 25L), "exactly-once across the seam")
+    assert(all.map(_._2).toSeq == (1 to 25).map(i => s"e$i"))
+    assert(bootstrap.map(_._1).toSet.intersect(streamed.map(_._1).toSet).isEmpty)
+  }
+
   test("T10: topic option is normalized — trailing slash and query string stripped") {
     val topic = "/data/t_norm"
     ReplayBus.clear(topic)

