@@ -1364,7 +1364,112 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, neighbor_label, cos_sim, pos_sim
        |FROM neg WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- NN-descent round (ss16)
+
+  /** ss16: one NN-DESCENT round over the ss5 kNN graph (Dong et al. 2011,
+    * "Efficient K-Nearest Neighbor Graph Construction") — the local-search
+    * principle behind every graph-ANN index build (NGT, HNSW
+    * neighborhoods, kgraph): a neighbor of my neighbor is likely my
+    * neighbor, so candidates = the UNDIRECTED 2-hop neighborhood, exact
+    * re-rank, keep the new top-k. This repairs exactly the blind spot
+    * ss5's cell-local graph has: true neighbors that landed in an
+    * adjacent IVF cell are unreachable within the cell but reachable
+    * through a shared neighbor. Edges that survive from the seed graph
+    * keep `discovered = false`; cross-cell repairs arrive flagged.
+    * Improvement is MONOTONE by construction (the old neighbor list is in
+    * the candidate set, so per-node min similarity can only rise — the
+    * spec asserts it).
+    *
+    * Scale: the 2-hop expansion is |V|·(2K)² candidate edges max — graph
+    * joins on vec_id keys, never touching text/payloads; re-rank joins
+    * the embeddings scan twice; the per-node keep is the O(k)-state
+    * bounded-heap aggregate, no window over candidates. Iterating rounds
+    * converges like the paper; one round is the oracle-gated unit. */
+  def knnGraphDescent(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(spark, dir).select(col("src_id"), col("neighbor_id"))
+    val e0 = t(spark, dir, "embeddings").select(col("vec_id"))
+    val nF = e0.agg((max(col("vec_id")) + 1L).as("nv"))
+    // deterministic random-init edges (the paper seeds randomly; without
+    // them the cell-local seed is all-pairs-optimal AND cell-disconnected,
+    // so 2-hop exploration can never leave a cell and descent is a no-op
+    // — measured, not assumed): R=2 hash-derived partners per node
+    val rnd = e0.crossJoin(broadcast(nF))
+      .select(col("vec_id").as("src_id"),
+        explode(array((1 to 2).map(j =>
+          pmod(col("vec_id") * lit(1103515245L) + lit(j * 12345L),
+            col("nv"))): _*)).as("neighbor_id"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+    val und = g.union(rnd).union(
+        g.union(rnd).select(col("neighbor_id").as("src_id"),
+          col("src_id").as("neighbor_id")))
+      .distinct()
+    val twoHop = und.select(col("src_id"), col("neighbor_id").as("mid"))
+      .join(und.select(col("src_id").as("mid"), col("neighbor_id").as("cand")),
+        "mid")
+      .select(col("src_id"), col("cand"))
+      .filter(col("src_id") =!= col("cand"))
+    val cands = und.select(col("src_id"), col("neighbor_id").as("cand"))
+      .union(twoHop).distinct()
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
+    val scored = cands
+      .join(e.select(col("vec_id").as("src_id"), col("v").as("va")), "src_id")
+      .join(e.select(col("vec_id").as("cand"), col("v").as("vb")), "cand")
+      .select(col("src_id"), col("cand").as("neighbor_id"),
+        Dedup.cosine(col("va"), col("vb")).as("cos_sim"))
+    val kept = scored.groupBy(col("src_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("cos_sim"), col("neighbor_id"), GraphTopK).as("top"))
+      .select(col("src_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("src_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos_sim"))
+    kept.join(g.withColumn("seed", lit(true)), Seq("src_id", "neighbor_id"),
+        "left")
+      .select(col("src_id"), col("rank"), col("neighbor_id"), col("cos_sim"),
+        coalesce(!col("seed"), lit(true)).as("discovered"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
+  val knnGraphDescentSql: String =
+    s"""WITH g0 AS (${knnGraphSql.replace("ORDER BY src_id, rank", "")}),
+       |g AS (SELECT src_id, neighbor_id FROM g0),
+       |n AS (SELECT max(vec_id) + 1 AS nv FROM embeddings),
+       |rnd AS (SELECT e0.vec_id AS src_id,
+       |          ((e0.vec_id * 1103515245 + j.j * 12345) % n.nv + n.nv) % n.nv
+       |            AS neighbor_id
+       |        FROM embeddings e0, n, (SELECT unnest([1, 2]) AS j) j
+       |        WHERE ((e0.vec_id * 1103515245 + j.j * 12345) % n.nv + n.nv) % n.nv
+       |          <> e0.vec_id),
+       |gr AS (SELECT src_id, neighbor_id FROM g
+       |       UNION ALL SELECT src_id, neighbor_id FROM rnd),
+       |und AS (SELECT DISTINCT src_id, neighbor_id FROM (
+       |          SELECT src_id, neighbor_id FROM gr
+       |          UNION ALL
+       |          SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM gr)),
+       |cands AS (SELECT DISTINCT src_id, cand FROM (
+       |          SELECT src_id, neighbor_id AS cand FROM und
+       |          UNION ALL
+       |          SELECT a.src_id, b.neighbor_id AS cand
+       |          FROM und a JOIN und b ON a.neighbor_id = b.src_id) x
+       |        WHERE src_id <> cand),
+       |e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings),
+       |scored AS (SELECT c.src_id, c.cand AS neighbor_id,
+       |             ${cosSql("a.v", "b.v")} AS cos_sim
+       |           FROM cands c JOIN e2 a ON a.vec_id = c.src_id
+       |                        JOIN e2 b ON b.vec_id = c.cand),
+       |kept AS (SELECT src_id, neighbor_id, cos_sim,
+       |           ROW_NUMBER() OVER (PARTITION BY src_id
+       |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |         FROM scored QUALIFY rank <= $GraphTopK)
+       |SELECT k.src_id, k.rank, k.neighbor_id, k.cos_sim,
+       |  g.src_id IS NULL AS discovered
+       |FROM kept k LEFT JOIN g ON g.src_id = k.src_id
+       |  AND g.neighbor_id = k.neighbor_id
+       |ORDER BY k.src_id, k.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss16_knn_descent" -> knnGraphDescent,
     "ss15_hard_negatives" -> hardNegativeMining,
     "ss14_cluster_quality" -> clusterQuality,
     "ss13_mips_augmented" -> mipsAugmented,
@@ -1382,6 +1487,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss16_knn_descent" -> knnGraphDescentSql,
     "ss15_hard_negatives" -> hardNegativeMiningSql,
     "ss14_cluster_quality" -> clusterQualitySql,
     "ss13_mips_augmented" -> mipsAugmentedSql,

@@ -1690,6 +1690,34 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("ss16: one NN-descent round monotonically improves the kNN graph " +
+      "and repairs cross-cell blind spots") {
+    val d = sf()
+    val before = graft.llmdata.Similarity.knnGraph(spark, d).collect()
+      .groupBy(_.getAs[Long]("src_id"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Double]("cos_sim")).min }
+    val after = graft.llmdata.Similarity.knnGraphDescent(spark, d).collect()
+    assert(after.nonEmpty)
+    val afterMin = after.groupBy(_.getAs[Long]("src_id"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Double]("cos_sim")).min }
+    // the seed list is inside the candidate set, so per-node worst
+    // similarity can only rise
+    before.foreach { case (s, bm) =>
+      afterMin.get(s).foreach(am =>
+        assert(am >= bm, s"node $s regressed: $am < $bm"))
+    }
+    // the round must actually repair something at this fixture (a
+    // discovered edge strictly better than the node's old floor)
+    val improved = after.filter(_.getAs[Boolean]("discovered"))
+      .count(r => before.get(r.getAs[Long]("src_id"))
+        .exists(r.getAs[Double]("cos_sim") > _))
+    assert(improved > 0, "no cross-cell repair found — descent was a no-op")
+    after.groupBy(_.getAs[Long]("src_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+    }
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

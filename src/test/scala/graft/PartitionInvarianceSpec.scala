@@ -144,7 +144,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       "fm6_fuzzy_match_jaro_winkler" ->
         graft.operators.FuzzyMatch.fuzzyMatchJaroWinkler _,
       // ss15's per-query positive-anchor MAX then margin-filtered rank
-      "ss15_hard_negatives" -> graft.llmdata.Similarity.hardNegativeMining _)
+      "ss15_hard_negatives" -> graft.llmdata.Similarity.hardNegativeMining _,
+      // ss16's 2-hop expansion + bounded-heap keep over the seed graph
+      "ss16_knn_descent" -> graft.llmdata.Similarity.knnGraphDescent _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {
