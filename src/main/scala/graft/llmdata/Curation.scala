@@ -939,6 +939,10 @@ object Curation {
     // the opposite trade from mm8's per-byte extraction
     val feats = docs
       .withColumn("_w", split(col("text"), " "))
+      // mirror the twin's WHERE len(w) >= 2: a 1-word doc would make
+      // sequence(1, 0) emit a DESCENDING [1, 0] and the bigram lambda
+      // would index element_at(_w, 0) — a runtime error, not a no-op
+      .filter(size(col("_w")) >= 2)
       .select(col("doc_id"), col("source"), col("lang"),
         explode(transform(sequence(lit(1), size(col("_w")) - 1),
           i => conv(substring(md5(concat_ws(" ",

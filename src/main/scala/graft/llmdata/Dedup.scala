@@ -256,7 +256,10 @@ object Dedup {
     s"md5(sig[${b * BandRows + 1}] || sig[${b * BandRows + 2}])"
   }.mkString("[", ", ", "]")
 
-  val minhashLshSql: String = {
+  /** Unordered core of [[minhashLshSql]] — composed as a CTE body by the
+    * dd19/dd25 twins (appending ORDER BY only at the top level instead of
+    * string-stripping the sort out of the ordered form). */
+  private[llmdata] val minhashLshCoreSql: String = {
     val sigList = sigListSql
     val bandExprs = bandExprsSql
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -276,9 +279,10 @@ object Dedup {
        |FROM cands JOIN sh a ON cands.doc_a = a.doc_id
        |           JOIN sh b ON cands.doc_b = b.doc_id
        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-       |      CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= $MinhashJaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |      CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) >= $MinhashJaccardThreshold""".stripMargin
   }
+
+  val minhashLshSql: String = s"$minhashLshCoreSql ORDER BY doc_a, doc_b"
 
   // ------------------------------------- signature-only estimate (dd16)
 
@@ -384,9 +388,12 @@ object Dedup {
        |         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
        |       FROM bits GROUP BY doc_id)""".stripMargin
 
-  val simhashSql: String =
+  /** Unordered core of [[simhashSql]] — composed by the q34 twin. */
+  private[graft] val simhashCoreSql: String =
     s"""WITH $simhashShSql
-       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, simhash FROM sh""".stripMargin
+
+  val simhashSql: String = s"$simhashCoreSql ORDER BY doc_id"
 
   /** Max hamming distance for a verified near-dup pair. With 4 blocks the
     * pigeonhole guarantee covers exactly hamming ≤ 3; on 64 bits that is a
@@ -649,7 +656,7 @@ object Dedup {
     val cos = "list_reduce(list_transform(generate_series(1,64), i -> va[i] * vb[i]), (x,y) -> x+y)" +
       " / (sqrt(list_reduce(list_transform(va, x -> x*x), (x,y) -> x+y))" +
       " * sqrt(list_reduce(list_transform(vb, x -> x*x), (x,y) -> x+y)))"
-    s"""WITH pairs AS (${minhashLshSql.replace("ORDER BY doc_a, doc_b", "")}),
+    s"""WITH pairs AS ($minhashLshCoreSql),
        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |      FROM embeddings)
        |SELECT doc_a, doc_b, jaccard, $cos AS cos_sim
@@ -1702,7 +1709,7 @@ object Dedup {
   }
 
   val lshTuningSql: String =
-    s"""WITH pairs AS (${minhashLshSql.replace("ORDER BY doc_a, doc_b", "")}),
+    s"""WITH pairs AS ($minhashLshCoreSql),
        |combos AS (SELECT CAST(bands AS BIGINT) AS bands,
        |             CAST(rows_per_band AS BIGINT) AS rows_per_band
        |           FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2),

@@ -30,7 +30,7 @@ object Similarity {
     Tables.load(spark, dir, name)
 
   /** Queries = vec_id < NumQueries; corpus = the rest. */
-  private val NumQueries = 10
+  private[graft] val NumQueries = 10
   private val TopK = 5
   private val AnnTopK = 3
 
@@ -296,6 +296,8 @@ object Similarity {
     ivfPqIndexCache.clear(spark)
     sqIndexCache.clear(spark)
     knnGraphCache.clear(spark)
+    knnDescentCache.clear(spark)
+    serveGraphCache.clear(spark)
   }
 
   private def collectedExemplars(exemplars: DataFrame): Array[(Long, Array[Double])] =
@@ -592,7 +594,10 @@ object Similarity {
       .orderBy(col("src_id"), col("rank"))
   }
 
-  val knnGraphSql: String =
+  /** Unordered core of [[knnGraphSql]], for embedding as a CTE body (the
+    * descent/serve twins compose it; appending ORDER BY only at the top
+    * level avoids the fragile strip-the-sort string surgery). */
+  private[llmdata] val knnGraphCoreSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |$exemplarCteSql,
@@ -610,7 +615,9 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY src_id
        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored) x
-       |WHERE rank <= $GraphTopK ORDER BY src_id, rank""".stripMargin
+       |WHERE rank <= $GraphTopK""".stripMargin
+
+  val knnGraphSql: String = s"$knnGraphCoreSql ORDER BY src_id, rank"
 
   // --------------------------------------------- product quantization
 
@@ -1377,45 +1384,73 @@ object Similarity {
 
   // ------------------------------------------- NN-descent round (ss16)
 
-  /** ss16: one NN-DESCENT round over the ss5 kNN graph (Dong et al. 2011,
-    * "Efficient K-Nearest Neighbor Graph Construction") — the local-search
-    * principle behind every graph-ANN index build (NGT, HNSW
-    * neighborhoods, kgraph): a neighbor of my neighbor is likely my
-    * neighbor, so candidates = the UNDIRECTED 2-hop neighborhood, exact
-    * re-rank, keep the new top-k. This repairs exactly the blind spot
-    * ss5's cell-local graph has: true neighbors that landed in an
-    * adjacent IVF cell are unreachable within the cell but reachable
-    * through a shared neighbor. Edges that survive from the seed graph
-    * keep `discovered = false`; cross-cell repairs arrive flagged.
-    * Improvement is MONOTONE by construction (the old neighbor list is in
-    * the candidate set, so per-node min similarity can only rise — the
-    * spec asserts it).
+  /** Candidate-sampling width for NN-descent: each node contributes only
+    * its [[DescentSampleK]] hash-chosen undirected neighbors to the 2-hop
+    * expansion — Dong et al. 2011 §2.3's ρK sampling (ρK = 4 here against
+    * a 2(K+R) = 10 undirected degree), which cuts the dominant candidate
+    * volume from |V|·deg² to |V|·(ρK)² (~4× here) WITHOUT weakening the
+    * monotonicity guarantee, because the full direct neighbor list still
+    * enters the candidate set. The sample is ordered by a deterministic
+    * per-edge hash (then neighbor_id), so the DuckDB twin mirrors it
+    * bit-exactly. */
+  private val DescentSampleK = 4
+
+  /** Deterministic random-init partners per node (the paper's random
+    * seeding; without them the cell-local seed graph is cell-disconnected
+    * and 2-hop exploration can never leave a cell — measured, not
+    * assumed). */
+  private val DescentRandomR = 2
+
+  /** The ss5 graph restricted to CORPUS nodes (vec_id >= [[NumQueries]])
+    * on both edge ends — the seed NN-descent refines. The descent graph is
+    * a corpus INDEX; query vectors are what ss17 serves against it, so
+    * they must not join the node set (they would surface as "corpus"
+    * neighbors). */
+  private[graft] def corpusSeedGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir)
+      .filter(col("src_id") >= NumQueries && col("neighbor_id") >= NumQueries)
+      .select(col("src_id"), col("neighbor_id"))
+
+  /** One sampled NN-descent round over an arbitrary seed edge set
+    * (src_id, neighbor_id): undirect the seed plus [[DescentRandomR]]
+    * hash-derived random edges, expand 2-hop through the
+    * [[DescentSampleK]]-sampled neighbor lists, exact re-rank, keep the
+    * bounded-heap top-[[GraphTopK]]. `discovered` marks edges absent from
+    * the passed seed. Shared by the oracle-gated single round (ss16), the
+    * convergence loop ([[knnGraphConverged]]), and the serve path's index
+    * build.
     *
-    * Scale: the 2-hop expansion is |V|·(2K)² candidate edges max — graph
-    * joins on vec_id keys, never touching text/payloads; re-rank joins
-    * the embeddings scan twice; the per-node keep is the O(k)-state
-    * bounded-heap aggregate, no window over candidates. Iterating rounds
-    * converges like the paper; one round is the oracle-gated unit. */
-  def knnGraphDescent(spark: SparkSession, dir: String): DataFrame = {
-    val g = knnGraph(spark, dir).select(col("src_id"), col("neighbor_id"))
+    * Scale: candidates are |V|·((ρK)² + 2(K+R)) graph-key rows — joins on
+    * vec_id only, payloads untouched; re-rank joins the embeddings scan
+    * twice; per-node keep is the O(k)-state bounded-heap aggregate. */
+  private[graft] def descentRound(spark: SparkSession, dir: String,
+                                    seed: DataFrame): DataFrame = {
     val e0 = t(spark, dir, "embeddings").select(col("vec_id"))
     val nF = e0.agg((max(col("vec_id")) + 1L).as("nv"))
-    // deterministic random-init edges (the paper seeds randomly; without
-    // them the cell-local seed is all-pairs-optimal AND cell-disconnected,
-    // so 2-hop exploration can never leave a cell and descent is a no-op
-    // — measured, not assumed): R=2 hash-derived partners per node
-    val rnd = e0.crossJoin(broadcast(nF))
+    val rnd = e0.filter(col("vec_id") >= NumQueries).crossJoin(broadcast(nF))
       .select(col("vec_id").as("src_id"),
-        explode(array((1 to 2).map(j =>
-          pmod(col("vec_id") * lit(1103515245L) + lit(j * 12345L),
-            col("nv"))): _*)).as("neighbor_id"))
+        explode(array((1 to DescentRandomR).map(j =>
+          lit(NumQueries.toLong) +
+            pmod(col("vec_id") * lit(1103515245L) + lit(j * 12345L),
+              col("nv") - lit(NumQueries.toLong))): _*)).as("neighbor_id"))
       .filter(col("src_id") =!= col("neighbor_id"))
-    val und = g.union(rnd).union(
-        g.union(rnd).select(col("neighbor_id").as("src_id"),
-          col("src_id").as("neighbor_id")))
+    val gr = seed.union(rnd)
+    val und = gr.union(gr.select(col("neighbor_id").as("src_id"),
+        col("src_id").as("neighbor_id")))
       .distinct()
-    val twoHop = und.select(col("src_id"), col("neighbor_id").as("mid"))
-      .join(und.select(col("src_id").as("mid"), col("neighbor_id").as("cand")),
+    // deterministic sample order: small multiplicative hash, exact in a
+    // Double (< 2^31), identical in both engines
+    val sampleOrd = (col("src_id") * lit(1000003L) +
+      col("neighbor_id") * lit(7919L)) % lit(999983L)
+    val samp = und
+      .groupBy(col("src_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        (lit(0L) - sampleOrd).cast(DoubleType), col("neighbor_id"),
+        DescentSampleK).as("top"))
+      .select(col("src_id"), explode(col("top")).as("e"))
+      .select(col("src_id"), col("e.id").as("neighbor_id"))
+    val twoHop = samp.select(col("src_id"), col("neighbor_id").as("mid"))
+      .join(samp.select(col("src_id").as("mid"), col("neighbor_id").as("cand")),
         "mid")
       .select(col("src_id"), col("cand"))
       .filter(col("src_id") =!= col("cand"))
@@ -1434,34 +1469,107 @@ object Similarity {
       .select(col("src_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("src_id"), (col("pos") + 1).cast(LongType).as("rank"),
         col("e.id").as("neighbor_id"), col("e.score").as("cos_sim"))
-    kept.join(g.withColumn("seed", lit(true)), Seq("src_id", "neighbor_id"),
+    kept.join(seed.withColumn("seen", lit(true)), Seq("src_id", "neighbor_id"),
         "left")
       .select(col("src_id"), col("rank"), col("neighbor_id"), col("cos_sim"),
-        coalesce(!col("seed"), lit(true)).as("discovered"))
+        coalesce(!col("seen"), lit(true)).as("discovered"))
+  }
+
+  /** The refined descent graph caches per (session, dir) like the ss5
+    * seed: ss16 serves it and ss17's graph search reads it as the index.
+    * Evicted by [[clearExemplars]]. */
+  private val knnDescentCache = SessionCache.persisted()
+
+  /** ss16: one NN-DESCENT round over the ss5 kNN graph (Dong et al. 2011,
+    * "Efficient K-Nearest Neighbor Graph Construction") — the local-search
+    * principle behind every graph-ANN index build (NGT, HNSW
+    * neighborhoods, kgraph): a neighbor of my neighbor is likely my
+    * neighbor, so candidates = the 2-hop neighborhood through SAMPLED
+    * neighbor lists ([[DescentSampleK]]), exact re-rank, keep the new
+    * top-k. This repairs exactly the blind spot ss5's cell-local seed has:
+    * true neighbors that landed in an adjacent IVF cell are unreachable
+    * within the cell but reachable through a shared neighbor. Nodes are
+    * CORPUS vectors only ([[corpusSeedGraph]]); edges surviving from the
+    * seed keep `discovered = false`. Improvement is MONOTONE by
+    * construction (the direct neighbor list is in the candidate set, so
+    * per-node min similarity can only rise — the spec asserts it). */
+  def knnGraphDescent(spark: SparkSession, dir: String): DataFrame =
+    knnDescentCache.get(spark, dir)(
+      descentRound(spark, dir, corpusSeedGraph(spark, dir))
+        .orderBy(col("src_id"), col("rank")).persist())
+
+  /** Iterated NN-descent to convergence (Dong et al. 2011's outer loop):
+    * repeat [[descentRound]] until the count of changed edges falls to or
+    * below delta·|V|·K — the paper's δ termination. Each round is
+    * localCheckpoint-pinned (the dd11 iteration discipline: flat lineage,
+    * no re-execution of prior rounds). Not oracle-gated — the round count
+    * is data-dependent — but spec-pinned (LlmDataSpec): per-node floors
+    * monotone across rounds, a fixed point is reached, and one more round
+    * past termination changes nothing at delta = 0. `discovered` in the
+    * result is relative to the ORIGINAL ss5 corpus seed. */
+  def knnGraphConverged(spark: SparkSession, dir: String,
+                        maxRounds: Int = 8,
+                        delta: Double = 0.0): DataFrame = {
+    require(maxRounds >= 1, "knnGraphConverged needs at least one round")
+    val nV = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= NumQueries).count()
+    val threshold = delta * nV.toDouble * GraphTopK
+    val seed0 = corpusSeedGraph(spark, dir)
+    var g = seed0.localCheckpoint()
+    var full: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = descentRound(spark, dir, g)
+        .select(col("src_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+        .localCheckpoint()
+      val edges = next.select(col("src_id"), col("neighbor_id"))
+      val updates = edges.except(g).count()
+      done = updates <= threshold
+      g = edges
+      full = next
+      round += 1
+    }
+    full.join(seed0.withColumn("seen", lit(true)), Seq("src_id", "neighbor_id"),
+        "left")
+      .select(col("src_id"), col("rank"), col("neighbor_id"), col("cos_sim"),
+        coalesce(!col("seen"), lit(true)).as("discovered"))
       .orderBy(col("src_id"), col("rank"))
   }
 
-  val knnGraphDescentSql: String =
-    s"""WITH g0 AS (${knnGraphSql.replace("ORDER BY src_id, rank", "")}),
-       |g AS (SELECT src_id, neighbor_id FROM g0),
+  /** Unordered core of [[knnGraphDescentSql]] — embedded whole as the
+    * graph CTE of the ss17 serve twin. */
+  private[llmdata] val knnGraphDescentCoreSql: String =
+    s"""WITH g0 AS ($knnGraphCoreSql),
+       |g AS (SELECT src_id, neighbor_id FROM g0
+       |      WHERE src_id >= $NumQueries AND neighbor_id >= $NumQueries),
        |n AS (SELECT max(vec_id) + 1 AS nv FROM embeddings),
        |rnd AS (SELECT e0.vec_id AS src_id,
-       |          ((e0.vec_id * 1103515245 + j.j * 12345) % n.nv + n.nv) % n.nv
-       |            AS neighbor_id
+       |          $NumQueries + ((e0.vec_id * 1103515245 + j.j * 12345)
+       |              % (n.nv - $NumQueries) + (n.nv - $NumQueries))
+       |            % (n.nv - $NumQueries) AS neighbor_id
        |        FROM embeddings e0, n, (SELECT unnest([1, 2]) AS j) j
-       |        WHERE ((e0.vec_id * 1103515245 + j.j * 12345) % n.nv + n.nv) % n.nv
-       |          <> e0.vec_id),
+       |        WHERE e0.vec_id >= $NumQueries
+       |          AND $NumQueries + ((e0.vec_id * 1103515245 + j.j * 12345)
+       |              % (n.nv - $NumQueries) + (n.nv - $NumQueries))
+       |            % (n.nv - $NumQueries) <> e0.vec_id),
        |gr AS (SELECT src_id, neighbor_id FROM g
        |       UNION ALL SELECT src_id, neighbor_id FROM rnd),
        |und AS (SELECT DISTINCT src_id, neighbor_id FROM (
        |          SELECT src_id, neighbor_id FROM gr
        |          UNION ALL
        |          SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM gr)),
+       |samp AS (SELECT src_id, neighbor_id FROM (
+       |          SELECT src_id, neighbor_id,
+       |            ROW_NUMBER() OVER (PARTITION BY src_id
+       |              ORDER BY (src_id * 1000003 + neighbor_id * 7919) % 999983,
+       |                       neighbor_id) AS rn
+       |          FROM und) s WHERE rn <= $DescentSampleK),
        |cands AS (SELECT DISTINCT src_id, cand FROM (
        |          SELECT src_id, neighbor_id AS cand FROM und
        |          UNION ALL
        |          SELECT a.src_id, b.neighbor_id AS cand
-       |          FROM und a JOIN und b ON a.neighbor_id = b.src_id) x
+       |          FROM samp a JOIN samp b ON a.neighbor_id = b.src_id) x
        |        WHERE src_id <> cand),
        |e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |       FROM embeddings),
@@ -1476,10 +1584,202 @@ object Similarity {
        |SELECT k.src_id, k.rank, k.neighbor_id, k.cos_sim,
        |  g.src_id IS NULL AS discovered
        |FROM kept k LEFT JOIN g ON g.src_id = k.src_id
-       |  AND g.neighbor_id = k.neighbor_id
-       |ORDER BY k.src_id, k.rank""".stripMargin
+       |  AND g.neighbor_id = k.neighbor_id""".stripMargin
+
+  val knnGraphDescentSql: String =
+    s"$knnGraphDescentCoreSql\nORDER BY k.src_id, k.rank"
+
+  // ---------------------------------------------- graph-ANN serve (ss17)
+
+  /** Serve beam width: at each hop only the [[ServeBeam]] best NEW nodes
+    * per query stay on the frontier (the bounded frontier of best-first
+    * search / HNSW's ef parameter). */
+  private val ServeBeam = 12
+
+  /** Serve hop budget: the traversal depth. With the descent graph's
+    * bounded degree, work per query is O(hops · beam · degree) —
+    * independent of corpus size, which is the entire point of paying for
+    * the graph build. */
+  private val ServeHops = 4
+
+  /** Entry-point fan-out: the traversal starts from the
+    * [[ServeEntries]] nearest corpus exemplars (multiple entries hedge
+    * against a bad region of a low-degree graph — HNSW's multi-entry /
+    * NSG's navigating-node analogue). Settings measured on the fixture
+    * (Scratch sweep, r12): recall@3 = 0.633 at ≤30% of the corpus
+    * visited — above IVF's 0.567 (ss12) and far above LSH's 0.03; richer
+    * edge sets (seed ∪ descent) measured WORSE (cell-local seed edges
+    * dilute the beam with redundant candidates). */
+  private val ServeEntries = 3
+
+  /** The undirected serve adjacency caches per (session, dir) alongside
+    * the descent graph it is derived from — it IS the index artifact the
+    * search walks, so each query batch must not re-derive it. */
+  private val serveGraphCache = SessionCache.persisted()
+
+  /** ss17: GRAPH-ANN SERVE — greedy best-first search over the cached
+    * ss16 descent graph (the HNSW/NSG serving path that makes the graph
+    * build pay rent): enter at the nearest corpus exemplar (the IVF
+    * medoid), repeatedly expand the frontier's undirected neighbors,
+    * score only UNVISITED nodes, keep the best [[ServeBeam]] as the next
+    * frontier, and after [[ServeHops]] hops exact-re-rank the full
+    * visited set for the top-[[AnnTopK]]. Recall is measured IN-BAND (the
+    * ss12 pattern): `in_exact` flags each served neighbor against the
+    * exact brute-force top-k, and `visited_count` exposes the bounded
+    * work, both under the oracle hash gate.
+    *
+    * Scale: the corpus is touched only through vec_id-keyed joins against
+    * the visited/frontier sets — per query O(hops·beam·degree) candidate
+    * rows, NOT a corpus scan; queries broadcast; the per-query keeps are
+    * the O(k) bounded-heap aggregate. The exact-recall join is the audit
+    * tier (one corpus scan, same as ss1) — drop it in production serving
+    * and no full scan remains. */
+  def graphServe(spark: SparkSession, dir: String): DataFrame =
+    serveCore(spark, dir,
+      // localCheckpoint, not persist: the adjacency rides into every hop's
+      // task closure, and truncating the descent lineage keeps the per-hop
+      // plans (and task binaries) flat
+      serveGraphCache.get(spark, dir)(
+        undirected(knnGraphDescent(spark, dir)
+          .select(col("src_id"), col("neighbor_id"))).localCheckpoint()),
+      ServeBeam, ServeHops, ServeEntries)
+
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("neighbor_id").as("src_id"),
+        col("src_id").as("neighbor_id")))
+      .distinct()
+
+  /** Serve over an arbitrary edge set — the convergence spec passes
+    * [[knnGraphConverged]]'s edges here; [[graphServe]] itself goes
+    * through the cached adjacency. */
+  private[graft] def graphServeOver(spark: SparkSession, dir: String,
+                                    edges: DataFrame,
+                                    beam: Int = ServeBeam,
+                                    hops: Int = ServeHops,
+                                    entries: Int = ServeEntries): DataFrame =
+    serveCore(spark, dir, undirected(edges).localCheckpoint(), beam, hops,
+      entries)
+
+  private def serveCore(spark: SparkSession, dir: String, undP: DataFrame,
+                        beam: Int, hops: Int, entries: Int): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = queriesDf(spark, dir)
+    val ex = exemplarsOf(spark, dir).filter(col("cell") >= NumQueries)
+    val entW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node_id"))
+    val entry = q.crossJoin(broadcast(ex))
+      .select(col("query_id"), col("cell").as("node_id"),
+        Dedup.cosine(col("q"), col("cv")).as("score"))
+      .withColumn("rn", row_number().over(entW))
+      .filter(col("rn") <= entries).drop("rn")
+    // each hop's scored set is consumed by two downstream branches
+    // (visited-union and next-frontier); localCheckpoint-pin per hop (the
+    // cur12/dd11 shared-subtree discipline) or the unrolled lineage
+    // re-executes every prior hop 2^h times
+    var visited = entry.localCheckpoint()
+    var frontier = visited.select(col("query_id"), col("node_id"))
+    for (_ <- 1 to hops) {
+      val cands = frontier
+        .join(undP.withColumnRenamed("src_id", "node_id"), "node_id")
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+        .distinct()
+        .join(visited.select(col("query_id"), col("node_id")),
+          Seq("query_id", "node_id"), "left_anti")
+      val scored = cands
+        .join(e.withColumnRenamed("vec_id", "node_id"), "node_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("node_id"),
+          Dedup.cosine(col("q"), col("v")).as("score"))
+        .localCheckpoint()
+      // visited is a union of already-checkpointed pieces — its lineage is
+      // flat, no extra pin needed
+      visited = visited.union(scored)
+      frontier = scored.groupBy(col("query_id"))
+        .agg(graft.functions.TopKByScore.topK(
+          col("score"), col("node_id"), beam).as("top"))
+        .select(col("query_id"), explode(col("top")).as("e"))
+        .select(col("query_id"), col("e.id").as("node_id"))
+    }
+    val vis = visited.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("visited_count"))
+    val res = visited.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("score"), col("node_id"), AnnTopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos_sim"))
+    val exact = knnBruteForce(spark, dir).filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    res.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .join(vis, "query_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), coalesce(col("hit"), lit(false)).as("in_exact"),
+        col("visited_count"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val graphServeSql: String = {
+    val hops = (1 to ServeHops).map { h =>
+      val pv = s"v${h - 1}"
+      val pf = s"f${h - 1}"
+      s"""c$h AS (SELECT DISTINCT f.query_id, u.neighbor_id AS node_id
+         |        FROM $pf f JOIN und2 u ON u.src_id = f.node_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
+         |          WHERE v.query_id = f.query_id AND v.node_id = u.neighbor_id)),
+         |s$h AS MATERIALIZED (
+         |        SELECT c.query_id, c.node_id, ${cosSql("q.q", "e.v")} AS score
+         |        FROM c$h c JOIN eC e ON e.vec_id = c.node_id
+         |                   JOIN qv q ON q.query_id = c.query_id),
+         |v$h AS MATERIALIZED (
+         |        SELECT query_id, node_id, score FROM $pv
+         |        UNION ALL SELECT query_id, node_id, score FROM s$h),
+         |f$h AS (SELECT query_id, node_id FROM (
+         |          SELECT query_id, node_id,
+         |            ROW_NUMBER() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, node_id) AS rn
+         |          FROM s$h) x WHERE rn <= $ServeBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gd AS MATERIALIZED ($knnGraphDescentCoreSql),
+       |und2 AS MATERIALIZED (SELECT DISTINCT src_id, neighbor_id FROM (
+       |          SELECT src_id, neighbor_id FROM gd
+       |          UNION ALL
+       |          SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM gd)),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |eC AS (SELECT vec_id, v FROM e WHERE vec_id >= $NumQueries),
+       |qv AS (SELECT vec_id AS query_id, v AS q FROM e
+       |       WHERE vec_id < $NumQueries),
+       |$exemplarCteSql,
+       |exC AS (SELECT cell, cv FROM ex WHERE cell >= $NumQueries),
+       |v0 AS MATERIALIZED (SELECT query_id, node_id, score FROM (
+       |         SELECT q.query_id, x.cell AS node_id,
+       |           ${cosSql("q.q", "x.cv")} AS score,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosSql("q.q", "x.cv")} DESC, x.cell) AS rn
+       |         FROM qv q CROSS JOIN exC x) y WHERE rn <= $ServeEntries),
+       |f0 AS (SELECT query_id, node_id FROM v0),
+       |$hops,
+       |vis AS (SELECT query_id, CAST(count(*) AS BIGINT) AS visited_count
+       |        FROM v$ServeHops GROUP BY query_id),
+       |res AS (SELECT query_id, node_id AS neighbor_id, score AS cos_sim,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, node_id) AS rank
+       |        FROM v$ServeHops QUALIFY rank <= $AnnTopK),
+       |ek AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT q.query_id, e.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosSql("q.q", "e.v")} DESC, e.vec_id) AS rn
+       |         FROM eC e CROSS JOIN qv q) z WHERE rn <= $AnnTopK)
+       |SELECT r.query_id, r.rank, r.neighbor_id, r.cos_sim,
+       |  k.neighbor_id IS NOT NULL AS in_exact, vis.visited_count
+       |FROM res r LEFT JOIN ek k ON k.query_id = r.query_id
+       |  AND k.neighbor_id = r.neighbor_id
+       |JOIN vis ON vis.query_id = r.query_id
+       |ORDER BY r.query_id, r.rank""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss17_graph_serve" -> graphServe,
     "ss16_knn_descent" -> knnGraphDescent,
     "ss15_hard_negatives" -> hardNegativeMining,
     "ss14_cluster_quality" -> clusterQuality,
@@ -1498,6 +1798,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss17_graph_serve" -> graphServeSql,
     "ss16_knn_descent" -> knnGraphDescentSql,
     "ss15_hard_negatives" -> hardNegativeMiningSql,
     "ss14_cluster_quality" -> clusterQualitySql,

@@ -69,7 +69,7 @@ object SqlSurface {
   private val q34Oracle: String =
     s"""SELECT doc_id, simhash,
        |  CAST(len(replace(simhash, '0', '')) AS BIGINT) AS bits_set
-       |FROM (${graft.llmdata.Dedup.simhashSql.replace("ORDER BY doc_id", "")})
+       |FROM (${graft.llmdata.Dedup.simhashCoreSql})
        |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1693,29 +1693,110 @@ class LlmDataSpec extends SparkSpec {
   test("ss16: one NN-descent round monotonically improves the kNN graph " +
       "and repairs cross-cell blind spots") {
     val d = sf()
+    // the descent seed is the ss5 graph restricted to corpus nodes, so
+    // the monotone baseline must drop edges incident to query vectors
+    val nq = graft.llmdata.Similarity.NumQueries
     val before = graft.llmdata.Similarity.knnGraph(spark, d).collect()
+      .filter(r => r.getAs[Long]("src_id") >= nq &&
+        r.getAs[Long]("neighbor_id") >= nq)
       .groupBy(_.getAs[Long]("src_id"))
-      .map { case (s, rs) => s -> rs.map(_.getAs[Double]("cos_sim")).min }
+      .map { case (s, rs) =>
+        s -> rs.map(_.getAs[Double]("cos_sim")).sorted(Ordering[Double].reverse)
+      }
     val after = graft.llmdata.Similarity.knnGraphDescent(spark, d).collect()
     assert(after.nonEmpty)
-    val afterMin = after.groupBy(_.getAs[Long]("src_id"))
-      .map { case (s, rs) => s -> rs.map(_.getAs[Double]("cos_sim")).min }
-    // the seed list is inside the candidate set, so per-node worst
-    // similarity can only rise
-    before.foreach { case (s, bm) =>
-      afterMin.get(s).foreach(am =>
-        assert(am >= bm, s"node $s regressed: $am < $bm"))
+    val afterSorted = after.groupBy(_.getAs[Long]("src_id"))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      }
+    // the seed list is inside the candidate set, so the j-th best kept
+    // similarity can only rise, elementwise (nodes that lost a pruned
+    // query-edge have a shorter seed list — compare over its length)
+    before.foreach { case (s, bs) =>
+      afterSorted.get(s).foreach { as =>
+        bs.zip(as).zipWithIndex.foreach { case ((b, a), j) =>
+          assert(a >= b, s"node $s regressed at rank ${j + 1}: $a < $b")
+        }
+      }
     }
     // the round must actually repair something at this fixture (a
     // discovered edge strictly better than the node's old floor)
     val improved = after.filter(_.getAs[Boolean]("discovered"))
       .count(r => before.get(r.getAs[Long]("src_id"))
-        .exists(r.getAs[Double]("cos_sim") > _))
+        .exists(bs => r.getAs[Double]("cos_sim") > bs.last))
     assert(improved > 0, "no cross-cell repair found — descent was a no-op")
     after.groupBy(_.getAs[Long]("src_id")).foreach { case (_, rs) =>
       assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
         (1L to rs.length).toSeq)
     }
+    // the descent graph is a corpus index: query vectors must not appear
+    // as nodes on either edge end
+    after.foreach { r =>
+      assert(r.getAs[Long]("src_id") >= nq &&
+        r.getAs[Long]("neighbor_id") >= nq,
+        "query vector leaked into the corpus index")
+    }
+  }
+
+  test("ss17: graph serve meets its recall floor with bounded visited work") {
+    val d = sf()
+    val nq = graft.llmdata.Similarity.NumQueries
+    val corpusN = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= nq).count()
+    val rows = graft.llmdata.Similarity.graphServe(spark, d).collect()
+    assert(rows.nonEmpty)
+    // per-query contiguous ranks, corpus-only neighbors
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+    }
+    rows.foreach(r => assert(r.getAs[Long]("neighbor_id") >= nq))
+    // recall floor vs the exact top-k (measured 0.500 on this fixture —
+    // above LSH's 0.03, in IVF's band; floor leaves tuning headroom)
+    val recall = rows.count(_.getAs[Boolean]("in_exact")).toDouble / rows.length
+    assert(recall >= 0.4, f"serve recall $recall%.3f below floor 0.4")
+    // the whole point of the graph: bounded traversal, not a corpus scan
+    val maxVisited = rows.map(_.getAs[Long]("visited_count")).max
+    assert(maxVisited < corpusN / 2,
+      s"serve visited $maxVisited of $corpusN — traversal degenerated to a scan")
+  }
+
+  test("ss17/ss16: NN-descent converges to a fixed point and the " +
+      "converged graph still serves above the recall floor") {
+    val d = sf()
+    val conv = graft.llmdata.Similarity.knnGraphConverged(spark, d)
+      .select(org.apache.spark.sql.functions.col("src_id"),
+        org.apache.spark.sql.functions.col("neighbor_id"))
+      .localCheckpoint()
+    // fixed point: one more descent round changes no edge (delta = 0)
+    val again = graft.llmdata.Similarity.descentRound(spark, d, conv)
+      .select(org.apache.spark.sql.functions.col("src_id"),
+        org.apache.spark.sql.functions.col("neighbor_id"))
+    assert(again.except(conv).isEmpty, "converged graph is not a fixed point")
+    // converged floors dominate the one-round floors elementwise
+    val one = graft.llmdata.Similarity.knnGraphDescent(spark, d).collect()
+      .groupBy(_.getAs[Long]("src_id"))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      }
+    val convFull = graft.llmdata.Similarity.knnGraphConverged(spark, d).collect()
+    val convSorted = convFull.groupBy(_.getAs[Long]("src_id"))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      }
+    one.foreach { case (s, os) =>
+      convSorted.get(s).foreach { cs =>
+        os.zip(cs).foreach { case (o, c) =>
+          assert(c >= o, s"node $s: converged floor $c below one-round $o")
+        }
+      }
+    }
+    // the converged index remains servable (measured 0.467 here; the
+    // slight dip vs one-round is the known kNN-graph diversity effect —
+    // tighter edges are shorter-range, see NSG/HNSW edge selection)
+    val served = graft.llmdata.Similarity.graphServeOver(spark, d, conv).collect()
+    val recall = served.count(_.getAs[Boolean]("in_exact")).toDouble / served.length
+    assert(recall >= 0.4, f"converged serve recall $recall%.3f below floor 0.4")
   }
 
   test("dd15: bloom prefilter has no false negatives and statuses partition") {

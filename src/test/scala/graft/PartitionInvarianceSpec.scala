@@ -145,8 +145,11 @@ class PartitionInvarianceSpec extends SparkSpec {
         graft.operators.FuzzyMatch.fuzzyMatchJaroWinkler _,
       // ss15's per-query positive-anchor MAX then margin-filtered rank
       "ss15_hard_negatives" -> graft.llmdata.Similarity.hardNegativeMining _,
-      // ss16's 2-hop expansion + bounded-heap keep over the seed graph
-      "ss16_knn_descent" -> graft.llmdata.Similarity.knnGraphDescent _)
+      // ss16's sampled 2-hop expansion + bounded-heap keep over the seed
+      "ss16_knn_descent" -> graft.llmdata.Similarity.knnGraphDescent _,
+      // ss17's hop-unrolled traversal: per-hop checkpoints + bounded-heap
+      // frontier/result keeps must not depend on input splits
+      "ss17_graph_serve" -> graft.llmdata.Similarity.graphServe _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -221,6 +221,17 @@ class PlanQualitySpec extends SparkSpec {
       "bounded-heap top-k aggregate expected")
   }
 
+  test("ss17: serve touches the corpus only through key-equality joins") {
+    val p = plan(Similarity.graphServe(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      "serve must never cartesian the corpus")
+    assert(p.contains("cosine_sim"), "native cosine expected")
+    // the final top-k and per-hop frontier keeps are bounded-heap
+    // aggregates (TopKByScore), never a corpus-wide window
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "bounded-heap keeps expected")
+  }
+
   test("cur2: the near-dup and contamination drop sets broadcast against the corpus scan") {
     val p = plan(graft.llmdata.Curation.curationNearDup(spark, sf()))
     assert(!p.contains("CartesianProduct"))
