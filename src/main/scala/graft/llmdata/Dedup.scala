@@ -236,9 +236,14 @@ object Dedup {
     cappedBucketPairs(bands.groupBy(col("band"), col("bh"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs")))
 
-  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame =
+    minhashVerify(spark, dir, cappedPairsOfBands(bandedDocs(spark, dir)))
+
+  /** dd3's exact-verification stage over an arbitrary candidate-pair set:
+    * join both sides' shingle arrays, exact bigram Jaccard, threshold. */
+  private def minhashVerify(spark: SparkSession, dir: String,
+                            cands: DataFrame): DataFrame = {
     val docs = gramsOf(spark, dir, 2)
-    val cands = cappedPairsOfBands(bandedDocs(spark, dir))
     val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     cands.join(ga, "doc_a").join(gb, "doc_b")
@@ -247,6 +252,24 @@ object Dedup {
       .filter(col("jaccard") >= MinhashJaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Persist the signed corpus — (doc_id, 12-component MinHash sig) — as
+    * parquet: the dd3/dd16 index artifact a deployment builds once per
+    * corpus snapshot and ships (the FAISS `write_index` posture ss7
+    * established; the signature table is the expensive signing scan's
+    * output and everything candidate-side derives from it). */
+  def writeSignatureIndex(spark: SparkSession, dir: String, out: String): Unit =
+    signaturesOf(spark, dir).write.mode("overwrite")
+      .parquet(s"$out/signatures")
+
+  /** dd3 served COLD from a persisted signature table (see
+    * [[writeSignatureIndex]]): band the stored signatures, bucket-join
+    * candidates, exact-verify against the corpus shingles. Row-identical
+    * to [[minhashLsh]] (spec-asserted) — no re-signing of the corpus. */
+  def minhashLshFromIndex(spark: SparkSession, dir: String,
+                          indexPath: String): DataFrame =
+    minhashVerify(spark, dir, cappedPairsOfBands(
+      bandsOfSig(spark.read.parquet(s"$indexPath/signatures"))))
 
   private[graft] val sigListSql: String = (0 until NumHashes).map { s =>
     s"list_aggregate(list_transform(g, x -> md5('$s:' || x)), 'min')"

@@ -1660,6 +1660,26 @@ object Similarity {
     serveCore(spark, dir, undirected(edges).localCheckpoint(), beam, hops,
       entries)
 
+  /** Persist the refined descent graph as parquet — the graph-index
+    * artifact a deployment builds once (ss16, optionally iterated to
+    * convergence) and ships to every serving cluster (the ss7
+    * `write_index` posture). Stored directed with ranks/similarities so
+    * a cold reader can also audit or resume descent from it. */
+  def writeKnnGraphIndex(spark: SparkSession, dir: String, out: String): Unit =
+    knnGraphDescent(spark, dir).write.mode("overwrite").parquet(s"$out/graph")
+
+  /** ss17's search served COLD from a persisted graph (see
+    * [[writeKnnGraphIndex]]): adjacency comes from the stored artifact —
+    * no seed build, no descent round. Row-identical to [[graphServe]]
+    * (spec-asserted). The exact-recall audit column still reads the live
+    * corpus, as in ss7's refine stage. */
+  def graphServeFromIndex(spark: SparkSession, dir: String,
+                          indexPath: String): DataFrame =
+    serveCore(spark, dir,
+      undirected(spark.read.parquet(s"$indexPath/graph")
+        .select(col("src_id"), col("neighbor_id"))).localCheckpoint(),
+      ServeBeam, ServeHops, ServeEntries)
+
   private def serveCore(spark: SparkSession, dir: String, undP: DataFrame,
                         beam: Int, hops: Int, entries: Int): DataFrame = {
     val e = corpus(spark, dir)

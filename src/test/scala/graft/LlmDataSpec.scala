@@ -676,6 +676,34 @@ class LlmDataSpec extends SparkSpec {
     assert(cols == Set("cell", "neighbor_id", "code_0", "code_1", "code_2", "code_3"))
   }
 
+  test("dd3 index lifecycle: pairs from the persisted signature parquet are row-identical") {
+    val out = java.nio.file.Files.createTempDirectory("sig_index").toString
+    Dedup.writeSignatureIndex(spark, sf(), out)
+    val live = Dedup.minhashLsh(spark, sf()).collect().map(_.toString).sorted
+    val cold = Dedup.minhashLshFromIndex(spark, sf(), out).collect()
+      .map(_.toString).sorted
+    assert(live.nonEmpty)
+    assert(cold.toSeq == live.toSeq,
+      "stored-signature candidates must reproduce the live pipeline's pairs")
+    // the artifact is self-contained: (doc_id, sig) only
+    assert(spark.read.parquet(s"$out/signatures").columns.toSet ==
+      Set("doc_id", "sig"))
+  }
+
+  test("ss17 index lifecycle: serve from the persisted graph parquet is row-identical") {
+    val out = java.nio.file.Files.createTempDirectory("knn_graph_index").toString
+    Similarity.writeKnnGraphIndex(spark, sf(), out)
+    val live = Similarity.graphServe(spark, sf()).collect().map(_.toString).sorted
+    val cold = Similarity.graphServeFromIndex(spark, sf(), out).collect()
+      .map(_.toString).sorted
+    assert(live.nonEmpty)
+    assert(cold.toSeq == live.toSeq,
+      "stored-graph serve must equal the live-graph serve")
+    // the stored graph carries the full audit schema
+    assert(spark.read.parquet(s"$out/graph").columns.toSet ==
+      Set("src_id", "rank", "neighbor_id", "cos_sim", "discovered"))
+  }
+
   test("lloydRefine: refinement does not worsen the spherical k-means objective") {
     // objective = mean over vectors of (max cosine to any centroid); one
     // Lloyd step is monotone non-decreasing in exact arithmetic — allow
