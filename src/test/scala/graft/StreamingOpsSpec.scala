@@ -549,6 +549,110 @@ class StreamingOpsSpec extends SparkSpec {
     assert(a == Set((t1, false), (t1v2, true)), a.toString)
   }
 
+  test("E2E curation ingest: cdc-replay -> decode -> bloom+banded admission " +
+      "-> ledger + corpus state, restart-invariant") {
+    // the packaged production composition (CurationIngest): same dataflow
+    // as the hand-rolled composition test above, but the operator owns the
+    // whole foreachBatch body and emits TWO durable artifacts — the
+    // admission ledger and the corpus state — both rebuilt-from-disk and
+    // idempotent, so a killed-and-resumed query must produce byte-equal
+    // artifacts to an uninterrupted run.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ReplayBus
+    import graft.streaming.CurationIngest
+    import java.nio.file.Files
+
+    def event(docId: Long, text: String, commit: Long): String =
+      s"""{"schema":"fp","payload":{"Name":"$text","ChangeEventHeader":{""" +
+        s""""commitNumber":$commit,"commitUser":"u","sequenceNumber":1,""" +
+        s""""entityName":"Document","changeType":"UPDATE",""" +
+        s""""changedFields":[],"changeOrigin":"t","transactionKey":"tk$commit",""" +
+        s""""commitTimestamp":${1700000000000L + commit * 1000},""" +
+        s""""recordIds":["D$docId"]}},"event":{"replayId":$commit}}"""
+
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t1near = "alpha beta gamma delta epsilon zeta eta theta iota QQQ"
+    val t4 = "one two three four five six seven eight nine ten"
+    val t4near = "one two three four five six seven eight nine zzz"
+    val t5 = "red orange yellow green blue indigo violet umber ochre teal"
+    val t1v2 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val t7 = "north south east west up down left right front back"
+
+    val run1 = Seq(
+      event(1, t1, 1), event(4, t4, 2),
+      event(2, t1, 3), event(3, t1near, 4),
+      event(5, t5, 5), event(6, t4, 6))
+    val run2 = Seq(
+      event(1, t1v2, 7), event(7, t7, 8),
+      event(8, t5, 9), event(9, t4near, 10))
+
+    def drive(topic: String, corpusDir: String, ledgerDir: String,
+              ckpt: String): Unit = {
+      val q = spark.readStream.format("cdc-replay")
+        .option("topic", topic).option("replayFrom", "-2")
+        .option("batchSize", "2").load()
+        .writeStream
+        .foreachBatch(CurationIngest.foreachBatchCurate(corpusDir, ledgerDir) _)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    def ledgerOf(dir: String): Set[(String, Long, String, String, Boolean)] =
+      spark.read.parquet(dir)
+        .select(col("Id"), col("commitNumber"), col("text"), col("status"),
+          col("bloom_maybe"))
+        .as[(String, Long, String, String, Boolean)].collect().toSet
+
+    def corpusTexts(dir: String): Set[(String, String)] =
+      spark.read.parquet(dir).select(col("Id"), col("text"))
+        .as[(String, String)].collect().toSet
+
+    val topicA = "t_curate_restart"
+    ReplayBus.clear(topicA)
+    val corpusA = Files.createTempDirectory("curate_a").toString + "/corpus"
+    val ledgerA = Files.createTempDirectory("curate_a").toString + "/ledger"
+    val ckptA = Files.createTempDirectory("curate_a_ckpt").toString
+    run1.foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, corpusA, ledgerA, ckptA)
+    run2.foreach(ReplayBus.publish(topicA, _))
+    drive(topicA, corpusA, ledgerA, ckptA) // resumes from the WAL
+
+    val topicB = "t_curate_ref"
+    ReplayBus.clear(topicB)
+    val corpusB = Files.createTempDirectory("curate_b").toString + "/corpus"
+    val ledgerB = Files.createTempDirectory("curate_b").toString + "/ledger"
+    val ckptB = Files.createTempDirectory("curate_b_ckpt").toString
+    (run1 ++ run2).foreach(ReplayBus.publish(topicB, _))
+    drive(topicB, corpusB, ledgerB, ckptB)
+
+    assert(ledgerOf(ledgerA) == ledgerOf(ledgerB),
+      "restarted ledger must equal the single-run ledger")
+    assert(corpusTexts(corpusA) == corpusTexts(corpusB),
+      "restarted corpus state must equal the single-run state")
+
+    // verdicts recorded in the ledger: dups rejected, fresh admitted,
+    // a re-versioned doc re-admitted
+    val status = ledgerOf(ledgerA).map(r => (r._1, r._2) -> r._4).toMap
+    assert(status(("D1", 1L)) == "admitted" && status(("D4", 2L)) == "admitted")
+    assert(status(("D2", 3L)) == "exact_dup")
+    assert(status(("D3", 4L)) == "near_dup")
+    assert(status(("D5", 5L)) == "admitted" && status(("D6", 6L)) == "exact_dup")
+    assert(status(("D1", 7L)) == "admitted", "new version of d1 must re-admit")
+    assert(status(("D7", 8L)) == "admitted")
+    assert(status(("D8", 9L)) == "exact_dup" && status(("D9", 10L)) == "near_dup")
+    // Bloom soundness in the recorded trail: every exact_dup was a hit
+    ledgerOf(ledgerA).foreach { case (_, _, _, s, maybe) =>
+      if (s == "exact_dup") assert(maybe, "exact dup missed by the Bloom gate")
+    }
+    // the corpus state holds the latest ADMITTED version per doc: dup
+    // events left no rows, and D1 carries its second version
+    val texts = corpusTexts(corpusA).toMap
+    assert(texts("D1") == t1v2)
+    assert(Set("D1", "D4", "D5", "D7") == texts.keySet,
+      s"corpus keys: ${texts.keySet}")
+  }
+
   test("QueryObserver: listener surfaces lifecycle and per-batch progress (§3.3)") {
     implicit val ctx = spark.sqlContext
     val obs = graft.streaming.QueryObserver.attach(spark)
