@@ -871,20 +871,31 @@ object EventsAnalytics {
     * Scale: daily tables are |days|×|types|×m rows; the merge reads
     * those, never the events; the only event-sized pass builds the day
     * registers (one combinable MAX). */
-  def hllMergeWeekly(spark: SparkSession, dir: String): DataFrame = {
-    val h = md5(col("user_id").cast(StringType))
+  /** HLL register index (first md5 byte) — shared by the ev18 batch day
+    * build and the streaming day-register builder
+    * ([[graft.streaming.EventStreamOps.hllDayRegisters]]). */
+  private[graft] def hllRegOf(h: Column): Column =
+    conv(substring(h, 1, 2), 16, 10).cast(LongType)
+
+  /** HLL rank over the next 48 md5 bits, string-derived (no log2) —
+    * identical arithmetic to ev15; shared with the streaming builder. */
+  private[graft] def hllRankOf(h: Column): Column = {
     val sig = ltrim(substring(h, 3, 12), "0")
     val first = substring(sig, 1, 1)
     val firstBits = when(first.isin("8", "9", "a", "b", "c", "d", "e", "f"), 4)
       .when(first.isin("4", "5", "6", "7"), 3)
       .when(first.isin("2", "3"), 2).otherwise(1)
-    val rank = when(length(sig) === 0, lit(49))
+    when(length(sig) === 0, lit(49))
       .otherwise(lit(49) - ((length(sig) - 1) * 4 + firstBits))
+  }
+
+  def hllMergeWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("user_id").cast(StringType))
     val regs = t(spark, dir, "events")
       .select(date_trunc("day", col("ts")).cast(DateType).as("day"),
         col("event_type"), col("user_id"),
-        conv(substring(h, 1, 2), 16, 10).cast(LongType).as("reg"),
-        rank.as("rank"))
+        hllRegOf(h).as("reg"),
+        hllRankOf(h).as("rank"))
     // the persisted artifact: one register table per (day, type)
     val daily = regs.groupBy(col("day"), col("event_type"), col("reg"))
       .agg(max(col("rank")).as("mr"))

@@ -107,6 +107,34 @@ object EventStreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming HLL day-register builder — ev18's sketch-warehouse leg
+    * maintained INCREMENTALLY from the live stream: a watermarked daily
+    * window aggregates MAX(rank) per (day, event_type, register) and, in
+    * append mode, emits each day's register table exactly once — when the
+    * watermark passes the day — as FINAL rows: byte-identical to what the
+    * batch day build writes over the same events (spec-asserted,
+    * including the lossless idempotent-MAX week merge downstream).
+    *
+    * Scale posture: state is ≤ m=256 registers per open (day, type) —
+    * independent of event volume, the whole point of a mergeable sketch —
+    * and the shuffle carries (window, type, reg) keys with map-side
+    * partial MAX. Downstream range queries merge emitted day tables with
+    * the same idempotent MAX as the batch artifact (safe under
+    * at-least-once re-emission). */
+  def hllDayRegisters(events: DataFrame,
+                      watermark: String = "2 hours"): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    events
+      .select(col("ts"), col("event_type"),
+        graft.relational.EventsAnalytics.hllRegOf(h).as("reg"),
+        graft.relational.EventsAnalytics.hllRankOf(h).as("rank"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("reg"))
+      .agg(max(col("rank")).as("mr"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("reg"), col("mr"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

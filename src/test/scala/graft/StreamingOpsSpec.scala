@@ -79,6 +79,72 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ev18 streaming twin: watermarked day-register tables merge-equal the batch build") {
+    implicit val ctx = spark.sqlContext
+    def evt(id: Long, t: String, user: Long, typ: String): Event =
+      Event(id, Timestamp.valueOf(t), user, typ, 1.0)
+    val stream = MemoryStream[Event]
+    val q = EventStreamOps.hllDayRegisters(stream.toDF())
+      .writeStream.format("memory").queryName("hll_days")
+      .outputMode(OutputMode.Append).start()
+    // days 1-2, two types, users split across micro-batches so the
+    // in-day register MAX-merge is exercised through the state store
+    val d12 = Seq(
+      evt(1, "2024-01-01 10:00:00", 1, "click"),
+      evt(2, "2024-01-01 11:00:00", 2, "click"),
+      evt(3, "2024-01-01 12:00:00", 3, "view"),
+      evt(4, "2024-01-01 13:00:00", 4, "click"),
+      evt(5, "2024-01-01 14:00:00", 1, "view"),
+      evt(6, "2024-01-02 09:00:00", 5, "click"),
+      evt(7, "2024-01-02 10:00:00", 6, "click"))
+    try {
+      stream.addData(d12.take(3): _*)
+      q.processAllAvailable()
+      stream.addData(d12.slice(3, 5): _*)
+      q.processAllAvailable()
+      stream.addData(d12.drop(5): _*)
+      q.processAllAvailable()
+      // advance the watermark far past day 2 so both day tables finalize
+      stream.addData(evt(8, "2024-01-04 09:00:00", 9, "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_days")
+        .select($"day".cast("string"), $"event_type", $"reg", $"mr")
+        .as[(String, String, Long, Int)].collect().toSet
+      // batch twin over the same event rows: identical day tables
+      val h = md5($"user_id".cast("string"))
+      val batch = d12.toDF()
+        .select(date_trunc("day", $"ts").cast("date").cast("string").as("day"),
+          $"event_type",
+          graft.relational.EventsAnalytics.hllRegOf(h).as("reg"),
+          graft.relational.EventsAnalytics.hllRankOf(h).as("rank"))
+        .groupBy($"day", $"event_type", $"reg")
+        .agg(max($"rank").as("mr"))
+        .as[(String, String, Long, Int)].collect().toSet
+      assert(streamed == batch,
+        "stream-built day registers must equal the batch-built tables")
+      // downstream range merge off the STREAMED artifact: idempotent MAX —
+      // merging day 1 twice (at-least-once re-emission) changes nothing
+      val days = spark.table("hll_days")
+        .select($"day", $"event_type", $"reg", $"mr")
+      val once = days.groupBy($"event_type", $"reg").agg(max($"mr").as("mr"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val twice = days.union(days.filter($"day".cast("string") === "2024-01-01"))
+        .groupBy($"event_type", $"reg").agg(max($"mr").as("mr"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(once == twice, "HLL MAX-merge must be idempotent under replay")
+      // lossless-merge audit (ev18's contract): the merged register set
+      // equals a direct sketch of the raw days-1-2 events
+      val direct = d12.toDF()
+        .select($"event_type",
+          graft.relational.EventsAnalytics.hllRegOf(h).as("reg"),
+          graft.relational.EventsAnalytics.hllRankOf(h).as("rank"))
+        .groupBy($"event_type", $"reg").agg(max($"rank").as("mr"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(once == direct,
+        "week merge of stream-built day tables must be lossless vs the raw sketch")
+    } finally q.stop()
+  }
+
   test("unified API: streaming window counts over the events fixture match batch") {
     import org.apache.spark.sql.types._
     val dir = sf()
