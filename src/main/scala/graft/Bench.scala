@@ -132,27 +132,51 @@ object Bench {
         System.err.println(s"[bench] cache release failed: $e")
       }
     def familyOf(name: String): String = name.takeWhile(!_.isDigit)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .groupBy { case (name, _) => familyOf(name) }
-      .toSeq.sortBy(_._1)
-      .flatMap { case (_, fam) =>
-        fam.foreach { case (_, fn) =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        }
-        val timed = fam.flatMap { case (name, fn) =>
-          // min-of-3 (see object doc): ambient noise is additive on a
-          // warm workload, so the min of three samples is the estimator
-          val samples = Seq.fill(3)(timeOnce(name, fn)).flatten
-          if (samples.nonEmpty) {
-            // at least one run succeeded: report it and drop any
-            // transient failure — a query must not appear in BOTH maps
-            errors.remove(name)
-            Some(name -> samples.min)
-          } else None
-        }
-        releaseCaches()
-        timed
-      }.toMap
+    def batteryOnce(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .groupBy { case (name, _) => familyOf(name) }
+        .toSeq.sortBy(_._1)
+        .flatMap { case (_, fam) =>
+          fam.foreach { case (_, fn) =>
+            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          }
+          val timed = fam.flatMap { case (name, fn) =>
+            // min-of-3 (see object doc): ambient noise is additive on a
+            // warm workload, so the min of three samples is the estimator
+            val samples = Seq.fill(3)(timeOnce(name, fn)).flatten
+            if (samples.nonEmpty) {
+              // at least one run succeeded: report it and drop any
+              // transient failure — a query must not appear in BOTH maps
+              errors.remove(name)
+              Some(name -> samples.min)
+            } else None
+          }
+          releaseCaches()
+          timed
+        }.toMap
+    // best-of-N WHOLE-BATTERY runs (r11 verdict task 8): min-of-3 bounds
+    // per-query noise within a run, but a round's COMMITTED artifact was
+    // still hostage to one run's ambient load (r11 committed 63.3 s out
+    // of a 55.6–63.3 s spread). Run the full battery N times (caches
+    // rebuilt per run — the per-family warm-up pass re-absorbs the build
+    // cost), commit the best run's per-query map (so sum(queries) ==
+    // value), and stamp {runs, battery_range_secs} so the spread is on
+    // the record.
+    val batteryRuns =
+      sys.env.get("SPARK_GRAFT_BATTERY_RUNS").map(_.toInt).getOrElse(3).max(1)
+    val allRuns = (1 to batteryRuns).map { _ => batteryOnce() }
+    val runTotals = allRuns.map(_.values.sum)
+    val results = allRuns(runTotals.indexOf(runTotals.min))
+    // per-run per-query sidecar: the cross-run evidence the round-over-
+    // round regression adjudication protocol reads (SURVEY §9)
+    try {
+      def msj(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val runsJson = allRuns.map(r =>
+        r.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${msj(v)}""" }
+          .mkString("{", ",", "}")).mkString("[", ",", "]")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
+        (runsJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
 
     // the per-family release above already ran after the last family, so
     // the post-battery probe measures the pipeline, not leftover storage
@@ -225,6 +249,8 @@ object Bench {
       s""""cdc_pipeline_events_per_sec_postbattery":${ms(epsPost)},""" +
       s""""sf":"$sfDir","duckdb_total_secs":${ms(duckdbTotal)},""" +
       s""""duckdb_baseline_status":${jq(duckdbStatus)},""" +
+      s""""runs":$batteryRuns,""" +
+      s""""battery_range_secs":[${ms(runTotals.min)},${ms(runTotals.max)}],""" +
       (if (duckdbTotal > 0) s""""spark_vs_duckdb":${ms(total / duckdbTotal)},""" else "") +
       s""""value":${ms(total)},"queries":$qs}"""
     println(line)
