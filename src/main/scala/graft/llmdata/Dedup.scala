@@ -1754,7 +1754,140 @@ object Dedup {
        |  bands = $NumBands AS is_configured
        |FROM agg ORDER BY bands""".stripMargin
 
+  // ------------------------------ banding design sweep APPLIED (dd26)
+
+  /** The (bands, rows_per_band) factorizations of the 12-component
+    * signature that dd25 scores analytically and dd26 actually builds. */
+  private val BandCombos = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+  /** dd26: the dd25 design sweep APPLIED — for every (bands, rows)
+    * factorization of the signature, actually re-band the cached
+    * signature table, run the capped-bucket candidate generator, and
+    * measure what dd25 only predicts: how many of the dd3-VERIFIED pairs
+    * each banding actually surfaces (achieved recall) and how many
+    * candidate pairs it pays for them (the S-curve's other axis). The
+    * analytic expectation rides along per combo, so prediction and
+    * measurement sit in one hash-gated row — the design-of-experiments
+    * loop closed: tune on dd25, pick on dd26, ship the banding.
+    *
+    * Scale: one signing scan total (the cached signature table, shared
+    * with dd3/dd16); each combo re-bands SIGNATURE rows only (|docs|·b
+    * exploded rows — text never re-enters), candidates stay C(cap,2)-
+    * bounded per bucket, and the verified ledger is the tiny cached pair
+    * set. The whole sweep costs O(Σ_b |docs|·b) signature traffic — the
+    * corpus is never re-touched. */
+  def bandingSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = signaturesOf(spark, dir)
+    val verified = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val combos = BandCombos.toDF("bands", "rows_per_band")
+      .select(col("bands").cast(LongType), col("rows_per_band").cast(LongType))
+    val perCombo = BandCombos.map { case (b, r) =>
+      val bandHashes = array((0 until b).map { i =>
+        md5(concat((0 until r).map(j =>
+          element_at(col("sig"), i * r + j + 1)): _*))
+      }: _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode_outer(bandHashes).as(Seq("band", "bh")))
+        // a null band hash (doc with no shingles) must not form a bucket:
+        // groupBy groups nulls together, the twin's equality join never
+        // matches them — mirror the join semantics
+        .filter(col("bh").isNotNull)
+      cappedPairsOfBands(bands)
+        // the generator's explode_outer emits one (null, null) row for
+        // pairless buckets; dd3's inner verify-join drops it silently,
+        // but dd26 COUNTS raw candidates — drop it explicitly
+        .filter(col("doc_a").isNotNull)
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("doc_a"), col("doc_b"))
+    }.reduce(_ union _)
+    val flagged = perCombo
+      .join(verified.withColumn("verified", lit(true)), Seq("doc_a", "doc_b"),
+        "left")
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("verified"), 1L).otherwise(0L)).as("n_found"))
+    val nVer = verified.agg(count(lit(1)).as("n_verified"))
+    val expected = lshTuning(spark, dir)
+      .select(col("bands"), col("rows_per_band"), col("expected_recall"))
+    combos.join(flagged, Seq("bands", "rows_per_band"), "left")
+      .join(expected, Seq("bands", "rows_per_band"))
+      .crossJoin(broadcast(nVer))
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        col("n_verified"),
+        (coalesce(col("n_found"), lit(0L)).cast(DoubleType) /
+          col("n_verified").cast(DoubleType)).as("achieved_recall"),
+        col("expected_recall"),
+        (col("bands") === NumBands.toLong).as("is_configured"))
+      .orderBy(col("bands"))
+  }
+
+  val bandingSweepSql: String = {
+    val comboCtes = BandCombos.map { case (b, r) =>
+      val bandExprs = (0 until b).map { i =>
+        (0 until r).map(j => s"sig[${i * r + j + 1}]").mkString("md5(", " || ", ")")
+      }.mkString("[", ", ", "]")
+      s"""bt_${b}_$r AS (SELECT doc_id, band, $bandExprs[band+1] AS bh
+         |  FROM sg CROSS JOIN (SELECT unnest(generate_series(0, ${b - 1})) AS band)),
+         |cp_${b}_$r AS (SELECT doc_id, band, bh FROM bt_${b}_$r
+         |  QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $BandBucketCap),
+         |cd_${b}_$r AS (SELECT DISTINCT CAST($b AS BIGINT) AS bands,
+         |    CAST($r AS BIGINT) AS rows_per_band,
+         |    x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM cp_${b}_$r x JOIN cp_${b}_$r y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = BandCombos.map { case (b, r) =>
+      s"SELECT bands, rows_per_band, doc_a, doc_b FROM cd_${b}_$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ver0 AS ($minhashLshCoreSql),
+       |ver AS (SELECT doc_a, doc_b, jaccard FROM ver0),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM ver),
+       |w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-1),
+       |         i -> w[i] || ' ' || w[i+1])) AS g FROM w),
+       |sg AS (SELECT doc_id, $sigListSql AS sig FROM sh),
+       |$comboCtes,
+       |allc AS ($unionAll),
+       |fl AS (SELECT a.bands, a.rows_per_band,
+       |         CAST(count(*) AS BIGINT) AS n_candidates,
+       |         CAST(SUM(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_found
+       |       FROM allc a LEFT JOIN ver v
+       |         ON v.doc_a = a.doc_a AND v.doc_b = a.doc_b
+       |       GROUP BY a.bands, a.rows_per_band),
+       |combos AS (SELECT CAST(bands AS BIGINT) AS bands,
+       |             CAST(rows_per_band AS BIGINT) AS rows_per_band
+       |           FROM (VALUES ${BandCombos.map { case (b, r) => s"($b, $r)" }.mkString(", ")})
+       |             AS t(bands, rows_per_band)),
+       |pm AS (SELECT c.bands, c.rows_per_band,
+       |         CAST(round((1.0 - power(1.0 - power(v.jaccard,
+       |             CAST(c.rows_per_band AS DOUBLE)), CAST(c.bands AS DOUBLE)))
+       |           * 1000000.0) AS BIGINT) AS p_micro
+       |       FROM ver v CROSS JOIN combos c),
+       |exp_ AS (SELECT bands, rows_per_band,
+       |          CAST(SUM(p_micro) AS DOUBLE) /
+       |            (1000000.0 * CAST(count(*) AS DOUBLE)) AS expected_recall
+       |        FROM pm GROUP BY bands, rows_per_band)
+       |SELECT c.bands, c.rows_per_band,
+       |  COALESCE(f.n_candidates, 0) AS n_candidates,
+       |  COALESCE(f.n_found, 0) AS n_found,
+       |  nv.n_verified,
+       |  CAST(COALESCE(f.n_found, 0) AS DOUBLE) / CAST(nv.n_verified AS DOUBLE)
+       |    AS achieved_recall,
+       |  e.expected_recall,
+       |  c.bands = $NumBands AS is_configured
+       |FROM combos c
+       |LEFT JOIN fl f ON f.bands = c.bands AND f.rows_per_band = c.rows_per_band
+       |JOIN exp_ e ON e.bands = c.bands AND e.rows_per_band = c.rows_per_band
+       |CROSS JOIN nv
+       |ORDER BY c.bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd26_banding_sweep" -> bandingSweep,
     "dd25_lsh_tuning" -> lshTuning,
     "dd24_winnowing" -> winnowingNearDup,
     "dd23_triangle_census" -> triangleCensus,
@@ -1782,6 +1915,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd26_banding_sweep" -> bandingSweepSql,
     "dd25_lsh_tuning" -> lshTuningSql,
     "dd24_winnowing" -> winnowingNearDupSql,
     "dd23_triangle_census" -> triangleCensusSql,

@@ -761,7 +761,120 @@ object Multimodal {
        |FROM terms GROUP BY media_id, kind, n_bytes
        |ORDER BY media_id""".stripMargin
 
+  // -------------------------- content-defined chunking census (mm9)
+
+  /** Rolling-hash cut divisor: a position cuts when the 4-byte window
+    * hash ≡ 0 (mod [[CdcCutDivisor]]) — expected chunk length ≈ the
+    * divisor (LBFS/rsync's rule; restic/borg use the same principle with
+    * wider windows). 32 sizes chunks to the fixture's ~300-byte docs;
+    * production tunes divisor and adds min/max chunk clamps. */
+  private val CdcCutDivisor = 32
+
+  /** Content-defined chunk rows (media_id, h, len) over a (media_id,
+    * text) frame: cut positions where the rolling 4-byte polynomial hash
+    * (base 31 — exact in BIGINT and in a Double, identical in both
+    * engines) divides [[CdcCutDivisor]]; chunks are the md5s of the
+    * between-cut segments with their lengths. Built in STAGES (cuts →
+    * bounds → exploded k → chunk) so every expression stays a small tree:
+    * the single-expression nested-lambda form inlined the bounds subtree
+    * into each of its four references and Catalyst spent MINUTES
+    * (SF-independent) analyzing it — measured, not assumed. */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast(LongType)
+    def at(i: Column, back: Int): Column =
+      ascii(col("text").substr((i - lit(back.toLong)).cast(IntegerType),
+        lit(1))).cast(LongType)
+    val cuts = when(n >= 4, filter(sequence(lit(4L), n), i =>
+      (at(i, 3) * lit(29791L) + at(i, 2) * lit(961L) +
+        at(i, 1) * lit(31L) + at(i, 0)) % lit(CdcCutDivisor.toLong) === 0L))
+      .otherwise(array().cast(ArrayType(LongType)))
+    docs
+      .withColumn("b", concat(array(lit(0L)), cuts, array(n)))
+      .select(col("media_id"), col("text"), col("b"),
+        explode(sequence(lit(1), size(col("b")) - 1)).as("k"))
+      .select(col("media_id"),
+        (element_at(col("b"), col("k") + 1) - element_at(col("b"), col("k")))
+          .as("len"),
+        md5(col("text").substr(
+          (element_at(col("b"), col("k")) + 1L).cast(IntegerType),
+          (element_at(col("b"), col("k") + 1) - element_at(col("b"), col("k")))
+            .cast(IntegerType))).as("h"))
+      .filter(col("len") > 0L)
+      .select(col("media_id"), col("h"), col("len"))
+  }
+
+  /** mm9: CONTENT-DEFINED chunking dedup census (LBFS 2001 / rsync;
+    * restic & borgbackup's storage model) — the robustness upgrade over
+    * mm7's fixed-size grid: a fixed grid mis-aligns every chunk after one
+    * inserted/deleted byte (a re-muxed header, a prepended tag), while
+    * content-defined cut points re-synchronize immediately, so shifted
+    * copies keep sharing chunk hashes. Output is the per-payload dedup
+    * ledger a chunk store bills by: chunk count, bytes, and how many of
+    * those chunks/bytes already exist in ANOTHER payload (cross-payload
+    * df ≥ 2), i.e. the storage the chunk store would NOT re-write.
+    *
+    * Scale: chunking is scan-side (payload bytes never shuffle — the
+    * mm-family invariant); the only exchange carries (chunk-hash, id,
+    * len) rows — ~bytes/divisor per payload; the df rollup is one
+    * combinable per-hash aggregate and the join back is key-equality on
+    * the hash. At a real chunk store this IS the dedup lookup table. */
+  def contentChunkCensus(spark: SparkSession, dir: String): DataFrame = {
+    val rows = cdcChunkRows(Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text")))
+    val df = rows.groupBy(col("h"))
+      .agg(countDistinct(col("media_id")).as("docs_with"))
+    rows.join(df, "h")
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("bytes_total"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("docs_with") >= 2, col("len")).otherwise(0L))
+          .as("bytes_shared"))
+      .select(col("media_id"), col("n_chunks"), col("bytes_total"),
+        col("n_shared"), col("bytes_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+          .as("shared_frac"))
+      .orderBy(col("media_id"))
+  }
+
+  val contentChunkCensusSql: String =
+    s"""WITH d AS (SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS n
+       |           FROM documents),
+       |cuts AS (SELECT media_id, text, n,
+       |           CASE WHEN n >= 4 THEN list_filter(generate_series(4, n), i ->
+       |             (ascii(substr(text, CAST(i - 3 AS BIGINT), 1)) * 29791 +
+       |              ascii(substr(text, CAST(i - 2 AS BIGINT), 1)) * 961 +
+       |              ascii(substr(text, CAST(i - 1 AS BIGINT), 1)) * 31 +
+       |              ascii(substr(text, CAST(i AS BIGINT), 1)))
+       |             % $CdcCutDivisor = 0)
+       |           ELSE [] END AS cuts
+       |         FROM d),
+       |bounds AS (SELECT media_id, text, [CAST(0 AS BIGINT)] || cuts || [n] AS b
+       |           FROM cuts),
+       |ks AS (SELECT media_id, text, b,
+       |         unnest(generate_series(1, len(b) - 1)) AS k
+       |       FROM bounds),
+       |chunks AS (SELECT media_id,
+       |             md5(substr(text, b[k] + 1, b[k+1] - b[k])) AS h,
+       |             b[k+1] - b[k] AS len
+       |           FROM ks WHERE b[k+1] - b[k] > 0),
+       |df AS (SELECT h, CAST(COUNT(DISTINCT media_id) AS BIGINT) AS docs_with
+       |       FROM chunks GROUP BY h)
+       |SELECT c.media_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(c.len) AS BIGINT) AS bytes_total,
+       |  CAST(SUM(CASE WHEN f.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared,
+       |  CAST(SUM(CASE WHEN f.docs_with >= 2 THEN c.len ELSE 0 END) AS BIGINT)
+       |    AS bytes_shared,
+       |  CAST(SUM(CASE WHEN f.docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS shared_frac
+       |FROM chunks c JOIN df f USING (h)
+       |GROUP BY c.media_id
+       |ORDER BY c.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm9_content_chunks" -> contentChunkCensus,
     "mm8_byte_entropy" -> byteEntropy,
     "mm7_chunk_dedup" -> chunkDedup,
     "mm1_binary_meta" -> binaryMeta,
@@ -772,6 +885,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm9_content_chunks" -> contentChunkCensusSql,
     "mm8_byte_entropy" -> byteEntropySql,
     "mm7_chunk_dedup" -> chunkDedupSql,
     "mm1_binary_meta" -> binaryMetaSql,

@@ -1827,6 +1827,36 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.4, f"converged serve recall $recall%.3f below floor 0.4")
   }
 
+  test("dd26: the applied banding sweep is consistent with dd25's analytic S-curve") {
+    val rows = Dedup.bandingSweep(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) -> r)
+      .toMap
+    assert(rows.size == 6, s"expected all 6 factorizations, got ${rows.size}")
+    rows.values.foreach { r =>
+      val nc = r.getAs[Long]("n_candidates")
+      val nf = r.getAs[Long]("n_found")
+      val nv = r.getAs[Long]("n_verified")
+      assert(nf <= nc, "found pairs must be a subset of candidates")
+      assert(nf <= nv, "found pairs must be a subset of the verified ledger")
+      assert(r.getAs[Double]("achieved_recall") == nf.toDouble / nv.toDouble)
+      val exp = r.getAs[Double]("expected_recall")
+      assert(exp >= 0.0 && exp <= 1.0)
+      // the S-curve is a *model* of the bucket process over the same
+      // pairs — prediction and measurement must land close
+      assert(math.abs(r.getAs[Double]("achieved_recall") - exp) < 0.35,
+        s"achieved ${r.getAs[Double]("achieved_recall")} vs expected $exp at $r")
+    }
+    // single-component bands (12, 1) are the highest-recall, highest-cost
+    // corner; the single full-signature band (1, 12) is the opposite
+    assert(rows((12L, 1L)).getAs[Double]("achieved_recall") >=
+      rows((1L, 12L)).getAs[Double]("achieved_recall"))
+    assert(rows((12L, 1L)).getAs[Long]("n_candidates") >=
+      rows((1L, 12L)).getAs[Long]("n_candidates"))
+    // exactly one configured row, and it is dd3's (NumBands, 2)
+    assert(rows.values.count(_.getAs[Boolean]("is_configured")) == 1)
+    assert(rows((Dedup.NumBands.toLong, 2L)).getAs[Boolean]("is_configured"))
+  }
+
   test("dd15: bloom prefilter has no false negatives and statuses partition") {
     val rows = Dedup.bloomPrefilter(spark, sf()).collect()
     assert(rows.nonEmpty)

@@ -133,6 +133,46 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.map(_.getAs[Long]("n_media")).sum == 500L)
   }
 
+  test("mm9: content-defined cuts re-synchronize after an insertion; the fixed grid does not") {
+    // the reason CDC chunking exists: prepend ONE byte and a fixed-size
+    // grid mis-aligns every chunk, while content-defined cut points
+    // recover after the first cut
+    val base = (1 to 60).map(i => s"tok$i w${i * 7} q${i * 13}").mkString(" ")
+    val shifted = "X" + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("media_id", "text")
+    val rows = graft.llmdata.Multimodal.cdcChunkRows(docs).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    val h1 = rows(1L).map(_.getAs[String]("h")).toSet
+    val h2 = rows(2L).map(_.getAs[String]("h")).toSet
+    assert(h1.size >= 4, s"expected several chunks, got ${h1.size}")
+    val cdcShared = (h1 intersect h2).size.toDouble / h1.size
+    assert(cdcShared >= 0.5,
+      f"CDC chunking must survive a 1-byte shift: shared frac $cdcShared%.2f")
+    // fixed 64-byte grid on the same pair: zero shared chunks (every
+    // boundary shifted by one)
+    def fixedChunks(t: String): Set[String] =
+      t.grouped(64).map(c => java.security.MessageDigest.getInstance("MD5")
+        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString).toSet
+    val fShared = (fixedChunks(base) intersect fixedChunks(shifted)).size
+    assert(fShared == 0, s"fixed grid unexpectedly shared $fShared chunks")
+    // and the sum of chunk lengths reconstructs the payload exactly
+    assert(rows(1L).map(_.getAs[Long]("len")).sum == base.length.toLong)
+    assert(rows(2L).map(_.getAs[Long]("len")).sum == shifted.length.toLong)
+  }
+
+  test("mm9: census flags exact-duplicate payloads as fully shared") {
+    val rows = graft.llmdata.Multimodal.contentChunkCensus(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("bytes_shared") <= r.getAs[Long]("bytes_total"))
+    }
+    // the fixture ships exact-duplicate docs (dd1's subject); both copies
+    // of a duplicated payload must census as 100% shared
+    assert(rows.count(_.getAs[Double]("shared_frac") == 1.0) >= 2,
+      "expected at least one fully-shared duplicate pair")
+  }
+
   test("mm8: byte entropy re-derives brute-force and bounds hold") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")

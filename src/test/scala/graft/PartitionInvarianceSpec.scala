@@ -149,7 +149,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ss16_knn_descent" -> graft.llmdata.Similarity.knnGraphDescent _,
       // ss17's hop-unrolled traversal: per-hop checkpoints + bounded-heap
       // frontier/result keeps must not depend on input splits
-      "ss17_graph_serve" -> graft.llmdata.Similarity.graphServe _)
+      "ss17_graph_serve" -> graft.llmdata.Similarity.graphServe _,
+      // dd26's capped-bucket candidate counts, mm9's chunk-df census
+      "dd26_banding_sweep" -> Dedup.bandingSweep _,
+      "mm9_content_chunks" -> graft.llmdata.Multimodal.contentChunkCensus _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

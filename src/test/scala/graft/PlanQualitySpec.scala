@@ -232,6 +232,16 @@ class PlanQualitySpec extends SparkSpec {
       "bounded-heap keeps expected")
   }
 
+  test("dd26/mm9: sweep and census are window-free with no cartesian joins") {
+    val pd = plan(Dedup.bandingSweep(spark, sf()))
+    // capped buckets via sorted-list aggregate, never a per-bucket window
+    assert(!pd.contains("CartesianProduct"), "dd26 must not cartesian")
+    assert(!pd.contains("Window"), "dd26 caps via the sorted-list aggregate")
+    val pm = plan(graft.llmdata.Multimodal.contentChunkCensus(spark, sf()))
+    assert(!pm.contains("CartesianProduct"), "mm9 must not cartesian")
+    assert(!pm.contains("Window"), "mm9 is aggregate-only")
+  }
+
   test("cur2: the near-dup and contamination drop sets broadcast against the corpus scan") {
     val p = plan(graft.llmdata.Curation.curationNearDup(spark, sf()))
     assert(!p.contains("CartesianProduct"))
