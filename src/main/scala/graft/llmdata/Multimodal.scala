@@ -781,15 +781,28 @@ object Multimodal {
     * (SF-independent) analyzing it — measured, not assumed. */
   private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast(LongType)
-    def at(i: Column, back: Int): Column =
-      ascii(col("text").substr((i - lit(back.toLong)).cast(IntegerType),
+    // cut detection is explode + codegen'd projections, NOT an
+    // interpreted filter(sequence(...)) lambda: per-position work (4
+    // ascii/substr + arithmetic) at ~n positions per payload ran ~10x
+    // slower interpreted (the mm8 HOF-vs-explode lesson; measured 25.8 s
+    // -> ~1 s at sf0.1). The Generate pipelines into the filter inside
+    // one codegen stage, so the duplicated text column never materializes
+    // and the only shuffle carries (media_id, cut) rows.
+    def at(back: Int): Column =
+      ascii(col("text").substr((col("i") - lit(back.toLong)).cast(IntegerType),
         lit(1))).cast(LongType)
-    val cuts = when(n >= 4, filter(sequence(lit(4L), n), i =>
-      (at(i, 3) * lit(29791L) + at(i, 2) * lit(961L) +
-        at(i, 1) * lit(31L) + at(i, 0)) % lit(CdcCutDivisor.toLong) === 0L))
-      .otherwise(array().cast(ArrayType(LongType)))
+    val cutRows = docs.filter(length(col("text")) >= 4)
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(4L), n)).as("i"))
+      .filter((at(3) * lit(29791L) + at(2) * lit(961L) +
+        at(1) * lit(31L) + at(0)) % lit(CdcCutDivisor.toLong) === 0L)
+      .select(col("media_id"), col("i").as("cut"))
+    val cuts = cutRows.groupBy(col("media_id"))
+      .agg(sort_array(collect_list(col("cut"))).as("cuts"))
     docs
-      .withColumn("b", concat(array(lit(0L)), cuts, array(n)))
+      .join(cuts, Seq("media_id"), "left")
+      .withColumn("b", concat(array(lit(0L)),
+        coalesce(col("cuts"), array().cast(ArrayType(LongType))), array(n)))
       .select(col("media_id"), col("text"), col("b"),
         explode(sequence(lit(1), size(col("b")) - 1)).as("k"))
       .select(col("media_id"),
