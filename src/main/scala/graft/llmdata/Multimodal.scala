@@ -782,20 +782,28 @@ object Multimodal {
   private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast(LongType)
     // cut detection is explode + codegen'd projections, NOT an
-    // interpreted filter(sequence(...)) lambda: per-position work (4
-    // ascii/substr + arithmetic) at ~n positions per payload ran ~10x
-    // slower interpreted (the mm8 HOF-vs-explode lesson; measured 25.8 s
-    // -> ~1 s at sf0.1). The Generate pipelines into the filter inside
-    // one codegen stage, so the duplicated text column never materializes
-    // and the only shuffle carries (media_id, cut) rows.
-    def at(back: Int): Column =
-      ascii(col("text").substr((col("i") - lit(back.toLong)).cast(IntegerType),
-        lit(1))).cast(LongType)
+    // interpreted filter(sequence(...)) lambda (the mm8 HOF-vs-explode
+    // lesson: 25.8 s interpreted at sf0.1), and the window is read off
+    // the BINARY payload, not the string: substr on a string counts
+    // CODEPOINTS from offset 0 — O(position) per call, O(n²) per payload
+    // (measured 5.9 s for 1.45 M positions; a 1 MB payload would never
+    // finish) — while substr on binary is an O(1) byte slice. One hex()
+    // of the 4-byte window yields the byte values as 2-char slices.
+    // Byte-based rolling hashes are the CDC-standard definition; on the
+    // ASCII fixture it coincides with the twin's character codes.
+    val w = hex(col("bin").substr((col("i") - lit(3L)).cast(IntegerType),
+      lit(4)))
+    // ONE hex→BIGINT conversion per window; byte values come out with
+    // shifts and masks (`/` on longs is DOUBLE division in Spark —
+    // integer extraction must shift)
+    def bv(k: Int): Column =
+      shiftright(col("v"), 8 * (4 - k)) % lit(256L)
     val cutRows = docs.filter(length(col("text")) >= 4)
-      .select(col("media_id"), col("text"),
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("bin"),
         explode(sequence(lit(4L), n)).as("i"))
-      .filter((at(3) * lit(29791L) + at(2) * lit(961L) +
-        at(1) * lit(31L) + at(0)) % lit(CdcCutDivisor.toLong) === 0L)
+      .withColumn("v", conv(w, 16, 10).cast(LongType))
+      .filter((bv(1) * lit(29791L) + bv(2) * lit(961L) +
+        bv(3) * lit(31L) + bv(4)) % lit(CdcCutDivisor.toLong) === 0L)
       .select(col("media_id"), col("i").as("cut"))
     val cuts = cutRows.groupBy(col("media_id"))
       .agg(sort_array(collect_list(col("cut"))).as("cuts"))
