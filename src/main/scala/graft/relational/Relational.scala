@@ -1002,7 +1002,74 @@ object Relational {
       |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
       |  o_year ASC NULLS FIRST""".stripMargin
 
+  /** q41: NATIONAL MARKET SHARE — the TPC-H Q8 shape (adapted to the
+    * fixture's synthetic constants: key-range predicates — region 0
+    * customers, p_size band, supplier nation-group s_nationkey % 5 —
+    * instead of named constants, so every SF owns rows; see the
+    * fixture-constant caveat in the verify skill): within one region's
+    * customers and a part band, the share of yearly revenue supplied by
+    * the watched nation group. The plan property worth pinning: the share
+    * is ONE conditional aggregate over a single joined stream — the naive
+    * form computes numerator and denominator as two full join trees and
+    * joins them (2× the scans, an extra shuffle).
+    *
+    * Scale: lineitem joins orders/part/supplier on their keys (the fact
+    * shuffles); the region-filtered nation list broadcasts into customer
+    * and the predicate prunes before the fact join; one combinable
+    * aggregate per year. DECIMAL(18,2) per-factor discipline for oracle
+    * cent-parity; the share divides the two DOUBLE-rendered sums (decimal
+    * division precision rules differ between engines). */
+  def q41MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    val p = t(spark, dir, "part").filter(col("p_size") <= 20)
+      .select(col("p_partkey"))
+    val s = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val cn = t(spark, dir, "nation").filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("c_nkey"))
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    val watched = col("s_nationkey") % 5 === 0
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        (money(sum(when(watched, vol).otherwise(dec(lit(0))))) /
+          money(sum(vol))).as("mkt_share"),
+        money(sum(vol)).as("volume"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
+  val q41Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CASE WHEN s_nationkey % 5 = 0
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS mkt_share,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE cn.n_regionkey = 0 AND p_size <= 20
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_market_share" -> q41MarketShare,
     "q40_grouping_sets" -> q40GroupingSets,
     "q39_idle_rich_customers" -> q39IdleRichCustomers,
     "q38_above_avg_supplier" -> q38AboveAvgSupplier,
@@ -1040,6 +1107,7 @@ object Relational {
     "q20_full_outer" -> q20FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "q41_market_share" -> q41Sql,
     "q40_grouping_sets" -> q40Sql,
     "q39_idle_rich_customers" -> q39Sql,
     "q38_above_avg_supplier" -> q38Sql,

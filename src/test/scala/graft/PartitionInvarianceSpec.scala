@@ -152,7 +152,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ss17_graph_serve" -> graft.llmdata.Similarity.graphServe _,
       // dd26's capped-bucket candidate counts, mm9's chunk-df census
       "dd26_banding_sweep" -> Dedup.bandingSweep _,
-      "mm9_content_chunks" -> graft.llmdata.Multimodal.contentChunkCensus _)
+      "mm9_content_chunks" -> graft.llmdata.Multimodal.contentChunkCensus _,
+      // q41's conditional-share DECIMAL sums
+      "q41_market_share" -> Relational.q41MarketShare _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -242,6 +242,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pm.contains("Window"), "mm9 is aggregate-only")
   }
 
+  test("q41: one conditional-share pass — dims broadcast, predicates pushed") {
+    val p = plan(Relational.q41MarketShare(spark, sf()))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("p_size") && pushed.contains("o_orderdate"),
+      "part-band and date predicates must reach their scans:\n" + pushed)
+    assert(p.contains("BroadcastHashJoin"), "the region-filtered nation list must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the share is ONE aggregate over one joined stream — a second join
+    // tree (numerator/denominator computed separately) would scan
+    // lineitem twice
+    val scans = p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(scans == 1, s"expected a single lineitem scan, saw $scans")
+  }
+
   test("cur2: the near-dup and contamination drop sets broadcast against the corpus scan") {
     val p = plan(graft.llmdata.Curation.curationNearDup(spark, sf()))
     assert(!p.contains("CartesianProduct"))
