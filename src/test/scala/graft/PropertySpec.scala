@@ -36,6 +36,29 @@ class PropertySpec extends SparkSpec {
       s""""recordIds":[$idList]}},"event":{"replayId":$replayId}}"""
   }
 
+  test("property: mm9 chunking reconstructs every payload and is deterministic") {
+    val word = Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty)
+    val textGen = Gen.nonEmptyListOf(word).map(_.mkString(" ").take(600))
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("media_id", "text")
+      val rows = graft.llmdata.Multimodal.cdcChunkRows(docs).collect()
+        .groupBy(_.getAs[Long]("media_id"))
+      val again = graft.llmdata.Multimodal.cdcChunkRows(docs).collect()
+        .groupBy(_.getAs[Long]("media_id"))
+      texts.zipWithIndex.forall { case (t, i) =>
+        val cs = rows.getOrElse(i.toLong, Array.empty)
+        // chunks tile the payload exactly (no byte lost or duplicated)...
+        cs.map(_.getAs[Long]("len")).sum == t.getBytes("UTF-8").length.toLong &&
+        cs.forall(_.getAs[Long]("len") > 0L) &&
+        // ...and the chunking is a pure function of the content
+        cs.map(r => (r.getAs[String]("h"), r.getAs[Long]("len"))).sorted.toSeq ==
+          again.getOrElse(i.toLong, Array.empty)
+            .map(r => (r.getAs[String]("h"), r.getAs[Long]("len"))).sorted.toSeq
+      }
+    }, minTests = 10)
+  }
+
   test("property: recordIds dedupe is idempotent and first-seen ordered") {
     checkProp(Prop.forAll(idsGen) { ids =>
       val raw = Seq(envelope(1, "UPDATE", ids)).toDF("value")
