@@ -1605,11 +1605,15 @@ object Similarity {
   /** Entry-point fan-out: the traversal starts from the
     * [[ServeEntries]] nearest corpus exemplars (multiple entries hedge
     * against a bad region of a low-degree graph — HNSW's multi-entry /
-    * NSG's navigating-node analogue). Settings measured on the fixture
-    * (Scratch sweep, r12): recall@3 = 0.633 at ≤30% of the corpus
-    * visited — above IVF's 0.567 (ss12) and far above LSH's 0.03; richer
-    * edge sets (seed ∪ descent) measured WORSE (cell-local seed edges
-    * dilute the beam with redundant candidates). */
+    * NSG's navigating-node analogue). Settings swept in r12: recall@3 =
+    * 0.633 at the 500-vector sf0.01 fixture (0.500 at sf0.001 — the spec
+    * floor is 0.4) at ≤30% of the corpus visited — above IVF's 0.567
+    * (ss12) and far above LSH's 0.03; richer edge sets (seed ∪ descent)
+    * measured WORSE (cell-local seed edges dilute the beam with
+    * redundant candidates). At the 2000-vector sf0.1 corpus recall reads
+    * 0.30: fixed degree-3 graphs lose navigability with corpus growth,
+    * the published reason production graph indexes build at K = 20–50
+    * with edge diversification — GraphTopK is the fixture-sized unit. */
   private val ServeEntries = 3
 
   /** The undirected serve adjacency caches per (session, dir) alongside
