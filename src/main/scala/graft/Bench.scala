@@ -101,8 +101,8 @@ object Bench {
     val lat5k = if (skipProbes) LatencyProbeEmpty else cdcLatencyMs(spark, 5000)
     val lat25k = if (skipProbes) LatencyProbeEmpty else cdcLatencyMs(spark, 25000)
 
-    val errors = scala.collection.mutable.Map.empty[String, String]
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 errors: scala.collection.mutable.Map[String, String]): Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
@@ -132,8 +132,12 @@ object Bench {
         System.err.println(s"[bench] cache release failed: $e")
       }
     def familyOf(name: String): String = name.takeWhile(!_.isDigit)
-    def batteryOnce(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+    def batteryOnce(): (Map[String, Double], Map[String, String]) = {
+      // PER-RUN errors map (r12 ADVICE): a shared map let a later run's
+      // success erase an earlier run's failure record, so a query could
+      // vanish from BOTH the queries and errors maps of the committed run
+      val errors = scala.collection.mutable.Map.empty[String, String]
+      val timedAll = SparkEntry.queries.toSeq.sortBy(_._1)
         .groupBy { case (name, _) => familyOf(name) }
         .toSeq.sortBy(_._1)
         .flatMap { case (_, fam) =>
@@ -143,7 +147,7 @@ object Bench {
           val timed = fam.flatMap { case (name, fn) =>
             // min-of-3 (see object doc): ambient noise is additive on a
             // warm workload, so the min of three samples is the estimator
-            val samples = Seq.fill(3)(timeOnce(name, fn)).flatten
+            val samples = Seq.fill(3)(timeOnce(name, fn, errors)).flatten
             if (samples.nonEmpty) {
               // at least one run succeeded: report it and drop any
               // transient failure — a query must not appear in BOTH maps
@@ -154,6 +158,8 @@ object Bench {
           releaseCaches()
           timed
         }.toMap
+      (timedAll, errors.toMap)
+    }
     // best-of-N WHOLE-BATTERY runs (r11 verdict task 8): min-of-3 bounds
     // per-query noise within a run, but a round's COMMITTED artifact was
     // still hostage to one run's ambient load (r11 committed 63.3 s out
@@ -165,15 +171,43 @@ object Bench {
     val batteryRuns =
       sys.env.get("SPARK_GRAFT_BATTERY_RUNS").map(_.toInt).getOrElse(3).max(1)
     val allRuns = (1 to batteryRuns).map { _ => batteryOnce() }
-    val runTotals = allRuns.map(_.values.sum)
-    val results = allRuns(runTotals.indexOf(runTotals.min))
+    // COMPLETE-RUN selection (r12 ADVICE): a run in which a query failed
+    // all 3 samples is missing that query, so its total is artificially
+    // low and would win best-of-N while silently dropping the query from
+    // the committed artifact. Select the best total only among runs whose
+    // key set equals the union of all runs' keys; if NO run is complete
+    // (a query failed in every run), fall back to min-total over all runs
+    // and surface the selected run's missing queries in the errors map.
+    val unionKeys = allRuns.flatMap(_._1.keys).toSet
+    val completeRuns = allRuns.filter(_._1.keySet == unionKeys)
+    val candidates = if (completeRuns.nonEmpty) completeRuns else allRuns
+    val candTotals = candidates.map(_._1.values.sum)
+    val (results, runErrors) = candidates(candTotals.indexOf(candTotals.min))
+    val missing = unionKeys -- results.keySet
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    errors ++= runErrors
+    missing.foreach { k =>
+      if (!errors.contains(k)) errors(k) = "missing_in_selected_run"
+    }
+    val runTotals = allRuns.map(_._1.values.sum)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // per-run per-query sidecar: the cross-run evidence the round-over-
     // round regression adjudication protocol reads (SURVEY §9)
     try {
       def msj(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-      val runsJson = allRuns.map(r =>
-        r.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${msj(v)}""" }
-          .mkString("{", ",", "}")).mkString("[", ",", "]")
+      val runsJson = allRuns.map { case (r, errs) =>
+        val qpart = r.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${msj(v)}""" }
+          .mkString(",")
+        val epart =
+          if (errs.isEmpty) ""
+          else errs.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""_err_$k":${jq(v)}""" }.mkString(",", ",", "")
+        s"{$qpart$epart}"
+      }.mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
         (runsJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
@@ -183,11 +217,6 @@ object Bench {
     // pressure from the analytics phase (standard phase hygiene)
     val epsPost = epsOnce(50000)
 
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // sorted by name + fixed ms precision + FAMILY-CODE keys: the driver
     // keeps only the TAIL of long log lines; 3-decimal values fixed r4's
     // "parsed": null at 80 queries, but the 97-query battery pushed full
@@ -196,11 +225,30 @@ object Bench {
     // (q1, tx10, ss3, …) — emitting just the code keeps the whole line
     // inside the window; collisions (none today) fall back to full names.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // compact per-query value for the PRINTED line only: the driver keeps
+    // the last 2000 chars of the line, and at 172+ queries a 3-decimal map
+    // alone overflows that window (r12's committed artifact lost its
+    // leading cdc/cur entries). 1 decimal (2 below 0.1 so sub-100 ms
+    // queries don't collapse to 0), trailing zeros trimmed, keeps the
+    // whole map + value + ratio inside the window with ~150 chars of
+    // growth headroom; the lossless 3-decimal line still lands in
+    // BENCH_FULL.json and the per-run maps in BENCH_RUNS.json.
+    def cms(v: Double): String = {
+      val s =
+        if (v < 0.095) "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        else "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        if (t.isEmpty) "0" else t
+      } else s
+    }
     val short = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
     val useShort = short.values.toSeq.distinct.size == short.size
     def key(k: String): String = if (useShort) short(k) else k
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(key(k)) + ":" + ms(v) }.mkString("{", ",", "}")
+    val qsCompact = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => jq(key(k)) + ":" + cms(v) }.mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -241,7 +289,7 @@ object Bench {
     // KEY ORDER IS LOAD-BEARING: the driver keeps only the tail of this
     // line, so boilerplate leads and value+queries close it; the complete
     // line also lands in BENCH_FULL.json.
-    val line =
+    def lineWith(queriesJson: String): String =
       s"""{"metric":"total","unit":"sec","errors":$errs,""" +
       latencyJson("cdc_lat5k", lat5k) + latencyJson("cdc_lat25k", lat25k) +
       s""""cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
@@ -251,11 +299,16 @@ object Bench {
       s""""duckdb_baseline_status":${jq(duckdbStatus)},""" +
       s""""runs":$batteryRuns,""" +
       s""""battery_range_secs":[${ms(runTotals.min)},${ms(runTotals.max)}],""" +
+      // queries BEFORE value/ratio: the driver's 2000-char tail window
+      // truncates from the head, so the scalars the judge grades on must
+      // close the line — if the battery ever outgrows the window again it
+      // costs a few leading per-query entries, never the totals
+      s""""queries":$queriesJson,""" +
       (if (duckdbTotal > 0) s""""spark_vs_duckdb":${ms(total / duckdbTotal)},""" else "") +
-      s""""value":${ms(total)},"queries":$qs}"""
-    println(line)
+      s""""value":${ms(total)}}"""
+    println(lineWith(qsCompact))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (lineWith(qs) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -248,6 +248,43 @@ object TextHashUtil {
     new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)))
   }
 
+  /** Content-defined chunks of a byte payload in ONE JVM pass (the
+    * LBFS/rsync rolling rule): cut after 1-based byte position i
+    * (4 ≤ i ≤ n) when the 4-byte window polynomial
+    * b[i−3]·31³ + b[i−2]·31² + b[i−1]·31 + b[i] (unsigned byte values)
+    * ≡ 0 mod divisor; emits (md5-hex, byte-len) of every between-cut
+    * slice in payload order, zero-length tails dropped. Everything is
+    * BYTE-indexed — length, window, cut positions, and the md5 input are
+    * all over the raw payload bytes (the r12 char/byte-mixing fix), so
+    * the contract holds for arbitrary non-ASCII payloads, not just the
+    * ASCII fixture. Bit-identical on any payload to the staged explode
+    * form [[graft.llmdata.Multimodal.cdcChunkRowsStaged]] it replaces in
+    * the battery (A/B parity spec): the staged form generates one row per
+    * payload byte through six expressions; this is one eval per document.
+    */
+  def cdcChunks(bin: Array[Byte], divisor: Int): ArrayData = {
+    val n = bin.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      math.max(4, n / divisor + 2))
+    val d = md5()
+    def emit(off: Int, len: Int): Unit = {
+      d.reset()
+      d.update(bin, off, len)
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(toHex(d.digest())), len.toLong)
+    }
+    var start = 0
+    var i = 3
+    while (i < n) {
+      val h = (bin(i - 3) & 0xff) * 29791 + (bin(i - 2) & 0xff) * 961 +
+        (bin(i - 1) & 0xff) * 31 + (bin(i) & 0xff)
+      if (h % divisor == 0) { emit(start, i + 1 - start); start = i + 1 }
+      i += 1
+    }
+    if (n - start > 0) emit(start, n - start)
+    new GenericArrayData(out.toArray)
+  }
+
   /** Count of positions where the (equal-length) strings differ; compares
     * raw UTF-8 bytes — exact for the ASCII bit strings it is used on. */
   def hamming(a: UTF8String, b: UTF8String): Long = {
@@ -568,6 +605,35 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Native content-defined chunking of a binary payload: array of
+  * (md5-hex, byte-len) chunk structs — see [[TextHashUtil.cdcChunks]]. */
+case class CdcChunkList(child: Expression, divisor: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires binary, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("len", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(payload: Any): Any =
+    TextHashUtil.cdcChunks(payload.asInstanceOf[Array[Byte]], divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextHashUtil.cdcChunks($a, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkList =
+    copy(child = newChild)
+}
+
 /** Native hamming distance between equal-length strings (bit strings here).
   * Replaces `size(filter(sequence(1,n), i -> substr(a,i,1) <> substr(b,i,1)))`
   * — per-character interpreted lambdas over millions of candidate pairs. */
@@ -739,4 +805,6 @@ object TextHashFunctions {
     GraftColumn.of(JaroWinklerSim(GraftColumn.expr(a), GraftColumn.expr(b)))
   def winnowFps(words: Column, k: Int, w: Int): Column =
     GraftColumn.of(WinnowFingerprints(GraftColumn.expr(words), k, w))
+  def cdcChunks(payload: Column, divisor: Int): Column =
+    GraftColumn.of(CdcChunkList(GraftColumn.expr(payload), divisor))
 }

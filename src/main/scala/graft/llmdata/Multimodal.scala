@@ -771,26 +771,41 @@ object Multimodal {
   private val CdcCutDivisor = 32
 
   /** Content-defined chunk rows (media_id, h, len) over a (media_id,
-    * text) frame: cut positions where the rolling 4-byte polynomial hash
-    * (base 31 — exact in BIGINT and in a Double, identical in both
-    * engines) divides [[CdcCutDivisor]]; chunks are the md5s of the
-    * between-cut segments with their lengths. Built in STAGES (cuts →
-    * bounds → exploded k → chunk) so every expression stays a small tree:
-    * the single-expression nested-lambda form inlined the bounds subtree
-    * into each of its four references and Catalyst spent MINUTES
-    * (SF-independent) analyzing it — measured, not assumed. */
-  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
-    val n = length(col("text")).cast(LongType)
+    * text) frame — the battery path: ONE native codegen expression
+    * ([[graft.functions.CdcChunkList]]) does the whole rolling-hash scan
+    * + cut + md5 pass per document in a single JVM loop over the payload
+    * BYTES, then a plain explode of the chunk structs. Replaces the
+    * staged explode form (one generated row per payload byte through six
+    * expressions — mm9's 3.5 s battery max at sf0.1; the `winnow_fps`
+    * nativization precedent). [[cdcChunkRowsStaged]] is kept as the A/B
+    * parity baseline — bit-identical on arbitrary (incl. non-ASCII)
+    * payloads, spec-pinned. */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame =
+    docs.select(col("media_id"),
+        explode(graft.functions.TextHashFunctions.cdcChunks(
+          encode(col("text"), "UTF-8"), CdcCutDivisor)).as("c"))
+      .select(col("media_id"), col("c.h").as("h"), col("c.len").as("len"))
+
+  /** The staged composable form of [[cdcChunkRows]] (cuts → bounds →
+    * exploded k → chunk), kept as the A/B parity baseline for the native
+    * expression (the dd24 discipline). Built in STAGES so every
+    * expression stays a small tree: the single-expression nested-lambda
+    * form inlined the bounds subtree into each of its four references and
+    * Catalyst spent MINUTES (SF-independent) analyzing it — measured, not
+    * assumed. Fully BYTE-indexed (r12 ADVICE fix): n counts payload
+    * BYTES, the rolling window reads the binary payload, and chunk slices
+    * + md5 run over `bin.substr` (an O(1) byte slice; string substr
+    * counts codepoints from offset 0 — O(position) per call, O(n²) per
+    * payload, and char-indexed slicing at byte-derived cut positions
+    * broke the tiling property for non-ASCII payloads). */
+  private[graft] def cdcChunkRowsStaged(docs: DataFrame): DataFrame = {
+    val binDocs = docs.select(col("media_id"),
+      encode(col("text"), "UTF-8").as("bin"))
+    val n = length(col("bin")).cast(LongType)
     // cut detection is explode + codegen'd projections, NOT an
     // interpreted filter(sequence(...)) lambda (the mm8 HOF-vs-explode
-    // lesson: 25.8 s interpreted at sf0.1), and the window is read off
-    // the BINARY payload, not the string: substr on a string counts
-    // CODEPOINTS from offset 0 — O(position) per call, O(n²) per payload
-    // (measured 5.9 s for 1.45 M positions; a 1 MB payload would never
-    // finish) — while substr on binary is an O(1) byte slice. One hex()
-    // of the 4-byte window yields the byte values as 2-char slices.
-    // Byte-based rolling hashes are the CDC-standard definition; on the
-    // ASCII fixture it coincides with the twin's character codes.
+    // lesson: 25.8 s interpreted at sf0.1). One hex() of the 4-byte
+    // window yields the byte values as 2-char slices.
     val w = hex(col("bin").substr((col("i") - lit(3L)).cast(IntegerType),
       lit(4)))
     // ONE hex→BIGINT conversion per window; byte values come out with
@@ -798,8 +813,8 @@ object Multimodal {
     // integer extraction must shift)
     def bv(k: Int): Column =
       shiftright(col("v"), 8 * (4 - k)) % lit(256L)
-    val cutRows = docs.filter(length(col("text")) >= 4)
-      .select(col("media_id"), encode(col("text"), "UTF-8").as("bin"),
+    val cutRows = binDocs.filter(length(col("bin")) >= 4)
+      .select(col("media_id"), col("bin"),
         explode(sequence(lit(4L), n)).as("i"))
       .withColumn("v", conv(w, 16, 10).cast(LongType))
       .filter((bv(1) * lit(29791L) + bv(2) * lit(961L) +
@@ -807,16 +822,16 @@ object Multimodal {
       .select(col("media_id"), col("i").as("cut"))
     val cuts = cutRows.groupBy(col("media_id"))
       .agg(sort_array(collect_list(col("cut"))).as("cuts"))
-    docs
+    binDocs
       .join(cuts, Seq("media_id"), "left")
       .withColumn("b", concat(array(lit(0L)),
         coalesce(col("cuts"), array().cast(ArrayType(LongType))), array(n)))
-      .select(col("media_id"), col("text"), col("b"),
+      .select(col("media_id"), col("bin"), col("b"),
         explode(sequence(lit(1), size(col("b")) - 1)).as("k"))
       .select(col("media_id"),
         (element_at(col("b"), col("k") + 1) - element_at(col("b"), col("k")))
           .as("len"),
-        md5(col("text").substr(
+        md5(col("bin").substr(
           (element_at(col("b"), col("k")) + 1L).cast(IntegerType),
           (element_at(col("b"), col("k") + 1) - element_at(col("b"), col("k")))
             .cast(IntegerType))).as("h"))
@@ -858,6 +873,11 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Twin note: the engine defines chunking over payload BYTES (the CDC
+    * standard); DuckDB 1.0 cannot md5 a BLOB slice, so the twin works in
+    * character space — coincident with the byte definition on the ASCII
+    * fixture (documented divergence; the byte-space contract itself is
+    * pinned by the non-ASCII native≡staged parity spec). */
   val contentChunkCensusSql: String =
     s"""WITH d AS (SELECT doc_id AS media_id, text, CAST(len(text) AS BIGINT) AS n
        |           FROM documents),

@@ -160,6 +160,34 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).map(_.getAs[Long]("len")).sum == shifted.length.toLong)
   }
 
+  test("mm9: native cdc_chunks ≡ staged explode form, including non-ASCII payloads") {
+    // A/B parity gate for the native expression (the dd24 discipline):
+    // same (h, len) multiset per doc on arbitrary payloads. Non-ASCII
+    // payloads are the r12 ADVICE regression case — multi-byte chars make
+    // byte length ≠ char length, so any char-indexed slicing diverges.
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"tok$i x${i * 31}").mkString(" ")),
+      (2L, "héllo wörld ünïcode ß∂ƒ©˙ " * 20),
+      (3L, "短い非ASCIIペイロード。" * 15),
+      (4L, "ab"), // shorter than the 4-byte window
+      (5L, "")).toDF("media_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("h"),
+        r.getAs[Long]("len"))).sorted.toSeq
+    val native = rows(graft.llmdata.Multimodal.cdcChunkRows(docs))
+    val staged = rows(graft.llmdata.Multimodal.cdcChunkRowsStaged(docs))
+    assert(native == staged, "native cdc_chunks diverged from staged form")
+    // byte-space tiling on the non-ASCII docs specifically
+    val byDoc = native.groupBy(_._1)
+    Seq(2L, 3L).foreach { id =>
+      val expect = docs.where(col("media_id") === id).collect()
+        .head.getAs[String]("text").getBytes("UTF-8").length.toLong
+      assert(byDoc(id).map(_._3).sum == expect,
+        s"doc $id chunks must tile its UTF-8 byte length")
+    }
+    assert(!byDoc.contains(5L), "empty payload must yield no chunks")
+  }
+
   test("mm9: census flags exact-duplicate payloads as fully shared") {
     val rows = graft.llmdata.Multimodal.contentChunkCensus(spark, sf()).collect()
     assert(rows.nonEmpty)
