@@ -1048,6 +1048,76 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** q42: PRODUCT-TYPE PROFIT ROLLUP — the TPC-H Q9 shape (profit by
+    * supplier nation × order year over the widest join tree in the
+    * battery). The fixture ships no partsupp table, so the supply-cost
+    * side is a DERIVED CONTRACT LEDGER with the same plan role: 8 cost
+    * tiers per part (|part|×8 rows — an SF-scaling build side, like
+    * partsupp's 0.8×|lineitem|), keyed (ps_partkey, tier) with a line's
+    * tier = l_suppkey % 8, so every surviving lineitem matches exactly
+    * one contract row at every SF (a modulo tier join, not a sparse
+    * (partkey, suppkey) sample whose selectivity would shrink with SF).
+    * Cost = retail price × a deterministic 0.55–0.88 tier factor. The
+    * part filter is key-range (p_partkey % 3 — the '%green%' analogue;
+    * named fixture constants can own zero rows at sf0.001, see the
+    * verify-skill caveat).
+    *
+    * Scale/plan posture (PlanQualitySpec): ONE lineitem scan; the fact
+    * shuffle-joins orders and the derived ledger on their keys (two
+    * SF-scaling build sides — the q18 AQE-vs-hint discipline actually
+    * bites here); supplier and nation broadcast; the part->ledger
+    * explode is scan-side (generate over a broadcastable dim scan);
+    * profit is one combinable aggregate, no numerator/denominator
+    * double-tree. DECIMAL(18,2) per-factor discipline throughout; the
+    * tier factor double (0.55 + k/100.0) is the same IEEE expression in
+    * both engines, so its 2-decimal cast is bit-identical. */
+  def q42ProfitRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ps = t(spark, dir, "part")
+      .filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("ps_partkey"),
+        explode(sequence(lit(0L), lit(7L))).as("g"),
+        col("p_retailprice"))
+      .select(col("ps_partkey"), col("g"),
+        (dec(col("p_retailprice")) *
+          dec(lit(0.55) + ((col("ps_partkey") * 7 + col("g") * 13) % 34) /
+            lit(100.0))).as("ps_supplycost"))
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val s = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = t(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val amount = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) -
+      col("ps_supplycost") * dec(col("l_quantity"))
+    l.join(ps, l("l_partkey") === ps("ps_partkey") &&
+        l("l_suppkey") % 8 === ps("g"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(money(sum(amount)).as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q42Sql: String =
+    """WITH ps AS (
+      |  SELECT p_partkey AS ps_partkey, g,
+      |    CAST(p_retailprice AS DECIMAL(18,2)) *
+      |    CAST(0.55 + ((p_partkey*7 + g*13) % 34)/100.0 AS DECIMAL(18,2)) AS ps_supplycost
+      |  FROM part, (SELECT unnest(generate_series(0,7)) AS g) gs
+      |  WHERE p_partkey % 3 = 0)
+      |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN ps ON l_partkey = ps_partkey AND l_suppkey % 8 = g
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   val q41Sql: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(SUM(CASE WHEN s_nationkey % 5 = 0
@@ -1070,6 +1140,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_market_share" -> q41MarketShare,
+    "q42_profit_rollup" -> q42ProfitRollup,
     "q40_grouping_sets" -> q40GroupingSets,
     "q39_idle_rich_customers" -> q39IdleRichCustomers,
     "q38_above_avg_supplier" -> q38AboveAvgSupplier,
@@ -1108,6 +1179,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q41_market_share" -> q41Sql,
+    "q42_profit_rollup" -> q42Sql,
     "q40_grouping_sets" -> q40Sql,
     "q39_idle_rich_customers" -> q39Sql,
     "q38_above_avg_supplier" -> q38Sql,

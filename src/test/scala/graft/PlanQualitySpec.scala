@@ -256,6 +256,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"expected a single lineitem scan, saw $scans")
   }
 
+  test("q42: Q9-shaped profit rollup — no cartesian, dims broadcast, single scans") {
+    val p = plan(Relational.q42ProfitRollup(spark, sf()))
+    assert(!p.contains("CartesianProduct"), "q42 must not cartesian")
+    assert(p.contains("BroadcastHashJoin"),
+      "supplier/nation dims must broadcast into the fact stream")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("p_partkey"),
+      "the part key-range predicate must reach the part scan:\n" + pushed)
+    // one scan per physical table: the derived contract ledger is built
+    // from the SAME single part scan (generate over the dim scan), and
+    // lineitem feeds the whole tree once
+    Seq("lineitem", "part.parquet", "orders").foreach { t =>
+      val scans = p.linesIterator.count(l => l.contains("Location") && l.contains(t))
+      assert(scans == 1, s"expected a single $t scan, saw $scans")
+    }
+  }
+
   test("cur2: the near-dup and contamination drop sets broadcast against the corpus scan") {
     val p = plan(graft.llmdata.Curation.curationNearDup(spark, sf()))
     assert(!p.contains("CartesianProduct"))
