@@ -43,6 +43,15 @@ object DebugPlan {
         val full = graft.llmdata.Dedup.ngramJaccard(spark, sfDir)
         time("full")(full.count())
         full.explain("formatted")
+      case "ss18x" =>
+        val df1 = graft.llmdata.Similarity.graphDiversify(spark, sfDir)
+        time("cold count")(df1.count())
+        println("[debug] storageLevel=" + df1.storageLevel)
+        val df2 = graft.llmdata.Similarity.graphDiversify(spark, sfDir)
+        println("[debug] same object: " + (df1 eq df2))
+        time("warm count")(df2.count())
+        val p = df2.queryExecution.executedPlan.toString
+        println("[debug] InMemory in plan: " + p.contains("InMemory"))
       case name =>
         // time construction + count: operators with driver-side loops
         // (dd11/dd14) do real work while BUILDING the frame — timing only

@@ -150,6 +150,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       // ss17's hop-unrolled traversal: per-hop checkpoints + bounded-heap
       // frontier/result keeps must not depend on input splits
       "ss17_graph_serve" -> graft.llmdata.Similarity.graphServe _,
+      // ss18's occlusion anti-join + windowed survivor/backfill re-rank
+      "ss18_graph_diversify" -> graft.llmdata.Similarity.graphDiversify _,
+      // ss19's per-prefix hit/visited counts across three traversals
+      "ss19_serve_sweep" -> graft.llmdata.Similarity.serveSweep _,
       // dd26's capped-bucket candidate counts, mm9's chunk-df census
       "dd26_banding_sweep" -> Dedup.bandingSweep _,
       "mm9_content_chunks" -> graft.llmdata.Multimodal.contentChunkCensus _,

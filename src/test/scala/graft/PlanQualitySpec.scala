@@ -221,6 +221,15 @@ class PlanQualitySpec extends SparkSpec {
       "bounded-heap top-k aggregate expected")
   }
 
+  test("ss18: diversify prunes via key-equality joins over graph keys — no cartesian") {
+    val p = plan(Similarity.graphDiversifyUncached(spark, sf()))
+    // (the descent build inside legitimately BNLJ-joins the 1-row corpus
+    // count scalar; a CartesianProduct would mean real row-pair blowup)
+    assert(!p.contains("CartesianProduct"),
+      "occlusion pair scoring must be key-equality joins")
+    assert(p.contains("cosine_sim"), "native cosine expected in pair scoring")
+  }
+
   test("ss17: serve touches the corpus only through key-equality joins") {
     val p = plan(Similarity.graphServe(spark, sf()))
     assert(!p.contains("CartesianProduct"),
