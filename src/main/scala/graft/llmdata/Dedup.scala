@@ -750,6 +750,50 @@ object Dedup {
       docs.filter(isIncoming), g.filter(isIncoming))
   }
 
+  /** INTRA-SLICE dedup verdicts — the r12 ADVICE gap: two fresh
+    * documents that duplicate EACH OTHER inside one slice/micro-batch
+    * both pass any corpus-only admission check. Non-recursive clock rule
+    * (the ss18 occlusion analogue — the batch variant of "process in
+    * order"): a document is a duplicate-in-slice if it exact- or
+    * near-dups ANY strictly (clock, doc_id)-earlier document of the same
+    * slice, whether or not that one is itself admitted downstream —
+    * deterministic and order-free, so replayed batches agree. One banded
+    * self-join (dd3's candidate shape) + exact-Jaccard verification;
+    * digest equality for the exact tier. Input: (doc_id, text, clock);
+    * returns (doc_id, status ∈ {kept, exact_dup_in_batch,
+    * near_dup_in_batch}). */
+  def dedupWithinSlice(incoming: DataFrame): DataFrame = {
+    val keyed = incoming.select(col("doc_id"), col("text"),
+      struct(col("clock"), col("doc_id")).as("ck"))
+    val h = keyed.select(col("doc_id"), md5(col("text")).as("h"), col("ck"))
+    val exactDup = h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.ck") < col("b.ck"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    val g = gramsOfDocs(keyed, 2)
+    val bands = bandedOf(g)
+    val ckOf = keyed.select(col("doc_id"), col("ck"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("ea_id"), col("y.doc_id").as("in_id"))
+      .distinct()
+      .join(ckOf.select(col("doc_id").as("ea_id"), col("ck").as("ck_a")), "ea_id")
+      .join(ckOf.select(col("doc_id").as("in_id"), col("ck").as("ck_b")), "in_id")
+      .filter(col("ck_a") < col("ck_b"))
+    val gi = g.select(col("doc_id").as("in_id"), col("grams").as("grams_in"))
+    val ge = g.select(col("doc_id").as("ea_id"), col("grams").as("grams_ex"))
+    val nearDup = cand.join(gi, "in_id").join(ge, "ea_id")
+      .filter(jaccard(col("grams_in"), col("grams_ex")) >= MinhashJaccardThreshold)
+      .select(col("in_id").as("doc_id")).distinct()
+    keyed.select(col("doc_id"))
+      .join(exactDup.withColumn("_e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("_n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_e") === 1, "exact_dup_in_batch")
+          .when(col("_n") === 1, "near_dup_in_batch")
+          .otherwise("kept").as("status"))
+  }
+
   /** Free-standing admission operator — dd12's dataflow over ARBITRARY
     * (doc_id, text) frames instead of the fixture split, so it composes
     * into a streaming pipeline: call per micro-batch from `foreachBatch`

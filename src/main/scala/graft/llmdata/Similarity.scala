@@ -317,6 +317,13 @@ object Similarity {
     * order). Zero shuffle and zero extra rows — the previous crossJoin +
     * row_number variant shuffled and sorted the ENTIRE corpus keyed by its
     * own row id just to take this per-row argmax over a broadcast side. */
+  /** [[assignCells]] for external (graft-internal) callers — the
+    * incremental-index path assigns NEW vectors with the STORED codebook
+    * (the stable-training staleness contract above). */
+  private[graft] def assignCellsWith(df: DataFrame, vcol: String,
+                                     exemplars: DataFrame): DataFrame =
+    assignCells(df, vcol, exemplars)
+
   private def assignCells(df: DataFrame, vcol: String, exemplars: DataFrame): DataFrame = {
     val ex = collectedExemplars(exemplars)
     require(ex.nonEmpty, "IVF assignment requires at least one exemplar")
@@ -1683,7 +1690,7 @@ object Similarity {
   /** Pruned serve out-degree R(n) = max(4, K(n)/2): half the build
     * degree, the NSG/HNSW convention (build wide, prune to a sparse
     * navigable graph — R = 10 at the sf0.1 fixture, 8 at sf0.01). */
-  private def pruneDegreeOf(k: Int): Int = math.max(4, k / 2)
+  private[graft] def pruneDegreeOf(k: Int): Int = math.max(4, k / 2)
 
   /** The diversified graph caches per (session, dir) alongside the
     * descent graph it prunes. Evicted by [[clearExemplars]]. */
@@ -1914,10 +1921,20 @@ object Similarity {
     * traversal, not one per depth). */
   private def serveVisitedByHop(spark: SparkSession, dir: String,
                                 undP: DataFrame, beam: Int, entries: Int,
+                                hops: Int): Seq[DataFrame] =
+    serveVisitedByHopFrames(corpus(spark, dir), queriesDf(spark, dir),
+      exemplarsOf(spark, dir).filter(col("cell") >= NumQueries),
+      undP, beam, entries, hops)
+
+  /** The traversal over ARBITRARY (vec_id, v) corpus / (query_id, q)
+    * query / (cell, cv) entry frames — the serve path above binds the
+    * fixture tables; [[graft.streaming.AnnIngest]] binds a persisted
+    * index's vector store with NEW vectors as queries (the HNSW insert
+    * primitive: an insert IS a search for the insertion neighborhood). */
+  private[graft] def serveVisitedByHopFrames(e: DataFrame, q: DataFrame,
+                                ex: DataFrame, undP: DataFrame,
+                                beam: Int, entries: Int,
                                 hops: Int): Seq[DataFrame] = {
-    val e = corpus(spark, dir)
-    val q = queriesDf(spark, dir)
-    val ex = exemplarsOf(spark, dir).filter(col("cell") >= NumQueries)
     val entW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node_id"))
     val entry = q.crossJoin(broadcast(ex))

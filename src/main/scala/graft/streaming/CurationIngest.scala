@@ -83,9 +83,27 @@ object CurationIngest {
       .groupBy(xxhash64(col("Id")).as("doc_id"))
       .agg(max_by(col("text"),
         struct(col("commitNumber"), col("sequenceNumber"), col("replayId")))
-        .as("text"))
+        .as("text"),
+        max(struct(col("commitNumber"), col("sequenceNumber"),
+          col("replayId"))).as("clock"))
+    // INTRA-BATCH pass first (r12 ADVICE): two fresh documents that
+    // duplicate each other in ONE micro-batch both pass the corpus-only
+    // check (the corpus state is from PRIOR triggers). The clock-earliest
+    // copy proceeds to corpus admission; the later ones are rejected
+    // in-batch — deterministic, so a replayed batch agrees with itself.
+    val intra = graft.llmdata.Dedup
+      .dedupWithinSlice(incoming.select(col("doc_id"), col("text"), col("clock")))
+      .localCheckpoint()
+    val keptIncoming = incoming
+      .join(intra.filter(col("status") === "kept").select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
     val verdicts = graft.llmdata.Dedup
-      .admitAgainstWithBloom(corpusOf(batch, corpusDir), incoming)
+      .admitAgainstWithBloom(corpusOf(batch, corpusDir), keptIncoming)
+      // in-batch rejects enter the ledger with their own statuses; the
+      // Bloom was never consulted for them (null, not false)
+      .union(intra.filter(col("status") =!= "kept")
+        .select(col("doc_id"), lit(null).cast("boolean").as("bloom_maybe"),
+          col("status")))
       .localCheckpoint()
     // 1) admission ledger: every decoded event row + its doc's verdict,
     //    deduped on the envelope clock (idempotent under batch replay)

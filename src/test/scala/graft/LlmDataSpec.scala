@@ -705,6 +705,57 @@ class LlmDataSpec extends SparkSpec {
       Set("src_id", "out_rank", "neighbor_id", "cos_sim", "diversified"))
   }
 
+  test("AnnIngest: incremental upsert indexes every new vector, replays are no-ops, and the patched index still serves") {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val full = sf()
+    val emb = spark.read.parquet(s"$full/embeddings.parquet")
+    val maxId = emb.agg(fmax(col("vec_id"))).collect()(0).getLong(0)
+    val holdOut = maxId - 19 // the 20 highest corpus ids arrive later
+    val tmp = java.nio.file.Files.createTempDirectory("ann_inc").toString
+    val dirA = s"$tmp/fixture"
+    emb.filter(col("vec_id") < holdOut).write.parquet(s"$dirA/embeddings.parquet")
+    val idx = s"$tmp/idx"
+    graft.streaming.AnnIngest.writeAnnIndex(spark, dirA, idx)
+    val batch = emb.filter(col("vec_id") >= holdOut)
+      .select(col("vec_id"), col("embedding"))
+    graft.streaming.AnnIngest.upsertVectors(spark, idx, batch)
+    def art(n: String): Seq[String] =
+      spark.read.parquet(s"$idx/$n").collect().map(_.toString).sorted.toSeq
+    val (g1, c1, v1) = (art("graph"), art("cells"), art("vectors"))
+    // every inserted vector is fully indexed: vector store, cell map,
+    // and at least one graph out-edge (the HNSW insert connected it)
+    val gSrc = spark.read.parquet(s"$idx/graph")
+      .select("src_id").distinct().collect().map(_.getLong(0)).toSet
+    val cIds = spark.read.parquet(s"$idx/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (holdOut to maxId).foreach { id =>
+      assert(gSrc.contains(id), s"inserted $id has no graph out-edges")
+      assert(cIds.contains(id), s"inserted $id missing from the cell map")
+    }
+    // the artifact invariants survive the patch: contiguous out_ranks,
+    // out-degree bounded by the stored trim bound
+    val bys = spark.read.parquet(s"$idx/graph").collect()
+      .groupBy(_.getAs[Long]("src_id"))
+    val rBound = bys.values.map(_.length).max
+    bys.foreach { case (sid, rs) =>
+      assert(rs.map(_.getAs[Long]("out_rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq, s"node $sid out_ranks not contiguous")
+    }
+    // at-least-once replay: the SAME batch again is byte-identical
+    // (every derived row is a function of prior-state-minus-batch + batch)
+    graft.streaming.AnnIngest.upsertVectors(spark, idx, batch)
+    assert(art("graph") == g1, "replayed upsert changed the graph")
+    assert(art("cells") == c1, "replayed upsert changed the cell map")
+    assert(art("vectors") == v1, "replayed upsert changed the vector store")
+    // the incrementally-patched index still SERVES the full corpus above
+    // the recall floor (insert-trimmed edges are similarity-ordered, not
+    // rule-pruned — slightly below a fresh ss18 build, never degenerate)
+    val served = Similarity.graphServeFromIndex(spark, full, idx).collect()
+    val recall = served.count(_.getAs[Boolean]("in_exact")).toDouble / served.length
+    assert(recall >= 0.4,
+      f"patched-index serve recall $recall%.3f below floor 0.4")
+  }
+
   test("lloydRefine: refinement does not worsen the spherical k-means objective") {
     // objective = mean over vectors of (max cosine to any centroid); one
     // Lloyd step is monotone non-decreasing in exact arithmetic — allow

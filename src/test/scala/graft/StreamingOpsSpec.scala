@@ -648,9 +648,15 @@ class StreamingOpsSpec extends SparkSpec {
       event(1, t1, 1), event(4, t4, 2),
       event(2, t1, 3), event(3, t1near, 4),
       event(5, t5, 5), event(6, t4, 6))
+    val tX = "apple banana cherry date elder fig grape honey kiwi lemon"
+    val tXnear = "apple banana cherry date elder fig grape honey kiwi MANGO"
     val run2 = Seq(
       event(1, t1v2, 7), event(7, t7, 8),
-      event(8, t5, 9), event(9, t4near, 10))
+      event(8, t5, 9), event(9, t4near, 10),
+      // two FRESH mutual near-dups inside ONE batch (batchSize = 2): the
+      // corpus has never seen either, so only the intra-batch pass can
+      // catch the second (r12 ADVICE)
+      event(10, tX, 11), event(11, tXnear, 12))
 
     def drive(topic: String, corpusDir: String, ledgerDir: String,
               ckpt: String): Unit = {
@@ -664,11 +670,11 @@ class StreamingOpsSpec extends SparkSpec {
       q.awaitTermination()
     }
 
-    def ledgerOf(dir: String): Set[(String, Long, String, String, Boolean)] =
+    def ledgerOf(dir: String): Set[(String, Long, String, String, Option[Boolean])] =
       spark.read.parquet(dir)
         .select(col("Id"), col("commitNumber"), col("text"), col("status"),
           col("bloom_maybe"))
-        .as[(String, Long, String, String, Boolean)].collect().toSet
+        .as[(String, Long, String, String, Option[Boolean])].collect().toSet
 
     def corpusTexts(dir: String): Set[(String, String)] =
       spark.read.parquet(dir).select(col("Id"), col("text"))
@@ -702,20 +708,28 @@ class StreamingOpsSpec extends SparkSpec {
     val status = ledgerOf(ledgerA).map(r => (r._1, r._2) -> r._4).toMap
     assert(status(("D1", 1L)) == "admitted" && status(("D4", 2L)) == "admitted")
     assert(status(("D2", 3L)) == "exact_dup")
-    assert(status(("D3", 4L)) == "near_dup")
+    // D3 shares its batch with D2 and near-dups it — the INTRA-batch pass
+    // claims it before the corpus check runs (sequencing is intra-first)
+    assert(status(("D3", 4L)) == "near_dup_in_batch")
     assert(status(("D5", 5L)) == "admitted" && status(("D6", 6L)) == "exact_dup")
     assert(status(("D1", 7L)) == "admitted", "new version of d1 must re-admit")
     assert(status(("D7", 8L)) == "admitted")
     assert(status(("D8", 9L)) == "exact_dup" && status(("D9", 10L)) == "near_dup")
-    // Bloom soundness in the recorded trail: every exact_dup was a hit
+    // the fresh in-batch near-dup pair: clock-earliest admitted, the
+    // later one rejected BY THE BATCH (the corpus knew neither)
+    assert(status(("D10", 11L)) == "admitted")
+    assert(status(("D11", 12L)) == "near_dup_in_batch")
+    // Bloom soundness in the recorded trail: every exact_dup was a hit;
+    // in-batch rejects never consulted the Bloom (null, not false)
     ledgerOf(ledgerA).foreach { case (_, _, _, s, maybe) =>
-      if (s == "exact_dup") assert(maybe, "exact dup missed by the Bloom gate")
+      if (s == "exact_dup") assert(maybe.contains(true), "exact dup missed by the Bloom gate")
+      if (s.endsWith("_in_batch")) assert(maybe.isEmpty, "in-batch reject must not carry a Bloom verdict")
     }
     // the corpus state holds the latest ADMITTED version per doc: dup
     // events left no rows, and D1 carries its second version
     val texts = corpusTexts(corpusA).toMap
     assert(texts("D1") == t1v2)
-    assert(Set("D1", "D4", "D5", "D7") == texts.keySet,
+    assert(Set("D1", "D4", "D5", "D7", "D10") == texts.keySet,
       s"corpus keys: ${texts.keySet}")
   }
 
