@@ -98,10 +98,11 @@ object CdcPipeline {
     * Delivery contract (stated, not assumed): batch-replay duplication is
     * eliminated; the residual window is a crash between a sink's data
     * write and its marker creation, which re-runs THAT sink's append —
-    * the irreducible at-least-once of a non-transactional file append
-    * (Spark's own file sink closes it with a _spark_metadata manifest;
-    * at scale the append targets a transactional table where the batchId
-    * column itself makes the write idempotent). Markers go through the
+    * the irreducible at-least-once of a non-transactional file APPEND —
+    * closed in this codebase by [[exactlyOnceBatchWrite]], whose
+    * batch_id-partition overwrite makes replay structurally idempotent
+    * (at scale: a transactional table where the batchId column drives
+    * MERGE). Markers go through the
     * Hadoop FileSystem API, so the scheme holds on HDFS/S3A, not just
     * local disk. Returns true iff `write` ran. */
   def idempotentSinkWrite(
@@ -137,6 +138,59 @@ object CdcPipeline {
       dlq.write.mode("append").json(s"$outputDir/dlq")
     }
   }
+
+  /** EXACTLY-ONCE batch append WITHOUT commit markers — the named closure
+    * of [[idempotentSinkWrite]]'s residual window (r12 verdict task 4):
+    * the target is partitioned by `batch_id` and each micro-batch
+    * OVERWRITES exactly its own partition (dynamic partition overwrite —
+    * the plain-filesystem stand-in for a transactional MERGE keyed on
+    * batchId; on a real lakehouse table the same batch_id column drives
+    * `MERGE INTO`). Replaying a batch — including one that crashed
+    * mid-write or BETWEEN two sinks, the exact window the marker protocol
+    * could not close — rewrites the same partition with the same rows:
+    * duplicates are structurally impossible rather than
+    * marker-suppressed, and a partially-written partition is healed, not
+    * appended to. The batch_id partition column doubles as the read-side
+    * provenance of every row. */
+  def exactlyOnceBatchWrite(df: DataFrame, outputDir: String, batchId: Long,
+                            extraPartitionCols: Seq[String] = Nil): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id" +: extraPartitionCols: _*)
+      .json(outputDir)
+
+  /** One micro-batch of [[writerExactlyOnce]]: both sinks via
+    * [[exactlyOnceBatchWrite]] — no markers anywhere. Public so the crash
+    * adjudication spec can drive the identical write path with a
+    * failpoint between the two sinks. */
+  def writeBatchExactlyOnce(
+      snapshot: DataFrame, outputDir: String, config: Config = Config(),
+      betweenSinks: Long => Unit = _ => ())(
+      batch: DataFrame, batchId: Long): Unit = {
+    val (routed, dlq) = transformWithDlq(batch, snapshot)
+    exactlyOnceBatchWrite(toJsonLines(routed),
+      s"$outputDir/${config.outputPrefix}", batchId,
+      extraPartitionCols = Seq("entityName"))
+    betweenSinks(batchId)
+    exactlyOnceBatchWrite(dlq, s"$outputDir/dlq", batchId)
+  }
+
+  /** [[writerWithDlq]] upgraded to the marker-free exactly-once target:
+    * same two-sink fan-out, same offset WAL, but batch replay is
+    * idempotent by partition overwrite instead of marker suppression —
+    * the at-least-once residual the marker protocol documents does not
+    * exist here (spec-adjudicated with a kill between the sinks). */
+  def writerExactlyOnce(
+      rawJson: DataFrame,
+      snapshot: DataFrame,
+      outputDir: String,
+      checkpointDir: String,
+      config: Config = Config()): DataStreamWriter[Row] =
+    rawJson.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"${config.intervalSecs} seconds"))
+      .foreachBatch(writeBatchExactlyOnce(snapshot, outputDir, config) _)
 
   /** [[writer]] with the DLQ split: one checkpointed query fans each
     * micro-batch into the partitioned record sink AND a quarantine

@@ -306,6 +306,60 @@ class CdcReplaySourceSpec extends SparkSpec {
     assert(dlq.toSeq == Seq("dlq_bad_json"))
   }
 
+  test("writerExactlyOnce: crash between sinks replays without duplicates and WITHOUT markers") {
+    // the marker protocol above leaves one residual window (crash between
+    // a sink's data write and its marker). The batch_id partition-
+    // overwrite target closes it: replaying a batch rewrites its own
+    // partition, so no duplicate is POSSIBLE and no marker exists to
+    // race. Same kill, same replay — but the no-duplicate outcome holds
+    // with zero _commits machinery.
+    val topic = "t_eo_crash"
+    ReplayBus.clear(topic)
+    def env(id: Long, rid: String): String =
+      s"""{"schema":"fp","payload":{"ChangeEventHeader":{"commitNumber":1,""" +
+        s""""commitUser":"u","sequenceNumber":1,"entityName":"Account",""" +
+        s""""changeType":"CREATE","changedFields":[],"changeOrigin":"t",""" +
+        s""""transactionKey":"tk","commitTimestamp":1583300894000,""" +
+        s""""recordIds":["$rid"]}},"event":{"replayId":$id}}"""
+    ReplayBus.publish(topic, env(1, "001A"))
+    ReplayBus.publish(topic, """{"oops""") // -> dlq_bad_json
+    ReplayBus.publish(topic, env(2, "001B"))
+    val snapshot = Seq(("001A", "Alice"), ("001B", "Bob")).toDF("Id", "Name")
+    val out = Files.createTempDirectory("eo_crash_out").toString
+    val ckpt = Files.createTempDirectory("eo_crash_ckpt").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boom: Long => Unit = _ =>
+      if (!crashed.getAndSet(true)) throw new RuntimeException("injected crash between sinks")
+    val q1 = readTopic(topic, "replayFrom" -> "-2").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.CdcPipeline.writeBatchExactlyOnce(
+        snapshot, out, betweenSinks = boom) _)
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // records landed before the crash; the DLQ write never ran
+    assert(spark.read.json(s"$out/sfdc-cdc").count() == 2)
+    assert(!new java.io.File(s"$out/dlq").exists())
+    // restart the production exactly-once writer on the same checkpoint —
+    // the batch replays under its original batchId and OVERWRITES its own
+    // partition
+    val q2 = graft.streaming.CdcPipeline.writerExactlyOnce(
+        readTopic(topic, "replayFrom" -> "-2"), snapshot, out, ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val vals = spark.read.json(s"$out/sfdc-cdc").select("value").as[String].collect()
+    assert(vals.length == 2, s"record sink duplicated on replay: ${vals.length} rows")
+    assert(vals.count(_.contains("Alice")) == 1 && vals.count(_.contains("Bob")) == 1)
+    val dlq = spark.read.json(s"$out/dlq").select("reason").as[String].collect()
+    assert(dlq.toSeq == Seq("dlq_bad_json"))
+    // the whole point: NO marker protocol was involved
+    assert(!new java.io.File(s"$out/_commits").exists(),
+      "exactly-once target must not rely on commit markers")
+    // and every row carries its batch provenance
+    assert(spark.read.json(s"$out/sfdc-cdc").columns.contains("batch_id"))
+  }
+
   test("end-to-end: cdc-replay source through the CDC pipeline") {
     val topic = "t_pipeline"
     ReplayBus.clear(topic)
