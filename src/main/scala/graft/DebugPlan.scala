@@ -43,15 +43,26 @@ object DebugPlan {
         val full = graft.llmdata.Dedup.ngramJaccard(spark, sfDir)
         time("full")(full.count())
         full.explain("formatted")
-      case "ss18x" =>
-        val df1 = graft.llmdata.Similarity.graphDiversify(spark, sfDir)
-        time("cold count")(df1.count())
-        println("[debug] storageLevel=" + df1.storageLevel)
-        val df2 = graft.llmdata.Similarity.graphDiversify(spark, sfDir)
-        println("[debug] same object: " + (df1 eq df2))
-        time("warm count")(df2.count())
-        val p = df2.queryExecution.executedPlan.toString
-        println("[debug] InMemory in plan: " + p.contains("InMemory"))
+      case "mm9big" =>
+        // the large-payload probe SCALING.md cites: ~1 MB payloads where
+        // the O(position) string-substr form measurably never finished —
+        // the native byte-loop expression must stay linear in bytes
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def docs(n: Int, bytesEach: Int) = {
+          val unit = "lorem ipsum dolor sit amet consectetur adipiscing elit "
+          val payload = unit * (bytesEach / unit.length)
+          (1 to n).map(i => (i.toLong, s"doc$i " + payload))
+            .toDF("media_id", "text").localCheckpoint()
+        }
+        val small = docs(32, 100 * 1024)
+        val big = docs(32, 1024 * 1024)
+        // warm
+        graft.llmdata.Multimodal.cdcChunkRows(small).count()
+        time("native 32x100KB")(graft.llmdata.Multimodal.cdcChunkRows(small).count())
+        time("native 32x1MB")(graft.llmdata.Multimodal.cdcChunkRows(big).count())
+        time("staged 32x100KB")(graft.llmdata.Multimodal.cdcChunkRowsStaged(small).count())
+        time("staged 32x1MB")(graft.llmdata.Multimodal.cdcChunkRowsStaged(big).count())
       case name =>
         // time construction + count: operators with driver-side loops
         // (dd11/dd14) do real work while BUILDING the frame — timing only
