@@ -189,7 +189,10 @@ object Bench {
     missing.foreach { k =>
       if (!errors.contains(k)) errors(k) = "missing_in_selected_run"
     }
-    val runTotals = allRuns.map(_._1.values.sum)
+    // the stamped range covers the CANDIDATE runs only: an incomplete
+    // run's artificially-low total must not re-enter as the range minimum
+    // (the same distortion the complete-run selection excludes)
+    val runTotals = candidates.map(_._1.values.sum)
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -235,7 +238,8 @@ object Bench {
     // BENCH_FULL.json and the per-run maps in BENCH_RUNS.json.
     def cms(v: Double): String = {
       val s =
-        if (v < 0.095) "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        if (v < 0.0095) "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        else if (v < 0.095) "%.2f".formatLocal(java.util.Locale.ROOT, v)
         else "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse

@@ -292,6 +292,10 @@ object Similarity {
     * [[Dedup.uncacheShingles]], which also calls this. */
   def clearExemplars(spark: SparkSession): Unit = {
     exemplarCache.clear(spark)
+    // corpus-size cache too: buildDegree/serveHops derive from it, and a
+    // corpus rewrite under a cached dir would otherwise leave the engine
+    // at a stale degree while the twin's deg/hcfg CTEs count live
+    corpusCounts.clear()
     pqCodesCache.clear(spark)
     ivfPqIndexCache.clear(spark)
     sqIndexCache.clear(spark)
@@ -1875,7 +1879,7 @@ object Similarity {
       undirected(graphDiversify(spark, dir)
         .select(col("src_id"), col("neighbor_id"))).localCheckpoint())
 
-  private def undirected(edges: DataFrame): DataFrame =
+  private[graft] def undirected(edges: DataFrame): DataFrame =
     edges.union(edges.select(col("neighbor_id").as("src_id"),
         col("src_id").as("neighbor_id")))
       .distinct()

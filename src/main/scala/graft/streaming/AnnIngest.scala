@@ -97,18 +97,22 @@ object AnnIngest {
         Seq("neighbor_id"), "left_anti")
       .localCheckpoint()
     val ex = spark.read.parquet(s"$indexDir/exemplars")
-    // the stored graph's own out-degree is the trim bound (max out_rank
-    // — one scalar, deterministic from the artifact)
-    val r = graph.agg(max(col("out_rank"))).collect()(0).getLong(0).toInt
     val nPrior = vectors.count()
+    // the stored graph's own out-degree is the trim bound (max out_rank —
+    // one scalar, deterministic from the artifact); a degenerate empty
+    // prior graph (tiny index fully covered by the batch) falls back to
+    // the build formula instead of NPE-ing the stream
+    val rRow = graph.agg(max(col("out_rank"))).collect()(0)
+    val r =
+      if (rRow.isNullAt(0))
+        Similarity.pruneDegreeOf(Similarity.degreeOf(math.max(nPrior, 2L)))
+      else rRow.getLong(0).toInt
 
     // 1) HNSW insert = serve-search: new vectors as queries against the
     //    prior graph/vector store; entries restricted to exemplar cells
     //    that are still prior nodes (a batch could contain an exemplar id)
-    val undP = graph.select(col("src_id"), col("neighbor_id"))
-      .union(graph.select(col("neighbor_id").as("src_id"),
-        col("src_id").as("neighbor_id")))
-      .distinct().localCheckpoint()
+    val undP = Similarity.undirected(
+      graph.select(col("src_id"), col("neighbor_id"))).localCheckpoint()
     val exPrior = ex.join(vectors.select(col("vec_id").as("cell")), "cell")
     val q = newV.select(col("vec_id").as("query_id"), col("v").as("q"))
     val visited = Similarity.serveVisitedByHopFrames(
@@ -140,7 +144,14 @@ object AnnIngest {
       .filter(col("out_rank") <= r)
       .select(col("src_id"), col("out_rank"), col("neighbor_id"),
         col("cos_sim"), col("diversified"))
+    // untouched nodes re-rank by their existing order: identical values
+    // when already contiguous (the clean path), and a partial-apply
+    // REPLAY — where a first pass's back-edge was anti-joined away and
+    // left a rank gap — closes back to contiguous ranks (the docstring's
+    // invariant) instead of persisting the gap
+    val wu = Window.partitionBy(col("src_id")).orderBy(col("out_rank"))
     val untouched = graph.join(touchedIds, Seq("src_id"), "left_anti")
+      .withColumn("out_rank", row_number().over(wu).cast(LongType))
     val mergedGraph = untouched.select(found.columns.map(col).toIndexedSeq: _*)
       .union(touchedNew).union(found)
       .orderBy(col("src_id"), col("out_rank")).localCheckpoint()

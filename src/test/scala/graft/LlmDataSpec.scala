@@ -716,6 +716,8 @@ class LlmDataSpec extends SparkSpec {
     emb.filter(col("vec_id") < holdOut).write.parquet(s"$dirA/embeddings.parquet")
     val idx = s"$tmp/idx"
     graft.streaming.AnnIngest.writeAnnIndex(spark, dirA, idx)
+    val rStored = spark.read.parquet(s"$idx/graph")
+      .agg(fmax(col("out_rank"))).collect()(0).getLong(0)
     val batch = emb.filter(col("vec_id") >= holdOut)
       .select(col("vec_id"), col("embedding"))
     graft.streaming.AnnIngest.upsertVectors(spark, idx, batch)
@@ -733,13 +735,16 @@ class LlmDataSpec extends SparkSpec {
       assert(cIds.contains(id), s"inserted $id missing from the cell map")
     }
     // the artifact invariants survive the patch: contiguous out_ranks,
-    // out-degree bounded by the stored trim bound
+    // out-degree bounded by the ORIGINAL index's trim bound (captured
+    // before the upsert — a dropped trim filter would sail through a
+    // bound derived from the patched graph itself)
     val bys = spark.read.parquet(s"$idx/graph").collect()
       .groupBy(_.getAs[Long]("src_id"))
-    val rBound = bys.values.map(_.length).max
     bys.foreach { case (sid, rs) =>
       assert(rs.map(_.getAs[Long]("out_rank")).sorted.toSeq ==
         (1L to rs.length).toSeq, s"node $sid out_ranks not contiguous")
+      assert(rs.length <= rStored,
+        s"node $sid out-degree ${rs.length} exceeds the stored trim bound $rStored")
     }
     // at-least-once replay: the SAME batch again is byte-identical
     // (every derived row is a function of prior-state-minus-batch + batch)
@@ -1839,10 +1844,38 @@ class LlmDataSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("diversified")) ||
       rows.groupBy(_.getAs[Long]("src_id")).values.exists(_.length < 8),
       "diversification was a no-op — suspicious for a kNN graph")
-    // survivors spread directions: verify the rule on a sample node with
-    // a pruned edge — every kept rule-survivor c has no better-ranked
-    // survivor b with cos(b,c) > cos(u,c) (checked via the build's own
-    // descent graph similarities)
+    // the OCCLUSION RULE itself, re-derived driver-side from the same
+    // two-round descent graph the build prunes: a kept edge is flagged
+    // diversified iff NO better-descent-ranked candidate b has
+    // cos(b,c) > cos(u,c) — a sign flip or rank-direction bug in the
+    // build would pass every structural assertion above but fail here
+    val g2 = graft.llmdata.Similarity.descentRound(spark, d,
+        graft.llmdata.Similarity.knnGraphDescent(spark, d)
+          .select(org.apache.spark.sql.functions.col("src_id"),
+            org.apache.spark.sql.functions.col("neighbor_id"))).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dt / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byNode = g2.groupBy(_._1)
+    rows.foreach { row =>
+      val u = row.getAs[Long]("src_id")
+      val c = row.getAs[Long]("neighbor_id")
+      val cand = byNode(u).sortBy(_._2)
+      val cRank = cand.find(_._3 == c).get._2
+      val ucSim = cand.find(_._3 == c).get._4
+      val occluded = cand.exists { case (_, bRank, bn, _) =>
+        bRank < cRank && cos(vecs(bn), vecs(c)) > ucSim
+      }
+      assert(row.getAs[Boolean]("diversified") == !occluded,
+        s"node $u edge $c: diversified flag disagrees with the occlusion rule")
+    }
   }
 
   test("ss19: sweep recall and visited are monotone in hop depth per setting") {
