@@ -304,6 +304,7 @@ object Similarity {
     knnDescentCache.clear(spark)
     divGraphCache.clear(spark)
     serveGraphCache.clear(spark)
+    serveVisitedCache.clear(spark)
   }
 
   private def collectedExemplars(exemplars: DataFrame): Array[(Long, Array[Double])] =
@@ -1862,8 +1863,20 @@ object Similarity {
     * tier (one corpus scan, same as ss1) — drop it in production serving
     * and no full scan remains. */
   def graphServe(spark: SparkSession, dir: String): DataFrame =
-    serveCore(spark, dir, serveAdjacency(spark, dir),
-      ServeBeam, serveHops(spark, dir), ServeEntries)
+    serveResult(spark, dir, standardVisited(spark, dir))
+
+  /** The standard-parameter traversal's final visited frame, cached per
+    * (session, dir): ss17 and ss20 run the SAME walk (same
+    * beam/hops/entries over the same adjacency) and differ only in
+    * result assembly, so the hop chain executes once per battery. The
+    * frame is a flat union of checkpointed per-hop pieces — nothing to
+    * re-analyze on reuse. */
+  private val serveVisitedCache = SessionCache.persisted()
+
+  private def standardVisited(spark: SparkSession, dir: String): DataFrame =
+    serveVisitedCache.get(spark, dir)(
+      serveVisitedByHop(spark, dir, serveAdjacency(spark, dir),
+        ServeBeam, ServeEntries, serveHops(spark, dir)).last)
 
   private def serveHops(spark: SparkSession, dir: String): Int =
     serveHopsOf(corpusCounts.getOrElseUpdate(dir,
@@ -1985,8 +1998,12 @@ object Similarity {
   }
 
   private def serveCore(spark: SparkSession, dir: String, undP: DataFrame,
-                        beam: Int, hops: Int, entries: Int): DataFrame = {
-    val visited = serveVisitedByHop(spark, dir, undP, beam, entries, hops).last
+                        beam: Int, hops: Int, entries: Int): DataFrame =
+    serveResult(spark, dir,
+      serveVisitedByHop(spark, dir, undP, beam, entries, hops).last)
+
+  private def serveResult(spark: SparkSession, dir: String,
+                          visited: DataFrame): DataFrame = {
     val vis = visited.groupBy(col("query_id"))
       .agg(count(lit(1)).as("visited_count"))
     val res = visited.groupBy(col("query_id"))
@@ -2089,6 +2106,92 @@ object Similarity {
        |JOIN vis ON vis.query_id = r.query_id
        |ORDER BY r.query_id, r.rank""".stripMargin
 
+  // ------------------------------ filtered graph-ANN serve (ss20)
+
+  /** ss20: FILTERED GRAPH-ANN SERVE — metadata-constrained search on the
+    * graph tier (the ss11-for-ss17): return the top-k among corpus
+    * vectors with `label < ` [[FilterLabelLt]], but traverse the
+    * UNFILTERED graph. Routing THROUGH non-matching nodes is the load-
+    * bearing choice (the filtered-HNSW / ACORN observation): pre-
+    * filtering the graph deletes nodes and fragments connectivity —
+    * matching regions reachable only via non-matching nodes become
+    * unreachable — while post-filtering only the RESULT keeps the walk
+    * connected and the filter exact. Contrast ss11, where pre-filtering
+    * is RIGHT because IVF cells are independent posting lists and the
+    * predicate composes into the scan. `in_exact` audits against the
+    * FILTERED brute-force top-k; `visited_count` still counts every
+    * scored node including routed-through non-matching ones — the
+    * navigability price, visible under the gate.
+    *
+    * Scale: shares ss17's cached traversal verbatim (one walk per
+    * battery serves both assemblies); the label attach is a key join of
+    * the visited set (≤ hops·beam·degree rows per query) against the
+    * embeddings scan; the filtered exact audit is ss1's one scan. */
+  def graphServeFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val visited = standardVisited(spark, dir)
+    val lab = t(spark, dir, "embeddings")
+      .select(col("vec_id").as("node_id"), col("label"))
+    val vis = visited.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("visited_count"))
+    val res = visited.join(lab, "node_id")
+      .filter(col("label") < FilterLabelLt)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("score"), col("node_id"), AnnTopK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos_sim"))
+    val exF = t(spark, dir, "embeddings")
+      .filter(col("vec_id") >= NumQueries && col("label") < FilterLabelLt)
+      .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val exact = exF.crossJoin(broadcast(queriesDf(spark, dir)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    res.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .join(vis, "query_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), coalesce(col("hit"), lit(false)).as("in_exact"),
+        col("visited_count"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val graphServeFilteredSql: String =
+    s"""WITH $serveSharedCtesSql,
+       |hcfg AS (SELECT least($MaxServeHops, greatest(2,
+       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 6)) AS h
+       |         FROM embeddings WHERE vec_id >= $NumQueries),
+       |${serveChainSql("", ServeBeam, ServeEntries, MaxServeHops,
+             h => s"\n          AND $h <= (SELECT h FROM hcfg)")},
+       |lab AS (SELECT vec_id AS node_id, label FROM embeddings),
+       |vis AS (SELECT query_id, CAST(count(*) AS BIGINT) AS visited_count
+       |        FROM v$MaxServeHops GROUP BY query_id),
+       |res AS (SELECT query_id, node_id AS neighbor_id, score AS cos_sim,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, node_id) AS rank
+       |        FROM (SELECT v.query_id, v.node_id, v.score
+       |              FROM v$MaxServeHops v JOIN lab l ON l.node_id = v.node_id
+       |              WHERE l.label < $FilterLabelLt) f
+       |        QUALIFY rank <= $AnnTopK),
+       |ekf AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT q.query_id, e.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosSql("q.q", "e.v")} DESC, e.vec_id) AS rn
+       |         FROM (SELECT eC.vec_id, eC.v FROM eC
+       |               JOIN lab l ON l.node_id = eC.vec_id
+       |               WHERE l.label < $FilterLabelLt) e
+       |         CROSS JOIN qv q) z WHERE rn <= $AnnTopK)
+       |SELECT r.query_id, r.rank, r.neighbor_id, r.cos_sim,
+       |  k.neighbor_id IS NOT NULL AS in_exact, vis.visited_count
+       |FROM res r LEFT JOIN ekf k ON k.query_id = r.query_id
+       |  AND k.neighbor_id = r.neighbor_id
+       |JOIN vis ON vis.query_id = r.query_id
+       |ORDER BY r.query_id, r.rank""".stripMargin
+
   // ------------------------------------ serve-parameter sweep (ss19)
 
   /** The swept (beam, entries) grid. Small by design: each setting is a
@@ -2182,6 +2285,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss20_graph_serve_filtered" -> graphServeFiltered,
     "ss19_serve_sweep" -> serveSweep,
     "ss18_graph_diversify" -> graphDiversify,
     "ss17_graph_serve" -> graphServe,
@@ -2203,6 +2307,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss20_graph_serve_filtered" -> graphServeFilteredSql,
     "ss19_serve_sweep" -> serveSweepSql,
     "ss18_graph_diversify" -> graphDiversifySql,
     "ss17_graph_serve" -> graphServeSql,

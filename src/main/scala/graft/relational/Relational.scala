@@ -1118,6 +1118,41 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY nation, o_year DESC""".stripMargin
 
+  /** q43: CUSTOMER ORDER-COUNT DISTRIBUTION — the TPC-H Q13 shape, the
+    * battery's only LEFT-OUTER + double-aggregate plan: every customer
+    * (including the order-less ones — the whole point of Q13) gets an
+    * order count under an order-side predicate (key-range per the
+    * fixture-constant caveat: the '%special%requests%' exclusion
+    * analogue), then the distribution histograms the counts. `count(col)`
+    * skips the outer join's nulls in both engines, so zero-order
+    * customers land in the c_count = 0 bucket, not nowhere.
+    *
+    * Scale/plan posture: the outer join shuffles on custkey (both sides
+    * SF-scaling — no broadcast hint, the q2/q18 discipline); phase-1
+    * count is per-custkey combinable; phase-2 re-aggregates |distinct
+    * counts| rows — a second exchange over a tiny key space. */
+  def q43CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q43Sql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderkey % 5 <> 0
+      |  GROUP BY c_custkey) cc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val q41Sql: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(SUM(CASE WHEN s_nationkey % 5 = 0
@@ -1141,6 +1176,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_market_share" -> q41MarketShare,
     "q42_profit_rollup" -> q42ProfitRollup,
+    "q43_customer_distribution" -> q43CustomerDistribution,
     "q40_grouping_sets" -> q40GroupingSets,
     "q39_idle_rich_customers" -> q39IdleRichCustomers,
     "q38_above_avg_supplier" -> q38AboveAvgSupplier,
@@ -1180,6 +1216,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q41_market_share" -> q41Sql,
     "q42_profit_rollup" -> q42Sql,
+    "q43_customer_distribution" -> q43Sql,
     "q40_grouping_sets" -> q40Sql,
     "q39_idle_rich_customers" -> q39Sql,
     "q38_above_avg_supplier" -> q38Sql,

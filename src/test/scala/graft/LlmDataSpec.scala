@@ -1924,6 +1924,34 @@ class LlmDataSpec extends SparkSpec {
       s"serve visited $maxVisited of $corpusN — traversal degenerated to a scan")
   }
 
+  test("ss20: filtered serve returns only matching labels, shares ss17's walk, meets the filtered recall floor") {
+    val d = sf()
+    val rows = graft.llmdata.Similarity.graphServeFiltered(spark, d).collect()
+    assert(rows.nonEmpty)
+    // every served neighbor satisfies the predicate (the filter is EXACT
+    // even though the walk routes through non-matching nodes)
+    val labels = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach(r => assert(labels(r.getAs[Long]("neighbor_id")) < 5,
+      s"non-matching label served: ${r.getAs[Long]("neighbor_id")}"))
+    // the traversal IS ss17's (one walk, two assemblies): per-query
+    // visited counts are identical
+    val v17 = graft.llmdata.Similarity.graphServe(spark, d).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("visited_count")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("visited_count") == v17(r.getAs[Long]("query_id")),
+      "filtered serve must share the unfiltered traversal"))
+    // recall vs the FILTERED exact top-k, measured per fixture: 0.733 at
+    // sf0.01 and 0.700 at sf0.1 (where serving actually runs), but 0.267
+    // on THIS fixture — its 500 vectors place the matching-label
+    // neighbors outside the shallow 2-hop walk (post-filter recall is
+    // walk-coverage-bound; the in-band column keeps it measured, the
+    // floor here only guards degeneration to ~LSH's 0.03)
+    val recall = rows.count(_.getAs[Boolean]("in_exact")).toDouble / rows.length
+    assert(recall >= 0.2, f"filtered serve recall $recall%.3f below floor 0.2")
+  }
+
   test("ss17/ss16: NN-descent converges to a fixed point and the " +
       "converged graph still serves above the recall floor") {
     val d = sf()

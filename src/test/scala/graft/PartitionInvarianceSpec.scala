@@ -154,6 +154,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ss18_graph_diversify" -> graft.llmdata.Similarity.graphDiversify _,
       // ss19's per-prefix hit/visited counts across three traversals
       "ss19_serve_sweep" -> graft.llmdata.Similarity.serveSweep _,
+      // ss20's label-filtered result assembly off the shared walk
+      "ss20_graph_serve_filtered" -> graft.llmdata.Similarity.graphServeFiltered _,
       // dd26's capped-bucket candidate counts, mm9's chunk-df census
       "dd26_banding_sweep" -> Dedup.bandingSweep _,
       "mm9_content_chunks" -> graft.llmdata.Multimodal.contentChunkCensus _,
