@@ -305,6 +305,7 @@ object Similarity {
     divGraphCache.clear(spark)
     serveGraphCache.clear(spark)
     serveVisitedCache.clear(spark)
+    sqVisitedCache.clear(spark)
   }
 
   private def collectedExemplars(exemplars: DataFrame): Array[(Long, Array[Double])] =
@@ -1963,6 +1964,21 @@ object Similarity {
     // (visited-union and next-frontier); localCheckpoint-pin per hop (the
     // cur12/dd11 shared-subtree discipline) or the unrolled lineage
     // re-executes every prior hop 2^h times
+    serveWalk(entry, undP, beam, hops, cands => cands
+      .join(e.withColumnRenamed("vec_id", "node_id"), "node_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("node_id"),
+        Dedup.cosine(col("q"), col("v")).as("score")))
+  }
+
+  /** The walk itself, scorer-agnostic: ss17/ss19/ss20 score candidates
+    * by exact cosine against the corpus scan; ss21 scores them by PQ
+    * ADC lookups against the code table (DiskANN's in-memory tier). The
+    * `score` callback maps a (query_id, node_id) candidate frame to
+    * (query_id, node_id, score). */
+  private def serveWalk(entry: DataFrame, undP: DataFrame, beam: Int,
+                        hops: Int,
+                        score: DataFrame => DataFrame): Seq[DataFrame] = {
     var visited = entry.localCheckpoint()
     var frontier = visited.select(col("query_id"), col("node_id"))
     val states = Seq.newBuilder[DataFrame]
@@ -1978,12 +1994,7 @@ object Similarity {
         .distinct()
         .join(visited.select(col("query_id"), col("node_id")),
           Seq("query_id", "node_id"), "left_anti")
-      val scored = cands
-        .join(e.withColumnRenamed("vec_id", "node_id"), "node_id")
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("node_id"),
-          Dedup.cosine(col("q"), col("v")).as("score"))
-        .localCheckpoint()
+      val scored = score(cands).localCheckpoint()
       // visited is a union of already-checkpointed pieces — its lineage is
       // flat, no extra pin needed
       visited = visited.union(scored)
@@ -2052,9 +2063,16 @@ object Similarity {
     * hop h on the data-computed scaled depth (hops beyond it produce
     * empty candidate sets, so v_h stalls at v_{hops(n)} — a static
     * unroll serving a data-dependent depth). */
+  private val exactHopScoreSql: String => String = cands =>
+    s"""SELECT c.query_id, c.node_id, ${cosSql("q.q", "e.v")} AS score
+       |        FROM $cands c JOIN eC e ON e.vec_id = c.node_id
+       |                   JOIN qv q ON q.query_id = c.query_id""".stripMargin
+
   private def serveChainSql(p: String, beam: Int, entries: Int,
                             hops: Int,
-                            gate: Int => String = _ => ""): String = {
+                            gate: Int => String = _ => "",
+                            scoreSql: String => String = null): String = {
+    val scorer = Option(scoreSql).getOrElse(exactHopScoreSql)
     val head =
       s"""${p}v0 AS MATERIALIZED (SELECT query_id, node_id, score FROM (
          |         SELECT q.query_id, x.cell AS node_id,
@@ -2063,7 +2081,15 @@ object Similarity {
          |             ORDER BY ${cosSql("q.q", "x.cv")} DESC, x.cell) AS rn
          |         FROM qv q CROSS JOIN exC x) y WHERE rn <= $entries),
          |${p}f0 AS (SELECT query_id, node_id FROM ${p}v0)""".stripMargin
-    val hopCtes = (1 to hops).map { h =>
+    head + ",\n" + serveChainHopsSql(p, beam, hops, gate, scorer)
+  }
+
+  /** The hop CTEs alone (no v0/f0 head) — the ss21 twin supplies its own
+    * ADC-scored entry CTEs and appends this chain. */
+  private def serveChainHopsSql(p: String, beam: Int, hops: Int,
+                                gate: Int => String,
+                                scorer: String => String): String =
+    (1 to hops).map { h =>
       val pv = s"${p}v${h - 1}"
       val pf = s"${p}f${h - 1}"
       s"""${p}c$h AS (SELECT DISTINCT f.query_id, u.neighbor_id AS node_id
@@ -2071,9 +2097,7 @@ object Similarity {
          |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
          |          WHERE v.query_id = f.query_id AND v.node_id = u.neighbor_id)${gate(h)}),
          |${p}s$h AS MATERIALIZED (
-         |        SELECT c.query_id, c.node_id, ${cosSql("q.q", "e.v")} AS score
-         |        FROM ${p}c$h c JOIN eC e ON e.vec_id = c.node_id
-         |                   JOIN qv q ON q.query_id = c.query_id),
+         |        ${scorer(s"${p}c$h")}),
          |${p}v$h AS MATERIALIZED (
          |        SELECT query_id, node_id, score FROM $pv
          |        UNION ALL SELECT query_id, node_id, score FROM ${p}s$h),
@@ -2082,9 +2106,7 @@ object Similarity {
          |            ROW_NUMBER() OVER (PARTITION BY query_id
          |              ORDER BY score DESC, node_id) AS rn
          |          FROM ${p}s$h) x WHERE rn <= $beam)""".stripMargin
-    }
-    (head +: hopCtes).mkString(",\n")
-  }
+    }.mkString(",\n")
 
   val graphServeSql: String =
     s"""WITH $serveSharedCtesSql,
@@ -2105,6 +2127,145 @@ object Similarity {
        |  AND k.neighbor_id = r.neighbor_id
        |JOIN vis ON vis.query_id = r.query_id
        |ORDER BY r.query_id, r.rank""".stripMargin
+
+  // ------------ compressed-scored graph serve, exact refine (ss21)
+
+  /** Walk-stage shortlist width per query for the exact refine — the
+    * DiskANN `L`-list analogue: the code-scored visited set keeps its
+    * top-[[DiskRefineR]]; only those rows ever touch full-precision
+    * vectors. */
+  private val DiskRefineR = 10
+
+  private val sqVisitedCache = SessionCache.persisted()
+
+  /** ss21: COMPRESSED-SCORED GRAPH SERVE WITH EXACT REFINE — the DiskANN
+    * memory-hierarchy split (Jayaram Subramanya et al. 2019) on the ss18
+    * graph: walk exactly like ss17, but score every candidate (entries
+    * included) against the SQ8-dequantized code table (ss8's index — 64
+    * bytes/vector instead of 512) and exact-rescore only the walk's
+    * top-[[DiskRefineR]], ranking the final top-k by TRUE cosine. The
+    * split is what lets a graph index serve a corpus that outweighs RAM:
+    * the walk touches the graph (keys) and the compact codes (RAM tier);
+    * full-precision vectors (the disk tier) are read for R rows per
+    * query, never per hop. SQ8, not PQ, guides the walk deliberately:
+    * the fixture's 16-entry shared PQ codebook mis-ranks neighborhoods
+    * badly enough to strand the frontier (measured: walk-coverage recall
+    * ceiling 0.43, served 0.20 — ss6 needs its R=30 full-corpus refine
+    * for the same reason), while the 8-bit-per-dimension scalar codes
+    * preserve the ordering the greedy walk needs at an 8× bandwidth cut.
+    * `in_exact` audits against the exact brute-force top-k;
+    * `visited_count` is the walk's bounded work.
+    *
+    * Parity: quantize/dequantize are the ss8 formulas verbatim; scores
+    * are index-ordered dot folds; the walk's keep decisions compare
+    * bit-identical doubles in both engines. */
+  def graphServeSq(spark: SparkSession, dir: String): DataFrame = {
+    val xq = transform(sequence(lit(1), lit(VecDim)), i =>
+      element_at(col("lo"), i) + element_at(col("codes"), i).cast(DoubleType) *
+        ((element_at(col("hi"), i) - element_at(col("lo"), i)) / SqLevels))
+    val decoded = sqIndex(spark, dir)
+      .select(col("neighbor_id").as("node_id"), xq.as("xq"))
+    val q = queriesDf(spark, dir)
+    val sqOf: DataFrame => DataFrame = cands => cands
+      .join(decoded, "node_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("node_id"),
+        graft.functions.VectorFunctions.dotProduct(col("q"), col("xq"))
+          .as("score"))
+    val entW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node_id"))
+    val exCells = exemplarsOf(spark, dir).filter(col("cell") >= NumQueries)
+      .select(col("cell").as("node_id"))
+    val entry = sqOf(q.select(col("query_id")).crossJoin(broadcast(exCells)))
+      .withColumn("rn", row_number().over(entW))
+      .filter(col("rn") <= ServeEntries).drop("rn")
+    // the SQ-scored walk caches per (session, dir) like ss17's exact
+    // walk — one traversal per battery, assemblies re-read it
+    val visited = sqVisitedCache.get(spark, dir)(
+      serveWalk(entry, serveAdjacency(spark, dir), ServeBeam,
+        serveHops(spark, dir), sqOf).last)
+    val vis = visited.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("visited_count"))
+    val short = visited.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("score"), col("node_id"), DiskRefineR).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("approx_score"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val res = short
+      .join(corpus(spark, dir).select(col("vec_id").as("neighbor_id"), col("v")),
+        "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim", Dedup.cosine(col("q"), col("v")))
+      .withColumn("rank", row_number().over(wExact).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_score"), col("cos_sim"))
+    val exact = knnBruteForce(spark, dir).filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    res.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .join(vis, "query_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_score"), col("cos_sim"),
+        coalesce(col("hit"), lit(false)).as("in_exact"),
+        col("visited_count"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val graphServeSqSql: String = {
+    val sqScoreBody: String => String = cands =>
+      s"""SELECT c.query_id, c.node_id, ${dotSql.format("q.q", "x.xq")} AS score
+         |        FROM $cands c JOIN sxq x ON x.vec_id = c.node_id
+         |                   JOIN qv q ON q.query_id = c.query_id""".stripMargin
+    s"""WITH $serveSharedCtesSql,
+       |sds AS (SELECT unnest(generate_series(1, $VecDim)) AS d),
+       |sb AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+       |       FROM eC CROSS JOIN sds GROUP BY d),
+       |senc AS (SELECT eC.vec_id, sb.d,
+       |    CASE WHEN sb.hi = sb.lo THEN 0
+       |         ELSE floor((eC.v[sb.d] - sb.lo) / (sb.hi - sb.lo) * $SqLevels + 0.5) END
+       |      AS code, sb.lo, sb.hi
+       |  FROM eC CROSS JOIN sb),
+       |sxq AS MATERIALIZED (SELECT vec_id,
+       |          list(lo + code * ((hi - lo) / $SqLevels) ORDER BY d) AS xq
+       |        FROM senc GROUP BY vec_id),
+       |hcfg AS (SELECT least($MaxServeHops, greatest(2,
+       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 6)) AS h
+       |         FROM embeddings WHERE vec_id >= $NumQueries),
+       |p0v0 AS MATERIALIZED (SELECT query_id, node_id, score FROM (
+       |         SELECT q.query_id, xc.cell AS node_id,
+       |           ${dotSql.format("q.q", "x.xq")} AS score,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${dotSql.format("q.q", "x.xq")} DESC, xc.cell) AS rn
+       |         FROM qv q CROSS JOIN exC xc
+       |         JOIN sxq x ON x.vec_id = xc.cell) y WHERE rn <= $ServeEntries),
+       |p0f0 AS (SELECT query_id, node_id FROM p0v0),
+       |${serveChainHopsSql("p0", ServeBeam, MaxServeHops,
+             h => s"\n          AND $h <= (SELECT h FROM hcfg)",
+             sqScoreBody)},
+       |vis AS (SELECT query_id, CAST(count(*) AS BIGINT) AS visited_count
+       |        FROM p0v$MaxServeHops GROUP BY query_id),
+       |short AS (SELECT query_id, node_id AS neighbor_id, score AS approx_score
+       |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, node_id) AS arank
+       |            FROM p0v$MaxServeHops) x WHERE arank <= $DiskRefineR),
+       |res AS (SELECT query_id, neighbor_id, approx_score, cos_sim,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |        FROM (SELECT s.query_id, s.neighbor_id, s.approx_score,
+       |                ${cosSql("q.q", "c.v")} AS cos_sim
+       |              FROM short s JOIN eC c ON c.vec_id = s.neighbor_id
+       |                           JOIN qv q ON q.query_id = s.query_id) r0
+       |        QUALIFY rank <= $AnnTopK)
+       |SELECT r.query_id, r.rank, r.neighbor_id, r.approx_score, r.cos_sim,
+       |  k.neighbor_id IS NOT NULL AS in_exact, vis.visited_count
+       |FROM res r LEFT JOIN ek k ON k.query_id = r.query_id
+       |  AND k.neighbor_id = r.neighbor_id
+       |JOIN vis ON vis.query_id = r.query_id
+       |ORDER BY r.query_id, r.rank""".stripMargin
+  }
 
   // ------------------------------ filtered graph-ANN serve (ss20)
 
@@ -2285,6 +2446,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss21_graph_serve_sq" -> graphServeSq,
     "ss20_graph_serve_filtered" -> graphServeFiltered,
     "ss19_serve_sweep" -> serveSweep,
     "ss18_graph_diversify" -> graphDiversify,
@@ -2307,6 +2469,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss21_graph_serve_sq" -> graphServeSqSql,
     "ss20_graph_serve_filtered" -> graphServeFilteredSql,
     "ss19_serve_sweep" -> serveSweepSql,
     "ss18_graph_diversify" -> graphDiversifySql,

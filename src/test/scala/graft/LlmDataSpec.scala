@@ -1952,6 +1952,36 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.2, f"filtered serve recall $recall%.3f below floor 0.2")
   }
 
+  test("ss21: compressed-scored walk stays within the exact walk's recall band at bounded refine cost") {
+    val d = sf()
+    val rows = graft.llmdata.Similarity.graphServeSq(spark, d).collect()
+    assert(rows.nonEmpty)
+    // final ordering is by TRUE cosine (the refine contract): per query,
+    // ranks follow non-increasing cos_sim, and approx_score never decides
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq)
+      val sims = byRank.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $qid: refine must rank by true cosine")
+    }
+    // the SQ8-guided walk must stay within 0.2 of the exact-scored walk's
+    // recall (measured: 0.633 vs 0.667 at sf0.1, 0.60/0.60 at sf0.01 —
+    // the whole point of scalar codes over the 16-entry PQ, whose walk
+    // measured 0.20)
+    val recallSq = rows.count(_.getAs[Boolean]("in_exact")).toDouble / rows.length
+    val r17 = graft.llmdata.Similarity.graphServe(spark, d).collect()
+    val recall17 = r17.count(_.getAs[Boolean]("in_exact")).toDouble / r17.length
+    assert(recallSq >= recall17 - 0.2,
+      f"SQ-guided recall $recallSq%.3f fell more than 0.2 below exact-walk $recall17%.3f")
+    // bounded work: same walk budget as ss17 (shared adjacency, same
+    // beam/hops), never a corpus scan
+    val corpusN = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") >=
+        graft.llmdata.Similarity.NumQueries).count()
+    assert(rows.map(_.getAs[Long]("visited_count")).max < corpusN / 2)
+  }
+
   test("ss17/ss16: NN-descent converges to a fixed point and the " +
       "converged graph still serves above the recall floor") {
     val d = sf()

@@ -156,6 +156,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       "ss19_serve_sweep" -> graft.llmdata.Similarity.serveSweep _,
       // ss20's label-filtered result assembly off the shared walk
       "ss20_graph_serve_filtered" -> graft.llmdata.Similarity.graphServeFiltered _,
+      // ss21's SQ8-scored walk + exact refine
+      "ss21_graph_serve_sq" -> graft.llmdata.Similarity.graphServeSq _,
       // dd26's capped-bucket candidate counts, mm9's chunk-df census
       "dd26_banding_sweep" -> Dedup.bandingSweep _,
       "mm9_content_chunks" -> graft.llmdata.Multimodal.contentChunkCensus _,
