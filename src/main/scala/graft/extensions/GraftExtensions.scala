@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, JaroWinklerSim, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
+import graft.functions.{BpeEncode, CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, JaroWinklerSim, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -49,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("winnow_fps", classOf[WinnowFingerprints],
       args => WinnowFingerprints(args(0), intArg(args(1), "winnow_fps"),
         intArg(args(2), "winnow_fps")))
+    reg("bpe_encode", classOf[BpeEncode], args => BpeEncode(args(0)))
   }
 }

@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM core of the BPE tokenizer-apply operator (tx24).
+  *
+  * Greedy byte-pair-encoding APPLY (Sennrich et al. 2016; the public
+  * GPT-2 `bpe()` loop shape): per word, start from the character
+  * sequence and repeatedly (a) find the LOWEST-RANK merge whose pair is
+  * adjacent somewhere in the current token sequence, (b) merge every
+  * left-to-right non-overlapping occurrence of that pair, until no
+  * ranked pair remains. Character-level (codepoints, not bytes —
+  * matching DuckDB's `.` regex unit so the twin is exact), no
+  * end-of-word marker.
+  *
+  * The merge table is the baked [[graft.llmdata.BpeMerges]] artifact
+  * (trained offline by tools/train_bpe.py) — a few-hundred-entry
+  * constant that ships inside the expression itself, i.e. the degenerate
+  * best case of a broadcast: zero shuffle, zero build side, the encode
+  * runs scan-side inside WholeStageCodegen.
+  *
+  * Scale shape: the classic vocabulary trick (encode DISTINCT words,
+  * join back) would cost two shuffles at 100 TB; instead the expression
+  * memoizes per-word encodings in a bounded per-JVM cache
+  * ([[BpeUtil.MemoCap]] entries — natural-language vocabularies are
+  * Heaps-law sublinear, so the hot head fits), which achieves the same
+  * dedup-of-work with ZERO data movement. Words longer than a word-
+  * processor would credit (>[[BpeUtil.MaxWordChars]] chars — URLs, hex
+  * blobs) still encode correctly but skip the memo so one adversarial
+  * partition cannot evict the hot vocabulary.
+  */
+object BpeUtil {
+  /** Memo cap: ~64k distinct words ≈ the hot head of any natural-language
+    * vocabulary; beyond it new words encode un-memoized (no eviction
+    * scan, no unbounded growth). */
+  final val MemoCap = 1 << 16
+  final val MaxWordChars = 64
+
+  /** rank(left + NUL + right) → merge priority; the U+0000 joiner
+    * cannot appear inside a token (tokens come from word codepoints and
+    * words are whitespace-split). */
+  private lazy val rank: java.util.HashMap[String, Integer] = {
+    // boxed Integer, NOT Int: a HashMap[String, Int].get would unbox an
+    // absent-key null to 0, aliasing every unknown pair to rank 0 and
+    // spinning the merge loop forever
+    val m = new java.util.HashMap[String, Integer]()
+    graft.llmdata.BpeMerges.Merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + "\u0000" + b, Integer.valueOf(i))
+    }
+    m
+  }
+  private lazy val mergeArr: Array[(String, String)] =
+    graft.llmdata.BpeMerges.Merges.toArray
+
+  private val memo = new ConcurrentHashMap[String, Array[UTF8String]]()
+
+  /** Greedy BPE apply over one word (codepoint-initialized). */
+  private def encodeWordUncached(word: String): Array[UTF8String] = {
+    // words carrying the twin's separator codepoint (U+001F) are opaque
+    // single tokens on both engines (documented divergence guard; the
+    // fixture corpus has none)
+    if (word.indexOf(0x1f) >= 0) return Array(UTF8String.fromString(word))
+    var toks = new Array[String](word.codePointCount(0, word.length))
+    var i = 0; var n = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val l = Character.charCount(cp)
+      toks(n) = word.substring(i, i + l)
+      n += 1; i += l
+    }
+    if (n < toks.length) toks = java.util.Arrays.copyOf(toks, n)
+    var done = toks.length <= 1
+    while (!done) {
+      // lowest-rank adjacent pair in the current sequence
+      var best = Int.MaxValue
+      var j = 0
+      while (j < toks.length - 1) {
+        val r = rank.get(toks(j) + "\u0000" + toks(j + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = mergeArr(best)
+        val out = new java.util.ArrayList[String](toks.length)
+        var k = 0
+        while (k < toks.length) {
+          if (k + 1 < toks.length && toks(k) == a && toks(k + 1) == b) {
+            out.add(a + b); k += 2
+          } else { out.add(toks(k)); k += 1 }
+        }
+        toks = out.toArray(new Array[String](out.size))
+        if (toks.length <= 1) done = true
+      }
+    }
+    toks.map(UTF8String.fromString)
+  }
+
+  private def encodeWord(word: String): Array[UTF8String] = {
+    if (word.length > MaxWordChars) return encodeWordUncached(word)
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    val enc = encodeWordUncached(word)
+    if (memo.size < MemoCap) memo.put(word, enc)
+    enc
+  }
+
+  /** Tokenize a whole text: single-space word split (empty words from
+    * consecutive/leading/trailing spaces contribute nothing — the same
+    * rule as the twin's `w <> ''` filter), tokens concatenated in word
+    * order. */
+  def encodeText(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) {
+          val toks = encodeWord(s.substring(start, i))
+          var t = 0
+          while (t < toks.length) { out.add(toks(t)); t += 1 }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_encode(text)` → array<string> of BPE tokens (see [[BpeUtil]]). */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(text: Any): Any =
+    BpeUtil.encodeText(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BpeUtil.encodeText($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

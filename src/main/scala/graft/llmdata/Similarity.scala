@@ -295,7 +295,7 @@ object Similarity {
     // corpus-size cache too: buildDegree/serveHops derive from it, and a
     // corpus rewrite under a cached dir would otherwise leave the engine
     // at a stale degree while the twin's deg/hcfg CTEs count live
-    corpusCounts.clear()
+    corpusCounts.clear(spark)
     pqCodesCache.clear(spark)
     ivfPqIndexCache.clear(spark)
     sqIndexCache.clear(spark)
@@ -304,7 +304,7 @@ object Similarity {
     knnDescentCache.clear(spark)
     divGraphCache.clear(spark)
     serveGraphCache.clear(spark)
-    serveVisitedCache.clear(spark)
+    serveStatesCache.clear(spark)
     sqVisitedCache.clear(spark)
   }
 
@@ -1412,13 +1412,20 @@ object Similarity {
   private[graft] def degreeOf(n: Long): Int =
     math.min(20, math.max(8, 2 * (63 - java.lang.Long.numberOfLeadingZeros(n))))
 
-  /** Corpus sizes are a property of the fixture DIR (not the session);
-    * one metadata-only count per dir per JVM. */
-  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Corpus sizes, keyed (session, dir) like every other index cache so
+    * the staleness contract is uniform: a corpus rewrite under a cached
+    * dir serves stale until THIS session's `clearExemplars`, and clearing
+    * one session never drops another's counts (r13 ADVICE — the old
+    * JVM-global dir-keyed map had both scopes wrong). The count is
+    * metadata-only, so per-session recount is one footer read. */
+  private val corpusCounts = new SessionCache[Long](_ => ())
+
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCounts.get(spark, dir)(
+      t(spark, dir, "embeddings").filter(col("vec_id") >= NumQueries).count())
 
   private[graft] def buildDegree(spark: SparkSession, dir: String): Int =
-    degreeOf(corpusCounts.getOrElseUpdate(dir,
-      t(spark, dir, "embeddings").filter(col("vec_id") >= NumQueries).count()))
+    degreeOf(corpusCount(spark, dir))
 
   /** The twin's rendering of [[buildDegree]]: `deg(k)`. */
   private val degCteSql: String =
@@ -1866,22 +1873,29 @@ object Similarity {
   def graphServe(spark: SparkSession, dir: String): DataFrame =
     serveResult(spark, dir, standardVisited(spark, dir))
 
-  /** The standard-parameter traversal's final visited frame, cached per
-    * (session, dir): ss17 and ss20 run the SAME walk (same
-    * beam/hops/entries over the same adjacency) and differ only in
-    * result assembly, so the hop chain executes once per battery. The
-    * frame is a flat union of checkpointed per-hop pieces — nothing to
-    * re-analyze on reuse. */
-  private val serveVisitedCache = SessionCache.persisted()
+  /** ALL cumulative per-hop states of one (beam, entries) traversal to
+    * [[MaxServeHops]] depth, cached per (session, dir, setting): ss17 and
+    * ss20 read prefix `serveHops − 1` of the standard setting's list,
+    * ss19 reads EVERY prefix of every swept setting — so each setting's
+    * hop chain executes once per battery no matter how many consumers
+    * measure it (r13 verdict task 2: the sweep used to re-run the
+    * standard walk it shared with ss17). Each state is a flat union of
+    * checkpointed per-hop pieces — nothing to re-analyze on reuse. */
+  private val serveStatesCache = new SessionCache[Seq[DataFrame]](
+    _.foreach(_.unpersist(blocking = false)))
+
+  private def serveStates(spark: SparkSession, dir: String,
+                          beam: Int, entries: Int): Seq[DataFrame] =
+    serveStatesCache.get(spark, s"$dir#b${beam}e$entries")(
+      serveVisitedByHop(spark, dir, serveAdjacency(spark, dir),
+        beam, entries, MaxServeHops))
 
   private def standardVisited(spark: SparkSession, dir: String): DataFrame =
-    serveVisitedCache.get(spark, dir)(
-      serveVisitedByHop(spark, dir, serveAdjacency(spark, dir),
-        ServeBeam, ServeEntries, serveHops(spark, dir)).last)
+    serveStates(spark, dir, ServeBeam, ServeEntries)(
+      serveHops(spark, dir) - 1)
 
   private def serveHops(spark: SparkSession, dir: String): Int =
-    serveHopsOf(corpusCounts.getOrElseUpdate(dir,
-      t(spark, dir, "embeddings").filter(col("vec_id") >= NumQueries).count()))
+    serveHopsOf(corpusCount(spark, dir))
 
   /** The cached undirected serve adjacency over the ss18 diversified
     * edges — shared by ss17 and the ss19 sweep. localCheckpoint, not
@@ -2370,25 +2384,22 @@ object Similarity {
     * BIGINTs once (hits/30, visited/10), so the doubles are engine-
     * identical. */
   def serveSweep(spark: SparkSession, dir: String): DataFrame = {
-    val undP = serveAdjacency(spark, dir)
     val exact = knnBruteForce(spark, dir).filter(col("rank") <= AnnTopK)
       .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
-    // the three settings' traversals are independent job chains — drive
-    // them from concurrent threads so the sweep's wall time is ~one
-    // traversal, not three (Spark schedules concurrent actions fairly)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val tagged = Await.result(Future.sequence(
-      SweepSettings.map { case (beam, entries) => Future {
-        serveVisitedByHop(spark, dir, undP, beam, entries, MaxServeHops)
-      } } ), scala.concurrent.duration.Duration.Inf)
-      .zip(SweepSettings).flatMap { case (states, (beam, entries)) =>
-        states.zipWithIndex.map { case (visited, i) =>
+    // every setting's traversal comes from the per-(session, dir,
+    // setting) cache — the standard setting is the SAME checkpointed
+    // walk ss17/ss20 serve from, so per battery each setting's hop chain
+    // runs once, in the family warm-up, on the calling thread (the r13
+    // Future fan-out died with the cache: no unbounded Await, no
+    // concurrent first-touch double-build — r13 ADVICE)
+    val tagged = SweepSettings.flatMap { case (beam, entries) =>
+      serveStates(spark, dir, beam, entries).zipWithIndex.map {
+        case (visited, i) =>
           visited.select(lit(beam.toLong).as("beam"),
             lit(entries.toLong).as("entries"), lit((i + 1).toLong).as("hop"),
             col("query_id"), col("node_id"), col("score"))
-        }
       }
+    }
     // ONE union of the (overlapping, tiny) per-prefix visited frames and
     // TWO keyed aggregates — not 12 separate scalar-aggregate branches,
     // whose per-stage fixed cost dominated the sweep's final action

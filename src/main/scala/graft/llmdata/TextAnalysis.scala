@@ -1260,7 +1260,102 @@ object TextAnalysis {
        |FROM per_src JOIN head USING (source)
        |ORDER BY source""".stripMargin
 
+  // ------------------------------- tx24: BPE tokenizer APPLY
+
+  /** tx24: full BPE tokenizer apply — the operator every downstream
+    * token budget (tx3 counting, tx14 packing, cur3/cur9 quotas) proxied
+    * with whitespace until now. Per document: greedy lowest-rank-first
+    * merge-table application over each whitespace word (exact semantics
+    * and the memoized scan-side JVM loop in
+    * [[graft.functions.BpeUtil]]), emitting the token count and the
+    * space-joined token stream.
+    *
+    * The merge table is the offline-trained [[BpeMerges]] artifact baked
+    * into the expression — the degenerate best case of a broadcast
+    * (constant ships with the task binary; zero build side). The plan is
+    * ONE parquet scan + project, no join and no aggregate: tokenization
+    * at 100 TB is embarrassingly parallel and this plan keeps it that
+    * way (PlanQualitySpec pins zero joins/aggregates).
+    *
+    * Twin: the same greedy loop as a recursive CTE over a doubled-
+    * separator token encoding (`..t1..t2..` — the doubling makes the
+    * boundary-guarded pair pattern `␟a␟␟b␟` left-to-right `replace()`
+    * EXACTLY the classic non-overlapping merge scan, including adjacent
+    * occurrences), over DISTINCT words (the vocabulary trick) joined
+    * back positionally. Caveat (documented): the twin's separator is
+    * U+001F; words containing it are opaque single tokens on both
+    * sides, and the fixture corpus contains none. */
+  def bpeEncodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens.as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        array_join(col("tokens"), " ").as("toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The baked merge table as a SQL VALUES literal — single source of
+    * truth is the generated [[BpeMerges]] constant. */
+  private def bpeMergesValues: String = BpeMerges.Merges.zipWithIndex
+    .map { case ((a, b), i) => s"($i,${sqlLit(a)},${sqlLit(b)})" }
+    .mkString(",")
+
+  val bpeEncodeTokensSql: String =
+    s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES $bpeMergesValues),
+       |dwords AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE text IS NOT NULL)
+       |  WHERE w <> '' AND strpos(w, chr(31)) = 0),
+       |enc AS (
+       |  SELECT w,
+       |    regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')
+       |      || chr(31) || chr(31) AS s
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s,
+       |      chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31),
+       |      chr(31) || p.a || p.b || chr(31)) AS s
+       |  FROM enc e, LATERAL (
+       |    SELECT m.a, m.b FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0
+       |    ORDER BY m.rank LIMIT 1) p),
+       |final AS (
+       |  SELECT w, trim(replace(s, chr(31) || chr(31), chr(31)), chr(31)) AS s
+       |  FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0)),
+       |docw AS (
+       |  SELECT doc_id, i, parts[i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |        FROM documents WHERE text IS NOT NULL) d,
+       |    unnest(range(1, len(parts) + 1)) t(i)),
+       |tok AS (
+       |  SELECT dw.doc_id, dw.i, coalesce(f.s, dw.w) AS s
+       |  FROM docw dw LEFT JOIN final f ON f.w = dw.w
+       |  WHERE dw.w <> ''),
+       |per AS (
+       |  SELECT doc_id, string_agg(s, chr(31) ORDER BY i) AS ts
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN p.ts IS NULL THEN 0
+       |    ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
+       |    AS BIGINT) AS n_tokens,
+       |  coalesce(replace(p.ts, chr(31), ' '), '') AS toks
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx24_bpe_encode" -> bpeEncodeTokens,
     "tx23_zipf_profile" -> zipfProfile,
     "tx22_vocab_growth" -> vocabGrowth,
     "tx21_lexical_complexity" -> lexicalComplexity,
@@ -1286,6 +1381,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx24_bpe_encode" -> bpeEncodeTokensSql,
     "tx23_zipf_profile" -> zipfProfileSql,
     "tx22_vocab_growth" -> vocabGrowthSql,
     "tx21_lexical_complexity" -> lexicalComplexitySql,
