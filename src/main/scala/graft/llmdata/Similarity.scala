@@ -1839,9 +1839,20 @@ object Similarity {
   /** Entry-point fan-out: the traversal starts from the
     * [[ServeEntries]] nearest corpus exemplars (multiple entries hedge
     * against a bad region of the graph — HNSW's multi-entry / NSG's
-    * navigating-node analogue). r13 settings over the DIVERSIFIED
-    * corpus-scaled graph (ss18): the measured per-setting tradeoff is
-    * the oracle-gated ss19 sweep — see [[serveSweep]]. */
+    * navigating-node analogue).
+    *
+    * OPERATING POINT (r14 decision, from the oracle-gated ss19 sweep at
+    * sf0.1, corpus 1 990): (beam 8, entries 3, 4 hops) = recall@3 0.667
+    * at 324 mean visited (16.3% of the corpus). The next setting up,
+    * (12, 3, 4 hops), measures 0.700 recall at 409 visited (20.5%) —
+    * +0.033 recall for +26% serve work, and still short of the 0.8 band
+    * the r13 verdict set as the bar for widening the default. The sweep
+    * shows hop DEPTH, not beam, is the recall lever at this corpus
+    * scale (0.233→0.367→0.533→0.667 across hops at beam 8 vs
+    * 0.667→0.700 for beam 8→12 at depth 4), and hops already scale with
+    * the corpus via [[serveHopsOf]] — so (8, 3) stays the default as a
+    * measured decision; consumers needing the extra margin can pay for
+    * it explicitly via [[graphServeOver]]'s beam parameter. */
   private val ServeEntries = 3
 
   /** The undirected serve adjacency caches per (session, dir) alongside
@@ -1939,11 +1950,19 @@ object Similarity {
     * [[graphServe]] (spec-asserted). The exact-recall audit column still
     * reads the live corpus, as in ss7's refine stage. */
   def graphServeFromIndex(spark: SparkSession, dir: String,
-                          indexPath: String): DataFrame =
+                          indexPath: String): DataFrame = {
+    val stored = spark.read.parquet(s"$indexPath/graph")
+    // a batch_id column marks AnnIngest's versioned delta-log layout:
+    // per src_id the highest version's list is the serving adjacency
+    val current =
+      if (stored.columns.contains("batch_id"))
+        graft.streaming.AnnIngest.latestView(stored, "src_id")
+      else stored
     serveCore(spark, dir,
-      undirected(spark.read.parquet(s"$indexPath/graph")
-        .select(col("src_id"), col("neighbor_id"))).localCheckpoint(),
+      undirected(current.select(col("src_id"), col("neighbor_id")))
+        .localCheckpoint(),
       ServeBeam, serveHops(spark, dir), ServeEntries)
+  }
 
   /** One bounded traversal at (beam, entries) to `hops` depth, returning
     * the CUMULATIVE visited frame (query_id, node_id, score) AFTER each

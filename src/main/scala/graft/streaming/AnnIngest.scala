@@ -8,15 +8,48 @@ import org.apache.spark.sql.types.LongType
 import graft.llmdata.{Dedup, Similarity}
 
 /** INCREMENTAL ANN-INDEX MAINTENANCE (r12 verdict task 3 — the
-  * dd12-for-vectors): admitted embeddings upsert into a PERSISTED ANN
-  * index instead of rebuild-per-snapshot. The index artifact set extends
-  * the ss7/ss17 `write_index` posture:
+  * dd12-for-vectors), r14: VERSIONED DELTA-LOG ARTIFACTS. Admitted
+  * embeddings upsert into a PERSISTED ANN index instead of
+  * rebuild-per-snapshot. The index artifact set extends the ss7/ss17
+  * `write_index` posture:
   *
-  *   /exemplars  (cell, cv)            — the trained IVF codebook
-  *   /vectors    (vec_id, v)           — the indexed vector store
-  *   /cells      (vec_id, cell)        — scan-side IVF assignment
+  *   /exemplars  (cell, cv)            — the trained IVF codebook (static)
+  *   /vectors    (vec_id, v)           +batch_id — the indexed vector store
+  *   /cells      (vec_id, cell)        +batch_id — scan-side IVF assignment
   *   /graph      (src_id, out_rank, neighbor_id, cos_sim, diversified)
-  *                                     — the ss18 diversified serving graph
+  *               +batch_id             — the ss18 diversified serving graph
+  *
+  * vectors/cells/graph are `batch_id`-partitioned DELTA LOGS (the
+  * [[CdcPipeline.exactlyOnceBatchWrite]] idiom, r13 verdict task 4):
+  * the full build lands as partition [[BaseBatchId]], and each upsert
+  * batch writes ONLY its delta — the new vectors/cells plus the new and
+  * re-trimmed adjacency lists — into its own partition via dynamic
+  * partition overwrite. The read side is a LATEST VIEW: per key
+  * (vec_id, or src_id for the graph) the rows of that key's highest
+  * batch_id win. Consequences, each closing an r13 residual:
+  *
+  *   - EXACTLY-ONCE without markers: replaying batch N recomputes the
+  *     identical delta from prior state (strictly `batch_id < N` — a
+  *     partial first attempt is invisible to the replay) and rewrites
+  *     exactly partition N of each artifact. A crash midway through the
+  *     three writes — including a TORN single-artifact write, the case
+  *     the r13 design could not recover — heals to the never-crashed
+  *     bytes instead of re-trimming against leaked state
+  *     (spec-adjudicated with a failpoint between the writes).
+  *   - TRUE UPSERT: a batch re-embedding EXISTING ids is an update, not
+  *     a skipped replay (the r13 id-presence check silently dropped it):
+  *     its delta supersedes the old rows in the latest view, and the
+  *     updated vectors are re-inserted into the graph against prior
+  *     state minus themselves. Residual: in-edges held by UNTOUCHED
+  *     nodes keep their stale similarity scores until the periodic
+  *     rebuild — the same amortization every production graph index
+  *     makes; found neighbors' lists are re-trimmed with fresh scores.
+  *   - SCALE: an upsert writes O(batch · degree) rows, never the whole
+  *     artifact (the r13 design rewrote the full graph per batch). The
+  *     latest view is one window over versions of each key; on a
+  *     lakehouse table the same batch_id column drives MERGE INTO and
+  *     compaction replaces the version tail — parquet partitions are
+  *     the offline stand-in, same as CdcMaterialize's ledgers.
   *
   * An insert batch follows the HNSW insert shape: each new vector is
   * ASSIGNED to its cell scan-side with the stored codebook (training is
@@ -27,75 +60,91 @@ import graft.llmdata.{Dedup, Similarity}
   * the new back-edge as a candidate. Inserted edges carry
   * `diversified = false` — they are similarity-trimmed, not
   * occlusion-rule-checked; a periodic rebuild ([[writeAnnIndex]], i.e.
-  * the ss16+ss18 build) restores rule-pruned edge sets, exactly how
-  * production graph indexes amortize insert cost against rebuild
-  * quality.
-  *
-  * IDEMPOTENT (the CurationIngest restart contract): a replayed batch
-  * whose vec_ids are all present in the vector store is skipped — the
-  * vector store is written LAST, so it is the batch's commit marker
-  * (all-ids-present ⇒ every artifact landed; spec asserts byte-equal
-  * artifacts under replay). A PARTIALLY applied batch (crash before the
-  * vectors write) re-runs against reconstructed prior state: the
-  * batch's own ids are anti-joined out of the stored graph/cells first,
-  * so re-application is deterministic and every invariant (contiguous
-  * out_ranks, bounded degree) holds — though a touched neighbor's list
-  * can differ from the never-crashed outcome where a first-pass trim
-  * already dropped an old edge (the trim is lossy; exactly the residual
-  * a transactional MERGE target closes). Batch vectors never score each
-  * other: ordering within a batch cannot matter.
-  *
-  * Scale posture: assignment and encoding are scan-side over the batch;
-  * the search touches the stored graph only through vec_id key joins
-  * (bounded frontier per new vector); the only full-artifact passes are
-  * the anti-join + union rewrites, which on a transactional table become
-  * keyed MERGE INTO / DELETE+INSERT — the parquet overwrite here is the
-  * offline stand-in, same as CdcMaterialize's ledgers.
+  * the ss16+ss18 build) restores rule-pruned edge sets and compacts the
+  * version tail, exactly how production graph indexes amortize insert
+  * cost against rebuild quality. Batch vectors never score each other:
+  * ordering within a batch cannot matter.
   */
 object AnnIngest {
 
+  /** The full build's version; stream batch ids (0, 1, …) sort above. */
+  final val BaseBatchId = -1L
+
+  private def versioned(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn("batch_id", lit(batchId))
+
+  /** Dynamic partition overwrite of exactly this batch's partition —
+    * the exactlyOnceBatchWrite idiom on a parquet artifact. */
+  private def writeDelta(df: DataFrame, path: String, batchId: Long): Unit =
+    versioned(df, batchId).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Full (static) overwrite as the base version — the build/compaction
+    * write: unlike [[writeDelta]] it replaces the WHOLE artifact,
+    * dropping every prior version partition. */
+  private def writeBase(df: DataFrame, path: String): Unit =
+    versioned(df, BaseBatchId).write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Latest view of a delta-log artifact: per `key`, the rows of the
+    * highest batch_id ≤ `upTo` win (pass Long.MaxValue for the serving
+    * view; an upsert passes its own batchId − 1 so a partial prior
+    * attempt of ITSELF is invisible). */
+  private[graft] def latestView(df: DataFrame, key: String,
+                                upTo: Long = Long.MaxValue): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    df.filter(col("batch_id") <= upTo)
+      .withColumn("_mx", max(col("batch_id")).over(w))
+      .filter(col("batch_id") === col("_mx"))
+      .drop("_mx", "batch_id")
+  }
+
+  /** The serving-time latest graph of a versioned index. */
+  def latestGraph(spark: SparkSession, indexDir: String): DataFrame =
+    latestView(spark.read.parquet(s"$indexDir/graph"), "src_id")
+
   /** Full index build from a fixture dir — the rebuild path an
-    * incremental deployment runs periodically. */
+    * incremental deployment runs periodically. Rebuilding into a live
+    * index dir compacts it: mode("overwrite") without dynamic partition
+    * overwrite drops every prior version partition. */
   def writeAnnIndex(spark: SparkSession, dir: String, out: String): Unit = {
-    Similarity.writeKnnGraphIndex(spark, dir, out) // /graph (ss16+ss18 build)
+    writeBase(Similarity.graphDiversify(spark, dir), s"$out/graph")
     val ex = Similarity.exemplarsOf(spark, dir)
     ex.write.mode("overwrite").parquet(s"$out/exemplars")
     val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
       .filter(col("vec_id") >= Similarity.NumQueries)
       .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
-    vecs.write.mode("overwrite").parquet(s"$out/vectors")
-    Similarity.assignCellsWith(vecs, "v", ex)
-      .select(col("vec_id"), col("cell"))
-      .write.mode("overwrite").parquet(s"$out/cells")
+    writeBase(vecs, s"$out/vectors")
+    writeBase(Similarity.assignCellsWith(vecs, "v", ex)
+      .select(col("vec_id"), col("cell")), s"$out/cells")
   }
 
   /** Upsert one batch of (vec_id, embedding) rows into the persisted
-    * index at `indexDir`. Safe to call from `foreachBatch`; replaying
-    * the same batch is a no-op (byte-identical artifacts). */
+    * index at `indexDir` as version `batchId`. Safe to call from
+    * `foreachBatch`: a replay (same batchId) rewrites exactly its own
+    * partition with the identical delta; a crash between the three
+    * artifact writes heals on replay. `failpoint(i)` fires before the
+    * i-th artifact write (0 = graph, 1 = cells, 2 = vectors) — the
+    * crash-adjudication spec's hook, a no-op in production. */
   def upsertVectors(spark: SparkSession, indexDir: String,
-                    batch: DataFrame): Unit = {
+                    batch: DataFrame, batchId: Long,
+                    failpoint: Int => Unit = _ => ()): Unit = {
     val newV = batch
       .select(col("vec_id"), Dedup.vecD(col("embedding")).as("v"))
       .localCheckpoint()
     val newIds = newV.select(col("vec_id"))
-    // applied-batch detection: vectors is written last (the commit
-    // marker) — if no batch id is missing there, the batch fully landed
-    val unapplied = newIds.join(
-      spark.read.parquet(s"$indexDir/vectors").select(col("vec_id")),
-      Seq("vec_id"), "left_anti")
-    if (unapplied.isEmpty) return
+    def prior(name: String, key: String): DataFrame =
+      latestView(spark.read.parquet(s"$indexDir/$name"), key, batchId - 1)
 
-    // prior state EXCLUDING the batch ids — partial-replay determinism
-    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    // prior state EXCLUDING the batch ids: for an UPDATE batch the old
+    // version of each vector leaves the searchable store (else the
+    // re-insert would find its own stale self as a neighbor)
+    val vectors = prior("vectors", "vec_id")
       .join(newIds, Seq("vec_id"), "left_anti").localCheckpoint()
-    val cells = spark.read.parquet(s"$indexDir/cells")
-      .join(newIds, Seq("vec_id"), "left_anti").localCheckpoint()
-    val graph0 = spark.read.parquet(s"$indexDir/graph")
-    val graph = graph0
-      .join(newIds.withColumnRenamed("vec_id", "src_id"), Seq("src_id"), "left_anti")
-      .join(newIds.withColumnRenamed("vec_id", "neighbor_id"),
-        Seq("neighbor_id"), "left_anti")
-      .localCheckpoint()
+    val graph = prior("graph", "src_id").localCheckpoint()
     val ex = spark.read.parquet(s"$indexDir/exemplars")
     val nPrior = vectors.count()
     // the stored graph's own out-degree is the trim bound (max out_rank —
@@ -110,7 +159,9 @@ object AnnIngest {
 
     // 1) HNSW insert = serve-search: new vectors as queries against the
     //    prior graph/vector store; entries restricted to exemplar cells
-    //    that are still prior nodes (a batch could contain an exemplar id)
+    //    that are still prior nodes (a batch could contain an exemplar
+    //    id). Nodes whose vector left the store (updated ids reachable
+    //    via stale in-edges) drop out at the score join.
     val undP = Similarity.undirected(
       graph.select(col("src_id"), col("neighbor_id"))).localCheckpoint()
     val exPrior = ex.join(vectors.select(col("vec_id").as("cell")), "cell")
@@ -129,12 +180,15 @@ object AnnIngest {
       .localCheckpoint()
 
     // 2) back-edges: every found neighbor re-trims its list to top-r by
-    //    similarity with the new vectors as candidates
+    //    similarity with the new vectors as candidates; its prior edges
+    //    INTO batch ids (stale versions, update case) leave the list
     val backCand = found
       .select(col("neighbor_id").as("src_id"), col("src_id").as("neighbor_id"),
         col("cos_sim"), lit(false).as("diversified"))
     val touchedIds = backCand.select(col("src_id")).distinct()
     val touchedOld = graph.join(touchedIds, Seq("src_id"), "left_semi")
+      .join(newIds.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
       .select(col("src_id"), col("neighbor_id"), col("cos_sim"),
         col("diversified"))
     val w = Window.partitionBy(col("src_id"))
@@ -144,31 +198,28 @@ object AnnIngest {
       .filter(col("out_rank") <= r)
       .select(col("src_id"), col("out_rank"), col("neighbor_id"),
         col("cos_sim"), col("diversified"))
-    // untouched nodes re-rank by their existing order: identical values
-    // when already contiguous (the clean path), and a partial-apply
-    // REPLAY — where a first pass's back-edge was anti-joined away and
-    // left a rank gap — closes back to contiguous ranks (the docstring's
-    // invariant) instead of persisting the gap
-    val wu = Window.partitionBy(col("src_id")).orderBy(col("out_rank"))
-    val untouched = graph.join(touchedIds, Seq("src_id"), "left_anti")
-      .withColumn("out_rank", row_number().over(wu).cast(LongType))
-    val mergedGraph = untouched.select(found.columns.map(col).toIndexedSeq: _*)
-      .union(touchedNew).union(found)
+
+    // 3) the batch's DELTA: new + re-trimmed lists only — untouched
+    //    nodes' lists stay in their prior partitions (the latest view
+    //    supersedes per src_id, so nothing else needs rewriting)
+    val graphDelta = touchedNew.union(found.select(touchedNew.columns
+        .map(col).toIndexedSeq: _*))
       .orderBy(col("src_id"), col("out_rank")).localCheckpoint()
-
-    // 3) cells/vectors upserts with the stored codebook
-    val newCells = Similarity.assignCellsWith(newV, "v", ex)
-      .select(col("vec_id"), col("cell"))
-    val mergedCells = cells.union(newCells).orderBy(col("vec_id"))
+    val cellsDelta = Similarity.assignCellsWith(newV, "v", ex)
+      .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
       .localCheckpoint()
-    val mergedVectors = vectors.union(newV).orderBy(col("vec_id"))
-      .localCheckpoint()
+    val vectorsDelta = newV.orderBy(col("vec_id")).localCheckpoint()
 
-    // localCheckpoints above pin every output BEFORE any overwrite: the
-    // merged frames' lineage reads the same parquet paths being replaced
-    mergedGraph.write.mode("overwrite").parquet(s"$indexDir/graph")
-    mergedCells.write.mode("overwrite").parquet(s"$indexDir/cells")
-    mergedVectors.write.mode("overwrite").parquet(s"$indexDir/vectors")
+    // localCheckpoints above pin every delta BEFORE any overwrite (the
+    // deltas' lineage reads the same parquet roots being written);
+    // vectors last preserves the r13 reader convention (a fully-present
+    // vectors partition implies the sibling partitions landed)
+    failpoint(0)
+    writeDelta(graphDelta, s"$indexDir/graph", batchId)
+    failpoint(1)
+    writeDelta(cellsDelta, s"$indexDir/cells", batchId)
+    failpoint(2)
+    writeDelta(vectorsDelta, s"$indexDir/vectors", batchId)
   }
 
   /** `foreachBatch` adapter: wire as
@@ -176,5 +227,5 @@ object AnnIngest {
     * on a (vec_id, embedding) stream. */
   def foreachBatchUpsert(indexDir: String)
                         (batch: DataFrame, batchId: Long): Unit =
-    if (!batch.isEmpty) upsertVectors(batch.sparkSession, indexDir, batch)
+    if (!batch.isEmpty) upsertVectors(batch.sparkSession, indexDir, batch, batchId)
 }

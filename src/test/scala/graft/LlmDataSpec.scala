@@ -716,19 +716,23 @@ class LlmDataSpec extends SparkSpec {
     emb.filter(col("vec_id") < holdOut).write.parquet(s"$dirA/embeddings.parquet")
     val idx = s"$tmp/idx"
     graft.streaming.AnnIngest.writeAnnIndex(spark, dirA, idx)
-    val rStored = spark.read.parquet(s"$idx/graph")
+    // r14: artifacts are batch_id-partitioned delta logs — invariants
+    // hold on the LATEST VIEW, which is what serving reads
+    def latest(n: String, key: String) = graft.streaming.AnnIngest
+      .latestView(spark.read.parquet(s"$idx/$n"), key)
+    val rStored = latest("graph", "src_id")
       .agg(fmax(col("out_rank"))).collect()(0).getLong(0)
     val batch = emb.filter(col("vec_id") >= holdOut)
       .select(col("vec_id"), col("embedding"))
-    graft.streaming.AnnIngest.upsertVectors(spark, idx, batch)
+    graft.streaming.AnnIngest.upsertVectors(spark, idx, batch, batchId = 0L)
     def art(n: String): Seq[String] =
       spark.read.parquet(s"$idx/$n").collect().map(_.toString).sorted.toSeq
     val (g1, c1, v1) = (art("graph"), art("cells"), art("vectors"))
     // every inserted vector is fully indexed: vector store, cell map,
     // and at least one graph out-edge (the HNSW insert connected it)
-    val gSrc = spark.read.parquet(s"$idx/graph")
+    val gSrc = latest("graph", "src_id")
       .select("src_id").distinct().collect().map(_.getLong(0)).toSet
-    val cIds = spark.read.parquet(s"$idx/cells")
+    val cIds = latest("cells", "vec_id")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     (holdOut to maxId).foreach { id =>
       assert(gSrc.contains(id), s"inserted $id has no graph out-edges")
@@ -738,7 +742,7 @@ class LlmDataSpec extends SparkSpec {
     // out-degree bounded by the ORIGINAL index's trim bound (captured
     // before the upsert — a dropped trim filter would sail through a
     // bound derived from the patched graph itself)
-    val bys = spark.read.parquet(s"$idx/graph").collect()
+    val bys = latest("graph", "src_id").collect()
       .groupBy(_.getAs[Long]("src_id"))
     bys.foreach { case (sid, rs) =>
       assert(rs.map(_.getAs[Long]("out_rank")).sorted.toSeq ==
@@ -746,9 +750,10 @@ class LlmDataSpec extends SparkSpec {
       assert(rs.length <= rStored,
         s"node $sid out-degree ${rs.length} exceeds the stored trim bound $rStored")
     }
-    // at-least-once replay: the SAME batch again is byte-identical
-    // (every derived row is a function of prior-state-minus-batch + batch)
-    graft.streaming.AnnIngest.upsertVectors(spark, idx, batch)
+    // at-least-once replay: the SAME batch (same batchId) rewrites its
+    // own partition with identical content — every artifact row
+    // (including version provenance) is unchanged
+    graft.streaming.AnnIngest.upsertVectors(spark, idx, batch, batchId = 0L)
     assert(art("graph") == g1, "replayed upsert changed the graph")
     assert(art("cells") == c1, "replayed upsert changed the cell map")
     assert(art("vectors") == v1, "replayed upsert changed the vector store")
@@ -759,6 +764,77 @@ class LlmDataSpec extends SparkSpec {
     val recall = served.count(_.getAs[Boolean]("in_exact")).toDouble / served.length
     assert(recall >= 0.4,
       f"patched-index serve recall $recall%.3f below floor 0.4")
+  }
+
+  test("AnnIngest: a crash between artifact writes heals on replay to the never-crashed bytes, and an update batch supersedes old embeddings") {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val maxId = emb.agg(fmax(col("vec_id"))).collect()(0).getLong(0)
+    val holdOut = maxId - 19
+    val tmp = java.nio.file.Files.createTempDirectory("ann_crash").toString
+    val dirA = s"$tmp/fixture"
+    emb.filter(col("vec_id") < holdOut).write.parquet(s"$dirA/embeddings.parquet")
+    // two identical indexes: `clean` never crashes, `crashy` dies after
+    // the graph write of batch 0 (failpoint 1 = before the cells write)
+    val (clean, crashy) = (s"$tmp/clean", s"$tmp/crashy")
+    graft.streaming.AnnIngest.writeAnnIndex(spark, dirA, clean)
+    def copyTree(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyTree(clean, crashy)
+    val batch = emb.filter(col("vec_id") >= holdOut)
+      .select(col("vec_id"), col("embedding"))
+    graft.streaming.AnnIngest.upsertVectors(spark, clean, batch, batchId = 0L)
+    final class Crash extends RuntimeException("injected crash")
+    val died = intercept[Crash] {
+      graft.streaming.AnnIngest.upsertVectors(spark, crashy, batch,
+        batchId = 0L, failpoint = i => if (i == 1) throw new Crash)
+    }
+    assert(died.getMessage == "injected crash")
+    // the torn state is visibly partial: graph has the batch partition,
+    // cells/vectors do not
+    def parts(idxDir: String, n: String): Set[String] =
+      new java.io.File(s"$idxDir/$n").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts(crashy, "graph").contains("batch_id=0"))
+    assert(!parts(crashy, "cells").contains("batch_id=0"))
+    // replay heals: the exact assertion the r13 spec had to weaken —
+    // all three artifacts equal the never-crashed run's content
+    graft.streaming.AnnIngest.upsertVectors(spark, crashy, batch, batchId = 0L)
+    def art(idxDir: String, n: String): Seq[String] =
+      spark.read.parquet(s"$idxDir/$n").collect().map(_.toString).sorted.toSeq
+    Seq("graph", "cells", "vectors").foreach { n =>
+      assert(art(crashy, n) == art(clean, n),
+        s"post-heal $n differs from the never-crashed run")
+    }
+    // UPDATE batch (r13 ADVICE): re-embed an EXISTING id — the r13
+    // id-presence check would have silently dropped it; the delta-log
+    // latest view must serve the new embedding
+    val updId = holdOut - 5
+    val updated = emb.filter(col("vec_id") === updId)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.reverse(col("embedding")).as("embedding"))
+    graft.streaming.AnnIngest.upsertVectors(spark, clean, updated, batchId = 1L)
+    val servedVec = graft.streaming.AnnIngest
+      .latestView(spark.read.parquet(s"$clean/vectors"), "vec_id")
+      .filter(col("vec_id") === updId).collect()
+    assert(servedVec.length == 1, "updated id must appear exactly once in the latest view")
+    val expect = updated.select(graft.llmdata.Dedup.vecD(col("embedding")))
+      .collect()(0).getSeq[Double](0)
+    assert(servedVec(0).getAs[scala.collection.Seq[Double]]("v") == expect,
+      "latest view must serve the re-embedded vector, not the original")
+    // the updated node's adjacency was recomputed in the update's delta
+    val updList = graft.streaming.AnnIngest.latestGraph(spark, clean)
+      .filter(col("src_id") === updId).collect()
+    assert(updList.nonEmpty, "updated id lost its out-edges")
+    assert(updList.map(_.getAs[Long]("out_rank")).sorted.toSeq ==
+      (1L to updList.length).toSeq, "updated id's out_ranks not contiguous")
   }
 
   test("lloydRefine: refinement does not worsen the spherical k-means objective") {
