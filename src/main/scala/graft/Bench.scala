@@ -229,23 +229,16 @@ object Bench {
     // inside the window; collisions (none today) fall back to full names.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // compact per-query value for the PRINTED line only: the driver keeps
-    // the last 2000 chars of the line, and at 172+ queries a 3-decimal map
-    // alone overflows that window (r12's committed artifact lost its
-    // leading cdc/cur entries). 1 decimal (2 below 0.1 so sub-100 ms
-    // queries don't collapse to 0), trailing zeros trimmed, keeps the
-    // whole map + value + ratio inside the window with ~150 chars of
-    // growth headroom; the lossless 3-decimal line still lands in
+    // the last ~2000 chars of the line, and r13's 178-query map STILL
+    // clipped its first entry under the 1-decimal-seconds form (the r13
+    // verdict's BENCH-tail task). INTEGER CENTISECONDS ("cdc10":22) cut
+    // ~240 chars vs decimal seconds — the whole 180-query map plus the
+    // closing scalars now sits ~170 chars inside the window — while
+    // RAISING resolution for the 0.1–1 s majority (2 sig figs vs 1). The
+    // unit is self-described by the "queries_unit" field that follows
+    // the map; the lossless 3-decimal SECONDS line still lands in
     // BENCH_FULL.json and the per-run maps in BENCH_RUNS.json.
-    def cms(v: Double): String = {
-      val s =
-        if (v < 0.0095) "%.3f".formatLocal(java.util.Locale.ROOT, v)
-        else if (v < 0.095) "%.2f".formatLocal(java.util.Locale.ROOT, v)
-        else "%.1f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) {
-        val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-        if (t.isEmpty) "0" else t
-      } else s
-    }
+    def cms(v: Double): String = math.round(v * 100).toString
     val short = results.keys.map(k => k -> k.takeWhile(_ != '_')).toMap
     val useShort = short.values.toSeq.distinct.size == short.size
     def key(k: String): String = if (useShort) short(k) else k
@@ -293,7 +286,7 @@ object Bench {
     // KEY ORDER IS LOAD-BEARING: the driver keeps only the tail of this
     // line, so boilerplate leads and value+queries close it; the complete
     // line also lands in BENCH_FULL.json.
-    def lineWith(queriesJson: String): String =
+    def lineWith(queriesJson: String, unitJson: String = "\"sec\""): String =
       s"""{"metric":"total","unit":"sec","errors":$errs,""" +
       latencyJson("cdc_lat5k", lat5k) + latencyJson("cdc_lat25k", lat25k) +
       s""""cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
@@ -308,9 +301,10 @@ object Bench {
       // close the line — if the battery ever outgrows the window again it
       // costs a few leading per-query entries, never the totals
       s""""queries":$queriesJson,""" +
+      s""""queries_unit":$unitJson,""" +
       (if (duckdbTotal > 0) s""""spark_vs_duckdb":${ms(total / duckdbTotal)},""" else "") +
       s""""value":${ms(total)}}"""
-    println(lineWith(qsCompact))
+    println(lineWith(qsCompact, "\"centiseconds\""))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (lineWith(qs) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

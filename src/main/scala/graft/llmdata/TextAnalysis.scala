@@ -1306,7 +1306,11 @@ object TextAnalysis {
     .map { case ((a, b), i) => s"($i,${sqlLit(a)},${sqlLit(b)})" }
     .mkString(",")
 
-  val bpeEncodeTokensSql: String =
+  /** Shared CTE chain for the BPE twins: ends at `per(doc_id, ts)` — the
+    * per-document U+001F-joined token stream. tx24 renders it; tx26
+    * counts it into packing bins. (Single use per query, so no
+    * MATERIALIZED hint needed.) */
+  private def bpePerDocCtes: String =
     s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES $bpeMergesValues),
        |dwords AS (
        |  SELECT DISTINCT w FROM (
@@ -1344,8 +1348,13 @@ object TextAnalysis {
        |  WHERE dw.w <> ''),
        |per AS (
        |  SELECT doc_id, string_agg(s, chr(31) ORDER BY i) AS ts
-       |  FROM tok GROUP BY doc_id)
-       |SELECT d.doc_id,
+       |  FROM tok GROUP BY doc_id)""".stripMargin
+
+  // NOTE: the CTE chain is interpolated AFTER its own stripMargin — the
+  // tail fragments strip their margins separately (a second stripMargin
+  // over the whole string would mangle the chain's `||` continuations).
+  val bpeEncodeTokensSql: String = bpePerDocCtes + "\n" +
+    s"""SELECT d.doc_id,
        |  CAST(CASE WHEN p.ts IS NULL THEN 0
        |    ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
        |    AS BIGINT) AS n_tokens,
@@ -1354,7 +1363,206 @@ object TextAnalysis {
        |LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------- tx25: HTML boilerplate extraction
+
+  /** Stopword list for the block classifier — the fixture vocabulary's
+    * function words (jusText classifies on stopword density against a
+    * per-language list; this is the corpus's). */
+  private val ExtractStopwords = Seq("the", "a", "of", "to", "is")
+
+  /** tx25: HTML → clean-text BOILERPLATE EXTRACTION — the step every
+    * real pipeline runs before the curation stack sees "text" (the gap
+    * between `documents.parquet` and a crawl). Two halves, both
+    * scan-side:
+    *
+    *  - SYNTH (fixture-only): each document is deterministically
+    *    rendered to markup — 20-word blocks, every third block
+    *    (doc_id + idx ≡ 0 mod 3) a link-farm `<div class="nav">` with
+    *    each word wrapped in an anchor, the rest plain `<p>` — so the
+    *    extractor has real tag soup with known-varying link density to
+    *    chew on. (The per-word anchor wrap is an interpreted lambda —
+    *    fine for fixture synthesis; a production crawl arrives already
+    *    marked up and skips this half entirely.)
+    *  - EXTRACT (the operator): split on closing block tags (RE2-safe
+    *    alternation — no lookbehind, so the twin's regex engine agrees),
+    *    strip tags to raw text, and per block compute the exact integer
+    *    signals of jusText-style classification (Pomikálek 2011):
+    *    word count, anchor count (one `<a ` occurrence each — a
+    *    length-difference count, no regex), stopword count against
+    *    [[ExtractStopwords]]. Class rules are INTEGER comparisons
+    *    (3·links > words; 10·stops ≥ words), so no float threshold can
+    *    diverge between engines: `short` (< 8 words), `boilerplate`
+    *    (link density > 1/3), `good` (stopword density ≥ 1/10), else
+    *    `low_text`.
+    *
+    * Scale: one scan, one Generate (block explode), projections —
+    * no join, no aggregate; the only exchange is the output sort
+    * (PlanQualitySpec pins it). Per-block rows keep the downstream
+    * choice open: a curation pass keeps `good` blocks' clean_text,
+    * an audit reads the signals. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+    val nBlocks = floor((size(col("ws")) + lit(19)) / lit(20)).cast(LongType)
+    val anchored = array_join(transform(col("bw"),
+      w => concat(lit("<a href=\"#\">"), w, lit("</a>"))), " ")
+    val blocks = d
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1L), nBlocks)).as("bi"))
+      .select(col("doc_id"), col("bi"),
+        slice(col("ws"), ((col("bi") - 1) * 20 + 1).cast(IntegerType),
+          lit(20)).as("bw"))
+      .select(col("doc_id"), col("bi"),
+        when((col("doc_id") + col("bi")) % 3 === 0,
+          concat(lit("<div class=\"nav\">"), anchored, lit("</div>")))
+          .otherwise(concat(lit("<p>"), array_join(col("bw"), " "),
+            lit("</p>"))).as("html"))
+    val seg = blocks.select(col("doc_id"), col("bi"), col("html"),
+      trim(regexp_replace(col("html"), "<[^>]+>", " ")).as("raw_text"))
+    val sig = seg.select(col("doc_id"),
+      col("bi").cast(LongType).as("block_idx"),
+      regexp_replace(col("raw_text"), " +", " ").as("clean_text"),
+      size(filter(split(col("raw_text"), " +"), w => w =!= ""))
+        .cast(LongType).as("n_words"),
+      ((length(col("html")) - length(regexp_replace(col("html"), "<a ", "")))
+        / 3).cast(LongType).as("n_links"),
+      size(filter(split(col("raw_text"), " +"),
+        w => w.isInCollection(ExtractStopwords))).cast(LongType).as("n_stop"))
+    sig.select(col("doc_id"), col("block_idx"), col("n_words"),
+        col("n_links"), col("n_stop"),
+        when(col("n_words") < 8, "short")
+          .when(col("n_links") * 3 > col("n_words"), "boilerplate")
+          .when(col("n_stop") * 10 >= col("n_words"), "good")
+          .otherwise("low_text").as("klass"),
+        col("clean_text"))
+      .orderBy(col("doc_id"), col("block_idx"))
+  }
+
+  val htmlExtractSql: String = {
+    val stops = ExtractStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |blocks AS (
+       |  SELECT doc_id, bi,
+       |    CASE WHEN (doc_id + bi) % 3 = 0
+       |      THEN '<div class="nav">' ||
+       |           array_to_string(list_transform(ws[(bi-1)*20+1 : bi*20],
+       |             w -> '<a href="#">' || w || '</a>'), ' ') || '</div>'
+       |      ELSE '<p>' || array_to_string(ws[(bi-1)*20+1 : bi*20], ' ')
+       |           || '</p>'
+       |    END AS html
+       |  FROM d, unnest(range(1, CAST((len(ws) + 19) // 20 AS BIGINT) + 1)) t(bi)
+       |  WHERE len(ws) > 0),
+       |seg AS (
+       |  SELECT doc_id, bi, html,
+       |    trim(regexp_replace(html, '<[^>]+>', ' ', 'g')) AS raw_text
+       |  FROM blocks),
+       |sig AS (
+       |  SELECT doc_id, CAST(bi AS BIGINT) AS block_idx,
+       |    regexp_replace(raw_text, ' +', ' ', 'g') AS clean_text,
+       |    CAST(len(list_filter(string_split_regex(raw_text, ' +'),
+       |      w -> w <> '')) AS BIGINT) AS n_words,
+       |    CAST((len(html) - len(replace(html, '<a ', ''))) // 3
+       |      AS BIGINT) AS n_links,
+       |    CAST(len(list_filter(string_split_regex(raw_text, ' +'),
+       |      w -> w IN ($stops))) AS BIGINT) AS n_stop
+       |  FROM seg)
+       |SELECT doc_id, block_idx, n_words, n_links, n_stop,
+       |  CASE WHEN n_words < 8 THEN 'short'
+       |       WHEN 3 * n_links > n_words THEN 'boilerplate'
+       |       WHEN 10 * n_stop >= n_words THEN 'good'
+       |       ELSE 'low_text' END AS klass,
+       |  clean_text
+       |FROM sig ORDER BY doc_id, block_idx""".stripMargin
+  }
+
+  // --------------- tx26: sequence packing on REAL BPE token budgets
+
+  /** tx26: tx14's context-window packer re-run on the REAL token budget —
+    * [[bpeEncodeTokens]]' per-document BPE counts instead of the
+    * whitespace proxy — closing the loop the r13 verdict opened ("every
+    * downstream token count proxies on whitespace"). Same placement
+    * algebra as tx14 (per-source running BIGINT offset → start/end bin at
+    * [[PackBudget]] tokens), plus the audit columns the proxy question
+    * needs: `n_ws` (the proxy count), `ws_start_bin` (the bin the proxy
+    * would have packed this doc into), and `bin_drift = start_bin −
+    * ws_start_bin` — the compounding downstream displacement a
+    * whitespace-budgeted packer would have suffered (≥ 0 since BPE never
+    * under-counts words; LlmDataSpec pins both).
+    *
+    * Empty documents (0 BPE tokens) occupy their offset's bin:
+    * `end_bin = floor((offset + max(n_bpe,1) − 1)/B)` keeps end ≥ start
+    * without advancing the offset.
+    *
+    * Scale posture: identical to tx14 — the scan-side BPE encode adds
+    * zero data movement (the merge table ships in the task binary), and
+    * the ONE shuffle is the per-source ordered window for the running
+    * offset; at 100 TB the packing unit is the per-source input shard,
+    * which is exactly the partitionBy. Both cumulative sums share one
+    * Window (PlanQualitySpec pins the single exchange). */
+  def bpePacking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(toks).cast(LongType).as("n_bpe"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast(LongType).as("n_ws"))
+      .withColumn("tok_offset", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
+      .withColumn("ws_offset", coalesce(sum(col("n_ws")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_bpe"), col("n_ws"),
+        col("tok_offset"),
+        floor(col("tok_offset") / PackBudget).as("start_bin"),
+        floor((col("tok_offset") + greatest(col("n_bpe"), lit(1L)) - 1)
+          / PackBudget).as("end_bin"),
+        floor(col("ws_offset") / PackBudget).as("ws_start_bin"))
+      .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
+      .withColumn("bin_drift", col("start_bin") - col("ws_start_bin"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val bpePackingSql: String = bpePerDocCtes + ",\n" +
+    s"""counts AS (
+       |  SELECT d.source, d.doc_id,
+       |    CAST(CASE WHEN p.ts IS NULL THEN 0
+       |      ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
+       |      AS BIGINT) AS n_bpe,
+       |    CAST(len(list_filter(string_split(d.text, ' '), w -> w <> ''))
+       |      AS BIGINT) AS n_ws
+       |  FROM documents d LEFT JOIN per p USING (doc_id)
+       |  WHERE d.text IS NOT NULL),
+       |o AS (
+       |  SELECT *,
+       |    COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tok_offset,
+       |    COALESCE(SUM(n_ws) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS ws_offset
+       |  FROM counts)
+       |SELECT source, doc_id, n_bpe, n_ws,
+       |  CAST(tok_offset AS BIGINT) AS tok_offset,
+       |  CAST(floor(tok_offset / $PackBudget) AS BIGINT) AS start_bin,
+       |  CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / $PackBudget)
+       |    AS BIGINT) AS end_bin,
+       |  CAST(floor(ws_offset / $PackBudget) AS BIGINT) AS ws_start_bin,
+       |  floor((tok_offset + greatest(n_bpe, 1) - 1) / $PackBudget) >
+       |    floor(tok_offset / $PackBudget) AS crosses_boundary,
+       |  CAST(floor(tok_offset / $PackBudget) - floor(ws_offset / $PackBudget)
+       |    AS BIGINT) AS bin_drift
+       |FROM o ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx26_bpe_packing" -> bpePacking,
+    "tx25_html_extract" -> htmlExtract,
     "tx24_bpe_encode" -> bpeEncodeTokens,
     "tx23_zipf_profile" -> zipfProfile,
     "tx22_vocab_growth" -> vocabGrowth,
@@ -1381,6 +1589,8 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx26_bpe_packing" -> bpePackingSql,
+    "tx25_html_extract" -> htmlExtractSql,
     "tx24_bpe_encode" -> bpeEncodeTokensSql,
     "tx23_zipf_profile" -> zipfProfileSql,
     "tx22_vocab_growth" -> vocabGrowthSql,

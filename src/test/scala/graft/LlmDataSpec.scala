@@ -1150,6 +1150,75 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx24: BPE tokenization is lossless, never coarser than whitespace, " +
+      "and reconciles with tx14's packer accounting") {
+    import org.apache.spark.sql.functions.{col, concat_ws, regexp_replace, size, split, filter => ffilter}
+    val toks = org.apache.spark.sql.GraftColumn.of(graft.functions.BpeEncode(
+      org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    val rows = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("", toks).as("glued"),
+        size(toks).cast("long").as("n_bpe"),
+        regexp_replace(col("text"), " ", "").as("squashed"),
+        size(ffilter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_ws"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // LOSSLESS: tokens concatenate back to the document's characters —
+      // a merge-table or greedy-loop bug cannot hide from this
+      assert(r.getAs[String]("glued") == r.getAs[String]("squashed"),
+        s"doc ${r.getAs[Long]("doc_id")}: token round-trip lost characters")
+      // each whitespace word is >= 1 BPE token (the packer's floor): a
+      // tx14-style packer fed BPE counts can only grow its bins, never
+      // lose rows, relative to the whitespace proxy it uses today
+      val (nb, nw) = (r.getAs[Long]("n_bpe"), r.getAs[Long]("n_ws"))
+      assert(nb >= nw, s"doc ${r.getAs[Long]("doc_id")}: $nb BPE < $nw words")
+      assert(nb <= r.getAs[String]("squashed").length,
+        "more tokens than characters")
+    }
+    // the merge table did real work: the corpus compresses below
+    // pure-character tokenization (chars/token strictly > 1)
+    val totBpe = rows.map(_.getAs[Long]("n_bpe")).sum
+    val totChars = rows.map(_.getAs[String]("squashed").length.toLong).sum
+    assert(totBpe < totChars, "no merge ever applied — table inert")
+    assert(totBpe.toDouble / totChars < 0.8,
+      f"compression ${totBpe.toDouble / totChars}%.2f: merge table barely used")
+  }
+
+  test("tx26: BPE packing reconciles with tx24 counts, bins are monotone, " +
+      "and the whitespace-proxy drift is non-negative and compounding") {
+    val byDoc = graft.llmdata.TextAnalysis.bpeEncodeTokens(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    val rows = graft.llmdata.TextAnalysis.bpePacking(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, docs) =>
+      val ordered = docs.sortBy(_.getAs[Long]("doc_id"))
+      var offset = 0L
+      ordered.foreach { r =>
+        val (id, nb) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe"))
+        // the packer's budget IS tx24's count — no second tokenizer
+        assert(nb == byDoc(id), s"doc $id: packer count $nb != tx24 ${byDoc(id)}")
+        assert(r.getAs[Long]("tok_offset") == offset,
+          s"doc $id in $src: offset ${r.getAs[Long]("tok_offset")} != $offset")
+        assert(r.getAs[Long]("end_bin") >= r.getAs[Long]("start_bin"))
+        // BPE never under-counts words → the proxy bin never leads
+        assert(r.getAs[Long]("bin_drift") >= 0L, s"doc $id: negative drift")
+        offset += nb
+      }
+      // drift compounds: the last doc of each source is at least as
+      // displaced as the first (cumulative sums of nb-nw >= 0)
+      assert(ordered.last.getAs[Long]("bin_drift") >=
+        ordered.head.getAs[Long]("bin_drift"), s"$src: drift shrank")
+    }
+    // the proxy is materially wrong somewhere: some document actually
+    // drifted (else the whole operator is tx14 with extra columns)
+    assert(rows.exists(_.getAs[Long]("bin_drift") > 0L),
+      "no document ever drifted — BPE counts identical to whitespace?")
+  }
+
   test("cur3: mixture weights are a distribution and temperature flattens shares") {
     val rows = graft.llmdata.Curation.mixtureWeights(spark, sf()).collect()
     val tokSum = rows.map(_.getAs[Double]("token_share")).sum

@@ -162,7 +162,13 @@ class PartitionInvarianceSpec extends SparkSpec {
       "dd26_banding_sweep" -> Dedup.bandingSweep _,
       "mm9_content_chunks" -> graft.llmdata.Multimodal.contentChunkCensus _,
       // q41's conditional-share DECIMAL sums
-      "q41_market_share" -> Relational.q41MarketShare _)
+      "q41_market_share" -> Relational.q41MarketShare _,
+      // r14 additions: tx24's memoized per-task BPE encode (the shared
+      // memo cache must not leak state across split layouts), tx25's
+      // per-block synth + signal extraction
+      "tx24_bpe_encode" -> TextAnalysis.bpeEncodeTokens _,
+      "tx25_html_extract" -> TextAnalysis.htmlExtract _,
+      "tx26_bpe_packing" -> TextAnalysis.bpePacking _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -658,4 +658,47 @@ class PlanQualitySpec extends SparkSpec {
       .count(_.contains("orders.parquet"))
     assert(scans == 1, s"orders scans: $scans")
   }
+
+  test("tx24: tokenization is ONE scan-side projection — the merge table " +
+      "ships inside the expression, so no join, no aggregate, no shuffle " +
+      "but the output sort") {
+    val p = plan(graft.llmdata.TextAnalysis.bpeEncodeTokens(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"only the output sort may exchange: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+    // codegen membership (defineCodeGen on the expression) is asserted
+    // by construction; the pre-execution AQE plan prints no codegen ids
+  }
+
+  test("tx26: BPE packing shuffles ONCE (the per-source window); the " +
+      "encode is scan-side and both cumulative sums share one Window") {
+    val p = plan(graft.llmdata.TextAnalysis.bpePacking(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate"))
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"both running sums must share one Window: $windows")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 2, s"window partition + output sort only: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
+  test("tx25: synth + extraction are scan-side (one Generate for the " +
+      "block explode); no join, no aggregate") {
+    val p = plan(graft.llmdata.TextAnalysis.htmlExtract(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+    assert(p.linesIterator.exists(_.matches("^\\(\\d+\\) Generate.*")),
+      "block explode plans as Generate")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"only the output sort may exchange: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
 }
