@@ -1187,7 +1187,92 @@ object Curation {
        |FROM pd ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ cur13
+
+  /** Epoch label seeding the deterministic training-order shuffle — the
+    * next epoch is a new seed (re-shuffle), nothing else changes. */
+  private val ShuffleEpoch = "epoch0"
+
+  /** cur13: PACKED training-shard export — the last step of the
+    * pipeline (tokenize tx24 → pack tx26 → SHUFFLE + SHARD here). The
+    * unit shuffled and sharded is the packed [[TextAnalysis.PackBudget]]
+    * -token SEQUENCE (tx26's bin), NOT the document: shuffling must
+    * happen AFTER packing so each context window stays an intact
+    * per-source run of documents while consecutive training sequences
+    * decorrelate. Each bin gets a seeded md5 rank; shard = first rank
+    * byte mod NumShards (cur8's assignment idiom), within-shard
+    * position = rank order — a deterministic global permutation (same
+    * seed ⇒ byte-identical shards; replayable, partition-stable,
+    * rand()-free). Per bin the manifest carries `n_docs` (sequences
+    * crossing it) and `n_tokens` (exact fill: [[TextAnalysis.PackBudget]]
+    * for every full bin, the remainder for each source's last — audit
+    * that the packer left no holes).
+    *
+    * Scale posture: ONE pass — scan (encode rides it) → per-source
+    * placement window (tx26's shuffle) → bin explode (≤ 2 bins/doc
+    * typically) → (source, bin) aggregate (satisfied by the window's
+    * hash partitioning on source, so NO extra exchange) → shard
+    * row_number window over NumShards groups. No join anywhere: per-bin
+    * token fill is summed from per-doc overlap lengths during the
+    * explode instead of joining per-source totals back. At 100 TB the
+    * within-shard window is the write-side sort of `partitionBy(shard)`
+    * — exactly the shuffle the shard writer pays anyway. */
+  def packedShards(spark: SparkSession, dir: String): DataFrame = {
+    val budget = lit(TextAnalysis.PackBudget.toLong)
+    val placed = TextAnalysis.bpePackingCore(spark, dir)
+    val h = md5(concat_ws(":", col("source"), col("bin"), lit(ShuffleEpoch)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"))
+    placed
+      .select(col("source"), col("tok_offset"), col("n_bpe"),
+        explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least((col("bin") + 1L) * budget, col("tok_offset") + col("n_bpe"))
+          - greatest(col("bin") * budget, col("tok_offset"))).as("n_tokens"))
+      .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
+        h.as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 2), 16, 10).cast(LongType) % NumShards)
+      .withColumn("shard_pos", row_number().over(w).cast(LongType))
+      .select(col("shard"), col("shard_pos"), col("source"), col("bin"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("shard"), col("shard_pos"))
+  }
+
+  val packedShardsSql: String = {
+    val b = TextAnalysis.PackBudget
+    TextAnalysis.bpePlacementCtes + ",\n" +
+      s"""placed AS (
+         |  SELECT source, tok_offset, n_bpe,
+         |    CAST(floor(tok_offset / $b) AS BIGINT) AS start_bin,
+         |    CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / $b)
+         |      AS BIGINT) AS end_bin
+         |  FROM o),
+         |ov AS (
+         |  SELECT source, CAST(u.bin AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(least((u.bin + 1) * $b, tok_offset + n_bpe)
+         |      - greatest(u.bin * $b, tok_offset)) AS BIGINT) AS n_tokens
+         |  FROM placed, unnest(range(start_bin, end_bin + 1)) u(bin)
+         |  GROUP BY 1, 2),
+         |x AS (
+         |  SELECT source, bin, n_docs, n_tokens,
+         |    md5(source || ':' || CAST(bin AS VARCHAR) || ':$ShuffleEpoch')
+         |      AS h
+         |  FROM ov),
+         |y AS (
+         |  SELECT *, ('0x' || substr(h, 1, 2))::BIGINT % $NumShards AS shard
+         |  FROM x)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h)
+         |    AS BIGINT) AS shard_pos,
+         |  source, bin, n_docs, n_tokens
+         |FROM y ORDER BY shard, shard_pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur13_packed_shards" -> packedShards,
     "cur12_trigram_lm_filter" -> trigramLmFilter,
     "cur11_dsir_weights" -> dsirWeights,
     "cur10_unigram_lm_filter" -> unigramLmFilter,
@@ -1203,6 +1288,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur13_packed_shards" -> packedShardsSql,
     "cur12_trigram_lm_filter" -> trigramLmFilterSql,
     "cur11_dsir_weights" -> dsirWeightsSql,
     "cur10_unigram_lm_filter" -> unigramLmFilterSql,

@@ -1,6 +1,7 @@
 package graft.llmdata
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -914,7 +915,97 @@ object Multimodal {
        |GROUP BY c.media_id
        |ORDER BY c.media_id""".stripMargin
 
+  // ---------------- mm10: interleaved multimodal sequence packing
+
+  /** One patch token per this many payload bytes (the ViT-patch /
+    * audio-frame budget analogue for the stub codec's byte payloads). */
+  private val PatchBytes = 32
+
+  /** Context-window budget for interleaved sequences — matches the text
+    * packer's (tx14/tx26) so the two streams' bins are comparable. */
+  private val SeqBudget = 256
+
+  /** mm10: INTERLEAVED multimodal sequence packing — the batch-assembly
+    * step of multimodal LLM training (LLaVA/Fuyu-style): each document
+    * contributes its text tokens (the REAL BPE budget, tx24's
+    * expression) followed by its media payload's patch tokens (one per
+    * [[PatchBytes]] bytes — the ViT-patch count analogue, computed from
+    * the bytes the scan already has; the stub codec stands in for the
+    * decoder exactly as in mm2). Documents pack per source in doc_id
+    * order into [[SeqBudget]]-token windows — tx26's placement algebra
+    * over the COMBINED budget — and each row carries `patch_share`
+    * (patch fraction of the doc's sequence footprint; the number
+    * attention-cost and mixture planning read first).
+    *
+    * Scale posture: identical to tx26 — the encode and the patch count
+    * both ride the scan (zero data movement; no decode shuffle), and
+    * the ONE shuffle is the per-source ordered window. At 100 TB with
+    * real media columns the patch count reads parquet column METADATA
+    * (byte length), never the payload. */
+  def interleavedPacking(spark: SparkSession, dir: String): DataFrame = {
+    val toks = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
+        size(toks).cast(LongType).as("n_text_tokens"),
+        floor((octet_length(col("text").cast(BinaryType)) + PatchBytes - 1)
+          / PatchBytes).cast(LongType).as("n_patch_tokens"))
+      .withColumn("n_total", col("n_text_tokens") + col("n_patch_tokens"))
+      .withColumn("seq_offset", coalesce(sum(col("n_total")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("kind"),
+        col("n_text_tokens"), col("n_patch_tokens"), col("n_total"),
+        col("seq_offset"),
+        floor(col("seq_offset") / SeqBudget).as("start_bin"),
+        floor((col("seq_offset") + greatest(col("n_total"), lit(1L)) - 1)
+          / SeqBudget).as("end_bin"))
+      .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
+      .withColumn("patch_share",
+        when(col("n_total") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("n_patch_tokens").cast(DoubleType)
+            / col("n_total").cast(DoubleType)))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val interleavedPackingSql: String = TextAnalysis.bpePerDocCtes + ",\n" +
+    s"""counts AS (
+       |  SELECT d.source, d.doc_id,
+       |    CASE (d.doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    CAST(CASE WHEN p.ts IS NULL THEN 0
+       |      ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
+       |      AS BIGINT) AS n_text_tokens,
+       |    CAST((octet_length(encode(d.text)) + ${PatchBytes - 1})
+       |      // $PatchBytes AS BIGINT) AS n_patch_tokens
+       |  FROM documents d LEFT JOIN per p USING (doc_id)
+       |  WHERE d.text IS NOT NULL),
+       |o AS (
+       |  SELECT *, n_text_tokens + n_patch_tokens AS n_total,
+       |    COALESCE(SUM(n_text_tokens + n_patch_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS seq_offset
+       |  FROM counts)
+       |SELECT source, doc_id, kind, n_text_tokens, n_patch_tokens,
+       |  CAST(n_total AS BIGINT) AS n_total,
+       |  CAST(seq_offset AS BIGINT) AS seq_offset,
+       |  CAST(floor(seq_offset / $SeqBudget) AS BIGINT) AS start_bin,
+       |  CAST(floor((seq_offset + greatest(n_total, 1) - 1) / $SeqBudget)
+       |    AS BIGINT) AS end_bin,
+       |  floor((seq_offset + greatest(n_total, 1) - 1) / $SeqBudget) >
+       |    floor(seq_offset / $SeqBudget) AS crosses_boundary,
+       |  CASE WHEN n_total = 0 THEN NULL
+       |    ELSE CAST(n_patch_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) END
+       |    AS patch_share
+       |FROM o ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm10_interleaved_packing" -> interleavedPacking,
     "mm9_content_chunks" -> contentChunkCensus,
     "mm8_byte_entropy" -> byteEntropy,
     "mm7_chunk_dedup" -> chunkDedup,
@@ -926,6 +1017,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm10_interleaved_packing" -> interleavedPackingSql,
     "mm9_content_chunks" -> contentChunkCensusSql,
     "mm8_byte_entropy" -> byteEntropySql,
     "mm7_chunk_dedup" -> chunkDedupSql,

@@ -670,7 +670,7 @@ object TextAnalysis {
   // ------------------------------------------- sequence packing (tx14)
 
   /** Tokens per packed training sequence (the context-window budget). */
-  private val PackBudget = 256
+  private[llmdata] val PackBudget = 256
 
   /** Sequence packing (tx14): pretraining packs documents end-to-end into
     * fixed-size context windows, splitting at window boundaries — the
@@ -1310,7 +1310,7 @@ object TextAnalysis {
     * per-document U+001F-joined token stream. tx24 renders it; tx26
     * counts it into packing bins. (Single use per query, so no
     * MATERIALIZED hint needed.) */
-  private def bpePerDocCtes: String =
+  private[llmdata] def bpePerDocCtes: String =
     s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES $bpeMergesValues),
        |dwords AS (
        |  SELECT DISTINCT w FROM (
@@ -1504,7 +1504,13 @@ object TextAnalysis {
     * offset; at 100 TB the packing unit is the per-source input shard,
     * which is exactly the partitionBy. Both cumulative sums share one
     * Window (PlanQualitySpec pins the single exchange). */
-  def bpePacking(spark: SparkSession, dir: String): DataFrame = {
+  def bpePacking(spark: SparkSession, dir: String): DataFrame =
+    bpePackingCore(spark, dir).orderBy(col("source"), col("doc_id"))
+
+  /** tx26's placement without the output sort — cur13 builds its bin
+    * explode on this so the packer's ORDER BY never rides into the
+    * shard plan as a dead mid-plan exchange. */
+  private[llmdata] def bpePackingCore(spark: SparkSession, dir: String): DataFrame = {
     val toks = org.apache.spark.sql.GraftColumn.of(
       graft.functions.BpeEncode(
         org.apache.spark.sql.GraftColumn.expr(col("text"))))
@@ -1526,10 +1532,12 @@ object TextAnalysis {
         floor(col("ws_offset") / PackBudget).as("ws_start_bin"))
       .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
       .withColumn("bin_drift", col("start_bin") - col("ws_start_bin"))
-      .orderBy(col("source"), col("doc_id"))
   }
 
-  val bpePackingSql: String = bpePerDocCtes + ",\n" +
+  /** Shared twin CTE chain ending at `o(source, doc_id, n_bpe, n_ws,
+    * tok_offset, ws_offset)` — the per-doc BPE packing placement. tx26
+    * renders it; cur13 bins it into shards. */
+  private[llmdata] def bpePlacementCtes: String = bpePerDocCtes + ",\n" +
     s"""counts AS (
        |  SELECT d.source, d.doc_id,
        |    CAST(CASE WHEN p.ts IS NULL THEN 0
@@ -1547,8 +1555,10 @@ object TextAnalysis {
        |    COALESCE(SUM(n_ws) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS ws_offset
-       |  FROM counts)
-       |SELECT source, doc_id, n_bpe, n_ws,
+       |  FROM counts)""".stripMargin
+
+  val bpePackingSql: String = bpePlacementCtes + "\n" +
+    s"""SELECT source, doc_id, n_bpe, n_ws,
        |  CAST(tok_offset AS BIGINT) AS tok_offset,
        |  CAST(floor(tok_offset / $PackBudget) AS BIGINT) AS start_bin,
        |  CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / $PackBudget)
@@ -1560,7 +1570,230 @@ object TextAnalysis {
        |    AS BIGINT) AS bin_drift
        |FROM o ORDER BY source, doc_id""".stripMargin
 
+  // ------------------ tx27: tokenizer-health audit (fertility per source)
+
+  /** tx27: per-source TOKENIZER-HEALTH audit over the applied BPE
+    * artifact — the dashboard every tokenizer owner watches (fertility,
+    * compression, unmerged-rate drift across domains decide when to
+    * retrain). Completes the tokenizer story: train (offline
+    * `tools/train_bpe.py` artifact) → apply (tx24) → pack (tx26) →
+    * audit (this). Per source:
+    *
+    *  - `fertility` = tokens/word — the headline cross-domain metric
+    *    (a domain far off the training distribution runs hot);
+    *  - `chars_per_token` — the compression the merge table delivers;
+    *  - `single_char_share` — the unmerged-fallback rate (tokens still
+    *    at 1 char after all merges; the "byte-fallback rate" analogue);
+    *
+    * each a SINGLE division of two exact BIGINT sums (same operation
+    * order both engines, so bit-identical — the module's standard float
+    * discipline).
+    *
+    * Scale posture: one scan (the encode rides in the task binary —
+    * zero data movement) + one tiny per-source hash aggregate
+    * (map-side combine; |sources| rows). PlanQualitySpec pins
+    * one scan + one aggregate, no join. */
+  def tokenizerAudit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast(LongType).as("nw"),
+        toks.as("tk"))
+      .select(col("source"), col("nw"),
+        size(col("tk")).cast(LongType).as("nt"),
+        length(array_join(col("tk"), "")).cast(LongType).as("nc"),
+        size(filter(col("tk"), x => length(x) === 1))
+          .cast(LongType).as("n1"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("n1")).as("n_single"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"), col("n_single"),
+        ratio(col("n_tokens"), col("n_words")).as("fertility"),
+        ratio(col("n_chars"), col("n_tokens")).as("chars_per_token"),
+        ratio(col("n_single"), col("n_tokens")).as("single_char_share"))
+      .orderBy(col("source"))
+  }
+
+  val tokenizerAuditSql: String = bpePerDocCtes + ",\n" +
+    s"""perdoc AS (
+       |  SELECT d.source,
+       |    CAST(len(list_filter(string_split(d.text, ' '), w -> w <> ''))
+       |      AS BIGINT) AS nw,
+       |    CAST(CASE WHEN p.ts IS NULL THEN 0
+       |      ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
+       |      AS BIGINT) AS nt,
+       |    CAST(CASE WHEN p.ts IS NULL THEN 0
+       |      ELSE len(replace(p.ts, chr(31), '')) END AS BIGINT) AS nc,
+       |    CAST(CASE WHEN p.ts IS NULL THEN 0
+       |      ELSE len(list_filter(string_split(p.ts, chr(31)),
+       |        t -> len(t) = 1)) END AS BIGINT) AS n1
+       |  FROM documents d LEFT JOIN per p USING (doc_id)
+       |  WHERE d.text IS NOT NULL),
+       |agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nw) AS BIGINT) AS n_words,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |    CAST(SUM(n1) AS BIGINT) AS n_single
+       |  FROM perdoc GROUP BY source)
+       |SELECT source, n_docs, n_words, n_tokens, n_chars, n_single,
+       |  CASE WHEN n_words = 0 THEN NULL
+       |    ELSE CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) END
+       |    AS fertility,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |    ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+       |    AS chars_per_token,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |    ELSE CAST(n_single AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+       |    AS single_char_share
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ------------------ tx28: in-engine BPE tokenizer training
+
+  /** Number of merges the in-engine trainer learns — matches the offline
+    * `tools/train_bpe.py` default so tx28's output at sf0.01 IS the baked
+    * [[BpeMerges]] artifact (three implementations, one table). */
+  private val BpeTrainMerges = 40
+
+  /** tx28: BPE tokenizer TRAINING in-engine — closes the tokenizer
+    * lifecycle (train → apply tx24 → pack tx26 → audit tx27) without the
+    * offline Python step. Classic character-level byte-pair encoding
+    * (Sennrich et al. 2016, the public subword-nmt algorithm, no
+    * end-of-word marker): N times, count adjacent symbol pairs over the
+    * frequency-weighted vocabulary, merge the most frequent pair
+    * everywhere (ties lexicographic, so the table is deterministic).
+    *
+    * Scale posture (100 TB): the ONLY data-scale-dependent step is the
+    * distributed word-frequency reduce (one scan + one map-side-combined
+    * hash aggregate — the subword-nmt vocabulary trick: all training
+    * passes run over DISTINCT words weighted by count). The iterative
+    * merge loop is O(|vocab| · merges) over that compacted table —
+    * corpus-size-independent — and is inherently sequential (each argmax
+    * depends on the previous merge), so it runs in ONE executor task via
+    * `repartition(1).mapPartitions`, NOT as 40 driver-scheduled jobs and
+    * NOT as a driver-side collect. At web scale |vocab| is millions of
+    * rows — megabytes — while the corpus is 100 TB; shipping the vocab to
+    * one task is the textbook design (it is what every production BPE
+    * trainer does after the distributed count).
+    *
+    * Exactness: characters are CODE POINTS (surrogate-safe, matching
+    * DuckDB's `regexp_replace('(.)')` and Python iteration); tie-break
+    * compares (−count, left, right) with UTF-8/code-point string order.
+    * The twin trains the same table via a 40-level unrolled MATERIALIZED
+    * CTE chain (argmax + single-pair merge per level, on the same
+    * double-separator encoding as tx24's apply chain). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wordFreq = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+    wordFreq.repartition(1).mapPartitions { it =>
+      // seed: each word as its code-point sequence, frequency-weighted
+      var vocab = scala.collection.mutable.HashMap.empty[Vector[String], Long]
+      it.foreach { case (w, c) =>
+        val cps = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          val n = Character.charCount(w.codePointAt(i))
+          cps += w.substring(i, i + n); i += n
+        }
+        val key = cps.result()
+        vocab(key) = vocab.getOrElse(key, 0L) + c
+      }
+      val out = Vector.newBuilder[(Long, String, String)]
+      var rank = 0
+      var exhausted = false
+      while (rank < BpeTrainMerges && !exhausted) {
+        val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (word, c) =>
+          var i = 0
+          while (i < word.length - 1) {
+            val p = (word(i), word(i + 1))
+            pairs(p) = pairs.getOrElse(p, 0L) + c
+            i += 1
+          }
+        }
+        if (pairs.isEmpty) exhausted = true
+        else {
+          val (a, b) = pairs.minBy { case ((l, r), c) => (-c, l, r) }._1
+          out += ((rank.toLong, a, b))
+          val merged = scala.collection.mutable.HashMap.empty[Vector[String], Long]
+          vocab.foreach { case (word, c) =>
+            val nw = Vector.newBuilder[String]
+            var i = 0
+            while (i < word.length) {
+              if (i + 1 < word.length && word(i) == a && word(i + 1) == b) {
+                nw += a + b; i += 2
+              } else { nw += word(i); i += 1 }
+            }
+            val key = nw.result()
+            merged(key) = merged.getOrElse(key, 0L) + c
+          }
+          vocab = merged
+          rank += 1
+        }
+      }
+      out.result().iterator
+    }.toDF("merge_rank", "pair_left", "pair_right")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The twin's per-level pair: argmax over adjacent pairs of the
+    * previous segmentation, then one-pair merge via the exact
+    * double-separator `replace` (tx24's encoding: `␟␟` between tokens,
+    * so one replace pass IS the left-to-right non-overlapping BPE scan).
+    * MATERIALIZED is load-bearing: v(k) is referenced twice per level
+    * and default CTE inlining would re-derive the whole prefix 2^40
+    * times. */
+  private def bpeTrainLevelSql(k: Int): String =
+    s"""p$k AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT t[i] AS a, t[i+1] AS b, SUM(freq) AS c
+       |    FROM (SELECT string_split(trim(s, chr(31)), chr(31)||chr(31)) AS t,
+       |            freq FROM v${k - 1}),
+       |      unnest(range(1, len(t))) u(i)
+       |    GROUP BY 1, 2)
+       |  ORDER BY c DESC, a, b LIMIT 1),
+       |v$k AS MATERIALIZED (
+       |  SELECT replace(v.s, chr(31)||p.a||chr(31)||chr(31)||p.b||chr(31),
+       |                 chr(31)||p.a||p.b||chr(31)) AS s, v.freq
+       |  FROM v${k - 1} v, p$k p)""".stripMargin
+
+  val bpeTrainSql: String =
+    s"""WITH wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |    WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')
+       |    || chr(31) || chr(31) AS s, freq FROM wf),
+       |""".stripMargin +
+      (1 to BpeTrainMerges).map(bpeTrainLevelSql).mkString(",\n") + "\n" +
+      "SELECT merge_rank, pair_left, pair_right FROM (\n" +
+      (1 to BpeTrainMerges)
+        .map(k => s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, " +
+          s"a AS pair_left, b AS pair_right FROM p$k")
+        .mkString(" UNION ALL ") +
+      "\n) ORDER BY merge_rank"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx28_bpe_train" -> bpeTrain,
+    "tx27_tokenizer_audit" -> tokenizerAudit,
     "tx26_bpe_packing" -> bpePacking,
     "tx25_html_extract" -> htmlExtract,
     "tx24_bpe_encode" -> bpeEncodeTokens,
@@ -1589,6 +1822,8 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx28_bpe_train" -> bpeTrainSql,
+    "tx27_tokenizer_audit" -> tokenizerAuditSql,
     "tx26_bpe_packing" -> bpePackingSql,
     "tx25_html_extract" -> htmlExtractSql,
     "tx24_bpe_encode" -> bpeEncodeTokensSql,

@@ -1219,6 +1219,121 @@ class LlmDataSpec extends SparkSpec {
       "no document ever drifted — BPE counts identical to whitespace?")
   }
 
+  test("tx27: tokenizer audit reconciles with tx24's corpus totals and its " +
+      "health ratios sit in their semantic bands") {
+    val rows = graft.llmdata.TextAnalysis.tokenizerAudit(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nt) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      val fert = r.getAs[Double]("fertility")
+      // >= 1 token per word (tx24's floor), and the division is the
+      // emitted ratio (no separate computation path to drift)
+      assert(fert >= 1.0 && fert == nt.toDouble / nw.toDouble)
+      // merges did real work in EVERY source: > 1 char per token on
+      // average, and not every token is an unmerged single char
+      assert(r.getAs[Double]("chars_per_token") > 1.0,
+        s"${r.getAs[String]("source")}: merge table inert")
+      val single = r.getAs[Double]("single_char_share")
+      assert(single >= 0.0 && single < 1.0)
+    }
+    // cross-operator reconciliation: the audit's corpus-wide token total
+    // IS tx24's (same expression, same filter — no second tokenizer)
+    val auditTotal = rows.map(_.getAs[Long]("n_tokens")).sum
+    val tx24Total = graft.llmdata.TextAnalysis.bpeEncodeTokens(spark, sf())
+      .collect().map(_.getAs[Long]("n_tokens")).sum
+    assert(auditTotal == tx24Total, s"$auditTotal != tx24 $tx24Total")
+  }
+
+  test("mm10: interleaved packing combines tx24's text budget with exact " +
+      "byte-derived patch counts; offsets are contiguous per source") {
+    import org.apache.spark.sql.functions.{col, length => slen}
+    val textToks = graft.llmdata.TextAnalysis.bpeEncodeTokens(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    val bytes = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), slen(col("text")).cast("long").as("nb"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nb")).toMap
+    val rows = graft.llmdata.Multimodal.interleavedPacking(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("kind")).toSet == Set("image", "audio", "video"))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_text_tokens") == textToks(id),
+        s"doc $id: text budget diverged from tx24")
+      // fixture text is ASCII, so chars == UTF-8 bytes; one patch per
+      // 32 bytes, ceil
+      assert(r.getAs[Long]("n_patch_tokens") == (bytes(id) + 31) / 32,
+        s"doc $id: patch count != ceil(bytes/32)")
+      val share = r.getAs[Double]("patch_share")
+      assert(share > 0.0 && share < 1.0, s"doc $id: patch share $share")
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, docs) =>
+      var offset = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_offset") == offset, s"$src: offset gap")
+        offset += r.getAs[Long]("n_total")
+      }
+    }
+  }
+
+  test("tx28: in-engine BPE training reproduces the offline-trained baked " +
+      "artifact at sf0.01 — three implementations, one merge table") {
+    val rows = graft.llmdata.TextAnalysis.bpeTrain(spark, sf("sf0.01")).collect()
+    assert(rows.length == graft.llmdata.BpeMerges.Merges.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("merge_rank") == i.toLong)
+      val (a, b) = graft.llmdata.BpeMerges.Merges(i)
+      assert(r.getAs[String]("pair_left") == a && r.getAs[String]("pair_right") == b,
+        s"rank $i: (${r.getAs[String]("pair_left")}, ${r.getAs[String]("pair_right")}) != ($a, $b)")
+    }
+  }
+
+  test("tx28: trained merges are well-formed at sf0.001 — distinct merged " +
+      "symbols, every later merge built from earlier vocabulary") {
+    val rows = graft.llmdata.TextAnalysis.bpeTrain(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    val symbols = scala.collection.mutable.Set.empty[String]
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("pair_left"), r.getAs[String]("pair_right"))
+      // each side is a single char or a previously-merged symbol
+      assert(a.length == 1 || symbols.contains(a), s"unseen left $a")
+      assert(b.length == 1 || symbols.contains(b), s"unseen right $b")
+      symbols += a + b
+    }
+    assert(symbols.size == rows.length, "merged symbols must be distinct")
+  }
+
+  test("cur13: packed shards reconcile with tx26's placement — exact bin " +
+      "fill, one partial bin per source, contiguous shard positions") {
+    val placed = graft.llmdata.TextAnalysis.bpePacking(spark, sf()).collect()
+    val srcTotals = placed.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_bpe")).sum }
+    val rows = graft.llmdata.Curation.packedShards(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // per-source token totals: the shard manifest carries every token
+    // the packer placed, exactly once
+    val binTotals = rows.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_tokens")).sum }
+    assert(binTotals == srcTotals, "bin fill must sum to the packed tokens")
+    // every bin except each source's LAST is full
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byBin = rs.sortBy(_.getAs[Long]("bin"))
+      assert(byBin.map(_.getAs[Long]("bin")).toSeq ==
+        (0L until byBin.length).toSeq, s"$src: bins must be contiguous")
+      byBin.init.foreach { r =>
+        assert(r.getAs[Long]("n_tokens") == 256L,
+          s"$src bin ${r.getAs[Long]("bin")}: non-final bin not full")
+      }
+      assert(byBin.last.getAs[Long]("n_tokens") <= 256L)
+    }
+    // shard positions are a permutation: contiguous from 1 per shard
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      assert(rs.map(_.getAs[Long]("shard_pos")).sorted.toSeq ==
+        (1L to rs.length).toSeq, s"shard $sh: positions not contiguous")
+    }
+  }
+
   test("cur3: mixture weights are a distribution and temperature flattens shares") {
     val rows = graft.llmdata.Curation.mixtureWeights(spark, sf()).collect()
     val tokSum = rows.map(_.getAs[Double]("token_share")).sum

@@ -168,7 +168,11 @@ class PartitionInvarianceSpec extends SparkSpec {
       // per-block synth + signal extraction
       "tx24_bpe_encode" -> TextAnalysis.bpeEncodeTokens _,
       "tx25_html_extract" -> TextAnalysis.htmlExtract _,
-      "tx26_bpe_packing" -> TextAnalysis.bpePacking _)
+      "tx26_bpe_packing" -> TextAnalysis.bpePacking _,
+      "tx27_tokenizer_audit" -> TextAnalysis.tokenizerAudit _,
+      "tx28_bpe_train" -> TextAnalysis.bpeTrain _,
+      "cur13_packed_shards" -> graft.llmdata.Curation.packedShards _,
+      "mm10_interleaved_packing" -> graft.llmdata.Multimodal.interleavedPacking _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

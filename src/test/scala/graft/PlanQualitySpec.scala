@@ -688,6 +688,65 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("tx27: tokenizer audit is one scan + one keyed aggregate — the " +
+      "encode and all per-doc counts ride the scan; no join, no window") {
+    val p = plan(graft.llmdata.TextAnalysis.tokenizerAudit(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("Window"))
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE aggregate: $aggs")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 2, s"agg exchange + output sort only: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
+  test("mm10: interleaved packing is tx26's shape — encode + patch count " +
+      "scan-side, one Window, no join") {
+    val p = plan(graft.llmdata.Multimodal.interleavedPacking(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate"))
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"one Window: $windows")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 2, s"window partition + output sort only: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
+  test("tx28: BPE training's only data-scale step is the word-frequency " +
+      "reduce — one scan, one keyed aggregate, then a single-task loop") {
+    val p = plan(graft.llmdata.TextAnalysis.bpeTrain(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE aggregate: $aggs")
+    assert(p.contains("MapPartitions"), "the merge loop must be an executor task")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 3,
+      s"agg exchange + single-task repartition + output sort only: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
+  test("cur13: packed-shard export is one pass — no join (bin fill summed " +
+      "during the explode), placement window + shard window, one aggregate") {
+    val p = plan(graft.llmdata.Curation.packedShards(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows == 2, s"placement + shard windows: $windows")
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE (source,bin) aggregate: $aggs")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 4,
+      s"placement window + agg + shard window + output sort only: $exchanges")
+  }
+
   test("tx25: synth + extraction are scan-side (one Generate for the " +
       "block explode); no join, no aggregate") {
     val p = plan(graft.llmdata.TextAnalysis.htmlExtract(spark, sf()))
