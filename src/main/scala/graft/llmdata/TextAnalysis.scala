@@ -670,7 +670,7 @@ object TextAnalysis {
   // ------------------------------------------- sequence packing (tx14)
 
   /** Tokens per packed training sequence (the context-window budget). */
-  private[llmdata] val PackBudget = 256
+  private[graft] val PackBudget = 256
 
   /** Sequence packing (tx14): pretraining packs documents end-to-end into
     * fixed-size context windows, splitting at window boundaries — the
@@ -1510,7 +1510,7 @@ object TextAnalysis {
   /** tx26's placement without the output sort — cur13 builds its bin
     * explode on this so the packer's ORDER BY never rides into the
     * shard plan as a dead mid-plan exchange. */
-  private[llmdata] def bpePackingCore(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpePackingCore(spark: SparkSession, dir: String): DataFrame = {
     val toks = org.apache.spark.sql.GraftColumn.of(
       graft.functions.BpeEncode(
         org.apache.spark.sql.GraftColumn.expr(col("text"))))

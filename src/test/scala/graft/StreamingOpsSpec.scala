@@ -930,4 +930,45 @@ class StreamingOpsSpec extends SparkSpec {
       assert(sessions.toSeq == Seq((1L, 2L)))
     } finally q.stop()
   }
+
+  test("PackingIngest: streaming placements equal batch tx26 across " +
+      "arbitrary micro-batch chops and a kill+restart (offset in state)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.PackingIngest
+    val cols = Seq("source", "doc_id", "n_bpe", "tok_offset",
+      "start_bin", "end_bin", "crosses_boundary")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect().sortBy(_._2) // CDC-replay arrival order: doc_id ascending
+    // three deliberately uneven chops
+    val chunks = Seq(docs.take(7), docs.slice(7, 160), docs.drop(160))
+    val dir = java.nio.file.Files.createTempDirectory("packing").toString
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[(String, Long, String)]
+    def start() = PackingIngest.packStream(
+        stream.toDF.toDF("source", "doc_id", "text"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    var q = start()
+    try {
+      stream.addData(chunks(0).toSeq); q.processAllAvailable()
+      q.stop() // kill between micro-batches …
+      q = start() // … and resume from the checkpointed state store
+      chunks.drop(1).foreach { c =>
+        stream.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(cols.map(col): _*).collect()
+      .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Long]))
+    val want = graft.llmdata.TextAnalysis.bpePackingCore(spark, sf())
+      .select(cols.map(col): _*).collect()
+      .map(_.toSeq).sortBy(r => (r.head.toString, r(1).asInstanceOf[Long]))
+    assert(got.length == want.length,
+      s"row count: ${got.length} != ${want.length}")
+    assert(got.sameElements(want),
+      "streaming placements must be row-identical to batch tx26")
+  }
 }
