@@ -1217,12 +1217,11 @@ object Curation {
     * explode instead of joining per-source totals back. At 100 TB the
     * within-shard window is the write-side sort of `partitionBy(shard)`
     * — exactly the shuffle the shard writer pays anyway. */
-  def packedShards(spark: SparkSession, dir: String): DataFrame = {
+  /** The packed bins (source, bin, n_docs, n_tokens) — cur13 ranks them
+    * into shards; cur14 audits alternate epoch seeds over them. */
+  private def packedBins(spark: SparkSession, dir: String): DataFrame = {
     val budget = lit(TextAnalysis.PackBudget.toLong)
-    val placed = TextAnalysis.bpePackingCore(spark, dir)
-    val h = md5(concat_ws(":", col("source"), col("bin"), lit(ShuffleEpoch)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"))
-    placed
+    TextAnalysis.bpePackingCore(spark, dir)
       .select(col("source"), col("tok_offset"), col("n_bpe"),
         explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
       .groupBy(col("source"), col("bin"))
@@ -1230,10 +1229,21 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(least((col("bin") + 1L) * budget, col("tok_offset") + col("n_bpe"))
           - greatest(col("bin") * budget, col("tok_offset"))).as("n_tokens"))
+  }
+
+  /** Seeded shard rank: md5("source:bin:epochN"). */
+  private def epochHash(epoch: Int): Column =
+    md5(concat_ws(":", col("source"), col("bin"), lit(s"epoch$epoch")))
+
+  private def shardOf(h: Column): Column =
+    conv(substring(h, 1, 2), 16, 10).cast(LongType) % NumShards
+
+  def packedShards(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"))
+    packedBins(spark, dir)
       .select(col("source"), col("bin"), col("n_docs"), col("n_tokens"),
-        h.as("h"))
-      .withColumn("shard",
-        conv(substring(col("h"), 1, 2), 16, 10).cast(LongType) % NumShards)
+        epochHash(0).as("h"))
+      .withColumn("shard", shardOf(col("h")))
       .withColumn("shard_pos", row_number().over(w).cast(LongType))
       .select(col("shard"), col("shard_pos"), col("source"), col("bin"),
         col("n_docs"), col("n_tokens"))
@@ -1271,7 +1281,117 @@ object Curation {
          |FROM y ORDER BY shard, shard_pos""".stripMargin
   }
 
+  // ------------------------------------------------------------ cur14
+
+  /** cur14: multi-epoch SHUFFLE AUDIT over cur13's shard assignment —
+    * the two numbers a training-infra owner checks before trusting a
+    * seeded shuffle for another epoch: (a) per-epoch shard BALANCE
+    * (min/max token fill across the [[NumShards]] shards — a skewed
+    * shard is a straggler every step of that epoch) and (b) cross-epoch
+    * DECORRELATION (the fraction of sequences landing in the same shard
+    * as the previous epoch — should sit near the 1/[[NumShards]] chance
+    * line; higher means epochs replay the same co-residency and the
+    * shuffle isn't buying fresh batch composition). Three epoch seeds
+    * (epoch0 = cur13's shipped assignment) in ONE pass.
+    *
+    * Exactness: balance and decorrelation are divisions of exact BIGINT
+    * sums (identical operation order in the twin); NULL for epoch 0's
+    * prev-epoch columns.
+    *
+    * Scale posture: the per-bin flags and all three shard assignments
+    * ride the bin aggregate's output (no re-scan, no join); one Generate
+    * (3 rows per bin) + two keyed aggregates — the second is over
+    * 3×[[NumShards]] rows. Nothing here touches documents a second
+    * time. */
+  def epochShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val shards = (0 to 2).map(e => shardOf(epochHash(e)))
+    packedBins(spark, dir)
+      .select(col("source"), col("bin"), col("n_tokens"),
+        shards(0).as("s0"), shards(1).as("s1"), shards(2).as("s2"))
+      .select(col("n_tokens"),
+        explode(array(
+          struct(lit(0L).as("epoch"), col("s0").as("shard"),
+            lit(null).cast(LongType).as("same_prev")),
+          struct(lit(1L).as("epoch"), col("s1").as("shard"),
+            (col("s1") === col("s0")).cast(LongType).as("same_prev")),
+          struct(lit(2L).as("epoch"), col("s2").as("shard"),
+            (col("s2") === col("s1")).cast(LongType).as("same_prev"))))
+          .as("x"))
+      .select(col("n_tokens"), col("x.epoch"), col("x.shard"),
+        col("x.same_prev"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col("same_prev")).as("n_same"))
+      .groupBy(col("epoch"))
+      .agg(
+        sum(col("n_bins")).as("n_bins"),
+        min(col("shard_tokens")).as("min_shard_tokens"),
+        max(col("shard_tokens")).as("max_shard_tokens"),
+        sum(col("n_same")).as("same_shard_prev"))
+      .select(col("epoch"), col("n_bins"),
+        col("min_shard_tokens"), col("max_shard_tokens"),
+        (col("max_shard_tokens").cast(DoubleType)
+          / col("min_shard_tokens").cast(DoubleType)).as("imbalance"),
+        col("same_shard_prev"),
+        (col("same_shard_prev").cast(DoubleType)
+          / col("n_bins").cast(DoubleType)).as("same_frac_prev"))
+      .orderBy(col("epoch"))
+  }
+
+  val epochShuffleAuditSql: String = {
+    val b = TextAnalysis.PackBudget
+    def shard(e: Int) =
+      s"('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR) " +
+        s"|| ':epoch$e'), 1, 2))::BIGINT % $NumShards"
+    TextAnalysis.bpePlacementCtes + ",\n" +
+      s"""placed AS (
+         |  SELECT source, tok_offset, n_bpe,
+         |    CAST(floor(tok_offset / $b) AS BIGINT) AS start_bin,
+         |    CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / $b)
+         |      AS BIGINT) AS end_bin
+         |  FROM o),
+         |ov AS (
+         |  SELECT source, CAST(u.bin AS BIGINT) AS bin,
+         |    CAST(SUM(least((u.bin + 1) * $b, tok_offset + n_bpe)
+         |      - greatest(u.bin * $b, tok_offset)) AS BIGINT) AS n_tokens
+         |  FROM placed, unnest(range(start_bin, end_bin + 1)) u(bin)
+         |  GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT n_tokens, CAST(${shard(0)} AS BIGINT) AS s0,
+         |    CAST(${shard(1)} AS BIGINT) AS s1,
+         |    CAST(${shard(2)} AS BIGINT) AS s2
+         |  FROM ov),
+         |ex AS (
+         |  SELECT n_tokens,
+         |    CAST(e.epoch AS BIGINT) AS epoch,
+         |    CASE e.epoch WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END AS shard,
+         |    CASE e.epoch WHEN 0 THEN NULL
+         |      WHEN 1 THEN CAST(s1 = s0 AS BIGINT)
+         |      ELSE CAST(s2 = s1 AS BIGINT) END AS same_prev
+         |  FROM sh, unnest(range(0, 3)) e(epoch)),
+         |pershard AS (
+         |  SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |    CAST(SUM(same_prev) AS BIGINT) AS n_same
+         |  FROM ex GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT epoch, CAST(SUM(n_bins) AS BIGINT) AS n_bins,
+         |    CAST(MIN(shard_tokens) AS BIGINT) AS min_shard_tokens,
+         |    CAST(MAX(shard_tokens) AS BIGINT) AS max_shard_tokens,
+         |    CAST(SUM(n_same) AS BIGINT) AS same_shard_prev
+         |  FROM pershard GROUP BY 1)
+         |SELECT epoch, n_bins, min_shard_tokens, max_shard_tokens,
+         |  CAST(max_shard_tokens AS DOUBLE) / CAST(min_shard_tokens AS DOUBLE)
+         |    AS imbalance,
+         |  same_shard_prev,
+         |  CAST(same_shard_prev AS DOUBLE) / CAST(n_bins AS DOUBLE)
+         |    AS same_frac_prev
+         |FROM agg ORDER BY epoch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur14_epoch_shuffle" -> epochShuffleAudit,
     "cur13_packed_shards" -> packedShards,
     "cur12_trigram_lm_filter" -> trigramLmFilter,
     "cur11_dsir_weights" -> dsirWeights,
@@ -1288,6 +1408,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur14_epoch_shuffle" -> epochShuffleAuditSql,
     "cur13_packed_shards" -> packedShardsSql,
     "cur12_trigram_lm_filter" -> trigramLmFilterSql,
     "cur11_dsir_weights" -> dsirWeightsSql,

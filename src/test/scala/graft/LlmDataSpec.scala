@@ -1334,6 +1334,31 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("cur14: epoch-shuffle audit reconciles epoch 0 with cur13's shards " +
+      "and decorrelation sits near the 1/NumShards chance line") {
+    val shards = graft.llmdata.Curation.packedShards(spark, sf()).collect()
+    val fills = shards.groupBy(_.getAs[Long]("shard"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_tokens")).sum }
+    val rows = graft.llmdata.Curation.epochShuffleAudit(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("epoch")).toSeq == Seq(0L, 1L, 2L))
+    val nBins = rows.map(_.getAs[Long]("n_bins")).toSet
+    assert(nBins.size == 1 && nBins.head == shards.length.toLong,
+      "every epoch permutes the same bin set")
+    val e0 = rows(0)
+    assert(e0.getAs[Long]("min_shard_tokens") == fills.min &&
+      e0.getAs[Long]("max_shard_tokens") == fills.max,
+      "epoch 0 balance must reconcile with cur13's shipped shard fill")
+    assert(e0.isNullAt(e0.fieldIndex("same_shard_prev")) &&
+      e0.isNullAt(e0.fieldIndex("same_frac_prev")))
+    rows.drop(1).foreach { r =>
+      assert(r.getAs[Double]("imbalance") >= 1.0)
+      val f = r.getAs[Double]("same_frac_prev")
+      // chance line is 1/16 = 0.0625; ~280 bins put 3σ well under 0.3
+      assert(f >= 0.0 && f <= 0.3,
+        s"epoch ${r.getAs[Long]("epoch")}: same-shard frac $f not near chance")
+    }
+  }
+
   test("cur3: mixture weights are a distribution and temperature flattens shares") {
     val rows = graft.llmdata.Curation.mixtureWeights(spark, sf()).collect()
     val tokSum = rows.map(_.getAs[Double]("token_share")).sum

@@ -172,6 +172,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       "tx27_tokenizer_audit" -> TextAnalysis.tokenizerAudit _,
       "tx28_bpe_train" -> TextAnalysis.bpeTrain _,
       "cur13_packed_shards" -> graft.llmdata.Curation.packedShards _,
+      "cur14_epoch_shuffle" -> graft.llmdata.Curation.epochShuffleAudit _,
       "mm10_interleaved_packing" -> graft.llmdata.Multimodal.interleavedPacking _)
 
   test("oracle-sensitive queries are invariant to input split size") {

@@ -747,6 +747,19 @@ class PlanQualitySpec extends SparkSpec {
       s"placement window + agg + shard window + output sort only: $exchanges")
   }
 
+  test("cur14: epoch audit rides cur13's bin aggregate — no join, no " +
+      "window, all three epoch assignments computed in one projection") {
+    val p = plan(graft.llmdata.Curation.epochShuffleAudit(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"only the placement window: $windows")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs <= 6, s"three aggregates (bin, epoch-shard, epoch): $aggs")
+  }
+
   test("tx25: synth + extraction are scan-side (one Generate for the " +
       "block explode); no join, no aggregate") {
     val p = plan(graft.llmdata.TextAnalysis.htmlExtract(spark, sf()))
