@@ -1296,7 +1296,10 @@ object Curation {
     *
     * Exactness: balance and decorrelation are divisions of exact BIGINT
     * sums (identical operation order in the twin); NULL for epoch 0's
-    * prev-epoch columns.
+    * prev-epoch columns. A shard that received NO bins — the worst
+    * imbalance, invisible to a min() over populated shards — is
+    * accounted explicitly: `n_empty_shards` > 0 forces
+    * `min_shard_tokens` to 0 and `imbalance` to NULL (unbounded).
     *
     * Scale posture: the per-bin flags and all three shard assignments
     * ride the bin aggregate's output (no re-scan, no join); one Generate
@@ -1326,13 +1329,21 @@ object Curation {
       .groupBy(col("epoch"))
       .agg(
         sum(col("n_bins")).as("n_bins"),
-        min(col("shard_tokens")).as("min_shard_tokens"),
+        min(col("shard_tokens")).as("min_hit_tokens"),
         max(col("shard_tokens")).as("max_shard_tokens"),
+        count(lit(1)).as("n_hit"),
         sum(col("n_same")).as("same_shard_prev"))
+      // a shard with NO bins is the worst imbalance, and the per-shard
+      // aggregate has no row for it — account for it explicitly instead
+      // of letting min() see only the populated shards
       .select(col("epoch"), col("n_bins"),
-        col("min_shard_tokens"), col("max_shard_tokens"),
-        (col("max_shard_tokens").cast(DoubleType)
-          / col("min_shard_tokens").cast(DoubleType)).as("imbalance"),
+        (lit(NumShards) - col("n_hit")).cast(LongType).as("n_empty_shards"),
+        when(col("n_hit") < NumShards, lit(0L))
+          .otherwise(col("min_hit_tokens")).as("min_shard_tokens"),
+        col("max_shard_tokens"),
+        when(col("n_hit") < NumShards, lit(null).cast(DoubleType))
+          .otherwise(col("max_shard_tokens").cast(DoubleType)
+            / col("min_hit_tokens").cast(DoubleType)).as("imbalance"),
         col("same_shard_prev"),
         (col("same_shard_prev").cast(DoubleType)
           / col("n_bins").cast(DoubleType)).as("same_frac_prev"))
@@ -1377,13 +1388,19 @@ object Curation {
          |  FROM ex GROUP BY 1, 2),
          |agg AS (
          |  SELECT epoch, CAST(SUM(n_bins) AS BIGINT) AS n_bins,
-         |    CAST(MIN(shard_tokens) AS BIGINT) AS min_shard_tokens,
+         |    CAST(MIN(shard_tokens) AS BIGINT) AS min_hit_tokens,
          |    CAST(MAX(shard_tokens) AS BIGINT) AS max_shard_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_hit,
          |    CAST(SUM(n_same) AS BIGINT) AS same_shard_prev
          |  FROM pershard GROUP BY 1)
-         |SELECT epoch, n_bins, min_shard_tokens, max_shard_tokens,
-         |  CAST(max_shard_tokens AS DOUBLE) / CAST(min_shard_tokens AS DOUBLE)
-         |    AS imbalance,
+         |SELECT epoch, n_bins,
+         |  CAST($NumShards - n_hit AS BIGINT) AS n_empty_shards,
+         |  CAST(CASE WHEN n_hit < $NumShards THEN 0 ELSE min_hit_tokens END
+         |    AS BIGINT) AS min_shard_tokens,
+         |  max_shard_tokens,
+         |  CASE WHEN n_hit < $NumShards THEN NULL
+         |    ELSE CAST(max_shard_tokens AS DOUBLE)
+         |      / CAST(min_hit_tokens AS DOUBLE) END AS imbalance,
          |  same_shard_prev,
          |  CAST(same_shard_prev AS DOUBLE) / CAST(n_bins AS DOUBLE)
          |    AS same_frac_prev

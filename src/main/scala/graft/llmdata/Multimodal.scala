@@ -923,7 +923,7 @@ object Multimodal {
 
   /** Context-window budget for interleaved sequences — matches the text
     * packer's (tx14/tx26) so the two streams' bins are comparable. */
-  private val SeqBudget = 256
+  private val SeqBudget = TextAnalysis.PackBudget
 
   /** mm10: INTERLEAVED multimodal sequence packing — the batch-assembly
     * step of multimodal LLM training (LLaVA/Fuyu-style): each document

@@ -1953,10 +1953,12 @@ object Similarity {
                           indexPath: String): DataFrame = {
     val stored = spark.read.parquet(s"$indexPath/graph")
     // a batch_id column marks AnnIngest's versioned delta-log layout:
-    // per src_id the highest version's list is the serving adjacency
+    // per src_id the highest COMMITTED version's list is the serving
+    // adjacency (bounded by the /vectors commit marker, so a torn
+    // mid-upsert /graph partition never serves)
     val current =
       if (stored.columns.contains("batch_id"))
-        graft.streaming.AnnIngest.latestView(stored, "src_id")
+        graft.streaming.AnnIngest.latestGraph(spark, indexPath)
       else stored
     serveCore(spark, dir,
       undirected(current.select(col("src_id"), col("neighbor_id")))

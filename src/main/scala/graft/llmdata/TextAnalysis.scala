@@ -1730,7 +1730,20 @@ object TextAnalysis {
         }
         if (pairs.isEmpty) exhausted = true
         else {
-          val (a, b) = pairs.minBy { case ((l, r), c) => (-c, l, r) }._1
+          // tie-break in CODE-POINT order (what Python tuple compare and
+          // DuckDB's UTF-8 binary ORDER BY both use) — Java's natural
+          // String order is UTF-16 code-unit order, which disagrees for
+          // supplementary-plane vs U+E000..U+FFFF symbols
+          val cpOrder: Ordering[String] = (x: String, y: String) => {
+            val xi = x.codePoints().toArray; val yi = y.codePoints().toArray
+            val n = math.min(xi.length, yi.length)
+            var i = 0
+            while (i < n && xi(i) == yi(i)) i += 1
+            if (i < n) Integer.compare(xi(i), yi(i))
+            else Integer.compare(xi.length, yi.length)
+          }
+          val (a, b) = pairs.minBy { case ((l, r), c) => (-c, l, r) }(
+            Ordering.Tuple3(Ordering.Long, cpOrder, cpOrder))._1
           out += ((rank.toLong, a, b))
           val merged = scala.collection.mutable.HashMap.empty[Vector[String], Long]
           vocab.foreach { case (word, c) =>

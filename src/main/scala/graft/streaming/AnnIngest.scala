@@ -86,6 +86,10 @@ object AnnIngest {
     * dropping every prior version partition. */
   private def writeBase(df: DataFrame, path: String): Unit =
     versioned(df, BaseBatchId).write.mode("overwrite")
+      // pinned, not inherited: under a session/global "dynamic" default
+      // this would replace only partition -1 and leave stale delta
+      // partitions outranking the fresh base in every latest view
+      .option("partitionOverwriteMode", "static")
       .partitionBy("batch_id")
       .parquet(path)
 
@@ -102,9 +106,23 @@ object AnnIngest {
       .drop("_mx", "batch_id")
   }
 
-  /** The serving-time latest graph of a versioned index. */
+  /** Highest batch whose COMMIT MARKER landed: the upsert write order
+    * puts /vectors last, so the max batch_id present there is the newest
+    * fully-committed version. Serving reads bound by this so a torn
+    * later /graph or /cells partition (crash between the three writes,
+    * before the replay heals it) never leaks into a query. */
+  def committedBatchId(spark: SparkSession, indexDir: String): Long = {
+    // partition-column inference reads batch_id back as INT — cast
+    val row = spark.read.parquet(s"$indexDir/vectors")
+      .agg(max(col("batch_id").cast(LongType))).collect()(0)
+    if (row.isNullAt(0)) BaseBatchId else row.getLong(0)
+  }
+
+  /** The serving-time latest graph of a versioned index — bounded by
+    * [[committedBatchId]], not by whatever partitions exist. */
   def latestGraph(spark: SparkSession, indexDir: String): DataFrame =
-    latestView(spark.read.parquet(s"$indexDir/graph"), "src_id")
+    latestView(spark.read.parquet(s"$indexDir/graph"), "src_id",
+      committedBatchId(spark, indexDir))
 
   /** Full index build from a fixture dir — the rebuild path an
     * incremental deployment runs periodically. Rebuilding into a live

@@ -1345,6 +1345,8 @@ class LlmDataSpec extends SparkSpec {
     assert(nBins.size == 1 && nBins.head == shards.length.toLong,
       "every epoch permutes the same bin set")
     val e0 = rows(0)
+    assert(rows.forall(_.getAs[Long]("n_empty_shards") == 0L),
+      "fixture bins populate every shard; empty-shard accounting is 0 here")
     assert(e0.getAs[Long]("min_shard_tokens") == fills.min &&
       e0.getAs[Long]("max_shard_tokens") == fills.max,
       "epoch 0 balance must reconcile with cur13's shipped shard fill")
@@ -1356,6 +1358,25 @@ class LlmDataSpec extends SparkSpec {
       // chance line is 1/16 = 0.0625; ~280 bins put 3σ well under 0.3
       assert(f >= 0.0 && f <= 0.3,
         s"epoch ${r.getAs[Long]("epoch")}: same-shard frac $f not near chance")
+    }
+  }
+
+  test("bpe twin contract tripwire: fixture text contains no U+001F — the " +
+      "twin's token-stream separator") {
+    // The JVM encoder treats a U+001F-bearing word as ONE opaque token
+    // (BpeUtil's guard), but the DuckDB twin's separator arithmetic
+    // would count its embedded U+001F as a token boundary and its toks
+    // rendering would replace it with a space. The fixtures contain no
+    // U+001F, which is what keeps the two readings equivalent — this
+    // test turns that silent assumption into a checked contract so a
+    // fixture regeneration that violates it fails HERE, not as an
+    // unexplained hash mismatch in tx24/tx26/tx27/mm10/cur13/cur14.
+    import org.apache.spark.sql.functions.col
+    for (d <- Seq(sf(), sf("sf0.01"))) {
+      val n = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("text").contains("\u001f")).count()
+      assert(n == 0L, s"$d: $n documents contain U+001F — strip it " +
+        "upstream or rework the twin's token-stream encoding")
     }
   }
 
