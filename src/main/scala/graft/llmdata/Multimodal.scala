@@ -961,9 +961,9 @@ object Multimodal {
       .select(col("source"), col("doc_id"), col("kind"),
         col("n_text_tokens"), col("n_patch_tokens"), col("n_total"),
         col("seq_offset"),
-        floor(col("seq_offset") / SeqBudget).as("start_bin"),
-        floor((col("seq_offset") + greatest(col("n_total"), lit(1L)) - 1)
-          / SeqBudget).as("end_bin"))
+        TextAnalysis.startBinCol(col("seq_offset"), SeqBudget).as("start_bin"),
+        TextAnalysis.endBinCol(col("seq_offset"), col("n_total"), SeqBudget)
+          .as("end_bin"))
       .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
       .withColumn("patch_share",
         when(col("n_total") === 0L, lit(null).cast(DoubleType))

@@ -1504,6 +1504,17 @@ object TextAnalysis {
     * offset; at 100 TB the packing unit is the per-source input shard,
     * which is exactly the partitionBy. Both cumulative sums share one
     * Window (PlanQualitySpec pins the single exchange). */
+  /** Placement algebra shared by the packers (tx26 / mm10 — and, in
+    * scalar form, the streaming PackingIngest): the bin range of a
+    * [offset, offset + n) token footprint under `budget`-token bins;
+    * a zero-token doc occupies the single bin at its offset. One
+    * definition so the empty-doc convention cannot desynchronize. */
+  private[llmdata] def startBinCol(offset: Column, budget: Int): Column =
+    floor(offset / budget)
+  private[llmdata] def endBinCol(offset: Column, n: Column,
+                                 budget: Int): Column =
+    floor((offset + greatest(n, lit(1L)) - 1) / budget)
+
   def bpePacking(spark: SparkSession, dir: String): DataFrame =
     bpePackingCore(spark, dir).orderBy(col("source"), col("doc_id"))
 
@@ -1526,10 +1537,9 @@ object TextAnalysis {
       .withColumn("ws_offset", coalesce(sum(col("n_ws")).over(w), lit(0L)))
       .select(col("source"), col("doc_id"), col("n_bpe"), col("n_ws"),
         col("tok_offset"),
-        floor(col("tok_offset") / PackBudget).as("start_bin"),
-        floor((col("tok_offset") + greatest(col("n_bpe"), lit(1L)) - 1)
-          / PackBudget).as("end_bin"),
-        floor(col("ws_offset") / PackBudget).as("ws_start_bin"))
+        startBinCol(col("tok_offset"), PackBudget).as("start_bin"),
+        endBinCol(col("tok_offset"), col("n_bpe"), PackBudget).as("end_bin"),
+        startBinCol(col("ws_offset"), PackBudget).as("ws_start_bin"))
       .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
       .withColumn("bin_drift", col("start_bin") - col("ws_start_bin"))
   }
