@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("winnow_fps", classOf[WinnowFingerprints],
       args => WinnowFingerprints(args(0), intArg(args(1), "winnow_fps"),
         intArg(args(2), "winnow_fps")))
-    reg("bpe_encode", classOf[BpeEncode], args => BpeEncode(args(0)))
+    reg("bpe_encode", classOf[BpeEncode], args =>
+      if (args.length > 1) BpeEncode(args(0), intArg(args(1), "bpe_encode"))
+      else BpeEncode(args(0)))
   }
 }

@@ -1407,7 +1407,157 @@ object Curation {
          |FROM agg ORDER BY epoch""".stripMargin
   }
 
+  // --------- cur15: crawl → corpus (tx25 extraction composed into the gate)
+
+  /** cur15: the "crawl to corpus" loop a real pipeline runs — tx25's
+    * boilerplate extraction composed END-TO-END into cur1's curation gate,
+    * with the per-stage ledger a curation owner reads to see where crawl
+    * volume dies. Stages: crawl-shaped markup → per-block classify (tx25's
+    * exact integer rules) → reassemble the `good` blocks in block order
+    * into the document's cleaned text → cur1's gate on the REBUILT text
+    * (marker lang-ID, exact-dup keep-lowest-doc_id, quality floor).
+    * Every extracted document lands in exactly ONE bucket (cur2's
+    * precedence idiom):
+    *   - `no_good_blocks`     — extraction left nothing (all blocks
+    *     short/boilerplate/low_text); the doc never reaches the gate
+    *   - `removed_dup`        — exact dup of a lower doc_id's rebuilt text
+    *   - `removed_lang`       — no language marker survived extraction
+    *   - `removed_quality`    — rebuilt text under cur1's 0.45 floor
+    *   - `kept`               — enters the corpus
+    * plus the per-stage volumes (blocks seen, good blocks, rebuilt words)
+    * and the nano-int exact avg quality (NULL for `no_good_blocks`, where
+    * quality is undefined). Documents whose raw text is empty never
+    * produce a block (tx25's input filter) and are upstream of this
+    * ledger, as in tx25 itself.
+    *
+    * Scale posture: no new shuffle class beyond cur1's — the extractor is
+    * scan-side (one Generate), reassembly is ONE keyed aggregate, the dup
+    * rule is cur1's one window, the ledger one tiny aggregate
+    * (PlanQualitySpec pins window count and join absence). At 100 TB the
+    * rebuilt-text aggregate is the same per-doc combine every curation
+    * stack pays once. */
+  def crawlCuration(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = TextAnalysis.htmlExtractCore(spark, dir)
+    val perdoc = blocks.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("klass") === "good", 1L).otherwise(0L)).as("n_good"),
+        array_join(transform(array_sort(collect_list(
+          when(col("klass") === "good",
+            struct(col("block_idx"), col("clean_text"))))),
+          e => e.getField("clean_text")), " ").as("rebuilt"))
+    val rwords = split(col("rebuilt"), " ")
+    def hits(markers: Seq[String]): Column =
+      size(filter(rwords, w => markers.map(w === _).reduce(_ || _))).cast(LongType)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val es = hits(Seq("el", "la", "de", "que"))
+    val fr = hits(Seq("le", "les", "des", "une"))
+    val de = hits(Seq("der", "und", "die", "nicht"))
+    val best = greatest(en, es, fr, de)
+    val pred = when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(es === best, lit("es"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("de"))
+    val nw = size(rwords).cast(DoubleType)
+    val ndw = size(array_distinct(rwords)).cast(DoubleType)
+    val quality =
+      least(nw / lit(80.0), lit(1.0)) * lit(0.5) + (ndw / nw) * lit(0.5)
+    val scored = perdoc.select(
+      col("doc_id"), col("n_blocks"), col("n_good"),
+      when(col("n_good") === 0, 0L)
+        .otherwise(size(rwords).cast(LongType)).as("n_words"),
+      when(col("n_good") > 0, pred).as("pred_lang"),
+      when(col("n_good") > 0, quality).as("quality"),
+      md5(col("rebuilt")).as("content_hash"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+    scored.select(
+      when(col("n_good") === 0, "no_good_blocks")
+        .when(col("_rn") > 1, "removed_dup")
+        .when(col("pred_lang") === "und", "removed_lang")
+        .when(col("quality") < 0.45, "removed_quality")
+        .otherwise("kept").as("bucket"),
+      col("n_blocks"), col("n_good"), col("n_words"), col("quality"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_blocks")).as("n_blocks"),
+        sum(col("n_good")).as("n_good_blocks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("quality").isNotNull, 1L).otherwise(0L)).as("_nq"),
+        sum(when(col("quality").isNotNull,
+          round(col("quality") * lit(1e9)).cast(LongType)).otherwise(0L))
+          .as("_qsum"))
+      .select(col("bucket"), col("n_docs"), col("n_blocks"),
+        col("n_good_blocks"), col("n_words"),
+        when(col("_nq") === 0, lit(null).cast(DoubleType))
+          .otherwise((col("_qsum").cast(DoubleType) / col("_nq")) / lit(1e9))
+          .as("avg_quality"))
+      .orderBy(col("bucket"))
+  }
+
+  val crawlCurationSql: String = TextAnalysis.htmlExtractCtes + ",\n" +
+    s"""perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(sum(CASE WHEN klass = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_good,
+       |    coalesce(string_agg(CASE WHEN klass = 'good' THEN clean_text END,
+       |      ' ' ORDER BY block_idx), '') AS rebuilt
+       |  FROM blk GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_blocks, n_good,
+       |    CASE WHEN n_good = 0 THEN 0
+       |      ELSE CAST(len(string_split(rebuilt, ' ')) AS BIGINT) END AS n_words,
+       |    CASE WHEN n_good = 0 THEN NULL
+       |      WHEN greatest(en,es,fr,de) = 0 THEN 'und'
+       |      WHEN en = greatest(en,es,fr,de) THEN 'en'
+       |      WHEN es = greatest(en,es,fr,de) THEN 'es'
+       |      WHEN fr = greatest(en,es,fr,de) THEN 'fr'
+       |      ELSE 'de' END AS pred_lang,
+       |    CASE WHEN n_good = 0 THEN NULL ELSE
+       |      least(CAST(len(string_split(rebuilt,' ')) AS DOUBLE) / 80.0, 1.0)
+       |        * 0.5 +
+       |      (CAST(len(list_distinct(string_split(rebuilt,' '))) AS DOUBLE) /
+       |       CAST(len(string_split(rebuilt,' ')) AS DOUBLE)) * 0.5 END
+       |      AS quality,
+       |    row_number() OVER (PARTITION BY md5(rebuilt) ORDER BY doc_id) AS rn
+       |  FROM (SELECT *,
+       |    len(list_filter(string_split(rebuilt,' '),
+       |      w -> w='the' OR w='and' OR w='of' OR w='is')) AS en,
+       |    len(list_filter(string_split(rebuilt,' '),
+       |      w -> w='el' OR w='la' OR w='de' OR w='que')) AS es,
+       |    len(list_filter(string_split(rebuilt,' '),
+       |      w -> w='le' OR w='les' OR w='des' OR w='une')) AS fr,
+       |    len(list_filter(string_split(rebuilt,' '),
+       |      w -> w='der' OR w='und' OR w='die' OR w='nicht')) AS de
+       |  FROM perdoc)),
+       |ledger AS (
+       |  SELECT
+       |    CASE WHEN n_good = 0 THEN 'no_good_blocks'
+       |         WHEN rn > 1 THEN 'removed_dup'
+       |         WHEN pred_lang = 'und' THEN 'removed_lang'
+       |         WHEN quality < 0.45 THEN 'removed_quality'
+       |         ELSE 'kept' END AS bucket,
+       |    n_blocks, n_good, n_words, quality
+       |  FROM scored)
+       |SELECT bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+       |  CAST(sum(n_good) AS BIGINT) AS n_good_blocks,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CASE WHEN sum(CASE WHEN quality IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |    THEN NULL
+       |    ELSE (CAST(sum(CASE WHEN quality IS NOT NULL
+       |        THEN CAST(round(quality * 1000000000.0) AS BIGINT)
+       |        ELSE 0 END) AS DOUBLE)
+       |      / sum(CASE WHEN quality IS NOT NULL THEN 1 ELSE 0 END))
+       |      / 1000000000.0 END AS avg_quality
+       |FROM ledger GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur15_crawl_curation" -> crawlCuration,
     "cur14_epoch_shuffle" -> epochShuffleAudit,
     "cur13_packed_shards" -> packedShards,
     "cur12_trigram_lm_filter" -> trigramLmFilter,
@@ -1425,6 +1575,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur15_crawl_curation" -> crawlCurationSql,
     "cur14_epoch_shuffle" -> epochShuffleAuditSql,
     "cur13_packed_shards" -> packedShardsSql,
     "cur12_trigram_lm_filter" -> trigramLmFilterSql,

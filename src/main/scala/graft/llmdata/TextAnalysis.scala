@@ -1300,11 +1300,16 @@ object TextAnalysis {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** The baked merge table as a SQL VALUES literal — single source of
-    * truth is the generated [[BpeMerges]] constant. */
-  private def bpeMergesValues: String = BpeMerges.Merges.zipWithIndex
-    .map { case ((a, b), i) => s"($i,${sqlLit(a)},${sqlLit(b)})" }
-    .mkString(",")
+  /** A merge table as a SQL VALUES literal — single source of truth is
+    * the generated [[BpeMerges]] constant ([[BpeMerges.Band]] for the
+    * documents-family twins, [[BpeMerges.Full]] for the cross-domain
+    * audit's realistic-size table). */
+  private def bpeMergesValuesOf(ms: IndexedSeq[(String, String)]): String =
+    ms.zipWithIndex
+      .map { case ((a, b), i) => s"($i,${sqlLit(a)},${sqlLit(b)})" }
+      .mkString(",")
+
+  private def bpeMergesValues: String = bpeMergesValuesOf(BpeMerges.Merges)
 
   /** Shared CTE chain for the BPE twins: ends at `per(doc_id, ts)` — the
     * per-document U+001F-joined token stream. tx24 renders it; tx26
@@ -1400,7 +1405,14 @@ object TextAnalysis {
     * (PlanQualitySpec pins it). Per-block rows keep the downstream
     * choice open: a curation pass keeps `good` blocks' clean_text,
     * an audit reads the signals. */
-  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlExtractCore(spark, dir).orderBy(col("doc_id"), col("block_idx"))
+
+  /** tx25's per-block classification without the output sort — cur15
+    * builds its crawl→corpus reassembly on this so the extractor's
+    * ORDER BY never rides into the curation plan as a dead mid-plan
+    * exchange. */
+  private[llmdata] def htmlExtractCore(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -1438,10 +1450,12 @@ object TextAnalysis {
           .when(col("n_stop") * 10 >= col("n_words"), "good")
           .otherwise("low_text").as("klass"),
         col("clean_text"))
-      .orderBy(col("doc_id"), col("block_idx"))
   }
 
-  val htmlExtractSql: String = {
+  /** Shared twin CTE chain for the extractor: ends at `blk(doc_id,
+    * block_idx, n_words, n_links, n_stop, klass, clean_text)`. tx25
+    * renders it; cur15 reassembles `good` blocks into a cleaned corpus. */
+  private[llmdata] val htmlExtractCtes: String = {
     val stops = ExtractStopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -1470,15 +1484,20 @@ object TextAnalysis {
        |      AS BIGINT) AS n_links,
        |    CAST(len(list_filter(string_split_regex(raw_text, ' +'),
        |      w -> w IN ($stops))) AS BIGINT) AS n_stop
-       |  FROM seg)
-       |SELECT doc_id, block_idx, n_words, n_links, n_stop,
-       |  CASE WHEN n_words < 8 THEN 'short'
-       |       WHEN 3 * n_links > n_words THEN 'boilerplate'
-       |       WHEN 10 * n_stop >= n_words THEN 'good'
-       |       ELSE 'low_text' END AS klass,
-       |  clean_text
-       |FROM sig ORDER BY doc_id, block_idx""".stripMargin
+       |  FROM seg),
+       |blk AS (
+       |  SELECT doc_id, block_idx, n_words, n_links, n_stop,
+       |    CASE WHEN n_words < 8 THEN 'short'
+       |         WHEN 3 * n_links > n_words THEN 'boilerplate'
+       |         WHEN 10 * n_stop >= n_words THEN 'good'
+       |         ELSE 'low_text' END AS klass,
+       |    clean_text
+       |  FROM sig)""".stripMargin
   }
+
+  val htmlExtractSql: String = htmlExtractCtes + "\n" +
+    """SELECT doc_id, block_idx, n_words, n_links, n_stop, klass, clean_text
+      |FROM blk ORDER BY doc_id, block_idx""".stripMargin
 
   // --------------- tx26: sequence packing on REAL BPE token budgets
 
@@ -1672,9 +1691,13 @@ object TextAnalysis {
 
   // ------------------ tx28: in-engine BPE tokenizer training
 
-  /** Number of merges the in-engine trainer learns — matches the offline
-    * `tools/train_bpe.py` default so tx28's output at sf0.01 IS the baked
-    * [[BpeMerges]] artifact (three implementations, one table). */
+  /** Number of merges the tx28 QUERY learns over the documents corpus —
+    * small enough for the 40-level unrolled DuckDB twin to gate it
+    * exactly. The realistic-size table ([[BpeMerges.Full]], 2000 merges
+    * over [[BpeCorpus.unionWordFreq]]) is gated by trainer parity
+    * instead: LlmDataSpec asserts [[bpeTrainOn]] at N=2000 reproduces
+    * the baked Python-trained artifact bit-for-bit (the twin cannot
+    * unroll 2000 CTE levels). */
   private val BpeTrainMerges = 40
 
   /** tx28: BPE tokenizer TRAINING in-engine — closes the tokenizer
@@ -1704,76 +1727,114 @@ object TextAnalysis {
     * The twin trains the same table via a 40-level unrolled MATERIALIZED
     * CTE chain (argmax + single-pair merge per level, on the same
     * double-separator encoding as tx24's apply chain). */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOn(BpeCorpus.documentsWordFreq(spark, dir), BpeTrainMerges)
+
+  /** Code-point string order (what Python tuple compare and DuckDB's
+    * UTF-8 binary ORDER BY both use) — Java's natural String order is
+    * UTF-16 code-unit order, which disagrees for supplementary-plane vs
+    * U+E000..U+FFFF symbols. */
+  private val cpOrder: Ordering[String] = (x: String, y: String) => {
+    val xi = x.codePoints().toArray; val yi = y.codePoints().toArray
+    val n = math.min(xi.length, yi.length)
+    var i = 0
+    while (i < n && xi(i) == yi(i)) i += 1
+    if (i < n) Integer.compare(xi(i), yi(i))
+    else Integer.compare(xi.length, yi.length)
+  }
+
+  /** BPE training over an arbitrary word-frequency table — tx28's engine,
+    * parameterized so the same loop trains both the 40-merge documents
+    * oracle table and the 2000-merge union-corpus artifact (the parity
+    * spec's subject). The corpus-scale reduce stays distributed; the
+    * merge loop ships the compacted vocabulary to ONE executor task. */
+  private[graft] def bpeTrainOn(wordFreq: DataFrame, nMerges: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
     import spark.implicits._
-    val wordFreq = t(spark, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .as[(String, Long)]
-    wordFreq.repartition(1).mapPartitions { it =>
-      // seed: each word as its code-point sequence, frequency-weighted
-      var vocab = scala.collection.mutable.HashMap.empty[Vector[String], Long]
-      it.foreach { case (w, c) =>
-        val cps = Vector.newBuilder[String]
-        var i = 0
-        while (i < w.length) {
-          val n = Character.charCount(w.codePointAt(i))
-          cps += w.substring(i, i + n); i += n
-        }
-        val key = cps.result()
-        vocab(key) = vocab.getOrElse(key, 0L) + c
-      }
-      val out = Vector.newBuilder[(Long, String, String)]
-      var rank = 0
-      var exhausted = false
-      while (rank < BpeTrainMerges && !exhausted) {
-        val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        vocab.foreach { case (word, c) =>
-          var i = 0
-          while (i < word.length - 1) {
-            val p = (word(i), word(i + 1))
-            pairs(p) = pairs.getOrElse(p, 0L) + c
-            i += 1
-          }
-        }
-        if (pairs.isEmpty) exhausted = true
-        else {
-          // tie-break in CODE-POINT order (what Python tuple compare and
-          // DuckDB's UTF-8 binary ORDER BY both use) — Java's natural
-          // String order is UTF-16 code-unit order, which disagrees for
-          // supplementary-plane vs U+E000..U+FFFF symbols
-          val cpOrder: Ordering[String] = (x: String, y: String) => {
-            val xi = x.codePoints().toArray; val yi = y.codePoints().toArray
-            val n = math.min(xi.length, yi.length)
-            var i = 0
-            while (i < n && xi(i) == yi(i)) i += 1
-            if (i < n) Integer.compare(xi(i), yi(i))
-            else Integer.compare(xi.length, yi.length)
-          }
-          val (a, b) = pairs.minBy { case ((l, r), c) => (-c, l, r) }(
-            Ordering.Tuple3(Ordering.Long, cpOrder, cpOrder))._1
-          out += ((rank.toLong, a, b))
-          val merged = scala.collection.mutable.HashMap.empty[Vector[String], Long]
-          vocab.foreach { case (word, c) =>
-            val nw = Vector.newBuilder[String]
-            var i = 0
-            while (i < word.length) {
-              if (i + 1 < word.length && word(i) == a && word(i + 1) == b) {
-                nw += a + b; i += 2
-              } else { nw += word(i); i += 1 }
-            }
-            val key = nw.result()
-            merged(key) = merged.getOrElse(key, 0L) + c
-          }
-          vocab = merged
-          rank += 1
-        }
-      }
-      out.result().iterator
+    wordFreq.as[(String, Long)].repartition(1).mapPartitions { it =>
+      trainMerges(it, nMerges).iterator
     }.toDF("merge_rank", "pair_left", "pair_right")
       .orderBy(col("merge_rank"))
+  }
+
+  /** The in-task merge loop, with the INCREMENTAL pair-statistics update
+    * the published subword-nmt implementation uses: pair → exact count
+    * plus pair → affected-word index, so each merge touches only the
+    * words containing the merged pair. Total cost is bounded by total
+    * merge applications (each shortens one word by one symbol), NOT
+    * O(|vocab| · merges) — at 2000 merges over the 16k-word union
+    * vocabulary this is ~100× less work than the full recount, and the
+    * counts (hence argmax + tie-break, hence the table) are bit-identical
+    * to the naive loop because the increments are exact. */
+  private[llmdata] def trainMerges(
+      it: Iterator[(String, Long)], nMerges: Int): Vector[(Long, String, String)] = {
+    import scala.collection.mutable
+    // seed: each word as its code-point sequence, frequency-weighted
+    val words = mutable.ArrayBuffer.empty[Array[String]]
+    val freq = mutable.ArrayBuffer.empty[Long]
+    it.foreach { case (w, c) =>
+      val cps = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        cps += w.substring(i, i + n); i += n
+      }
+      words += cps.toArray
+      freq += c
+    }
+    val pc = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi); val c = freq(wi)
+      var i = 0
+      while (i < w.length - 1) {
+        val p = (w(i), w(i + 1))
+        pc.update(p, pc.getOrElse(p, 0L) + c)
+        occ.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    val pairOrd = Ordering.Tuple3(Ordering.Long, cpOrder, cpOrder)
+    val out = Vector.newBuilder[(Long, String, String)]
+    var rank = 0
+    while (rank < nMerges && pc.nonEmpty) {
+      val (a, b) = pc.minBy { case ((l, r), c) => (-c, l, r) }(pairOrd)._1
+      out += ((rank.toLong, a, b))
+      val affected = occ.getOrElse((a, b), mutable.Set.empty).toArray
+      java.util.Arrays.sort(affected) // deterministic touch order (counts
+      // are order-independent, but keep the walk reproducible anyway)
+      affected.foreach { wi =>
+        val w = words(wi); val c = freq(wi)
+        var i = 0
+        while (i < w.length - 1) {
+          val p = (w(i), w(i + 1))
+          val nv = pc(p) - c
+          if (nv == 0L) pc.remove(p) else pc.update(p, nv)
+          i += 1
+        }
+        val nw = mutable.ArrayBuffer.empty[String]
+        i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+            nw += a + b; i += 2
+          } else { nw += w(i); i += 1 }
+        }
+        words(wi) = nw.toArray
+        val u = words(wi)
+        i = 0
+        while (i < u.length - 1) {
+          val p = (u(i), u(i + 1))
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+          occ.getOrElseUpdate(p, mutable.Set.empty) += wi
+          i += 1
+        }
+      }
+      occ.remove((a, b))
+      rank += 1
+    }
+    out.result()
   }
 
   /** The twin's per-level pair: argmax over adjacent pairs of the
@@ -1814,7 +1875,135 @@ object TextAnalysis {
         .mkString(" UNION ALL ") +
       "\n) ORDER BY merge_rank"
 
+  // ------------- tx29: cross-domain tokenizer audit (realistic table)
+
+  /** tx29: tx27's tokenizer-health dashboard run CROSS-DOMAIN under the
+    * realistic-size merge table ([[BpeMerges.Full]], 2000 merges over the
+    * union corpus — see [[BpeCorpus]]): the comparison a tokenizer owner
+    * reads before reusing one tokenizer across heterogeneous shards.
+    * Domains (one row each): `documents` (prose — a CLOSED 31-word
+    * in-vocabulary surface, so under the full table it saturates at
+    * fertility exactly 1.0, the asymptote any tokenizer reaches on its
+    * own closed training set), `part_names` (a 16-word color vocabulary —
+    * also saturates) and `supplier_names` (ID-shaped text with digit
+    * tails — runs HOT: the digit diversity keeps names multi-token, the
+    * published pattern of numeric/ID domains). The documents-family
+    * operators deliberately DON'T use this table: the mid-band
+    * [[BpeMerges.Band]] prefix keeps their fertility/packing-drift
+    * signals alive (see [[BpeMerges]] scaladoc for the measured
+    * saturation that forces the split).
+    *
+    * Scale posture: identical to tx27 — the encode rides in the task
+    * binary (zero data movement), one scan per domain table, one tiny
+    * per-domain combinable aggregate; no join.  */
+  def bpeDomainAudit(spark: SparkSession, dir: String): DataFrame = {
+    val full = BpeMerges.Full.length
+    def enc(c: Column) = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(org.apache.spark.sql.GraftColumn.expr(c), full))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    val domains = Seq(
+      ("documents", t(spark, dir, "documents").select(col("text").as("s"))),
+      ("part_names", t(spark, dir, "part").select(col("p_name").as("s"))),
+      ("supplier_names", t(spark, dir, "supplier").select(col("s_name").as("s"))))
+    domains.map { case (d, df) =>
+      df.filter(col("s").isNotNull).select(lit(d).as("domain"), col("s"))
+    }.reduce(_.unionAll(_))
+      .select(col("domain"),
+        size(filter(split(col("s"), " "), x => x =!= ""))
+          .cast(LongType).as("nw"),
+        enc(col("s")).as("tk"))
+      .select(col("domain"), col("nw"),
+        size(col("tk")).cast(LongType).as("nt"),
+        length(array_join(col("tk"), "")).cast(LongType).as("nc"),
+        size(filter(col("tk"), x => length(x) === 1))
+          .cast(LongType).as("n1"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("n1")).as("n_single"))
+      .select(col("domain"), col("n_rows"), col("n_words"), col("n_tokens"),
+        col("n_chars"), col("n_single"),
+        ratio(col("n_tokens"), col("n_words")).as("fertility"),
+        ratio(col("n_chars"), col("n_tokens")).as("chars_per_token"),
+        ratio(col("n_single"), col("n_tokens")).as("single_char_share"))
+      .orderBy(col("domain"))
+  }
+
+  val bpeDomainAuditSql: String =
+    s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES ${bpeMergesValuesOf(BpeMerges.Full)}),
+       |src AS (
+       |  SELECT 'documents' AS domain, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'part_names' AS domain, unnest(string_split(p_name, ' ')) AS w
+       |  FROM part WHERE p_name IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'supplier_names' AS domain, unnest(string_split(s_name, ' ')) AS w
+       |  FROM supplier WHERE s_name IS NOT NULL),
+       |srcw AS (SELECT domain, w FROM src WHERE w <> ''),
+       |rowsrc AS (
+       |  SELECT 'documents' AS domain, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'part_names', CAST(count(*) AS BIGINT) FROM part
+       |  WHERE p_name IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'supplier_names', CAST(count(*) AS BIGINT) FROM supplier
+       |  WHERE s_name IS NOT NULL),
+       |dwords AS (
+       |  SELECT DISTINCT w FROM srcw WHERE strpos(w, chr(31)) = 0),
+       |enc AS (
+       |  SELECT w,
+       |    regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')
+       |      || chr(31) || chr(31) AS s
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s,
+       |      chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31),
+       |      chr(31) || p.a || p.b || chr(31)) AS s
+       |  FROM enc e, LATERAL (
+       |    SELECT m.a, m.b FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0
+       |    ORDER BY m.rank LIMIT 1) p),
+       |final AS (
+       |  SELECT w, trim(replace(s, chr(31) || chr(31), chr(31)), chr(31)) AS s
+       |  FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0)),
+       |tokw AS (
+       |  SELECT sw.domain, coalesce(f.s, sw.w) AS s
+       |  FROM srcw sw LEFT JOIN final f ON f.w = sw.w),
+       |agg AS (
+       |  SELECT domain,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(s) - len(replace(s, chr(31), '')) + 1) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(SUM(len(replace(s, chr(31), ''))) AS BIGINT) AS n_chars,
+       |    CAST(SUM(len(list_filter(string_split(s, chr(31)),
+       |      t -> len(t) = 1))) AS BIGINT) AS n_single
+       |  FROM tokw GROUP BY domain)
+       |SELECT a.domain, r.n_rows, a.n_words, a.n_tokens, a.n_chars, a.n_single,
+       |  CASE WHEN a.n_words = 0 THEN NULL
+       |    ELSE CAST(a.n_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE) END
+       |    AS fertility,
+       |  CASE WHEN a.n_tokens = 0 THEN NULL
+       |    ELSE CAST(a.n_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END
+       |    AS chars_per_token,
+       |  CASE WHEN a.n_tokens = 0 THEN NULL
+       |    ELSE CAST(a.n_single AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END
+       |    AS single_char_share
+       |FROM agg a JOIN rowsrc r USING (domain)
+       |ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx29_bpe_domain_audit" -> bpeDomainAudit,
     "tx28_bpe_train" -> bpeTrain,
     "tx27_tokenizer_audit" -> tokenizerAudit,
     "tx26_bpe_packing" -> bpePacking,
@@ -1845,6 +2034,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx29_bpe_domain_audit" -> bpeDomainAuditSql,
     "tx28_bpe_train" -> bpeTrainSql,
     "tx27_tokenizer_audit" -> tokenizerAuditSql,
     "tx26_bpe_packing" -> bpePackingSql,

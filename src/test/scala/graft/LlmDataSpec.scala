@@ -1277,15 +1277,56 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
-  test("tx28: in-engine BPE training reproduces the offline-trained baked " +
-      "artifact at sf0.01 — three implementations, one merge table") {
+  test("tx28: in-engine BPE training reproduces the offline-trained " +
+      "40-merge documents table at sf0.01 — three implementations, one table") {
     val rows = graft.llmdata.TextAnalysis.bpeTrain(spark, sf("sf0.01")).collect()
-    assert(rows.length == graft.llmdata.BpeMerges.Merges.length)
+    assert(rows.length == BpeMergesDoc40.Merges.length)
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(r.getAs[Long]("merge_rank") == i.toLong)
-      val (a, b) = graft.llmdata.BpeMerges.Merges(i)
+      val (a, b) = BpeMergesDoc40.Merges(i)
       assert(r.getAs[String]("pair_left") == a && r.getAs[String]("pair_right") == b,
         s"rank $i: (${r.getAs[String]("pair_left")}, ${r.getAs[String]("pair_right")}) != ($a, $b)")
+    }
+  }
+
+  test("BPE trainer parity at realistic table size: the Spark trainer at " +
+      "N=2000 on the sf0.1 union corpus reproduces the baked Python-trained " +
+      "BpeMerges.Full bit-for-bit (the 2000-level table the DuckDB twin " +
+      "cannot unroll)") {
+    val full = graft.llmdata.BpeMerges.Full
+    assert(full.length >= 2000, s"baked table has ${full.length} merges")
+    assert(graft.llmdata.BpeMerges.BandN > 0 &&
+      graft.llmdata.BpeMerges.BandN < full.length)
+    assert(graft.llmdata.BpeMerges.Band == full.take(graft.llmdata.BpeMerges.BandN))
+    val rows = graft.llmdata.TextAnalysis.bpeTrainOn(
+      graft.llmdata.BpeCorpus.unionWordFreq(spark, "/root/testdata/sf0.1"),
+      full.length).collect()
+    assert(rows.length == full.length,
+      s"trained ${rows.length} merges, baked ${full.length}")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("merge_rank") == i.toLong)
+      val (a, b) = full(i)
+      assert(r.getAs[String]("pair_left") == a && r.getAs[String]("pair_right") == b,
+        s"rank $i: (${r.getAs[String]("pair_left")}, ${r.getAs[String]("pair_right")}) != ($a, $b)")
+    }
+  }
+
+  test("tx29: cross-domain audit under the full table — prose saturates at " +
+      "fertility 1.0 (closed in-vocab surface), ID-shaped names run hot") {
+    val rows = graft.llmdata.TextAnalysis.bpeDomainAudit(spark, sf("sf0.01"))
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(rows.keySet == Set("documents", "part_names", "supplier_names"))
+    // closed 31-word prose vocabulary: every word fully merged by the
+    // realistic-size table -> fertility exactly 1.0 (the measured
+    // saturation that forces the Band/Full split)
+    assert(rows("documents").getAs[Double]("fertility") == 1.0)
+    // ID domain: digit tails keep names multi-token under ANY table
+    // trained at natural frequencies -> strictly hotter than prose
+    assert(rows("supplier_names").getAs[Double]("fertility") > 1.0)
+    rows.values.foreach { r =>
+      val (nw, nt) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      assert(nt >= nw && r.getAs[Double]("fertility") == nt.toDouble / nw)
+      assert(r.getAs[Double]("chars_per_token") > 1.0)
     }
   }
 

@@ -171,6 +171,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       "tx26_bpe_packing" -> TextAnalysis.bpePacking _,
       "tx27_tokenizer_audit" -> TextAnalysis.tokenizerAudit _,
       "tx28_bpe_train" -> TextAnalysis.bpeTrain _,
+      // r15: tx29's full-table encode over three domain scans
+      "tx29_bpe_domain_audit" -> TextAnalysis.bpeDomainAudit _,
       "cur13_packed_shards" -> graft.llmdata.Curation.packedShards _,
       "cur14_epoch_shuffle" -> graft.llmdata.Curation.epochShuffleAudit _,
       "mm10_interleaved_packing" -> graft.llmdata.Multimodal.interleavedPacking _)

@@ -702,6 +702,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("tx29: cross-domain audit is tx27's shape over three domain scans — " +
+      "the full-table encode rides each scan; one union aggregate, no join") {
+    val p = plan(graft.llmdata.TextAnalysis.bpeDomainAudit(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("Window"))
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE aggregate: $aggs")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 2, s"agg exchange + output sort only: $exchanges")
+    Seq("documents.parquet", "part.parquet", "supplier.parquet").foreach { f =>
+      val scans = p.linesIterator.filter(_.contains("Location"))
+        .count(_.contains(f))
+      assert(scans == 1, s"$f scans: $scans")
+    }
+  }
+
   test("mm10: interleaved packing is tx26's shape — encode + patch count " +
       "scan-side, one Window, no join") {
     val p = plan(graft.llmdata.Multimodal.interleavedPacking(spark, sf()))
