@@ -292,6 +292,15 @@ object Bench {
       s""""cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
       s""""cdc_pipeline_events_per_sec_marginal":${ms(epsMarginal)},""" +
       s""""cdc_pipeline_events_per_sec_postbattery":${ms(epsPost)},""" +
+      // the standing noise-protocol rule (r14 verdict task 8): the CDC
+      // probes are SF-independent, so they fingerprint the measurement
+      // window — adjudicate per-query deltas only between runs whose
+      // fresh-probe numbers match (±10%); elsewhere a uniform family-wide
+      // shift is ambient window state, not a plan regression
+      s""""noise_protocol":"per-query deltas are comparable only between """ +
+      s"""runs whose cdc_pipeline_events_per_sec match within ~10%; """ +
+      s"""probe-mismatched windows adjudicate as ambient (BENCH_RUNS.json """ +
+      s"""has per-run maps)",""" +
       s""""sf":"$sfDir","duckdb_total_secs":${ms(duckdbTotal)},""" +
       s""""duckdb_baseline_status":${jq(duckdbStatus)},""" +
       s""""runs":$batteryRuns,""" +

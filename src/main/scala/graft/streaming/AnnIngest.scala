@@ -240,10 +240,111 @@ object AnnIngest {
     writeDelta(vectorsDelta, s"$indexDir/vectors", batchId)
   }
 
+  // -------------------------------------------------------------------
+  // Version-tail management (r15): the latest view is one window over
+  // ALL delta partitions, so serve-read amplification grows linearly
+  // with upsert count (measured in SCALING.md's version-tail probe).
+  // Compaction rewrites the latest view as a fresh base and drops the
+  // tail — the MERGE-INTO/OPTIMIZE step of a lakehouse table, run here
+  // on the parquet stand-in.
+
+  /** Version-tail statistics of the /graph artifact (the largest and
+    * the serve-path one): committed delta versions and their row share
+    * vs the base. ONE column-pruned scan of `batch_id`. */
+  final case class TailStats(nVersions: Long, deltaRows: Long,
+                             baseRows: Long) {
+    def deltaShare: Double =
+      if (baseRows > 0) deltaRows.toDouble / baseRows
+      else if (deltaRows > 0) Double.PositiveInfinity
+      else 0.0
+  }
+
+  def tailStats(spark: SparkSession, indexDir: String,
+                upTo: Long = Long.MaxValue): TailStats = {
+    val bound = math.min(committedBatchId(spark, indexDir), upTo)
+    val r = spark.read.parquet(s"$indexDir/graph")
+      .select(col("batch_id").cast(LongType).as("b"))
+      .filter(col("b") <= bound)
+      .agg(
+        countDistinct(when(col("b") > BaseBatchId, col("b"))).as("nv"),
+        count(when(col("b") > BaseBatchId, 1)).as("dr"),
+        count(when(col("b") === BaseBatchId, 1)).as("br"))
+      .collect()(0)
+    TailStats(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Compaction trigger defaults: rebuild the base when the committed
+    * tail exceeds [[CompactMaxVersions]] versions OR its rows exceed
+    * [[CompactMaxDeltaShare]] of the base. The version count bounds the
+    * PARTITION/file amplification every latest-view read pays (the
+    * probe's dominant term at small batches); the row share bounds the
+    * window's data amplification when batches are large. Compaction
+    * costs one full-artifact rewrite, amortized to ≤ 1/K of that per
+    * batch by the trigger. */
+  final val CompactMaxVersions = 16
+  final val CompactMaxDeltaShare = 0.25
+
+  /** Rewrite each artifact's LATEST VIEW (bounded by the /vectors commit
+    * marker and `upTo`) as the new base partition, dropping the version
+    * tail. CONTENT-PRESERVING by construction: the new base IS the
+    * latest view's rows (copied, never recomputed — no float re-derive),
+    * which LlmDataSpec asserts byte-identically.
+    *
+    * Crash-safety uses the same "/vectors last" convention as the
+    * upsert: a crash after the graph/cells base writes but before the
+    * vectors write leaves committedBatchId at the old bound, and the
+    * already-compacted artifacts' latest views are IDENTICAL to their
+    * pre-compaction views (base == view-at-bound), so serving stays
+    * correct and a re-run finishes the job idempotently. */
+  def compact(spark: SparkSession, indexDir: String,
+              upTo: Long = Long.MaxValue): Unit = {
+    val bound = math.min(committedBatchId(spark, indexDir), upTo)
+    if (bound == BaseBatchId) return
+    // pin every view BEFORE any overwrite (their lineage reads the same
+    // parquet roots being replaced)
+    def view(name: String, key: String): DataFrame =
+      latestView(spark.read.parquet(s"$indexDir/$name"), key, bound)
+        .localCheckpoint()
+    val g = view("graph", "src_id")
+    val c = view("cells", "vec_id")
+    val v = view("vectors", "vec_id")
+    writeBase(g, s"$indexDir/graph")
+    writeBase(c, s"$indexDir/cells")
+    writeBase(v, s"$indexDir/vectors")
+  }
+
+  /** Compact if the committed tail crossed either trigger. Returns
+    * whether compaction ran. */
+  def maybeCompact(spark: SparkSession, indexDir: String,
+                   upTo: Long = Long.MaxValue,
+                   maxVersions: Int = CompactMaxVersions,
+                   maxDeltaShare: Double = CompactMaxDeltaShare): Boolean = {
+    val st = tailStats(spark, indexDir, upTo)
+    val due = st.nVersions > maxVersions || st.deltaShare > maxDeltaShare
+    if (due) compact(spark, indexDir, upTo)
+    due
+  }
+
   /** `foreachBatch` adapter: wire as
     * `.writeStream.foreachBatch(AnnIngest.foreachBatchUpsert(indexDir) _)`
-    * on a (vec_id, embedding) stream. */
+    * on a (vec_id, embedding) stream.
+    *
+    * Compaction runs at batch START over strictly-prior state
+    * (`upTo = batchId − 1`), never at batch end — the replay-safety
+    * argument: when batch N replays after a crash, everything the
+    * compaction folded into the base is ≤ N−1, so the replay's
+    * prior-state view (`batch_id ≤ N−1`, which the base's −1 passes) is
+    * content-identical to the never-crashed run's and the recomputed
+    * delta is bit-identical. A complete-but-uncommitted partition N
+    * (crash between the vectors write and the stream's epoch commit) is
+    * dropped by the static base overwrite and immediately rewritten by
+    * the replayed upsert — the same heal path as a torn write. Folding
+    * batch N itself into the base (end-of-batch compaction) would
+    * instead leak N into its own replay's prior state. */
   def foreachBatchUpsert(indexDir: String)
                         (batch: DataFrame, batchId: Long): Unit =
-    if (!batch.isEmpty) upsertVectors(batch.sparkSession, indexDir, batch, batchId)
+    if (!batch.isEmpty) {
+      maybeCompact(batch.sparkSession, indexDir, upTo = batchId - 1)
+      upsertVectors(batch.sparkSession, indexDir, batch, batchId)
+    }
 }

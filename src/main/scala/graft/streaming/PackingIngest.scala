@@ -10,10 +10,17 @@ import org.apache.spark.sql.types.LongType
 case class PackDoc(source: String, doc_id: Long, n_bpe: Long)
 
 /** One document's placement in the packed token stream — the streaming
-  * twin of tx26's per-doc row (offsets/bins identical by construction). */
+  * twin of tx26's per-doc row (offsets/bins identical by construction
+  * under in-order arrival), plus the `arrived_late` audit flag (see
+  * [[PackingIngest]]'s out-of-order contract). */
 case class PackPlacement(source: String, doc_id: Long, n_bpe: Long,
                          tok_offset: Long, start_bin: Long, end_bin: Long,
-                         crosses_boundary: Boolean)
+                         crosses_boundary: Boolean, arrived_late: Boolean)
+
+/** Per-source packer state: the next free token offset and the highest
+  * doc_id placed so far (the order sentinel). Two longs per source —
+  * still the smallest possible stateful footprint. */
+case class PackState(offset: Long, maxDocId: Long)
 
 /** STREAMING sequence packing — tx26's placement algebra run as an
   * incremental ingest: documents arrive on a stream (CDC bus, crawl
@@ -31,11 +38,30 @@ case class PackPlacement(source: String, doc_id: Long, n_bpe: Long,
   * matter how the stream is chopped, including across a kill + restart
   * (the offset lives in the checkpointed state store, exactly-once).
   *
-  * Scale posture: state is ONE Long per source (not per doc — the
-  * smallest possible stateful footprint); each trigger shuffles only its
-  * own micro-batch to the source groups; the per-group sort is bounded by
-  * the micro-batch, never the corpus. At 100 TB of history the state is
-  * still |sources| longs.
+  * OUT-OF-ORDER ARRIVAL (r15): a crawl frontier does NOT guarantee
+  * doc_id order, and the two candidate responses differ in what they
+  * protect. A watermarked reorder buffer would protect BATCH-PARITY at
+  * the price of unbounded-or-lossy state (buffer until the watermark,
+  * then silently DROP late documents — data loss inside a packer).
+  * This packer instead makes the chosen semantics explicit: ARRIVAL
+  * ORDER IS THE PACK ORDER — placements stay contiguous and
+  * token-exact in arrival order (never corrupted: every token lands in
+  * exactly one bin, offsets never collide, totals equal batch) — and
+  * any document that arrives after a HIGHER doc_id of its source was
+  * already placed is flagged `arrived_late = true`. The flag is the
+  * detectability guarantee: zero flags ⇒ the batch-parity contract held
+  * and the output is bit-identical to tx26; any flag ⇒ this source's
+  * layout diverged from the batch layout at that point, visibly, for
+  * the consumer to route (re-pack the source at the next rebuild, or
+  * accept stream order as canonical — the normal choice, since bin
+  * CONTENT order within a training shard is immaterial after cur14's
+  * epoch shuffle). State grows by one long (the order sentinel), not by
+  * a buffer: the 100 TB posture is unchanged.
+  *
+  * Scale posture: state is TWO Longs per source (not per doc); each
+  * trigger shuffles only its own micro-batch to the source groups; the
+  * per-group sort is bounded by the micro-batch, never the corpus. At
+  * 100 TB of history the state is still 2·|sources| longs.
   */
 object PackingIngest {
 
@@ -50,27 +76,28 @@ object PackingIngest {
             org.apache.spark.sql.GraftColumn.expr(col("text")))))
           .cast(LongType).as("n_bpe"))
 
-  /** The stateful packer: keyed by source, state = the next free token
-    * offset. Docs inside one trigger are placed in doc_id order (the
-    * iterator order within a group is not guaranteed; the sort is
-    * micro-batch-bounded). */
+  /** The stateful packer: keyed by source, state = (next free token
+    * offset, highest doc_id placed). Docs inside one trigger are placed
+    * in doc_id order (the iterator order within a group is not
+    * guaranteed; the sort is micro-batch-bounded), so disorder can only
+    * enter BETWEEN triggers — exactly what the sentinel detects. */
   def packStream(docs: DataFrame): Dataset[PackPlacement] = {
     import docs.sparkSession.implicits._
     countTokens(docs).as[PackDoc]
       .groupByKey(_.source)
-      .flatMapGroupsWithState[Long, PackPlacement](
+      .flatMapGroupsWithState[PackState, PackPlacement](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (source, it, state) =>
-          var off = state.getOption.getOrElse(0L)
+          var st = state.getOption.getOrElse(PackState(0L, Long.MinValue))
           val placed = it.toVector.sortBy(_.doc_id).map { d =>
-            val start = off / Budget
-            val end = (off + math.max(d.n_bpe, 1L) - 1L) / Budget
-            val p = PackPlacement(source, d.doc_id, d.n_bpe, off,
-              start, end, end > start)
-            off += d.n_bpe
+            val start = st.offset / Budget
+            val end = (st.offset + math.max(d.n_bpe, 1L) - 1L) / Budget
+            val p = PackPlacement(source, d.doc_id, d.n_bpe, st.offset,
+              start, end, end > start, arrived_late = d.doc_id < st.maxDocId)
+            st = PackState(st.offset + d.n_bpe, math.max(st.maxDocId, d.doc_id))
             p
           }
-          state.update(off)
+          state.update(st)
           placed.iterator
       }
   }

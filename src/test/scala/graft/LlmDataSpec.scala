@@ -837,6 +837,69 @@ class LlmDataSpec extends SparkSpec {
       (1L to updList.length).toSeq, "updated id's out_ranks not contiguous")
   }
 
+  test("AnnIngest: compaction preserves every latest view byte-identically, " +
+      "drops the version tail, and the trigger fires by version count then " +
+      "stays quiet") {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val maxId = emb.agg(fmax(col("vec_id"))).collect()(0).getLong(0)
+    val nBatches = 6; val per = 2
+    val holdOut = maxId - nBatches.toLong * per + 1
+    val tmp = java.nio.file.Files.createTempDirectory("ann_compact").toString
+    emb.filter(col("vec_id") < holdOut)
+      .write.parquet(s"$tmp/fixture/embeddings.parquet")
+    val idx = s"$tmp/idx"
+    graft.streaming.AnnIngest.writeAnnIndex(spark, s"$tmp/fixture", idx)
+    (0 until nBatches).foreach { i =>
+      val lo = holdOut + i.toLong * per
+      graft.streaming.AnnIngest.upsertVectors(spark, idx,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + per)
+          .select(col("vec_id"), col("embedding")), batchId = i.toLong)
+    }
+    val st = graft.streaming.AnnIngest.tailStats(spark, idx)
+    assert(st.nVersions == nBatches.toLong, s"tail versions ${st.nVersions}")
+    assert(st.deltaRows > 0 && st.baseRows > 0)
+    def view(n: String, key: String): Seq[String] = graft.streaming.AnnIngest
+      .latestView(spark.read.parquet(s"$idx/$n"), key)
+      .collect().map(_.toString).sorted.toSeq
+    val before = Seq("graph" -> "src_id", "cells" -> "vec_id",
+      "vectors" -> "vec_id").map { case (n, k) => n -> view(n, k) }
+    // under the default trigger (16 versions) 6 is quiet; a tightened
+    // trigger fires
+    assert(!graft.streaming.AnnIngest.maybeCompact(spark, idx,
+      maxVersions = 16, maxDeltaShare = 1e9))
+    assert(graft.streaming.AnnIngest.maybeCompact(spark, idx,
+      maxVersions = 4, maxDeltaShare = 1e9))
+    // byte-identical latest views, tail gone, marker back at base
+    before.foreach { case (n, b) =>
+      val k = if (n == "graph") "src_id" else "vec_id"
+      assert(view(n, k) == b, s"compaction changed the $n latest view")
+    }
+    def parts(n: String): Set[String] =
+      new java.io.File(s"$idx/$n").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    Seq("graph", "cells", "vectors").foreach { n =>
+      assert(parts(n) == Set("batch_id=-1"), s"$n kept tail partitions: ${parts(n)}")
+    }
+    assert(graft.streaming.AnnIngest.committedBatchId(spark, idx) ==
+      graft.streaming.AnnIngest.BaseBatchId)
+    val st2 = graft.streaming.AnnIngest.tailStats(spark, idx)
+    assert(st2.nVersions == 0L && st2.deltaRows == 0L)
+    assert(!graft.streaming.AnnIngest.maybeCompact(spark, idx,
+      maxVersions = 4, maxDeltaShare = 1e9), "trigger must stay quiet")
+    // the compacted index still accepts upserts against the folded base
+    val lo = holdOut - per
+    graft.streaming.AnnIngest.upsertVectors(spark, idx,
+      emb.filter(col("vec_id") >= lo && col("vec_id") < lo + per)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.reverse(col("embedding"))
+            .as("embedding")), batchId = nBatches.toLong)
+    val post = graft.streaming.AnnIngest.latestGraph(spark, idx)
+      .filter(col("src_id") >= lo && col("src_id") < lo + per)
+      .select("src_id").distinct().count()
+    assert(post == per.toLong, "post-compaction upsert must index its batch")
+  }
+
   test("lloydRefine: refinement does not worsen the spherical k-means objective") {
     // objective = mean over vectors of (max cosine to any centroid); one
     // Lloyd step is monotone non-decreasing in exact arithmetic — allow

@@ -970,5 +970,65 @@ class StreamingOpsSpec extends SparkSpec {
       s"row count: ${got.length} != ${want.length}")
     assert(got.sameElements(want),
       "streaming placements must be row-identical to batch tx26")
+    // in-order arrival ⇒ the order sentinel never fires: zero flags is
+    // the certificate that batch-parity held for this run
+    assert(spark.read.parquet(out).filter($"arrived_late").count() == 0L,
+      "in-order arrival must produce no arrived_late flags")
+  }
+
+  test("PackingIngest: out-of-order arrival is detectably flagged, never " +
+      "silently corrupted — arrival order is the pack order") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.PackingIngest
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect().sortBy(_._2)
+    val median = docs(docs.length / 2)._2
+    // a crawl-frontier chop: the HIGH half of every source arrives first
+    val (hi, lo) = (docs.filter(_._2 >= median), docs.filter(_._2 < median))
+    val dir = java.nio.file.Files.createTempDirectory("packing_ooo").toString
+    val stream = MemoryStream[(String, Long, String)]
+    val q = PackingIngest.packStream(
+        stream.toDF.toDF("source", "doc_id", "text"))
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(hi.toSeq); q.processAllAvailable()
+      stream.addData(lo.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out").collect()
+    assert(got.length == docs.length, "no document lost or duplicated")
+    // DETECTABILITY: flagged exactly = late-trigger rows whose source
+    // already placed a higher doc_id (every hi id > every lo id, so:
+    // lo rows of sources present in hi)
+    val hiSources = hi.map(_._1).toSet
+    val expectFlag = lo.filter(d => hiSources(d._1))
+      .map(d => (d._1, d._2)).toSet
+    val gotFlag = got.filter(_.getAs[Boolean]("arrived_late"))
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(gotFlag == expectFlag, "flag set must be exactly the late arrivals")
+    assert(gotFlag.nonEmpty, "this chop must produce late arrivals")
+    // NO CORRUPTION: per source, placements are contiguous in arrival
+    // order (offsets tile the token stream exactly once) and the token
+    // total equals the batch packer's
+    got.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val byOff = rows.sortBy(_.getAs[Long]("tok_offset"))
+      var off = 0L
+      byOff.foreach { r =>
+        assert(r.getAs[Long]("tok_offset") == off,
+          s"$src: offset gap at doc ${r.getAs[Long]("doc_id")}")
+        off += r.getAs[Long]("n_bpe")
+        assert(r.getAs[Long]("end_bin") >= r.getAs[Long]("start_bin"))
+      }
+    }
+    val batchTotals = graft.llmdata.TextAnalysis.bpePackingCore(spark, sf())
+      .groupBy($"source").agg(org.apache.spark.sql.functions.sum($"n_bpe"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("n_bpe")).sum == batchTotals(src),
+        s"$src: token total diverged from batch")
+    }
   }
 }
