@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{BpeEncode, CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, JaroWinklerSim, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
+import graft.functions.{BpeEncode, BpeEncodeBytes, CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, JaroWinklerSim, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -52,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("bpe_encode", classOf[BpeEncode], args =>
       if (args.length > 1) BpeEncode(args(0), intArg(args(1), "bpe_encode"))
       else BpeEncode(args(0)))
+    reg("bpe_encode_bytes", classOf[BpeEncodeBytes], args =>
+      if (args.length > 1)
+        BpeEncodeBytes(args(0), intArg(args(1), "bpe_encode_bytes"))
+      else BpeEncodeBytes(args(0)))
   }
 }

@@ -84,6 +84,44 @@ object BpeUtil {
 
   private val tables = new ConcurrentHashMap[Integer, Table]()
 
+  /** The greedy lowest-rank merge loop shared by the char-level
+    * ([[BpeUtil]]) and byte-level ([[BpeBytesUtil]]) encoders: find the
+    * lowest-rank adjacent pair, merge every left-to-right non-overlapping
+    * occurrence, repeat until no ranked pair remains. `rank` keys are
+    * `left + "\u0000" + right` (the NUL joiner cannot appear inside a
+    * token on either level). */
+  private[functions] object GreedyBpe {
+    def merge(rank: java.util.HashMap[String, Integer],
+              mergeArr: Array[(String, String)],
+              toks0: Array[String]): Array[String] = {
+      var toks = toks0
+      var done = toks.length <= 1
+      while (!done) {
+        var best = Int.MaxValue
+        var j = 0
+        while (j < toks.length - 1) {
+          val r = rank.get(toks(j) + "\u0000" + toks(j + 1))
+          if (r != null && r.intValue() < best) best = r.intValue()
+          j += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = mergeArr(best)
+          val out = new java.util.ArrayList[String](toks.length)
+          var k = 0
+          while (k < toks.length) {
+            if (k + 1 < toks.length && toks(k) == a && toks(k + 1) == b) {
+              out.add(a + b); k += 2
+            } else { out.add(toks(k)); k += 1 }
+          }
+          toks = out.toArray(new Array[String](out.size))
+          if (toks.length <= 1) done = true
+        }
+      }
+      toks
+    }
+  }
+
   private def table(n: Int): Table = {
     require(n > 0 && n <= graft.llmdata.BpeMerges.Full.length,
       s"bpe_encode: merge-table prefix $n out of range 1..${graft.llmdata.BpeMerges.Full.length}")
@@ -105,31 +143,7 @@ object BpeUtil {
       n += 1; i += l
     }
     if (n < toks.length) toks = java.util.Arrays.copyOf(toks, n)
-    var done = toks.length <= 1
-    while (!done) {
-      // lowest-rank adjacent pair in the current sequence
-      var best = Int.MaxValue
-      var j = 0
-      while (j < toks.length - 1) {
-        val r = tab.rank.get(toks(j) + "\u0000" + toks(j + 1))
-        if (r != null && r.intValue() < best) best = r.intValue()
-        j += 1
-      }
-      if (best == Int.MaxValue) done = true
-      else {
-        val (a, b) = tab.mergeArr(best)
-        val out = new java.util.ArrayList[String](toks.length)
-        var k = 0
-        while (k < toks.length) {
-          if (k + 1 < toks.length && toks(k) == a && toks(k + 1) == b) {
-            out.add(a + b); k += 2
-          } else { out.add(toks(k)); k += 1 }
-        }
-        toks = out.toArray(new Array[String](out.size))
-        if (toks.length <= 1) done = true
-      }
-    }
-    toks.map(UTF8String.fromString)
+    GreedyBpe.merge(tab.rank, tab.mergeArr, toks).map(UTF8String.fromString)
   }
 
   private def encodeWord(tab: Table, word: String): Array[UTF8String] = {

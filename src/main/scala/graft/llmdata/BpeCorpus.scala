@@ -50,6 +50,25 @@ object BpeCorpus {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
+  /** BYTE-mode word → frequency over the union corpus: GPT-2-shaped
+    * PRETOKENS (leading space attached, letters/digits/punctuation
+    * split) instead of whitespace words, byte-mapped (space → Ġ;
+    * non-printable-ASCII pretokens are opaque on the apply side and
+    * therefore excluded from training). Twin of tools/train_bpe.py's
+    * `bytes` mode; the byte-table parity spec is the sync check. */
+  def unionByteWordFreq(spark: SparkSession, dir: String): DataFrame =
+    Columns.map { case (tbl, c) =>
+      Tables.load(spark, dir, tbl)
+        .select(col(c).as("s"))
+        .filter(col("s").isNotNull)
+    }.reduce(_.unionAll(_))
+      .select(explode(regexp_extract_all(col("s"),
+        lit(graft.functions.BpeBytesUtil.PretokenRegex), lit(0))).as("w"))
+      .filter(!col("w").rlike("[^ -~]"))
+      .select(translate(col("w"), " ",
+        String.valueOf(graft.functions.BpeBytesUtil.GDot)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
   /** Word → frequency over `documents.text` only (tx28's corpus — the
     * 40-merge oracle twin trains on the same surface). */
   def documentsWordFreq(spark: SparkSession, dir: String): DataFrame =

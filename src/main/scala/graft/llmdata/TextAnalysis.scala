@@ -2002,7 +2002,89 @@ object TextAnalysis {
        |FROM agg a JOIN rowsrc r USING (domain)
        |ORDER BY domain""".stripMargin
 
+  // --------- tx30: BYTE-level BPE apply (GPT-2-shaped; tx24's complement)
+
+  /** tx30: tx24's encode under the BYTE-level GPT-2-shaped tokenizer —
+    * the variant production LLM stacks actually ship (see
+    * [[graft.functions.BpeBytesUtil]] for the pretokenizer, byte map,
+    * opaque guard, and the documented RE2-driven divergences from the
+    * canonical GPT-2 regex). Same output surface as tx24 (doc_id,
+    * n_tokens, joined token text) so the two tokenizers are directly
+    * comparable; same scan-side zero-data-movement posture; the byte
+    * merge table ([[BpeMergesBytes.Band]], the mid-band prefix of the
+    * 2000-merge bytes-mode artifact) rides in the task binary.
+    *
+    * Twin: the tx24 recursion over DISTINCT MAPPED PRETOKENS — the
+    * pretokens come from the same RE2 pattern (positional `parts[i]`
+    * explode keeps document order), the byte map is `replace(' ',
+    * chr(288))`, and non-printable-ASCII pretokens stay opaque/unmapped
+    * (same caveat as tx24's U+001F guard: the fixture corpus has none). */
+  def bpeBytesEncodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncodeBytes(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens.as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        array_join(col("tokens"), " ").as("toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeBytesEncodeTokensSql: String = {
+    val pat = graft.functions.BpeBytesUtil.PretokenRegex.replace("'", "''")
+    s"""WITH RECURSIVE merges(rank, a, b) AS (
+       |  VALUES ${bpeMergesValuesOf(BpeMergesBytes.Band)}),
+       |pret AS (
+       |  SELECT doc_id, i, parts[i] AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS parts
+       |        FROM documents WHERE text IS NOT NULL) d,
+       |    unnest(range(1, len(parts) + 1)) t(i)),
+       |mp AS (
+       |  SELECT doc_id, i, w,
+       |    CASE WHEN regexp_matches(w, '[^ -~]') THEN NULL
+       |         ELSE replace(w, ' ', chr(288)) END AS mw
+       |  FROM pret),
+       |dwords AS (SELECT DISTINCT mw AS w FROM mp WHERE mw IS NOT NULL),
+       |enc AS (
+       |  SELECT w,
+       |    regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')
+       |      || chr(31) || chr(31) AS s
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s,
+       |      chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31),
+       |      chr(31) || p.a || p.b || chr(31)) AS s
+       |  FROM enc e, LATERAL (
+       |    SELECT m.a, m.b FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0
+       |    ORDER BY m.rank LIMIT 1) p),
+       |final AS (
+       |  SELECT w, trim(replace(s, chr(31) || chr(31), chr(31)), chr(31)) AS s
+       |  FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0)),
+       |tok AS (
+       |  SELECT m.doc_id, m.i, coalesce(f.s, m.mw, m.w) AS s
+       |  FROM mp m LEFT JOIN final f ON f.w = m.mw),
+       |per AS (
+       |  SELECT doc_id, string_agg(s, chr(31) ORDER BY i) AS ts
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN p.ts IS NULL THEN 0
+       |    ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
+       |    AS BIGINT) AS n_tokens,
+       |  coalesce(replace(p.ts, chr(31), ' '), '') AS toks
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx30_bpe_bytes_encode" -> bpeBytesEncodeTokens,
     "tx29_bpe_domain_audit" -> bpeDomainAudit,
     "tx28_bpe_train" -> bpeTrain,
     "tx27_tokenizer_audit" -> tokenizerAudit,
@@ -2034,6 +2116,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx30_bpe_bytes_encode" -> bpeBytesEncodeTokensSql,
     "tx29_bpe_domain_audit" -> bpeDomainAuditSql,
     "tx28_bpe_train" -> bpeTrainSql,
     "tx27_tokenizer_audit" -> tokenizerAuditSql,

@@ -1374,6 +1374,72 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("BPE byte-table parity: the Spark trainer in byte mode at N=2000 on " +
+      "the sf0.1 union corpus reproduces the baked BpeMergesBytes.Full " +
+      "bit-for-bit") {
+    val full = graft.llmdata.BpeMergesBytes.Full
+    assert(full.length >= 2000, s"baked byte table has ${full.length} merges")
+    assert(graft.llmdata.BpeMergesBytes.Band ==
+      full.take(graft.llmdata.BpeMergesBytes.BandN))
+    val rows = graft.llmdata.TextAnalysis.bpeTrainOn(
+      graft.llmdata.BpeCorpus.unionByteWordFreq(spark, "/root/testdata/sf0.1"),
+      full.length).collect()
+    assert(rows.length == full.length,
+      s"trained ${rows.length} merges, baked ${full.length}")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (a, b) = full(i)
+      assert(r.getAs[String]("pair_left") == a && r.getAs[String]("pair_right") == b,
+        s"rank $i: (${r.getAs[String]("pair_left")}, ${r.getAs[String]("pair_right")}) != ($a, $b)")
+    }
+  }
+
+  test("tx30: byte-level tokens round-trip losslessly under the space→Ġ map, " +
+      "attach leading spaces GPT-2-style, and never cross pretoken classes") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    def enc(c: org.apache.spark.sql.Column) = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncodeBytes(org.apache.spark.sql.GraftColumn.expr(c)))
+    val rows = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), concat_ws("", enc(col("text"))).as("glued"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // LOSSLESS: tokens concatenate back to the byte-mapped text —
+      // pretokens tile the input, the map is injective on ASCII
+      assert(r.getAs[String]("glued") ==
+        r.getAs[String]("text").replace(' ', 'Ġ'),
+        s"doc ${r.getAs[Long]("doc_id")}: byte round-trip lost characters")
+    }
+    // GPT-2 shape on ID-shaped text: letters/digits/punctuation are
+    // separate pretokens, the leading space attaches to the next word
+    val names = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select(col("c_name").as("s"))
+      .select(enc(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit(" "), col("s"))).as("tk"))
+      .collect().map(_.getSeq[String](0))
+    names.foreach { toks =>
+      assert(toks.head.startsWith("Ġ"),
+        s"leading space must attach to the first token: $toks")
+      toks.foreach { t =>
+        val core = t.replace("Ġ", "")
+        val classes = Seq(core.exists(_.isLetter), core.exists(_.isDigit),
+          core.exists(c => !c.isLetterOrDigit)).count(identity)
+        assert(classes <= 1, s"token '$t' mixes pretoken classes in $toks")
+      }
+    }
+    // the byte table did real work: fewer tokens than characters
+    val doc = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(org.apache.spark.sql.functions.size(enc(col("text")))
+        .cast("long").as("nt"),
+        org.apache.spark.sql.functions.length(col("text"))
+          .cast("long").as("nc"))
+      .agg(org.apache.spark.sql.functions.sum(col("nt")),
+        org.apache.spark.sql.functions.sum(col("nc"))).collect()(0)
+    assert(doc.getLong(0) < doc.getLong(1),
+      "byte merge table inert: tokens not below characters")
+  }
+
   test("tx29: cross-domain audit under the full table — prose saturates at " +
       "fertility 1.0 (closed in-vocab surface), ID-shaped names run hot") {
     val rows = graft.llmdata.TextAnalysis.bpeDomainAudit(spark, sf("sf0.01"))

@@ -171,8 +171,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "tx26_bpe_packing" -> TextAnalysis.bpePacking _,
       "tx27_tokenizer_audit" -> TextAnalysis.tokenizerAudit _,
       "tx28_bpe_train" -> TextAnalysis.bpeTrain _,
-      // r15: tx29's full-table encode over three domain scans
+      // r15: tx29's full-table encode over three domain scans; tx30's
+      // byte-level pretokenize + encode with its own memo cache
       "tx29_bpe_domain_audit" -> TextAnalysis.bpeDomainAudit _,
+      "tx30_bpe_bytes_encode" -> TextAnalysis.bpeBytesEncodeTokens _,
       "cur13_packed_shards" -> graft.llmdata.Curation.packedShards _,
       "cur14_epoch_shuffle" -> graft.llmdata.Curation.epochShuffleAudit _,
       "mm10_interleaved_packing" -> graft.llmdata.Multimodal.interleavedPacking _)

@@ -674,6 +674,18 @@ class PlanQualitySpec extends SparkSpec {
     // by construction; the pre-execution AQE plan prints no codegen ids
   }
 
+  test("tx30: byte-level tokenization keeps tx24's shape — pretokenizer + " +
+      "byte map + merges all scan-side, no join, no aggregate") {
+    val p = plan(graft.llmdata.TextAnalysis.bpeBytesEncodeTokens(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"only the output sort may exchange: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
   test("tx26: BPE packing shuffles ONCE (the per-source window); the " +
       "encode is scan-side and both cumulative sums share one Window") {
     val p = plan(graft.llmdata.TextAnalysis.bpePacking(spark, sf()))

@@ -44,8 +44,22 @@ the same constant. The in-engine Spark trainer (tx28 machinery) must
 reproduce `Full` bit-for-bit at N=2000 on the same corpus - the
 three-way parity gate asserted by LlmDataSpec.
 
-Run:  python3 tools/train_bpe.py [sfdir] [n_merges]
-Defaults: /root/testdata/sf0.1, 2000 merges.
+BYTE MODE (`bytes` as the third arg): the GPT-2-style variant - words
+come from the GPT-2-shaped pretokenizer (leading space attaches to the
+following token; letters / digits / punctuation split into separate
+pretokens) instead of whitespace split, and symbols are the byte
+alphabet under GPT-2's bytes_to_unicode map restricted to printable
+ASCII (identity) plus space -> U+0120 'G-dot'. Pretokens containing any
+byte outside printable-ASCII+space are opaque on both engines (the
+cross-engine divergence guard; the fixtures have none), so they are
+excluded from training exactly as the apply side treats them. The
+pretokenizer regex is the RE2-safe simplification of GPT-2's (no
+lookahead branch, no apostrophe contractions - documented divergence):
+runs of 2+ spaces become their own pretoken instead of donating one
+space to the next word.
+
+Run:  python3 tools/train_bpe.py [sfdir] [n_merges] [char|bytes]
+Defaults: /root/testdata/sf0.1, 2000 merges, char.
 """
 import sys
 import collections
@@ -53,8 +67,24 @@ import duckdb
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 N_MERGES = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
-OUT = "src/main/scala/graft/llmdata/BpeMerges.scala"
+MODE = sys.argv[3] if len(sys.argv) > 3 else "char"
+assert MODE in ("char", "bytes"), MODE
+OUT = ("src/main/scala/graft/llmdata/BpeMerges.scala" if MODE == "char"
+       else "src/main/scala/graft/llmdata/BpeMergesBytes.scala")
 BAND_TARGET = 1.35  # smallest prefix with documents fertility <= this
+
+# RE2-safe GPT-2-shaped pretokenizer (keep in sync with
+# graft.functions.BpeBytesUtil.Pretokenizer and the tx30 twin SQL)
+PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+GDOT = "Ġ"  # GPT-2's byte-unicode image of the space byte
+
+
+def printable(w: str) -> bool:
+    return all(" " <= ch <= "~" for ch in w)
+
+
+def byte_map(w: str) -> str:
+    return w.replace(" ", GDOT)
 
 # every VARCHAR column across the fixture tables - keep in sync with
 # graft.llmdata.BpeCorpus.Columns (the Spark trainer's corpus); the
@@ -71,13 +101,25 @@ COLUMNS = [
 ]
 
 con = duckdb.connect()
-union = " UNION ALL ".join(
-    f"SELECT unnest(string_split({c}, ' ')) AS w "
-    f"FROM read_parquet('{SFDIR}/{t}.parquet') WHERE {c} IS NOT NULL"
-    for t, c in COLUMNS)
-rows = con.execute(
-    f"SELECT w, count(*) FROM ({union}) WHERE w <> '' GROUP BY w ORDER BY w"
-).fetchall()
+if MODE == "char":
+    union = " UNION ALL ".join(
+        f"SELECT unnest(string_split({c}, ' ')) AS w "
+        f"FROM read_parquet('{SFDIR}/{t}.parquet') WHERE {c} IS NOT NULL"
+        for t, c in COLUMNS)
+    rows = con.execute(
+        f"SELECT w, count(*) FROM ({union}) WHERE w <> '' GROUP BY w ORDER BY w"
+    ).fetchall()
+else:
+    pat = PRETOKEN_RE.replace("'", "''")
+    union = " UNION ALL ".join(
+        f"SELECT unnest(regexp_extract_all({c}, '{pat}')) AS w "
+        f"FROM read_parquet('{SFDIR}/{t}.parquet') WHERE {c} IS NOT NULL"
+        for t, c in COLUMNS)
+    raw = con.execute(
+        f"SELECT w, count(*) FROM ({union}) GROUP BY w ORDER BY w"
+    ).fetchall()
+    # opaque (non-printable) pretokens never merge; exclude from training
+    rows = [(byte_map(w), c) for w, c in raw if printable(w)]
 print(f"corpus: {len(rows)} distinct words")
 
 
@@ -134,12 +176,21 @@ merges = train(rows, N_MERGES)
 print(f"trained {len(merges)} merges")
 
 # ---- pick the Band prefix: smallest N with documents fertility <= target
-doc_rows = con.execute(
-    f"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
-                   FROM read_parquet('{SFDIR}/documents.parquet')
-                   WHERE text IS NOT NULL)
-        SELECT w, count(*) FROM w WHERE w <> '' GROUP BY w"""
-).fetchall()
+if MODE == "char":
+    doc_rows = con.execute(
+        f"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM read_parquet('{SFDIR}/documents.parquet')
+                       WHERE text IS NOT NULL)
+            SELECT w, count(*) FROM w WHERE w <> '' GROUP BY w"""
+    ).fetchall()
+else:
+    pat = PRETOKEN_RE.replace("'", "''")
+    doc_rows = [(byte_map(w), c) for w, c in con.execute(
+        f"""WITH w AS (SELECT unnest(regexp_extract_all(text, '{pat}')) AS w
+                       FROM read_parquet('{SFDIR}/documents.parquet')
+                       WHERE text IS NOT NULL)
+            SELECT w, count(*) FROM w GROUP BY w"""
+    ).fetchall() if printable(w)]
 
 
 def apply_bpe(word, rank):
@@ -188,15 +239,23 @@ def esc(s: str) -> str:
 
 
 pairs_src = ",\n    ".join(f'("{esc(a)}", "{esc(b)}")' for a, b in merges)
+obj = "BpeMerges" if MODE == "char" else "BpeMergesBytes"
+alias_src = ("""
+
+  /** Back-compat alias: the default table. */
+  val Merges: IndexedSeq[(String, String)] = Band"""
+             if MODE == "char" else "")
+level = ("Character-level" if MODE == "char"
+         else "BYTE-level (GPT-2-shaped pretokens, space -> U+0120)")
 src = f'''package graft.llmdata
 
 /** GENERATED by tools/train_bpe.py - do not edit by hand.
   *
-  * Character-level BPE merge table trained on the fixtures' full text
+  * {level} BPE merge table trained on the fixtures' full text
   * surface at {SFDIR} (every VARCHAR column, word-frequency weighted;
   * see the trainer's corpus rationale). {len(merges)} merges; rank =
   * position. Regenerate with:
-  *   python3 tools/train_bpe.py {SFDIR} {N_MERGES}
+  *   python3 tools/train_bpe.py {SFDIR} {N_MERGES} {MODE}
   *
   * PREFIX PROPERTY: merges are learned in global frequency order, so
   * `Full.take(n)` is itself the exact n-merge table for this corpus.
@@ -211,7 +270,7 @@ src = f'''package graft.llmdata
   * realistic-size table is non-degenerate: the cross-domain audit's
   * entity-name domains.
   */
-object BpeMerges {{
+object {obj} {{
   /** (left, right) merge pairs in training order; rank = index. */
   val Full: IndexedSeq[(String, String)] = IndexedSeq(
     {pairs_src})
@@ -220,10 +279,7 @@ object BpeMerges {{
   val BandN: Int = {band_n}
 
   /** The default (documents-family) table: the mid-band prefix. */
-  val Band: IndexedSeq[(String, String)] = Full.take(BandN)
-
-  /** Back-compat alias: the default table. */
-  val Merges: IndexedSeq[(String, String)] = Band
+  val Band: IndexedSeq[(String, String)] = Full.take(BandN){alias_src}
 }}
 '''
 with open(OUT, "w") as f:
