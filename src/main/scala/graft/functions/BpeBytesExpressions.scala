@@ -99,7 +99,8 @@ object BpeBytesUtil {
     val hit = tab.memo.get(tok)
     if (hit != null) return hit
     val enc = encodePretokenUncached(tab, tok)
-    if (tab.memo.size < BpeUtil.MemoCap) tab.memo.put(tok, enc)
+    // approximate capping via putIfAbsent — same contract as BpeUtil
+    if (tab.memo.size < BpeUtil.MemoCap) tab.memo.putIfAbsent(tok, enc)
     enc
   }
 

@@ -77,8 +77,11 @@ object BpeUtil {
       }
       m
     }
-    /** Per-word encode memo; check-then-act on the cap can overshoot by
-      * ~thread count (benign — approximate capping by design). */
+    /** Per-word encode memo. Capping is approximate by design: the
+      * size check and the putIfAbsent are not atomic together, so the
+      * cap can overshoot by ~thread count (r14 ADVICE — accepted;
+      * putIfAbsent keeps the entry itself race-free). Never cleared:
+      * safe only because the merge table is a compile-time constant. */
     val memo = new ConcurrentHashMap[String, Array[UTF8String]]()
   }
 
@@ -151,7 +154,7 @@ object BpeUtil {
     val hit = tab.memo.get(word)
     if (hit != null) return hit
     val enc = encodeWordUncached(tab, word)
-    if (tab.memo.size < MemoCap) tab.memo.put(word, enc)
+    if (tab.memo.size < MemoCap) tab.memo.putIfAbsent(word, enc)
     enc
   }
 

@@ -110,7 +110,16 @@ object AnnIngest {
     * puts /vectors last, so the max batch_id present there is the newest
     * fully-committed version. Serving reads bound by this so a torn
     * later /graph or /cells partition (crash between the three writes,
-    * before the replay heals it) never leaks into a query. */
+    * before the replay heals it) never leaks into a query.
+    *
+    * Assumption (r14 ADVICE, documented): the FINAL /vectors partition
+    * write must itself be effectively atomic — true in practice for the
+    * parquet committer's task-then-job rename protocol on a real
+    * filesystem, where the partition becomes visible only at job commit.
+    * A filesystem without atomic rename can expose a partially-visible
+    * partition that raises the marker early; a production deployment
+    * puts a transactional table (or a per-batch _commit file) under
+    * this, exactly as the delta-log design anticipates. */
   def committedBatchId(spark: SparkSession, indexDir: String): Long = {
     // partition-column inference reads batch_id back as INT — cast
     val row = spark.read.parquet(s"$indexDir/vectors")
