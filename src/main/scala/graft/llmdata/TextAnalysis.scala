@@ -2032,48 +2032,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val bpeBytesEncodeTokensSql: String = {
+  /** Byte-chain twin CTE fragment (no WITH keyword): CTE names prefixed
+    * with `x` so it can coexist with the char chain's names inside one
+    * WITH RECURSIVE (tx31 runs both); ends at `${x}per(doc_id, ${x}ts)`. */
+  private def bpeBytesPerDocCtes(x: String): String = {
     val pat = graft.functions.BpeBytesUtil.PretokenRegex.replace("'", "''")
-    s"""WITH RECURSIVE merges(rank, a, b) AS (
+    s"""${x}merges(rank, a, b) AS (
        |  VALUES ${bpeMergesValuesOf(BpeMergesBytes.Band)}),
-       |pret AS (
+       |${x}pret AS (
        |  SELECT doc_id, i, parts[i] AS w
        |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS parts
        |        FROM documents WHERE text IS NOT NULL) d,
        |    unnest(range(1, len(parts) + 1)) t(i)),
-       |mp AS (
+       |${x}mp AS (
        |  SELECT doc_id, i, w,
        |    CASE WHEN regexp_matches(w, '[^ -~]') THEN NULL
        |         ELSE replace(w, ' ', chr(288)) END AS mw
-       |  FROM pret),
-       |dwords AS (SELECT DISTINCT mw AS w FROM mp WHERE mw IS NOT NULL),
-       |enc AS (
+       |  FROM ${x}pret),
+       |${x}dwords AS (SELECT DISTINCT mw AS w FROM ${x}mp WHERE mw IS NOT NULL),
+       |${x}enc AS (
        |  SELECT w,
        |    regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')
        |      || chr(31) || chr(31) AS s
-       |  FROM dwords
+       |  FROM ${x}dwords
        |  UNION ALL
        |  SELECT e.w, replace(e.s,
        |      chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31),
        |      chr(31) || p.a || p.b || chr(31)) AS s
-       |  FROM enc e, LATERAL (
-       |    SELECT m.a, m.b FROM merges m
+       |  FROM ${x}enc e, LATERAL (
+       |    SELECT m.a, m.b FROM ${x}merges m
        |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
        |      || chr(31)) > 0
        |    ORDER BY m.rank LIMIT 1) p),
-       |final AS (
+       |${x}final AS (
        |  SELECT w, trim(replace(s, chr(31) || chr(31), chr(31)), chr(31)) AS s
-       |  FROM enc e
-       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |  FROM ${x}enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${x}merges m
        |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
        |      || chr(31)) > 0)),
-       |tok AS (
+       |${x}tok AS (
        |  SELECT m.doc_id, m.i, coalesce(f.s, m.mw, m.w) AS s
-       |  FROM mp m LEFT JOIN final f ON f.w = m.mw),
-       |per AS (
-       |  SELECT doc_id, string_agg(s, chr(31) ORDER BY i) AS ts
-       |  FROM tok GROUP BY doc_id)
-       |SELECT d.doc_id,
+       |  FROM ${x}mp m LEFT JOIN ${x}final f ON f.w = m.mw),
+       |${x}per AS (
+       |  SELECT doc_id, string_agg(s, chr(31) ORDER BY i) AS ${x}ts
+       |  FROM ${x}tok GROUP BY doc_id)""".stripMargin
+  }
+
+  val bpeBytesEncodeTokensSql: String =
+    "WITH RECURSIVE " + bpeBytesPerDocCtes("") + "\n" +
+    s"""SELECT d.doc_id,
        |  CAST(CASE WHEN p.ts IS NULL THEN 0
        |    ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
        |    AS BIGINT) AS n_tokens,
@@ -2081,9 +2088,83 @@ object TextAnalysis {
        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
        |LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ------ tx31: tokenizer swap audit (char-level vs byte-level budgets)
+
+  /** tx31: the MIGRATION question a pipeline owner asks before switching
+    * tokenizers — what happens to every per-source token budget if the
+    * corpus moves from the char-level table (tx24, packing/shard budgets
+    * tx26/mm10/cur13) to the byte-level GPT-2-shaped one (tx30)? Per
+    * source: word volume, both token totals under each tokenizer's
+    * shipped default (Band) table, and `byte_to_char_ratio` — the factor
+    * every downstream budget (context-window fill, shard token targets,
+    * token-budget waterfilling) must be rescaled by. One exact division
+    * of two BIGINT sums (the module's float discipline).
+    *
+    * Scale posture: ONE scan — both encodes are scan-side expressions in
+    * the same projection (both merge tables ride the task binary), then
+    * one |sources|-row combinable aggregate. The twin pays two full
+    * recursion chains + two joins for the same answer — the clearest
+    * case in the battery of the expression-level design beating the
+    * SQL-expressible form. */
+  def tokenizerSwapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val charToks = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    val byteToks = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncodeBytes(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast(LongType).as("nw"),
+        size(charToks).cast(LongType).as("nc"),
+        size(byteToks).cast(LongType).as("nb"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nc")).as("n_char_tokens"),
+        sum(col("nb")).as("n_byte_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_char_tokens"), col("n_byte_tokens"),
+        ratio(col("n_byte_tokens"), col("n_char_tokens"))
+          .as("byte_to_char_ratio"))
+      .orderBy(col("source"))
   }
 
+  val tokenizerSwapAuditSql: String =
+    bpePerDocCtes + ",\n" + bpeBytesPerDocCtes("b") + ",\n" +
+    s"""cnt AS (
+       |  SELECT d.source, d.doc_id,
+       |    CAST(len(list_filter(string_split(d.text, ' '), w -> w <> ''))
+       |      AS BIGINT) AS nw,
+       |    CAST(CASE WHEN p.ts IS NULL THEN 0
+       |      ELSE len(p.ts) - len(replace(p.ts, chr(31), '')) + 1 END
+       |      AS BIGINT) AS nc,
+       |    CAST(CASE WHEN b.bts IS NULL THEN 0
+       |      ELSE len(b.bts) - len(replace(b.bts, chr(31), '')) + 1 END
+       |      AS BIGINT) AS nb
+       |  FROM documents d
+       |  LEFT JOIN per p USING (doc_id)
+       |  LEFT JOIN bper b USING (doc_id)
+       |  WHERE d.text IS NOT NULL)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nc) AS BIGINT) AS n_char_tokens,
+       |  CAST(sum(nb) AS BIGINT) AS n_byte_tokens,
+       |  CASE WHEN sum(nc) = 0 THEN NULL
+       |    ELSE CAST(sum(nb) AS DOUBLE) / CAST(sum(nc) AS DOUBLE) END
+       |    AS byte_to_char_ratio
+       |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx31_tokenizer_swap" -> tokenizerSwapAudit,
     "tx30_bpe_bytes_encode" -> bpeBytesEncodeTokens,
     "tx29_bpe_domain_audit" -> bpeDomainAudit,
     "tx28_bpe_train" -> bpeTrain,
@@ -2116,6 +2197,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx31_tokenizer_swap" -> tokenizerSwapAuditSql,
     "tx30_bpe_bytes_encode" -> bpeBytesEncodeTokensSql,
     "tx29_bpe_domain_audit" -> bpeDomainAuditSql,
     "tx28_bpe_train" -> bpeTrainSql,

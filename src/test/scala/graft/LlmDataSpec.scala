@@ -1440,6 +1440,27 @@ class LlmDataSpec extends SparkSpec {
       "byte merge table inert: tokens not below characters")
   }
 
+  test("tx31: swap audit reconciles against tx24/tx30's own totals and the " +
+      "ratio is the emitted division") {
+    val byDoc24 = graft.llmdata.TextAnalysis.bpeEncodeTokens(spark, sf())
+      .collect().map(_.getAs[Long]("n_tokens")).sum
+    val byDoc30 = graft.llmdata.TextAnalysis.bpeBytesEncodeTokens(spark, sf())
+      .collect().map(_.getAs[Long]("n_tokens")).sum
+    val rows = graft.llmdata.TextAnalysis.tokenizerSwapAudit(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_char_tokens")).sum == byDoc24,
+      "char totals must be tx24's (same expression, same filter)")
+    assert(rows.map(_.getAs[Long]("n_byte_tokens")).sum == byDoc30,
+      "byte totals must be tx30's")
+    rows.foreach { r =>
+      val (nc, nb) = (r.getAs[Long]("n_char_tokens"), r.getAs[Long]("n_byte_tokens"))
+      assert(r.getAs[Double]("byte_to_char_ratio") == nb.toDouble / nc)
+      // both tokenizers respect their floors: >= 1 token per word
+      assert(nc >= r.getAs[Long]("n_words") && nb >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("tx29: cross-domain audit under the full table — prose saturates at " +
       "fertility 1.0 (closed in-vocab surface), ID-shaped names run hot") {
     val rows = graft.llmdata.TextAnalysis.bpeDomainAudit(spark, sf("sf0.01"))

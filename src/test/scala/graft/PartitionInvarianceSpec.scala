@@ -175,6 +175,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       // byte-level pretokenize + encode with its own memo cache
       "tx29_bpe_domain_audit" -> TextAnalysis.bpeDomainAudit _,
       "tx30_bpe_bytes_encode" -> TextAnalysis.bpeBytesEncodeTokens _,
+      "tx31_tokenizer_swap" -> TextAnalysis.tokenizerSwapAudit _,
+      // cur15's good-block reassembly collects per-doc lists — the
+      // array_sort(struct) must make it split-order-invariant
+      "cur15_crawl_curation" -> graft.llmdata.Curation.crawlCuration _,
       "cur13_packed_shards" -> graft.llmdata.Curation.packedShards _,
       "cur14_epoch_shuffle" -> graft.llmdata.Curation.epochShuffleAudit _,
       "mm10_interleaved_packing" -> graft.llmdata.Multimodal.interleavedPacking _)

@@ -714,6 +714,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("tx31: tokenizer swap audit runs BOTH encodes in ONE scan-side " +
+      "projection — one scan, one aggregate, no join (the twin pays two " +
+      "recursion chains and two joins for the same answer)") {
+    val p = plan(graft.llmdata.TextAnalysis.tokenizerSwapAudit(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("Window"))
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE aggregate: $aggs")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 2, s"agg exchange + output sort only: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
   test("tx29: cross-domain audit is tx27's shape over three domain scans — " +
       "the full-table encode rides each scan; one union aggregate, no join") {
     val p = plan(graft.llmdata.TextAnalysis.bpeDomainAudit(spark, sf()))
@@ -728,6 +743,25 @@ class PlanQualitySpec extends SparkSpec {
         .count(_.contains(f))
       assert(scans == 1, s"$f scans: $scans")
     }
+  }
+
+  test("cur15: crawl→corpus adds no shuffle class beyond cur1's — scan-side " +
+      "extraction Generate, one reassembly aggregate, cur1's one dedup " +
+      "window, one ledger aggregate, no join") {
+    val p = plan(graft.llmdata.Curation.crawlCuration(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"cur1's one dedup window only: $windows")
+    val generates = p.linesIterator.count(_.matches("^\\(\\d+\\) Generate.*"))
+    assert(generates == 1, s"one block-explode Generate: $generates")
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) [A-Za-z]*HashAggregate.*"))
+    assert(aggs == 4, s"reassembly + ledger, partial+final each: $aggs")
+    val exchanges = p.linesIterator.count(_.matches("^\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 4,
+      s"reassembly agg + dedup window + ledger agg + output sort: $exchanges")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
   }
 
   test("mm10: interleaved packing is tx26's shape — encode + patch count " +
