@@ -273,4 +273,70 @@ class PropertySpec extends SparkSpec {
     val got = spark.read.json(out).select("value").as[String].collect().toSeq.sorted
     assert(got == expected)
   }
+
+  // ---------------- BPE encoders (r15): JVM-level properties -------------
+
+  private def bpeChar(s: String, n: Int): Seq[String] =
+    graft.functions.BpeUtil.encodeText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .array.map(_.toString).toSeq
+
+  private def bpeBytes(s: String): Seq[String] =
+    graft.functions.BpeBytesUtil.encodeText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      graft.llmdata.BpeMergesBytes.BandN)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .array.map(_.toString).toSeq
+
+  test("property: bpe_encode round-trips arbitrary space-separated text, " +
+      "respects the word/char bounds, and is memo-deterministic at every " +
+      "table prefix") {
+    val word = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    val nGen = Gen.oneOf(1, 40, graft.llmdata.BpeMerges.BandN,
+      graft.llmdata.BpeMerges.Full.length)
+    checkProp(Prop.forAll(textGen, nGen) { (text, n) =>
+      val toks = bpeChar(text, n)
+      val words = text.split(" ").filter(_.nonEmpty)
+      val squashed = text.replace(" ", "")
+      toks.mkString == squashed &&                   // lossless
+        toks.length >= words.length &&               // >= 1 token per word
+        toks.length <= squashed.length &&            // <= 1 token per char
+        toks == bpeChar(text, n)                     // deterministic (memo)
+    })
+  }
+
+  test("property: bpe_encode_bytes round-trips printable ASCII under the " +
+      "space→Ġ map and never merges across pretoken classes") {
+    val chunk = Gen.oneOf(
+      Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaChar)),
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.numChar)),
+      Gen.chooseNum(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("!#$%&()*+,-./:;<=>?@[]^_{}~".toSeq))),
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.const(' '))))
+    val textGen = Gen.listOf(chunk).map(_.flatten.mkString)
+    checkProp(Prop.forAll(textGen) { text =>
+      val toks = bpeBytes(text)
+      val mapped = text.replace(' ', 'Ġ')
+      val pure = toks.forall { t =>
+        val core = t.replace("Ġ", "")
+        Seq(core.exists(_.isLetter), core.exists(_.isDigit),
+          core.exists(c => !c.isLetterOrDigit)).count(identity) <= 1
+      }
+      toks.mkString == mapped && pure && toks == bpeBytes(text)
+    })
+  }
+
+  test("bpe_encode_bytes: a pretoken with a byte outside printable ASCII " +
+      "is an opaque single token, raw and unmapped (the twin-parity guard)") {
+    // ' é≠' pretokenizes as ONE ' ?[^a-zA-Z0-9 ]+' match (leading space +
+    // two non-alnum chars) and contains non-ASCII -> opaque, space NOT
+    // mapped to Ġ inside it
+    val toks = bpeBytes("ab é≠ cd")
+    assert(toks.contains(" é≠"), s"opaque pretoken must pass through raw: $toks")
+    assert(toks.mkString == "ab é≠Ġcd",
+      s"mapped segments around the opaque token must still tile: $toks")
+  }
 }
