@@ -1281,6 +1281,45 @@ object Curation {
          |FROM y ORDER BY shard, shard_pos""".stripMargin
   }
 
+  /** The shard FILES behind cur13's manifest — the actual training-data
+    * artifact a loader mounts (cur13 emits the per-sequence accounting;
+    * this writes the per-segment content map, `partitionBy(shard)`).
+    * One row per (bin × overlapping document): the document segment that
+    * fills `[pos_in_bin, pos_in_bin + seg_len)` of the bin's
+    * [[TextAnalysis.PackBudget]]-token window with the document's tokens
+    * `[seg_from, seg_from + seg_len)` — everything a trainer needs to
+    * assemble sequences (re-encoding each doc scan-side at read time, or
+    * joining a token store by doc_id). Zero-token documents keep their
+    * 0-length row so the files reconcile 1:1 with the manifest's n_docs.
+    *
+    * Join-free by the same argument as cur13: the shard is RECOMPUTED
+    * from the seeded (source, bin) hash — deterministic, so files and
+    * manifest agree without ever joining them — and the only exchange
+    * beyond the packer's window is the repartition-by-shard the
+    * `partitionBy(shard)` writer pays anyway (16 output groups, sorted
+    * by (source, bin, pos) within each for stable, diffable files).
+    * LlmDataSpec reconciles a read-back against cur13 (shard equality,
+    * exact token/doc totals per sequence), pins that segments tile every
+    * bin and every document exactly once, and that a rewrite is
+    * content-identical. */
+  def writeShardFiles(spark: SparkSession, dir: String, out: String): Unit = {
+    val budget = lit(TextAnalysis.PackBudget.toLong)
+    TextAnalysis.bpePackingCore(spark, dir)
+      .select(col("source"), col("doc_id"), col("tok_offset"), col("n_bpe"),
+        explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
+      .select(col("source"), col("bin"), col("doc_id"),
+        greatest(col("tok_offset") - col("bin") * budget, lit(0L))
+          .as("pos_in_bin"),
+        greatest(col("bin") * budget - col("tok_offset"), lit(0L))
+          .as("seg_from"),
+        (least((col("bin") + 1L) * budget, col("tok_offset") + col("n_bpe"))
+          - greatest(col("bin") * budget, col("tok_offset"))).as("seg_len"))
+      .withColumn("shard", shardOf(epochHash(0)))
+      .repartition(NumShards, col("shard"))
+      .sortWithinPartitions(col("source"), col("bin"), col("pos_in_bin"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+  }
+
   // ------------------------------------------------------------ cur14
 
   /** cur14: multi-epoch SHUFFLE AUDIT over cur13's shard assignment —

@@ -1495,6 +1495,58 @@ class LlmDataSpec extends SparkSpec {
     assert(symbols.size == rows.length, "merged symbols must be distinct")
   }
 
+  test("shard files: writeShardFiles' read-back reconciles with cur13's " +
+      "manifest, segments tile every bin and every document exactly once, " +
+      "and a rewrite is content-identical") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/sh"
+    graft.llmdata.Curation.writeShardFiles(spark, sf(), out)
+    val files = spark.read.parquet(out)
+      .select(org.apache.spark.sql.functions.col("shard").cast("long").as("shard"),
+        $"source", $"bin", $"doc_id", $"pos_in_bin", $"seg_from", $"seg_len")
+      .collect()
+    assert(files.nonEmpty)
+    val manifest = graft.llmdata.Curation.packedShards(spark, sf()).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    // 1:1 with the manifest: same sequence set, same shard, exact totals
+    val byBin = files.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("bin")))
+    assert(byBin.keySet == manifest.keySet, "sequence sets differ")
+    byBin.foreach { case (k, rows) =>
+      val (shard, nDocs, nTokens) = manifest(k)
+      assert(rows.map(_.getAs[Long]("shard")).distinct.toSeq == Seq(shard),
+        s"$k: file shard != manifest shard")
+      assert(rows.length.toLong == nDocs, s"$k: segment count != n_docs")
+      assert(rows.map(_.getAs[Long]("seg_len")).sum == nTokens,
+        s"$k: segment tokens != manifest fill")
+      // segments tile the bin contiguously from its first filled slot
+      var pos = rows.map(_.getAs[Long]("pos_in_bin")).min
+      rows.sortBy(r => (r.getAs[Long]("pos_in_bin"), r.getAs[Long]("doc_id")))
+        .foreach { r =>
+          assert(r.getAs[Long]("pos_in_bin") == pos, s"$k: gap at $pos")
+          pos += r.getAs[Long]("seg_len")
+        }
+    }
+    // every document's segments tile [0, n_bpe) exactly once
+    val nBpe = graft.llmdata.TextAnalysis.bpePacking(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    files.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      var from = 0L
+      rows.sortBy(_.getAs[Long]("seg_from")).foreach { r =>
+        assert(r.getAs[Long]("seg_from") == from, s"doc $id: segment gap")
+        from += r.getAs[Long]("seg_len")
+      }
+      assert(from == nBpe(id), s"doc $id: segments cover $from of ${nBpe(id)}")
+    }
+    // deterministic rewrite
+    val out2 = java.nio.file.Files.createTempDirectory("shards2").toString + "/sh"
+    graft.llmdata.Curation.writeShardFiles(spark, sf(), out2)
+    def canon(p: String) = spark.read.parquet(p).collect()
+      .map(_.toString).sorted.toSeq
+    assert(canon(out) == canon(out2), "rewrite must be content-identical")
+  }
+
   test("cur13: packed shards reconcile with tx26's placement — exact bin " +
       "fill, one partial bin per source, contiguous shard positions") {
     val placed = graft.llmdata.TextAnalysis.bpePacking(spark, sf()).collect()
