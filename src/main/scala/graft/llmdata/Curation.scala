@@ -671,7 +671,7 @@ object Curation {
 
   // ----------------------- deterministic shard export plan (cur8)
 
-  private val NumShards = 16
+  private[graft] val NumShards = 16
 
   /** Deterministic training-shard export manifest (cur8): the write-side
     * contract of the pipeline — every document is assigned a shard by
@@ -1232,10 +1232,10 @@ object Curation {
   }
 
   /** Seeded shard rank: md5("source:bin:epochN"). */
-  private def epochHash(epoch: Int): Column =
+  private[graft] def epochHash(epoch: Int): Column =
     md5(concat_ws(":", col("source"), col("bin"), lit(s"epoch$epoch")))
 
-  private def shardOf(h: Column): Column =
+  private[graft] def shardOf(h: Column): Column =
     conv(substring(h, 1, 2), 16, 10).cast(LongType) % NumShards
 
   def packedShards(spark: SparkSession, dir: String): DataFrame = {

@@ -76,6 +76,47 @@ object PackingIngest {
             org.apache.spark.sql.GraftColumn.expr(col("text")))))
           .cast(LongType).as("n_bpe"))
 
+  /** INCREMENTAL shard-segment sink: the streaming closure of the full
+    * tokenize → pack → shard pipeline. Each micro-batch of placements is
+    * exploded into the same per-bin document segments
+    * [[graft.llmdata.Curation.writeShardFiles]] emits — the shard is the
+    * identical seeded (source, bin) hash, recomputed (never joined) — and
+    * written with the exactlyOnceBatchWrite idiom: `partitionBy(shard,
+    * batch_id)` + dynamic partition overwrite, so a replayed batch
+    * rewrites exactly its own partitions with the identical rows (the
+    * packer's placements are state-replay-deterministic). Segments are
+    * append-only — a bin spanning micro-batches accumulates its segments
+    * across batch partitions without conflict — so the reader is a plain
+    * union (no latest-view window needed, unlike AnnIngest's upserts).
+    * Wire as `packStream(docs).writeStream
+    *   .foreachBatch(PackingIngest.foreachBatchShardSegments(out) _)`.
+    * StreamingOpsSpec asserts the read-back is content-identical to the
+    * batch writer's files across arbitrary chops, and that a replayed
+    * batch changes nothing. */
+  def foreachBatchShardSegments(out: String)
+                               (batch: Dataset[PackPlacement],
+                                batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val budget = lit(Budget)
+    batch.toDF()
+      .select(col("source"), col("doc_id"), col("tok_offset"), col("n_bpe"),
+        explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
+      .select(col("source"), col("bin"), col("doc_id"),
+        greatest(col("tok_offset") - col("bin") * budget, lit(0L))
+          .as("pos_in_bin"),
+        greatest(col("bin") * budget - col("tok_offset"), lit(0L))
+          .as("seg_from"),
+        (least((col("bin") + 1L) * budget, col("tok_offset") + col("n_bpe"))
+          - greatest(col("bin") * budget, col("tok_offset"))).as("seg_len"))
+      .withColumn("shard",
+        graft.llmdata.Curation.shardOf(graft.llmdata.Curation.epochHash(0)))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "batch_id")
+      .parquet(out)
+  }
+
   /** The stateful packer: keyed by source, state = (next free token
     * offset, highest doc_id placed). Docs inside one trigger are placed
     * in doc_id order (the iterator order within a group is not

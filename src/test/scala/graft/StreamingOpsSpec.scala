@@ -976,6 +976,52 @@ class StreamingOpsSpec extends SparkSpec {
       "in-order arrival must produce no arrived_late flags")
   }
 
+  test("PackingIngest: incremental shard segments equal the batch shard " +
+      "files across chops, and a replayed batch changes nothing") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.PackingIngest
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect().sortBy(_._2)
+    val chunks = Seq(docs.take(7), docs.slice(7, 160), docs.drop(160))
+    val dir = java.nio.file.Files.createTempDirectory("shard_inc").toString
+    val out = s"$dir/segs"
+    val stream = MemoryStream[(String, Long, String)]
+    val q = PackingIngest.packStream(
+        stream.toDF.toDF("source", "doc_id", "text"))
+      .writeStream
+      .foreachBatch(PackingIngest.foreachBatchShardSegments(out) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append).start()
+    try chunks.foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    def canon(p: String, drop: Seq[String]): Seq[String] = {
+      val df = spark.read.parquet(p)
+      df.select(df.columns.filterNot(drop.contains).sorted
+          .map(c => col(c).cast("string")): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // content-identical to the batch writer (in-order arrival)
+    val out2 = s"$dir/segs_batch"
+    graft.llmdata.Curation.writeShardFiles(spark, sf(), out2)
+    assert(canon(out, Seq("batch_id")) == canon(out2, Seq()),
+      "incremental segments must equal the batch shard files")
+    // exactly-once: replaying the LAST chop (same batchId, same
+    // state-deterministic placements) rewrites its own partitions with
+    // identical rows — nothing changes
+    val before = canon(out, Seq())
+    val chopIds = chunks(2).map(_._2).toSet
+    val placements = graft.llmdata.TextAnalysis.bpePackingCore(spark, sf())
+      .filter($"doc_id".isin(chopIds.toSeq: _*))
+      .select($"source", $"doc_id", $"n_bpe", $"tok_offset",
+        $"start_bin", $"end_bin", $"crosses_boundary",
+        org.apache.spark.sql.functions.lit(false).as("arrived_late"))
+      .as[graft.streaming.PackPlacement]
+    PackingIngest.foreachBatchShardSegments(out)(placements, 2L)
+    assert(canon(out, Seq()) == before, "replayed batch must change nothing")
+  }
+
   test("PackingIngest: out-of-order arrival is detectably flagged, never " +
       "silently corrupted — arrival order is the pack order") {
     implicit val ctx = spark.sqlContext
