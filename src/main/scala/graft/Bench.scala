@@ -165,34 +165,39 @@ object Bench {
     // still hostage to one run's ambient load (r11 committed 63.3 s out
     // of a 55.6–63.3 s spread). Run the full battery N times (caches
     // rebuilt per run — the per-family warm-up pass re-absorbs the build
-    // cost), commit the best run's per-query map (so sum(queries) ==
-    // value), and stamp {runs, battery_range_secs} so the spread is on
-    // the record.
+    // cost), commit the per-query MIN across runs (see below), and stamp
+    // {runs, battery_range_secs} so the whole-run spread is on the
+    // record.
     val batteryRuns =
       sys.env.get("SPARK_GRAFT_BATTERY_RUNS").map(_.toInt).getOrElse(3).max(1)
     val allRuns = (1 to batteryRuns).map { _ => batteryOnce() }
-    // COMPLETE-RUN selection (r12 ADVICE): a run in which a query failed
-    // all 3 samples is missing that query, so its total is artificially
-    // low and would win best-of-N while silently dropping the query from
-    // the committed artifact. Select the best total only among runs whose
-    // key set equals the union of all runs' keys; if NO run is complete
-    // (a query failed in every run), fall back to min-total over all runs
-    // and surface the selected run's missing queries in the errors map.
+    // PER-QUERY MIN across the N runs (r15 verdict task 2): selecting one
+    // whole run by battery total could embed a transient per-query spike
+    // from the winning run — r15's committed run carried q10–q16 at ~4×
+    // their values in the other two runs of the SAME invocation, a
+    // phantom regression to any round-over-round consumer that doesn't
+    // open the sidecar. The per-query min across runs is the same
+    // estimator the battery already applies within a run (ambient noise
+    // on a warm workload is additive, so min is the signal); the
+    // committed total is the sum of mins — still a legitimate best-case
+    // battery, and sum(queries) == value continues to hold. A query
+    // lands in the errors map only if it failed in EVERY run (keeping
+    // the r12 rule that one transient failure must not erase a valid
+    // sample — here generalized across runs instead of within one).
     val unionKeys = allRuns.flatMap(_._1.keys).toSet
-    val completeRuns = allRuns.filter(_._1.keySet == unionKeys)
-    val candidates = if (completeRuns.nonEmpty) completeRuns else allRuns
-    val candTotals = candidates.map(_._1.values.sum)
-    val (results, runErrors) = candidates(candTotals.indexOf(candTotals.min))
-    val missing = unionKeys -- results.keySet
+    val results: Map[String, Double] =
+      unionKeys.map(k => k -> allRuns.flatMap(_._1.get(k)).min).toMap
     val errors = scala.collection.mutable.Map.empty[String, String]
-    errors ++= runErrors
-    missing.foreach { k =>
-      if (!errors.contains(k)) errors(k) = "missing_in_selected_run"
+    allRuns.foreach { case (_, errs) =>
+      errs.foreach { case (k, v) => if (!unionKeys.contains(k)) errors(k) = v }
     }
-    // the stamped range covers the CANDIDATE runs only: an incomplete
-    // run's artificially-low total must not re-enter as the range minimum
-    // (the same distortion the complete-run selection excludes)
-    val runTotals = candidates.map(_._1.values.sum)
+    // the stamped range still reports WHOLE-RUN totals (the cross-run
+    // spread the noise protocol reads), over complete runs only — an
+    // incomplete run's artificially-low total must not enter as the
+    // range minimum
+    val completeRuns = allRuns.filter(_._1.keySet == unionKeys)
+    val runTotals =
+      (if (completeRuns.nonEmpty) completeRuns else allRuns).map(_._1.values.sum)
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -305,6 +310,7 @@ object Bench {
       s""""duckdb_baseline_status":${jq(duckdbStatus)},""" +
       s""""runs":$batteryRuns,""" +
       s""""battery_range_secs":[${ms(runTotals.min)},${ms(runTotals.max)}],""" +
+      s""""queries_estimator":"per-query min across runs (sum==value)",""" +
       // queries BEFORE value/ratio: the driver's 2000-char tail window
       // truncates from the head, so the scalars the judge grades on must
       // close the line — if the battery ever outgrows the window again it

@@ -40,6 +40,31 @@ object CdcPipeline {
       outputPrefix: String = "sfdc-cdc",
       startingOffsets: String = "earliest")
 
+  object Config {
+
+    /** Startup fetch through the external config-store seam
+      * ([[graft.sources.ConfigSource]]): the reference reads its rate
+      * knobs from the environment (`app.py:42-45` — `BATCH_SIZE` and
+      * `INTERVAL`, both defaulting when absent), the sink name from
+      * `TARGET_DELIVERY_STREAM` (`app.py:45`), and the replay start as a
+      * process argument (`KinesisExample.java:48-50`). Paths here map to
+      * exactly those env names under [[graft.sources.EnvConfigSource]]'s
+      * path→name rule, and to file/SSM keys under the other bindings —
+      * so `Config.fromSource(ConfigSource.chain(new EnvConfigSource,
+      * new FileConfigSource(...)))` is the production startup path with
+      * env-over-file layering. Absent keys keep this engine's defaults. */
+    def fromSource(cs: graft.sources.ConfigSource): Config = {
+      val d = Config()
+      Config(
+        batchSize = cs.get("/batch_size").map(_.trim.toInt).getOrElse(d.batchSize),
+        intervalSecs = cs.get("/interval").map(_.trim.toInt).getOrElse(d.intervalSecs),
+        outputPrefix = cs.get("/target_delivery_stream").getOrElse(d.outputPrefix),
+        startingOffsets = cs.get("/replay_from").map {
+          case "-2" => "earliest"; case "-1" => "latest"; case s => s
+        }.getOrElse(d.startingOffsets))
+    }
+  }
+
   /** Transform shared by batch and streaming: raw envelope JSON strings →
     * routed output rows. `snapshot` is the static lookup side. */
   def transform(rawJson: DataFrame, snapshot: DataFrame): DataFrame = {
