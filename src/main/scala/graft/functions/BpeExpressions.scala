@@ -158,6 +158,46 @@ object BpeUtil {
     enc
   }
 
+  /** OOV id for [[encodeTextIds]]: a token outside the supplied vocab
+    * maps here (cannot happen when the vocab was built over the corpus
+    * being encoded; the contract for NEW text against a frozen vocab). */
+  final val UnkId: Int = -1
+
+  /** [[encodeText]] emitting token IDS against a caller-supplied vocab
+    * (UTF8String token → boxed id; absent → [[UnkId]]). One pass, O(1)
+    * hash lookup per token — the id mapping adds no second
+    * materialization of the token strings and no data movement (the
+    * vocab ships with the expression, see [[BpeEncodeIds]]). */
+  def encodeTextIds(text: UTF8String, n: Int,
+      vocab: java.util.HashMap[UTF8String, Integer]): ArrayData = {
+    val tab = table(n)
+    val s = text.toString
+    var buf = new Array[Int](16)
+    var m = 0
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) {
+          val toks = encodeWord(tab, s.substring(start, i))
+          var t = 0
+          while (t < toks.length) {
+            if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+            val id = vocab.get(toks(t))
+            buf(m) = if (id == null) UnkId else id.intValue()
+            m += 1
+            t += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, m))
+  }
+
   /** Tokenize a whole text under the first-`n`-merges table: single-space
     * word split (empty words from consecutive/leading/trailing spaces
     * contribute nothing — the same rule as the twin's `w <> ''` filter),
@@ -216,4 +256,61 @@ object BpeEncode {
   /** Default table: the mid-band prefix (see [[graft.llmdata.BpeMerges]]). */
   def apply(child: Expression): BpeEncode =
     BpeEncode(child, graft.llmdata.BpeMerges.BandN)
+}
+
+/** `bpe_encode_ids(text)` → array<int> of token IDS: [[BpeEncode]]'s merge
+  * walk composed with a token→id vocab lookup in ONE scan-side pass
+  * (tx33 / cur16 — the id-level payload a training shard actually loads).
+  *
+  * The vocab is DATA-derived (built from the corpus by
+  * `TextAnalysis.bpeVocabCore`, persisted as the parquet artifact a
+  * tokenizer release ships), so unlike the merge table it cannot be a
+  * compile-time constant; it is a constructor parameter folded into the
+  * plan as a codegen reference object (`ctx.addReferenceObj`) — the same
+  * ship-with-the-task-binary posture as the IVF codebook literals, with
+  * O(1) HashMap lookups per token instead of the O(|vocab|) linear scan a
+  * `element_at(map_literal, token)` would codegen to. Zero shuffle, zero
+  * build side; a real 100k-entry vocab is ~2 MB in the task binary — the
+  * degenerate best case of a broadcast. Tokens outside the vocab map to
+  * [[BpeUtil.UnkId]] (impossible when vocab and corpus coincide; the
+  * frozen-vocab contract for new text). */
+case class BpeEncodeIds(child: Expression, nMerges: Int,
+    vocab: Map[String, Int]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if nMerges > 0 &&
+      nMerges <= graft.llmdata.BpeMerges.Full.length =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids: merge-table prefix $nMerges out of range 1..${graft.llmdata.BpeMerges.Full.length}")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids requires string, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  /** UTF8String-keyed view of the vocab: tokens come off the merge walk
+    * as UTF8String, so keying the map the same way avoids a per-token
+    * toString allocation. Built once per (de)serialized instance. */
+  @transient private lazy val vocabMap: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](vocab.size * 2)
+    vocab.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), Integer.valueOf(v))
+    }
+    m
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    BpeUtil.encodeTextIds(text.asInstanceOf[UTF8String], nMerges, vocabMap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeVocab", vocabMap,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.BpeUtil.encodeTextIds($a, $nMerges, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
 }

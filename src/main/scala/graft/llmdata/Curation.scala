@@ -1320,6 +1320,128 @@ object Curation {
       .write.mode("overwrite").partitionBy("shard").parquet(out)
   }
 
+  // ---------------- cur16: id-level shard payload (r15 verdict task 1)
+
+  /** One row per (bin × overlapping document) — [[writeShardFiles]]'s
+    * segment map with the MATERIALIZED id slice: `seg_ids` is the
+    * document's token-id subarray `[seg_from, seg_from + seg_len)`, so a
+    * trainer assembles the bin's [[TextAnalysis.PackBudget]]-token
+    * sequence by concatenating `seg_ids` in `pos_in_bin` order — no
+    * re-encode, no token-store join. */
+  private def shardIdSegments(spark: SparkSession, dir: String): DataFrame = {
+    val budget = lit(TextAnalysis.PackBudget.toLong)
+    TextAnalysis.bpePackingIdsCore(spark, dir)
+      .select(col("source"), col("doc_id"), col("ids"), col("tok_offset"),
+        col("n_bpe"),
+        explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
+      .select(col("source"), col("bin"), col("doc_id"),
+        greatest(col("tok_offset") - col("bin") * budget, lit(0L))
+          .as("pos_in_bin"),
+        greatest(col("bin") * budget - col("tok_offset"), lit(0L))
+          .as("seg_from"),
+        (least((col("bin") + 1L) * budget, col("tok_offset") + col("n_bpe"))
+          - greatest(col("bin") * budget, col("tok_offset"))).as("seg_len"),
+        col("ids"))
+      .withColumn("seg_ids",
+        slice(col("ids"), (col("seg_from") + 1L).cast(IntegerType),
+          col("seg_len").cast(IntegerType)))
+      .drop("ids")
+  }
+
+  /** cur16: the LOADABLE training sequences — per (source, bin), the
+    * assembled [[TextAnalysis.PackBudget]]-length token-ID array (exact
+    * fill for every bin but each source's last), with the bin's shard
+    * assignment and the segment accounting. This closes the
+    * tokenize→pack→shard story at the ID level: cur13 ships the
+    * manifest, [[writeShardFilesWithIds]] the files, and this query is
+    * the oracle-gated content contract (per-sequence id arrays
+    * hash-compared against the DuckDB twin).
+    *
+    * Plan: the packer's one per-source window (id arrays ride it — the
+    * token stream materializing, see [[TextAnalysis.bpePackingIdsCore]]),
+    * one Generate (segments), one keyed aggregate whose `array_sort ∘
+    * collect_list ∘ flatten` is the in-group assembly ((pos_in_bin,
+    * doc_id) is unique per bin, so the sort is deterministic; zero-token
+    * documents contribute empty slices at their offset position). The
+    * aggregate's group is one training sequence — bounded state
+    * ([[TextAnalysis.PackBudget]] ids), any corpus size. */
+  def shardSequences(spark: SparkSession, dir: String): DataFrame =
+    shardIdSegments(spark, dir)
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("seg_len")).as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pos_in_bin"), col("doc_id"),
+            col("seg_ids")))),
+          x => x.getField("seg_ids"))).as("seq_ids"))
+      .withColumn("shard", shardOf(epochHash(0)))
+      .select(col("shard"), col("source"), col("bin"), col("n_docs"),
+        col("n_tokens"), col("seq_ids"))
+      .orderBy(col("source"), col("bin"))
+
+  val shardSequencesSql: String = {
+    val b = TextAnalysis.PackBudget
+    TextAnalysis.bpePlacementCtes + ",\n" + TextAnalysis.bpeVocabIdsCtes + ",\n" +
+      s"""placed AS (
+         |  SELECT source, doc_id, n_bpe, tok_offset,
+         |    CAST(floor(tok_offset / $b) AS BIGINT) AS start_bin,
+         |    CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / $b)
+         |      AS BIGINT) AS end_bin
+         |  FROM o),
+         |segs AS (
+         |  SELECT p.source, CAST(u.bin AS BIGINT) AS bin, p.doc_id,
+         |    CAST(greatest(p.tok_offset - u.bin * $b, 0) AS BIGINT)
+         |      AS pos_in_bin,
+         |    CAST(greatest(u.bin * $b - p.tok_offset, 0) AS BIGINT)
+         |      AS seg_from,
+         |    CAST(least((u.bin + 1) * $b, p.tok_offset + p.n_bpe)
+         |      - greatest(u.bin * $b, p.tok_offset) AS BIGINT) AS seg_len
+         |  FROM placed p, unnest(range(p.start_bin, p.end_bin + 1)) u(bin)),
+         |wids AS (
+         |  SELECT s.*, COALESCE(
+         |    list_slice(i.ids, s.seg_from + 1, s.seg_from + s.seg_len),
+         |    CAST([] AS INTEGER[])) AS seg_ids
+         |  FROM segs s LEFT JOIN ids i USING (doc_id))
+         |SELECT
+         |  CAST(('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)
+         |    || ':epoch0'), 1, 2))::BIGINT % $NumShards AS BIGINT) AS shard,
+         |  source, bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+         |  flatten(list(seg_ids ORDER BY pos_in_bin, doc_id)) AS seq_ids
+         |FROM wids GROUP BY source, bin ORDER BY source, bin""".stripMargin
+  }
+
+  /** [[writeShardFiles]] upgraded to the ID-LEVEL payload: the segment
+    * rows carry `seg_ids` (materialized token-id slices), and the vocab
+    * artifact that decodes them lands beside the files — everything a
+    * loader mounts, with no re-encode and no join at read time:
+    *
+    *   out/segments/shard=N/…   (source, bin, doc_id, pos_in_bin,
+    *                             seg_from, seg_len, seg_ids)
+    *   out/vocab/…              (token_id, token, n_occurrences)
+    *
+    * Same join-free shard recomputation and write-side sort as
+    * [[writeShardFiles]]; the only delta is the id payload riding the
+    * packer's window (the token stream itself — the irreducible bytes of
+    * a loadable shard). LlmDataSpec gates: read-back assembles exactly
+    * [[TextAnalysis.PackBudget]]-length sequences for every non-final
+    * bin, per-source id streams reconcile with tx33's per-doc arrays,
+    * the vocab round-trips, and a rewrite is content-identical. */
+  def writeShardFilesWithIds(spark: SparkSession, dir: String,
+                             out: String): Unit = {
+    shardIdSegments(spark, dir)
+      .withColumn("shard", shardOf(epochHash(0)))
+      .repartition(NumShards, col("shard"))
+      .sortWithinPartitions(col("source"), col("bin"), col("pos_in_bin"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$out/segments")
+    TextAnalysis.bpeVocabCore(spark, dir)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/vocab")
+  }
+
   // ------------------------------------------------------------ cur14
 
   /** cur14: multi-epoch SHUFFLE AUDIT over cur13's shard assignment —
@@ -1596,6 +1718,7 @@ object Curation {
        |FROM ledger GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur16_shard_sequences" -> shardSequences,
     "cur15_crawl_curation" -> crawlCuration,
     "cur14_epoch_shuffle" -> epochShuffleAudit,
     "cur13_packed_shards" -> packedShards,
@@ -1614,6 +1737,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur16_shard_sequences" -> shardSequencesSql,
     "cur15_crawl_curation" -> crawlCurationSql,
     "cur14_epoch_shuffle" -> epochShuffleAuditSql,
     "cur13_packed_shards" -> packedShardsSql,

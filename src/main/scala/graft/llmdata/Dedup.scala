@@ -90,6 +90,7 @@ object Dedup {
     winnowCache.clear(spark)
     Similarity.clearExemplars(spark)
     Multimodal.clearSignatures(spark)
+    TextAnalysis.clearVocab(spark)
   }
 
   /** Exact Jaccard on distinct shingle arrays — native one-pass expression

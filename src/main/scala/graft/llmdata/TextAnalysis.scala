@@ -1599,6 +1599,130 @@ object TextAnalysis {
        |    AS BIGINT) AS bin_drift
        |FROM o ORDER BY source, doc_id""".stripMargin
 
+  // ------ tx32/tx33: token-id vocabulary + id-level encode (r15 task 1)
+
+  /** tx32: the VOCABULARY artifact of the applied tokenizer — one row per
+    * distinct BPE token in the documents corpus under the default Band
+    * table, with `token_id` = 0-based lexicographic rank (deterministic:
+    * re-running the build over the same corpus snapshot yields the same
+    * ids regardless of cluster shape) and the corpus occurrence count.
+    * This is the table a tokenizer RELEASE ships next to its merge list:
+    * ids, not token strings, are what training shards store and what an
+    * embedding matrix is sized by ([[Curation.writeShardFilesWithIds]]
+    * persists it as parquet beside the shard files — the ss7-style
+    * write/read index lifecycle, spec-gated round trip).
+    *
+    * Scale posture: one documents scan (the encode is the scan-side
+    * native expression), one hash aggregate over token instances, and a
+    * single-partition window over the DISTINCT tokens only — |vocab| is
+    * Heaps-law sublinear (a production tokenizer caps it at 32k–256k
+    * ids), so the unpartitioned rank is a control-plane sort, not a data
+    * shuffle. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabCore(spark, dir).orderBy(col("token_id"))
+
+  private[graft] def bpeVocabCore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftColumn.expr(col("text"))))
+    t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("token"))) - 1)
+          .cast(IntegerType))
+      .select(col("token_id"), col("token"), col("n_occurrences"))
+  }
+
+  /** The vocab as a driver-side map, session-cached per corpus dir — the
+    * IVF-codebook idiom (`Similarity.collectedExemplars`): collected ONCE
+    * (|vocab| rows, control plane), then folded into the id-encode
+    * expression so the per-token lookup is an in-task O(1) hash probe
+    * with zero data movement. Same staleness contract as every
+    * SessionCache user. */
+  private val vocabCache = new SessionCache[Map[String, Int]](_ => ())
+  private[graft] def collectedVocab(spark: SparkSession,
+                                    dir: String): Map[String, Int] =
+    vocabCache.get(spark, s"bpe_vocab:$dir")(
+      bpeVocabCore(spark, dir).collect()
+        .map(r => r.getString(1) -> r.getInt(0)).toMap)
+
+  private[llmdata] def clearVocab(spark: SparkSession): Unit =
+    vocabCache.clear(spark)
+
+  /** The id-level encode column: text → array<int> under the corpus
+    * vocab (native [[graft.functions.BpeEncodeIds]]; merge walk + id
+    * lookup in one scan-side pass). */
+  private def bpeIdsCol(spark: SparkSession, dir: String): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncodeIds(
+        org.apache.spark.sql.GraftColumn.expr(col("text")),
+        graft.llmdata.BpeMerges.BandN, collectedVocab(spark, dir)))
+
+  /** tx33: per-document token-ID sequences — tx24's apply emitting the
+    * INT ids a trainer consumes instead of token strings. Zero-token
+    * documents keep an empty array (they are real corpus rows and the
+    * packer accounts for them). Scan-side; the ONLY movement is the
+    * output itself. */
+  def bpeEncodeIds(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), bpeIdsCol(spark, dir).as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast(LongType).as("n_ids"),
+        col("ids"))
+      .orderBy(col("doc_id"))
+
+  /** tx26's placement CARRYING the materialized id arrays — the feed of
+    * the id-level shard payload (cur16 / writeShardFilesWithIds). The id
+    * arrays ride the packer's one per-source window shuffle: that IS the
+    * token stream materializing, the irreducible volume of an id-level
+    * artifact (the pointer-only variant that avoids it is
+    * [[Curation.writeShardFiles]], whose scaladoc concedes a trainer
+    * must re-encode at read time — r15 verdict task 1 closes that). */
+  private[graft] def bpePackingIdsCore(spark: SparkSession,
+                                       dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), bpeIdsCol(spark, dir).as("ids"))
+      .withColumn("n_bpe", size(col("ids")).cast(LongType))
+      .withColumn("tok_offset", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("ids"), col("n_bpe"),
+        col("tok_offset"),
+        startBinCol(col("tok_offset"), PackBudget).as("start_bin"),
+        endBinCol(col("tok_offset"), col("n_bpe"), PackBudget).as("end_bin"))
+  }
+
+  /** Twin CTE fragment appending to a chain that contains `tok` (from
+    * [[bpePerDocCtes]]): flattens the per-word token strings to one row
+    * per token position, ranks the distinct tokens into `vocab`, and
+    * assembles per-doc id lists. */
+  private[llmdata] val bpeVocabIdsCtes: String =
+    s"""tokflat AS (
+       |  SELECT t.doc_id, t.i, u.j, t.tl[u.j] AS tkn
+       |  FROM (SELECT doc_id, i, string_split(s, chr(31)) AS tl FROM tok) t,
+       |    unnest(range(1, len(t.tl) + 1)) u(j)),
+       |vocab AS (
+       |  SELECT tkn AS token,
+       |    CAST(row_number() OVER (ORDER BY tkn) - 1 AS INTEGER) AS token_id,
+       |    CAST(cnt AS BIGINT) AS n_occurrences
+       |  FROM (SELECT tkn, count(*) AS cnt FROM tokflat GROUP BY tkn)),
+       |ids AS (
+       |  SELECT tf.doc_id, list(v.token_id ORDER BY tf.i, tf.j) AS ids
+       |  FROM tokflat tf JOIN vocab v ON v.token = tf.tkn
+       |  GROUP BY tf.doc_id)""".stripMargin
+
+  val bpeVocabSql: String = bpePerDocCtes + ",\n" + bpeVocabIdsCtes + "\n" +
+    "SELECT token_id, token, n_occurrences FROM vocab ORDER BY token_id"
+
+  val bpeEncodeIdsSql: String = bpePerDocCtes + ",\n" + bpeVocabIdsCtes + "\n" +
+    s"""SELECT d.doc_id,
+       |  CAST(coalesce(len(i.ids), 0) AS BIGINT) AS n_ids,
+       |  COALESCE(i.ids, CAST([] AS INTEGER[])) AS ids
+       |FROM documents d LEFT JOIN ids i USING (doc_id)
+       |WHERE d.text IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------ tx27: tokenizer-health audit (fertility per source)
 
   /** tx27: per-source TOKENIZER-HEALTH audit over the applied BPE
@@ -2164,6 +2288,8 @@ object TextAnalysis {
        |FROM cnt GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx33_bpe_ids" -> bpeEncodeIds,
+    "tx32_bpe_vocab" -> bpeVocab,
     "tx31_tokenizer_swap" -> tokenizerSwapAudit,
     "tx30_bpe_bytes_encode" -> bpeBytesEncodeTokens,
     "tx29_bpe_domain_audit" -> bpeDomainAudit,
@@ -2197,6 +2323,8 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx33_bpe_ids" -> bpeEncodeIdsSql,
+    "tx32_bpe_vocab" -> bpeVocabSql,
     "tx31_tokenizer_swap" -> tokenizerSwapAuditSql,
     "tx30_bpe_bytes_encode" -> bpeBytesEncodeTokensSql,
     "tx29_bpe_domain_audit" -> bpeDomainAuditSql,

@@ -1547,6 +1547,79 @@ class LlmDataSpec extends SparkSpec {
     assert(canon(out) == canon(out2), "rewrite must be content-identical")
   }
 
+  test("cur16/shard ids: writeShardFilesWithIds read-back assembles exactly " +
+      "PackBudget-length id sequences, reconciles with the per-doc id " +
+      "streams, the vocab round-trips, and a rewrite is content-identical") {
+    val out = java.nio.file.Files.createTempDirectory("idshards").toString + "/sh"
+    graft.llmdata.Curation.writeShardFilesWithIds(spark, sf(), out)
+
+    // vocab artifact round-trips (the ss7-style index lifecycle)
+    val vocabBack = spark.read.parquet(s"$out/vocab").collect()
+      .map(r => (r.getAs[Int]("token_id"), r.getAs[String]("token"),
+        r.getAs[Long]("n_occurrences"))).sortBy(_._1).toSeq
+    val vocabDirect = graft.llmdata.TextAnalysis.bpeVocab(spark, sf()).collect()
+      .map(r => (r.getAs[Int]("token_id"), r.getAs[String]("token"),
+        r.getAs[Long]("n_occurrences"))).toSeq
+    assert(vocabBack.nonEmpty && vocabBack == vocabDirect,
+      "vocab artifact must round-trip bit-identically")
+    assert(vocabBack.map(_._1) == vocabBack.indices.toSeq,
+      "token ids must be dense 0-based ranks")
+
+    // segment read-back: assemble each bin's sequence in placement order
+    val segs = spark.read.parquet(s"$out/segments")
+      .select($"source", $"bin", $"doc_id", $"pos_in_bin", $"seg_from",
+        $"seg_len", $"seg_ids").collect()
+    assert(segs.nonEmpty)
+    val assembled = segs.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("bin")))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(r => (r.getAs[Long]("pos_in_bin"),
+          r.getAs[Long]("doc_id")))
+          .flatMap(_.getSeq[Int](6)).toSeq
+      }
+    val budget = 256 // TextAnalysis.PackBudget
+    val lastBin = assembled.keys.groupBy(_._1).map { case (s, ks) =>
+      s -> ks.map(_._2).max }
+    assembled.foreach { case ((src, bin), ids) =>
+      if (bin != lastBin(src))
+        assert(ids.length == budget,
+          s"($src,$bin): assembled ${ids.length} ids, want exactly $budget")
+      else assert(ids.length <= budget && ids.nonEmpty,
+        s"($src,$bin): final bin must hold 1..$budget ids")
+    }
+    // every id decodes through the vocab (no UNK, no out-of-range)
+    val vsize = vocabBack.length
+    assert(assembled.values.flatten.forall(id => id >= 0 && id < vsize),
+      "every shipped id must be a valid vocab rank")
+
+    // full fidelity: per source, bins concatenated in bin order replay the
+    // per-doc id streams in doc order — the loadability contract (no
+    // re-encode, no join, byte-exact token stream)
+    val perDoc = graft.llmdata.TextAnalysis.bpePackingIdsCore(spark, sf())
+      .select($"source", $"doc_id", $"ids").collect()
+    val wantStreams = perDoc.groupBy(_.getAs[String]("source"))
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_.getAs[Long]("doc_id")).flatMap(_.getSeq[Int](2)).toSeq }
+    val gotStreams = assembled.toSeq.groupBy(_._1._1)
+      .map { case (s, bins) => s -> bins.sortBy(_._1._2).flatMap(_._2) }
+    assert(gotStreams == wantStreams,
+      "assembled shard stream must equal the per-doc id stream per source")
+
+    // cur16's oracle rows agree with the files (same assembly, same shard)
+    val cur16 = graft.llmdata.Curation.shardSequences(spark, sf()).collect()
+    assert(cur16.map(r => ((r.getAs[String]("source"), r.getAs[Long]("bin")),
+      r.getSeq[Int](5).toSeq)).toMap == assembled,
+      "cur16 sequences must equal the file read-back assembly")
+
+    // deterministic rewrite
+    val out2 = java.nio.file.Files.createTempDirectory("idshards2").toString + "/sh"
+    graft.llmdata.Curation.writeShardFilesWithIds(spark, sf(), out2)
+    def canon(p: String) = spark.read.parquet(p).collect()
+      .map(_.toString).sorted.toSeq
+    assert(canon(s"$out/segments") == canon(s"$out2/segments"))
+    assert(canon(s"$out/vocab") == canon(s"$out2/vocab"))
+  }
+
   test("cur13: packed shards reconcile with tx26's placement — exact bin " +
       "fill, one partial bin per source, contiguous shard positions") {
     val placed = graft.llmdata.TextAnalysis.bpePacking(spark, sf()).collect()

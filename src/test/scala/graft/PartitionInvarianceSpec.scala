@@ -181,7 +181,13 @@ class PartitionInvarianceSpec extends SparkSpec {
       "cur15_crawl_curation" -> graft.llmdata.Curation.crawlCuration _,
       "cur13_packed_shards" -> graft.llmdata.Curation.packedShards _,
       "cur14_epoch_shuffle" -> graft.llmdata.Curation.epochShuffleAudit _,
-      "mm10_interleaved_packing" -> graft.llmdata.Multimodal.interleavedPacking _)
+      "mm10_interleaved_packing" -> graft.llmdata.Multimodal.interleavedPacking _,
+      // r16: tx32's vocab rank over a distinct-token aggregate, tx33's
+      // vocab-mapped encode (the collected vocab must not depend on split
+      // layout), cur16's in-group sequence assembly
+      "tx32_bpe_vocab" -> TextAnalysis.bpeVocab _,
+      "tx33_bpe_ids" -> TextAnalysis.bpeEncodeIds _,
+      "cur16_shard_sequences" -> graft.llmdata.Curation.shardSequences _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -809,6 +809,33 @@ class PlanQualitySpec extends SparkSpec {
       s"placement window + agg + shard window + output sort only: $exchanges")
   }
 
+  test("tx33: id-level encode is one scan-side native expression — no " +
+      "join (the vocab ships as a plan reference, not a build side), no " +
+      "aggregate, no window") {
+    val p = plan(graft.llmdata.TextAnalysis.bpeEncodeIds(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+    assert(p.contains("bpe_encode_ids"), "the native id encode must be in-plan")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
+  test("cur16: id-level shard payload keeps cur13's shape — no join, the " +
+      "one placement window (ids ride it), one documents scan, one " +
+      "assembly aggregate") {
+    val p = plan(graft.llmdata.Curation.shardSequences(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"only the placement window: $windows")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+    val aggs = p.linesIterator.count(
+      _.matches("^\\(\\d+\\) (Object)?HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE assembly aggregate: $aggs")
+  }
+
   test("cur14: epoch audit rides cur13's bin aggregate — no join, no " +
       "window, all three epoch assignments computed in one projection") {
     val p = plan(graft.llmdata.Curation.epochShuffleAudit(spark, sf()))
