@@ -166,4 +166,65 @@ class RocksDbStateSpec extends SparkSpec {
     assert(rocks == hdfs, "session windows must not depend on the provider")
     assert(rocks.size == 3)
   }
+
+  test("packStream + shard-segment sink under RocksDB: placements row-" +
+      "identical to batch tx26 across a kill+restart, incremental segments " +
+      "equal the batch shard files, and RocksDB really held the state") {
+    // packStream's keyed state (per-source offset) is EXACTLY the state
+    // that outgrows heap at 100 TB of arbitrary-cardinality sources —
+    // the r15 verdict's uncovered case. Drive the full streaming
+    // tokenize→pack→shard closure under RocksDBStateStoreProvider with a
+    // kill between micro-batches: the offset must come back from RocksDB
+    // (a reset offset would shift every later placement and corrupt the
+    // segment tiling, so the batch-equality assertions below are a
+    // restart-survival proof, not just a parity check).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.PackingIngest
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter($"text".isNotNull)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .collect().sortBy(_._2)
+    val chunks = Seq(docs.take(9), docs.slice(9, 130), docs.drop(130))
+    val dir = Files.createTempDirectory("rocks_pack").toString
+    val out = s"$dir/segs"
+    val stream = MemoryStream[(String, Long, String)]
+    def start() = withProvider(RocksDb) {
+      PackingIngest.packStream(stream.toDF.toDF("source", "doc_id", "text"))
+        .writeStream
+        .foreachBatch(PackingIngest.foreachBatchShardSegments(out) _)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append).start()
+    }
+    var q = start()
+    try {
+      stream.addData(chunks(0).toSeq); q.processAllAvailable()
+      // the flatMapGroupsWithState state really lives in RocksDB
+      val stateOps = q.recentProgress.flatMap(_.stateOperators)
+      assert(stateOps.exists(s =>
+        s.operatorName.contains("flatMapGroupsWithState") && s.numRowsTotal > 0),
+        "expected flatMapGroupsWithState state rows")
+      import scala.jdk.CollectionConverters._
+      val metricKeys = stateOps.flatMap(_.customMetrics.keySet().asScala)
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"state metrics carry no rocksdb counters: ${metricKeys.distinct.toSeq}")
+      q.stop() // kill between micro-batches …
+      q = start() // … and resume from the RocksDB-checkpointed offsets
+      chunks.drop(1).foreach { c =>
+        stream.addData(c.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def canon(p: String, drop: Seq[String]): Seq[String] = {
+      val df = spark.read.parquet(p)
+      df.select(df.columns.filterNot(drop.contains).sorted
+          .map(c => col(c).cast("string")): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val out2 = s"$dir/segs_batch"
+    graft.llmdata.Curation.writeShardFiles(spark, sf(), out2)
+    val got = canon(out, Seq("batch_id"))
+    assert(got.nonEmpty && got == canon(out2, Seq()),
+      "RocksDB-stated incremental segments must equal the batch shard files")
+  }
 }
