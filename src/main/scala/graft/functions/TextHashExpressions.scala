@@ -807,4 +807,8 @@ object TextHashFunctions {
     GraftColumn.of(WinnowFingerprints(GraftColumn.expr(words), k, w))
   def cdcChunks(payload: Column, divisor: Int): Column =
     GraftColumn.of(CdcChunkList(GraftColumn.expr(payload), divisor))
+  def ppmPixels(payload: Column): Column =
+    GraftColumn.of(PpmPixels(GraftColumn.expr(payload)))
+  def ppmReencode(payload: Column): Column =
+    GraftColumn.of(PpmReencode(GraftColumn.expr(payload)))
 }

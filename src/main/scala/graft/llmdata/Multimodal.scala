@@ -371,6 +371,7 @@ object Multimodal {
   def clearSignatures(spark: SparkSession): Unit = {
     phashCache.clear(spark)
     decodedPhashCache.clear(spark)
+    ppmPhashCache.clear(spark)
   }
 
   private def signatures(spark: SparkSession, dir: String): DataFrame =
@@ -565,6 +566,125 @@ object Multimodal {
        |g AS (SELECT media_id, list_transform(
        |        generate_series(1, greatest(len(s) - ${PhashWindowBytes - 1}, 1)),
        |        i -> substr(s, i, $PhashWindowBytes)) AS grams FROM sig),
+       |tok AS (SELECT media_id, substr(md5(unnest(grams)), 1, 16) AS th FROM g),
+       |bits AS (SELECT media_id, p,
+       |    SUM(CASE WHEN
+       |      floor((strpos('0123456789abcdef', substr(th, ((p-1)//4)+1, 1)) - 1)
+       |            // power(2, 3-((p-1)%4))) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(1,64)) AS p)
+       |  GROUP BY media_id, p),
+       |ph AS (SELECT media_id,
+       |         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS ph
+       |       FROM bits GROUP BY media_id),
+       |blocks AS (SELECT media_id, ph, blk,
+       |             substr(ph, blk*$PhashBlockBits+1, $PhashBlockBits) AS bv
+       |           FROM ph CROSS JOIN
+       |             (SELECT unnest(generate_series(0,${PhashBlocks - 1})) AS blk)),
+       |capped AS (SELECT media_id, blk, bv FROM blocks
+       |           QUALIFY row_number() OVER (PARTITION BY blk, bv
+       |             ORDER BY media_id) <= $PhashBucketCap),
+       |cands AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+       |          FROM capped x JOIN capped y
+       |            ON x.blk = y.blk AND x.bv = y.bv AND x.media_id < y.media_id)
+       |SELECT media_a, media_b,
+       |  len(list_filter(generate_series(1,64),
+       |    i -> substr(a.ph, i, 1) <> substr(b.ph, i, 1))) AS hamming
+       |FROM cands JOIN ph a ON cands.media_a = a.media_id
+       |           JOIN ph b ON cands.media_b = b.media_id
+       |WHERE len(list_filter(generate_series(1,64),
+       |    i -> substr(a.ph, i, 1) <> substr(b.ph, i, 1))) <= $PhashHammingMax
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
+  // -------------- mm11: REAL-codec (PPM) decoded-domain near-dup
+
+  /** Re-serialized PPM variant ids live this far above the original. */
+  private val PpmReencodeOffset = 30000000L
+
+  /** Deterministic P6 (binary PPM) corpus synthesized from the documents
+    * fixture: dims derived from doc_id (8–15 each), pixel plane = the
+    * doc's UTF-8 bytes repeated/truncated to exactly width·height·3 —
+    * REAL image files with real headers, built entirely from column ops
+    * so the DuckDB twin reconstructs the identical bytes. (The driver
+    * fixtures ship no media column — TESTDATA.md — so the corpus is
+    * derived, like [[mediaTable]]; the difference is these payloads ARE
+    * a specified, parseable format, not "text bytes standing in".) */
+  private[graft] def ppmMediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(8))).cast(IntegerType))
+      .withColumn("h",
+        (lit(8) + pmod(floor(col("doc_id") / 8), lit(8))).cast(IntegerType))
+      .withColumn("need", (col("w") * col("h") * 3).cast(IntegerType))
+      .withColumn("reps",
+        floor((col("need") + octet_length(col("text")) - 1)
+          / octet_length(col("text"))).cast(IntegerType))
+      .select(col("doc_id").as("media_id"),
+        concat(
+          concat(lit("P6\n"), col("w").cast(StringType), lit(" "),
+            col("h").cast(StringType), lit("\n255\n")).cast(BinaryType),
+          expr("cast(repeat(text, reps) as binary)")
+            .substr(lit(1), col("need"))).as("content"))
+
+  /** mm6 over a REAL codec (r15 verdict task 6): the decoded-domain
+    * duplicate class driven through the hand-rolled P6 decoder
+    * ([[graft.functions.PpmUtil]]) instead of the stub. The corpus is
+    * every synthesized PPM plus its [[graft.functions.PpmReencode]]
+    * re-serialization (different file bytes — even a different LENGTH,
+    * which the stub's in-place nibble rewrite could not produce — same
+    * pixel plane), each hashed by `phash64(ppm_pixels(content))`: a real
+    * parse of a real header feeding the decoded-domain signature. Every
+    * (original, re-encoded) pair lands at hamming 0 BECAUSE THE DECODER
+    * recovered identical planes from differing byte streams — the seam
+    * proof the stub tier could only model. Candidates/verification are
+    * [[bandedHammingPairs]], identical to mm5/mm6; payload bytes never
+    * shuffle (only 64-bit signatures enter the exchange). */
+  private val ppmPhashCache = SessionCache.persisted()
+
+  private def ppmSignatures(spark: SparkSession, dir: String): DataFrame =
+    ppmPhashCache.get(spark, dir) {
+      val m0 = ppmMediaTable(spark, dir)
+      val reenc = m0.select(
+        (col("media_id") + PpmReencodeOffset).as("media_id"),
+        graft.functions.TextHashFunctions.ppmReencode(col("content"))
+          .as("content"))
+      m0.unionByName(reenc)
+        .select(col("media_id"),
+          graft.functions.TextHashFunctions.phash64(
+            graft.functions.TextHashFunctions.ppmPixels(col("content")),
+            PhashWindowBytes).as("ph"))
+        .persist()
+    }
+
+  def ppmDecodedNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(ppmSignatures(spark, dir))
+
+  /** DuckDB oracle for mm11: the twin does NOT re-implement the P6
+    * parser — it reconstructs the pixel plane from first principles (the
+    * same dims + repeat/truncate that built the payload), so equality
+    * gates that the Spark-side DECODE of the real container recovered
+    * exactly the encoded plane (encode∘decode = id, cross-engine), for
+    * the original AND the re-serialized variant. Then mm5's SimHash/
+    * banding/hamming machinery over the plane's hex. */
+  val ppmDecodedNearDupSql: String = {
+    val gl = PhashWindowBytes * 2
+    s"""WITH d AS (SELECT doc_id,
+       |    8 + CAST(doc_id % 8 AS INT) AS w,
+       |    8 + CAST((doc_id // 8) % 8 AS INT) AS h,
+       |    lower(hex(encode(text))) AS th,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+       |px AS (SELECT doc_id,
+       |    substr(repeat(th,
+       |      CAST(floor((w*h*3 + nb - 1.0) / nb) AS INT)), 1, w*h*3*2) AS s
+       |  FROM d),
+       |m AS (SELECT doc_id AS media_id, s FROM px
+       |      UNION ALL
+       |      SELECT doc_id + $PpmReencodeOffset, s FROM px),
+       |g AS (SELECT media_id, list_transform(
+       |        generate_series(1, greatest((len(s) // 2) - ${PhashWindowBytes - 1}, 1)),
+       |        i -> substr(s, (i-1)*2 + 1, $gl)) AS grams FROM m),
        |tok AS (SELECT media_id, substr(md5(unnest(grams)), 1, 16) AS th FROM g),
        |bits AS (SELECT media_id, p,
        |    SUM(CASE WHEN
@@ -1005,6 +1125,7 @@ object Multimodal {
        |FROM o ORDER BY source, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm11_ppm_decoded" -> ppmDecodedNearDup,
     "mm10_interleaved_packing" -> interleavedPacking,
     "mm9_content_chunks" -> contentChunkCensus,
     "mm8_byte_entropy" -> byteEntropy,
@@ -1017,6 +1138,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm11_ppm_decoded" -> ppmDecodedNearDupSql,
     "mm10_interleaved_packing" -> interleavedPackingSql,
     "mm9_content_chunks" -> contentChunkCensusSql,
     "mm8_byte_entropy" -> byteEntropySql,

@@ -230,4 +230,58 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("high_entropy")) == 0,
       "fixture text payloads sit well under the compressed-stream band")
   }
+
+  test("mm11: PpmUtil decodes real P6 headers (comments, whitespace runs), " +
+      "rejects malformation to null, and reencode preserves the plane") {
+    import graft.functions.PpmUtil
+    def ppm(header: String, px: Array[Byte]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ px
+    val plane = Array.tabulate(2 * 3 * 3)(i => (i * 37 % 251).toByte)
+    // minimal header
+    assert(PpmUtil.pixels(ppm("P6\n2 3\n255\n", plane)).toSeq == plane.toSeq)
+    // whitespace runs, CRLF, tabs between fields are all legal separators
+    assert(PpmUtil.pixels(ppm("P6  \r\n\t 2\n\n3\t255\n", plane)).toSeq
+      == plane.toSeq)
+    // comment lines anywhere whitespace is allowed
+    assert(PpmUtil.pixels(
+      ppm("P6\n# a comment\n2 # inline\n3\n# more\n255\n", plane)).toSeq
+      == plane.toSeq)
+    // malformed: wrong magic, maxval != 255, truncated plane, empty dims
+    assert(PpmUtil.pixels(ppm("P5\n2 3\n255\n", plane)) == null)
+    assert(PpmUtil.pixels(ppm("P6\n2 3\n65535\n", plane)) == null)
+    assert(PpmUtil.pixels(ppm("P6\n2 3\n255\n", plane.take(5))) == null)
+    assert(PpmUtil.pixels(ppm("P6\n0 3\n255\n", Array.empty[Byte])) == null)
+    assert(PpmUtil.pixels("P6\n2 3\n255".getBytes("US-ASCII")) == null)
+    // reencode: different file bytes (and length), identical plane
+    val orig = ppm("P6\n2 3\n255\n", plane)
+    val re = PpmUtil.reencode(orig)
+    assert(re != null && !re.sameElements(orig) && re.length != orig.length)
+    assert(PpmUtil.pixels(re).toSeq == plane.toSeq,
+      "decode(reencode(x)) must equal decode(x) — the real-codec seam")
+    assert(PpmUtil.reencode("junk".getBytes("US-ASCII")) == null)
+  }
+
+  test("mm11: synthesized PPM corpus really decodes through the native " +
+      "expression — every payload parses, planes match dims, variants " +
+      "decode to the original's plane") {
+    import graft.functions.TextHashFunctions.{ppmPixels, ppmReencode}
+    val m = graft.llmdata.Multimodal.ppmMediaTable(spark, sf())
+    val checked = m.select($"media_id",
+        octet_length(ppmPixels($"content")).as("n_px"),
+        octet_length(ppmPixels(ppmReencode($"content"))).as("n_px_re"),
+        (ppmPixels($"content") === ppmPixels(ppmReencode($"content")))
+          .as("plane_kept"),
+        (ppmReencode($"content") === $"content").as("bytes_same"),
+        (lit(8) + pmod($"media_id", lit(8))).cast("int").as("w"),
+        (lit(8) + pmod(floor($"media_id" / 8), lit(8))).cast("int").as("h"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val want = r.getAs[Int]("w") * r.getAs[Int]("h") * 3
+      assert(r.getAs[Int]("n_px") == want, s"media ${r.get(0)}: plane size")
+      assert(r.getAs[Int]("n_px_re") == want)
+      assert(r.getAs[Boolean]("plane_kept"), s"media ${r.get(0)}: plane changed")
+      assert(!r.getAs[Boolean]("bytes_same"), s"media ${r.get(0)}: bytes equal")
+    }
+  }
 }

@@ -187,7 +187,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       // layout), cur16's in-group sequence assembly
       "tx32_bpe_vocab" -> TextAnalysis.bpeVocab _,
       "tx33_bpe_ids" -> TextAnalysis.bpeEncodeIds _,
-      "cur16_shard_sequences" -> graft.llmdata.Curation.shardSequences _)
+      "cur16_shard_sequences" -> graft.llmdata.Curation.shardSequences _,
+      // mm11's capped posting lists rank by sorted id — split order must
+      // not change which candidates survive the cap
+      "mm11_ppm_decoded" -> graft.llmdata.Multimodal.ppmDecodedNearDup _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -192,6 +192,18 @@ class PlanQualitySpec extends SparkSpec {
       "media payload bytes must not be a shuffle key")
   }
 
+  test("mm11: real-codec decode is scan-side (ppm_pixels inside the " +
+      "signature projection); media bytes never shuffle") {
+    val p = plan(graft.llmdata.Multimodal.ppmDecodedNearDup(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("content")),
+      "media payload bytes must not be a shuffle key")
+    // the signature table is session-cached (localCheckpoint/persist), so
+    // the decode itself ran at build time; pin it on the UNCACHED build
+    val raw = plan(graft.llmdata.Multimodal.ppmMediaTable(spark, sf()))
+    assert(!raw.contains("Exchange"), "payload synthesis must be scan-side")
+  }
+
   test("tx12: the top-V vocab is the broadcast side of the scoring join") {
     val p = plan(graft.llmdata.TextAnalysis.vocabQuality(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
