@@ -1705,6 +1705,34 @@ object Similarity {
     * navigable graph — R = 10 at the sf0.1 fixture, 8 at sf0.01). */
   private[graft] def pruneDegreeOf(k: Int): Int = math.max(4, k / 2)
 
+  /** NSG/Vamana α for the occlusion rule: occlude c only if a
+    * better-ranked b satisfies α·(1 − cos(b,c)) < (1 − cos(u,c)) — the
+    * RobustPrune relaxation (Subramanya et al. 2019; α = 1 is exactly
+    * the rule this build always ran, cos(b,c) > cos(u,c)). Distance
+    * form, not the cosine shorthand: scaling a possibly-negative cosine
+    * by α would INVERT the relaxation on obtuse pairs.
+    *
+    * MEASURED AND PINNED AT 1.0 (r15 verdict task 4 hypothesized α≈1.2;
+    * the AlphaProbe sweep at sf0.1 — fresh JVM per α so session caches
+    * cannot mix builds, ss17 serve settings fixed — refuted it):
+    *
+    *   α        0.7    0.8    0.9    0.95   1.0    1.1    ≥1.2
+    *   recall   0.533  0.533  0.533  0.633  0.667  0.567  0.600
+    *   divShare 0.12   0.20   0.40   0.58   0.80   0.996  1.00
+    *
+    * Above 1.1 the batch rule occludes NOTHING (divShare → 1: the
+    * "pruned" graph degenerates to rank-truncated kNN, whose clustered
+    * edges are the problem diversification exists to fix); below 1.0 the
+    * over-pruning the relaxation was meant to correct gets worse. The
+    * r15 recall task was closed on the serve side instead — see
+    * [[ServeEntries]]' operating-point note. A build knob, kept for
+    * corpora whose sim distribution differs from the fixture's: override
+    * via GRAFT_DIVERSIFY_ALPHA only in a fresh session (build and DuckDB
+    * twin read this constant once, so Spark and oracle cannot disagree
+    * within a JVM). */
+  private[graft] val DiversifyAlpha: Double =
+    sys.env.get("GRAFT_DIVERSIFY_ALPHA").map(_.toDouble).getOrElse(1.0)
+
   /** The diversified graph caches per (session, dir) alongside the
     * descent graph it prunes. Evicted by [[clearExemplars]]. */
   private val divGraphCache = SessionCache.persisted()
@@ -1752,6 +1780,12 @@ object Similarity {
   private[graft] def graphDiversifyUncached(spark: SparkSession,
                                             dir: String): DataFrame = {
       val r = pruneDegreeOf(buildDegree(spark, dir))
+      // NOTE (r16): Vamana-style reverse-edge augmentation before the
+      // prune (candidates = g ∪ reverse(g) re-ranked by sim, capped 2K)
+      // was prototyped and measured WORSE at sf0.1 — 0.600/0.567/0.600
+      // serve recall across α 1.0/1.1/1.2 vs 0.667 without it (the
+      // in-degree it balances is already served by the walk's undirected
+      // adjacency) — so the build keeps the plain two-round candidates.
       val g = descentRound(spark, dir, knnGraphDescent(spark, dir)
           .select(col("src_id"), col("neighbor_id")))
         .select(col("src_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
@@ -1764,7 +1798,8 @@ object Similarity {
       val occ = b.join(c, "src_id").filter(col("b_rank") < col("c_rank"))
         .join(e.select(col("vec_id").as("bn"), col("v").as("vb")), "bn")
         .join(e.select(col("vec_id").as("cn"), col("v").as("vc")), "cn")
-        .filter(Dedup.cosine(col("vb"), col("vc")) > col("uc_sim"))
+        .filter((lit(1.0) - Dedup.cosine(col("vb"), col("vc")))
+          * DiversifyAlpha < lit(1.0) - col("uc_sim"))
         .select(col("src_id"), col("cn").as("neighbor_id")).distinct()
       val w = Window.partitionBy(col("src_id"))
         .orderBy(col("diversified").desc, col("rank"))
@@ -1795,7 +1830,8 @@ object Similarity {
        |        FROM gd b JOIN gd c ON b.src_id = c.src_id AND b.rank < c.rank
        |        JOIN eD vb ON vb.vec_id = b.neighbor_id
        |        JOIN eD vc ON vc.vec_id = c.neighbor_id
-       |        WHERE ${cosSql("vb.v", "vc.v")} > c.cos_sim),
+       |        WHERE (1.0 - (${cosSql("vb.v", "vc.v")})) * $DiversifyAlpha
+       |          < 1.0 - c.cos_sim),
        |flagged AS (SELECT g.src_id, g.rank, g.neighbor_id, g.cos_sim,
        |              o.src_id IS NULL AS diversified
        |            FROM gd g LEFT JOIN occ o ON o.src_id = g.src_id
@@ -1815,45 +1851,62 @@ object Similarity {
   /** Serve beam width: at each hop only the [[ServeBeam]] best NEW nodes
     * per query stay on the frontier (the bounded frontier of best-first
     * search / HNSW's ef parameter). */
-  private val ServeBeam = 8
+  private val ServeBeam = 9
 
   /** Serve hop budget scales with the corpus — hops(n) = clamp(⌊log2 n⌋
-    * − 6, 2, [[MaxServeHops]]): 2 at the 490-vector fixtures, 4 at
-    * 1 990. A FIXED depth cannot satisfy both ends: the depth that
+    * − 4, 2, [[MaxServeHops]]): 4 at the 490-vector fixtures, 6 at
+    * 1 990 (r16: was −6 / depth 4; the hop-depth sweep below moved the
+    * slope). A FIXED depth cannot satisfy both ends: the depth that
     * reaches the recall band at 2 000 vectors walks half of a 500-vector
     * corpus (measured in the ss19 sweep — the serve-effort analogue of
     * the [[degreeOf]] lesson). Work per query is O(hops·beam·degree) —
     * logarithmic in corpus size, which is the entire point of paying for
     * the graph build. The [[MaxServeHops]] cap is the twin's static
     * unroll depth (hops beyond the scaled count are data-gated no-ops in
-    * the twin); raise both together for corpora past ~half a million
+    * the twin); raise both together for corpora past ~a million
     * vectors. */
   private[graft] def serveHopsOf(n: Long): Int =
     math.min(MaxServeHops,
-      math.max(2, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 6))
+      math.max(2, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 4))
 
   /** The twin's unrolled hop depth (and the ss19 sweep's measured
     * depth). */
-  private val MaxServeHops = 4
+  private val MaxServeHops = 6
 
   /** Entry-point fan-out: the traversal starts from the
     * [[ServeEntries]] nearest corpus exemplars (multiple entries hedge
     * against a bad region of the graph — HNSW's multi-entry / NSG's
     * navigating-node analogue).
     *
-    * OPERATING POINT (r14 decision, from the oracle-gated ss19 sweep at
-    * sf0.1, corpus 1 990): (beam 8, entries 3, 4 hops) = recall@3 0.667
-    * at 324 mean visited (16.3% of the corpus). The next setting up,
-    * (12, 3, 4 hops), measures 0.700 recall at 409 visited (20.5%) —
-    * +0.033 recall for +26% serve work, and still short of the 0.8 band
-    * the r13 verdict set as the bar for widening the default. The sweep
-    * shows hop DEPTH, not beam, is the recall lever at this corpus
-    * scale (0.233→0.367→0.533→0.667 across hops at beam 8 vs
-    * 0.667→0.700 for beam 8→12 at depth 4), and hops already scale with
-    * the corpus via [[serveHopsOf]] — so (8, 3) stays the default as a
-    * measured decision; consumers needing the extra margin can pay for
-    * it explicitly via [[graphServeOver]]'s beam parameter. */
-  private val ServeEntries = 3
+    * OPERATING POINT (r16 decision — the r15 verdict's task 4, chased
+    * through three measured levers at sf0.1, corpus 1 990, 25% visited
+    * budget = 497):
+    *
+    *  1. BUILD-side α-relaxed occlusion (the verdict's published lever,
+    *     [[DiversifyAlpha]]): recall is MAXIMAL at α = 1.0 — 0.667,
+    *     degrading both ways (0.633 at 0.95, 0.533 at 0.9, 0.600 at
+    *     ≥1.1 where occlusion vanishes). Rejected by measurement.
+    *  2. BUILD-side reverse-edge (Vamana backward-edge) augmentation
+    *     before the prune: 0.600/0.567/0.600 at α 1.0/1.1/1.2 — below
+    *     the 0.667 baseline. Rejected by measurement.
+    *  3. SERVE-side depth+width (the r14 sweep's own conclusion that
+    *     hop DEPTH is the recall lever at this scale, taken further):
+    *     at the old (8, 3), hops 5/6/7 read 0.700/0.733/0.733 — a
+    *     0.733 plateau under the budget line. The (beam, entries) grid
+    *     at depth 6: (8,4) 0.800 @ 25.3%, (10,3) 0.833 @ 26.8%,
+    *     (9,3) 0.867 @ 25.1% — all over budget — and
+    *     **(9, 2, 6 hops) = recall@3 0.800 at 463.5 mean / 480 max
+    *     visited (23.3% / 24.1%)** — the 0.8 band inside the budget.
+    *
+    * So the published point is (beam 9, entries 2) with
+    * [[serveHopsOf]]'s slope moved −6 → −4 (6 hops at 1 990, 4 at the
+    * 490-vector spec fixtures): +0.133 recall for +43% visited work,
+    * bought with depth+width at one FEWER entry — the two entries the
+    * walk keeps are the ones it actually expands, and the third was
+    * pure visited cost at this corpus. ss19's sweep carries the
+    * operating point and its rejected neighbors under the oracle
+    * gate. */
+  private val ServeEntries = 2
 
   /** The undirected serve adjacency caches per (session, dir) alongside
     * the descent graph it is derived from — it IS the index artifact the
@@ -2146,7 +2199,7 @@ object Similarity {
   val graphServeSql: String =
     s"""WITH $serveSharedCtesSql,
        |hcfg AS (SELECT least($MaxServeHops, greatest(2,
-       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 6)) AS h
+       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 4)) AS h
        |         FROM embeddings WHERE vec_id >= $NumQueries),
        |${serveChainSql("", ServeBeam, ServeEntries, MaxServeHops,
              h => s"\n          AND $h <= (SELECT h FROM hcfg)")},
@@ -2267,7 +2320,7 @@ object Similarity {
        |          list(lo + code * ((hi - lo) / $SqLevels) ORDER BY d) AS xq
        |        FROM senc GROUP BY vec_id),
        |hcfg AS (SELECT least($MaxServeHops, greatest(2,
-       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 6)) AS h
+       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 4)) AS h
        |         FROM embeddings WHERE vec_id >= $NumQueries),
        |p0v0 AS MATERIALIZED (SELECT query_id, node_id, score FROM (
        |         SELECT q.query_id, xc.cell AS node_id,
@@ -2359,7 +2412,7 @@ object Similarity {
   val graphServeFilteredSql: String =
     s"""WITH $serveSharedCtesSql,
        |hcfg AS (SELECT least($MaxServeHops, greatest(2,
-       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 6)) AS h
+       |           (length(bin(CAST(count(*) AS BIGINT))) - 1) - 4)) AS h
        |         FROM embeddings WHERE vec_id >= $NumQueries),
        |${serveChainSql("", ServeBeam, ServeEntries, MaxServeHops,
              h => s"\n          AND $h <= (SELECT h FROM hcfg)")},
@@ -2393,7 +2446,7 @@ object Similarity {
   /** The swept (beam, entries) grid. Small by design: each setting is a
     * full traversal in BOTH engines; the hop dimension rides free off
     * the traversal's prefixes. */
-  private val SweepSettings = Seq((4, 1), (8, 3), (12, 3))
+  private val SweepSettings = Seq((4, 1), (8, 3), (9, 2))
 
   /** ss19: SERVE-PARAMETER SWEEP under the oracle gate (the dd26
     * pattern: the tuning evidence that justified the serve settings is

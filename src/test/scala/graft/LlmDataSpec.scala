@@ -2492,8 +2492,11 @@ class LlmDataSpec extends SparkSpec {
       val cand = byNode(u).sortBy(_._2)
       val cRank = cand.find(_._3 == c).get._2
       val ucSim = cand.find(_._3 == c).get._4
+      // the α-parameterized RobustPrune form (α = 1.0 shipped; distance
+      // form, same expression as the build and its twin)
+      val alpha = graft.llmdata.Similarity.DiversifyAlpha
       val occluded = cand.exists { case (_, bRank, bn, _) =>
-        bRank < cRank && cos(vecs(bn), vecs(c)) > ucSim
+        bRank < cRank && (1.0 - cos(vecs(bn), vecs(c))) * alpha < 1.0 - ucSim
       }
       assert(row.getAs[Boolean]("diversified") == !occluded,
         s"node $u edge $c: diversified flag disagrees with the occlusion rule")
@@ -2502,7 +2505,7 @@ class LlmDataSpec extends SparkSpec {
 
   test("ss19: sweep recall and visited are monotone in hop depth per setting") {
     val rows = graft.llmdata.Similarity.serveSweep(spark, sf()).collect()
-    assert(rows.length == 12, s"3 settings x 4 hops expected, got ${rows.length}")
+    assert(rows.length == 18, s"3 settings x 6 hops expected, got ${rows.length}")
     rows.groupBy(r => (r.getAs[Long]("beam"), r.getAs[Long]("entries")))
       .foreach { case (k, rs) =>
         val byHop = rs.sortBy(_.getAs[Long]("hop"))
@@ -2514,10 +2517,10 @@ class LlmDataSpec extends SparkSpec {
           s"setting $k: visited not monotone in hops: ${vis.toSeq}")
       }
     // the sweep's operating point justifies ss17's settings: the served
-    // (beam=8, entries=3) curve reaches the spec recall floor within the
+    // (beam=9, entries=2) curve reaches the spec recall floor within the
     // sweep's depth budget
-    val served = rows.filter(r => r.getAs[Long]("beam") == 8 &&
-      r.getAs[Long]("entries") == 3).maxBy(_.getAs[Long]("hop"))
+    val served = rows.filter(r => r.getAs[Long]("beam") == 9 &&
+      r.getAs[Long]("entries") == 2).maxBy(_.getAs[Long]("hop"))
     assert(served.getAs[Double]("recall3") >= 0.5)
   }
 
@@ -2534,12 +2537,14 @@ class LlmDataSpec extends SparkSpec {
         (1L to rs.length).toSeq)
     }
     rows.foreach(r => assert(r.getAs[Long]("neighbor_id") >= nq))
-    // recall floor vs the exact top-k (r13: 0.600 at the 490-vector
-    // fixtures and 0.667 at sf0.1's 1990 — the corpus-scaled diversified
-    // graph no longer degrades with corpus growth; floor leaves noise
-    // headroom)
+    // recall floor vs the exact top-k (r16 operating point — beam 9,
+    // entries 2, corpus-scaled hops at slope −4: 0.800 at sf0.1's 1990,
+    // 0.733 at this 490-vector fixture; floor leaves noise headroom.
+    // The visited gate below is deterministic but tight here: 243 of
+    // 490 at 4 hops — the measured cost of reaching the recall band on
+    // a corpus this small, see serveHopsOf's scaladoc)
     val recall = rows.count(_.getAs[Boolean]("in_exact")).toDouble / rows.length
-    assert(recall >= 0.5, f"serve recall $recall%.3f below floor 0.5")
+    assert(recall >= 0.6, f"serve recall $recall%.3f below floor 0.6")
     // the whole point of the graph: bounded traversal, not a corpus scan
     val maxVisited = rows.map(_.getAs[Long]("visited_count")).max
     assert(maxVisited < corpusN / 2,
