@@ -88,6 +88,7 @@ object Dedup {
     pairsCache.clear(spark)
     ivfPairsCache.clear(spark)
     winnowCache.clear(spark)
+    textLabelsCache.clear(spark)
     Similarity.clearExemplars(spark)
     Multimodal.clearSignatures(spark)
     TextAnalysis.clearVocab(spark)
@@ -1058,13 +1059,27 @@ object Dedup {
     * Deterministic (min is order-independent), so the whole clustering
     * hash-matches a DuckDB recursive-CTE transitive closure. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    minLabelComponents(pairs)
+    textMinLabels(spark, dir)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         (count(lit(1)) - 1).as("n_removed"))
       .orderBy(col("cluster_id"))
   }
+
+  /** dd3's text near-dup components, propagated ONCE per corpus snapshot
+    * and session-cached (r16, the cur7 adjudication): the label
+    * propagation is a multi-JOB driver loop (one localCheckpoint job per
+    * diameter hop), and its per-consumer cost — not any consumer's own
+    * plan — was what moved cur7 across battery layouts (dd11 / dd17 /
+    * dd22 / cur7 each re-ran the identical loop over the same cached
+    * pairs; isolated-warm cur7 read 1.49 s of which ~1 s was this loop).
+    * The labels frame is ≪ corpus (only docs in some pair) and already
+    * localCheckpoint-materialized — the canonical SessionCache shape. */
+  private val textLabelsCache = SessionCache.persisted()
+  private def textMinLabels(spark: SparkSession, dir: String): DataFrame =
+    textLabelsCache.get(spark, dir)(
+      minLabelComponents(
+        minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))))
 
   /** Connected components by min-label propagation over an undirected
     * pair list (columns doc_a, doc_b) → (node, label) with label = min
@@ -1072,7 +1087,8 @@ object Dedup {
     * and dd14 (embedding semantic-dedup clusters); see [[dedupClusters]]
     * for why the driver loop is bounded by component DIAMETER, not data
     * size. The result is localCheckpoint-materialized, so it stays valid
-    * after the edge cache is released. */
+    * after the edge cache is released. Text-pair consumers go through
+    * [[textMinLabels]]'s cache, not this directly. */
   private def minLabelComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
@@ -1179,8 +1195,7 @@ object Dedup {
     * the weight is one division of an exact BIGINT. No new shuffle class
     * beyond dd11. */
   def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    val labels = minLabelComponents(pairs)
+    val labels = textMinLabels(spark, dir)
     val assigned = t(spark, dir, "documents").select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -1496,8 +1511,7 @@ object Dedup {
     * compare is exact: clf_score is tx15's fixed-order fold, so both
     * engines rank identical doubles. */
   def canonicalReps(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    val labels = minLabelComponents(pairs)
+    val labels = textMinLabels(spark, dir)
     val scores = TextAnalysis.classifierScore(spark, dir)
       .select(col("doc_id"), col("clf_score"))
     val members = labels.join(scores, col("node") === col("doc_id"))
