@@ -198,6 +198,21 @@ object BpeUtil {
       .fromPrimitiveArray(java.util.Arrays.copyOf(buf, m))
   }
 
+  /** [[BpeEncodeIds]]'s inverse: concatenate the tokens at each id
+    * (dense-rank indexed), U+FFFD for out-of-range. */
+  def decodeIds(ids: ArrayData, inverse: Array[String]): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id >= 0 && id < inverse.length) sb.append(inverse(id))
+      else sb.append('�')
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Tokenize a whole text under the first-`n`-merges table: single-space
     * word split (empty words from consecutive/leading/trailing spaces
     * contribute nothing — the same rule as the twin's `w <> ''` filter),
@@ -256,6 +271,48 @@ object BpeEncode {
   /** Default table: the mid-band prefix (see [[graft.llmdata.BpeMerges]]). */
   def apply(child: Expression): BpeEncode =
     BpeEncode(child, graft.llmdata.BpeMerges.BandN)
+}
+
+/** `bpe_decode_ids(ids)` → string: the DETOKENIZER — token ids back to
+  * their concatenated text through the inverse vocab (ids are dense
+  * 0-based ranks, so the inverse is an array INDEX, not a map probe).
+  * Out-of-range ids (including [[BpeUtil.UnkId]]) decode to U+FFFD, the
+  * standard replacement-character convention. Note the round trip is
+  * exact up to the tokenizer's own whitespace normalization: the encoder
+  * splits on single spaces and drops empty words, so
+  * `decode(encode(text)) == text with spaces removed` — tx34 gates
+  * exactly that identity corpus-wide. */
+case class BpeDecodeIds(child: Expression, vocab: Map[String, Int])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_ids requires array<int>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode_ids"
+
+  /** Inverse vocab as a dense array (token_id = lexicographic rank by
+    * construction — `TextAnalysis.bpeVocabCore`). */
+  @transient private lazy val inverse: Array[String] = {
+    val arr = new Array[String](vocab.size)
+    vocab.foreach { case (tok, id) => arr(id) = tok }
+    arr
+  }
+
+  override def nullSafeEval(ids: Any): Any =
+    BpeUtil.decodeIds(ids.asInstanceOf[ArrayData], inverse)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeInverseVocab", inverse, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.BpeUtil.decodeIds($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
 }
 
 /** `bpe_encode_ids(text)` → array<int> of token IDS: [[BpeEncode]]'s merge

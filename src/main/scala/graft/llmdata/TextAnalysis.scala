@@ -1672,6 +1672,67 @@ object TextAnalysis {
         col("ids"))
       .orderBy(col("doc_id"))
 
+  /** tx34: detokenizer ROUND-TRIP audit — decode(encode(text)) vs the
+    * text itself, per source. The release gate of a tokenizer artifact:
+    * before any shard ships, prove the id stream is LOSSLESS back to the
+    * corpus through the inverse vocab (the exact check HuggingFace's
+    * `tokenizer.decode(tokenizer.encode(x)) == x` convention runs). The
+    * identity here is exact up to the tokenizer's own whitespace rule
+    * (single-space split, empty words dropped, tokens concatenated), so
+    * the audited invariant is `decode(ids) == text with spaces removed` —
+    * `n_roundtrip_exact == n_docs` corpus-wide, plus the char-volume
+    * reconciliation (decoded chars + dropped spaces == source chars).
+    *
+    * Scale posture: encode∘decode fuses into ONE scan-side projection
+    * (native [[graft.functions.BpeEncodeIds]] →
+    * [[graft.functions.BpeDecodeIds]], both codegen; the inverse vocab is
+    * a dense array indexed by id — ids are lexicographic ranks — shipped
+    * as a codegen reference object like the forward vocab), then one
+    * combinable per-source aggregate. Zero joins, zero extra shuffle. */
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val decoded = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeDecodeIds(
+        org.apache.spark.sql.GraftColumn.expr(bpeIdsCol(spark, dir)),
+        collectedVocab(spark, dir)))
+    t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"),
+        decoded.as("decoded"),
+        translate(col("text"), " ", "").as("expected"),
+        length(col("text")).cast(LongType).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("decoded") === col("expected"), 1L).otherwise(0L))
+          .as("n_roundtrip_exact"),
+        sum(length(col("decoded")).cast(LongType)).as("n_decoded_chars"),
+        sum(col("nt") - length(col("expected")).cast(LongType))
+          .as("n_spaces_dropped"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: bpeVocabIdsCtes is declared further down the object (val init
+  // order would null it here)
+  lazy val bpeRoundtripSql: String = bpePerDocCtes + ",\n" + bpeVocabIdsCtes + ",\n" +
+    """dec AS (
+       |  SELECT x.doc_id, string_agg(v.token, '' ORDER BY x.o) AS decoded
+       |  FROM (SELECT i.doc_id, u.o, i.ids[u.o] AS tid
+       |        FROM ids i, unnest(range(1, len(i.ids) + 1)) u(o)) x
+       |  JOIN vocab v ON v.token_id = x.tid
+       |  GROUP BY x.doc_id),
+       |aud AS (
+       |  SELECT d.source,
+       |    COALESCE(dc.decoded, '') AS decoded,
+       |    replace(d.text, ' ', '') AS expected,
+       |    length(d.text) AS nt
+       |  FROM documents d LEFT JOIN dec dc USING (doc_id)
+       |  WHERE d.text IS NOT NULL)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN decoded = expected THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_roundtrip_exact,
+       |  CAST(sum(length(decoded)) AS BIGINT) AS n_decoded_chars,
+       |  CAST(sum(nt - length(expected)) AS BIGINT) AS n_spaces_dropped
+       |FROM aud GROUP BY source ORDER BY source""".stripMargin
+
   /** tx26's placement CARRYING the materialized id arrays — the feed of
     * the id-level shard payload (cur16 / writeShardFilesWithIds). The id
     * arrays ride the packer's one per-source window shuffle: that IS the
@@ -2288,6 +2349,7 @@ object TextAnalysis {
        |FROM cnt GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx34_bpe_roundtrip" -> bpeRoundtrip,
     "tx33_bpe_ids" -> bpeEncodeIds,
     "tx32_bpe_vocab" -> bpeVocab,
     "tx31_tokenizer_swap" -> tokenizerSwapAudit,
@@ -2323,6 +2385,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx34_bpe_roundtrip" -> bpeRoundtripSql,
     "tx33_bpe_ids" -> bpeEncodeIdsSql,
     "tx32_bpe_vocab" -> bpeVocabSql,
     "tx31_tokenizer_swap" -> tokenizerSwapAuditSql,

@@ -1480,6 +1480,29 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx34: the id round trip is lossless corpus-wide — every document " +
+      "decodes back exactly, and char volumes reconcile (decoded + dropped " +
+      "spaces == source chars)") {
+    val rows = graft.llmdata.TextAnalysis.bpeRoundtrip(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_roundtrip_exact") == r.getAs[Long]("n_docs"),
+        s"round trip must be exact for every doc of ${r.getAs[String]("source")}")
+    }
+    // decoded chars + dropped spaces == raw text chars, per source — the
+    // volume ledger that catches a silently-truncating decoder
+    val raw = graft.sources.Tables.load(spark, sf(), "documents")
+      .filter($"text".isNotNull).groupBy($"source")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length($"text").cast("long")).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_decoded_chars") +
+        r.getAs[Long]("n_spaces_dropped") == raw(r.getAs[String]("source")))
+    }
+  }
+
   test("tx28: trained merges are well-formed at sf0.001 — distinct merged " +
       "symbols, every later merge built from earlier vocabulary") {
     val rows = graft.llmdata.TextAnalysis.bpeTrain(spark, sf()).collect()

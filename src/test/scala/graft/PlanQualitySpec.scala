@@ -833,6 +833,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("tx34: encode∘decode fuses into one scan-side projection — no " +
+      "join (forward vocab AND inverse vocab both ship as plan " +
+      "references), one documents scan, one per-source aggregate") {
+    val p = plan(graft.llmdata.TextAnalysis.bpeRoundtrip(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("Window"))
+    assert(p.contains("bpe_encode_ids") && p.contains("bpe_decode_ids"),
+      "both native expressions must be in-plan, fused in the same projection")
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE per-source aggregate: $aggs")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
   test("cur16: id-level shard payload keeps cur13's shape — no join, the " +
       "one placement window (ids ride it), one documents scan, one " +
       "assembly aggregate") {

@@ -308,6 +308,35 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: bpe_encode_ids → bpe_decode_ids is the space-squashed " +
+      "identity under a corpus-derived vocab; out-of-vocab ids decode to " +
+      "U+FFFD (tx34's JVM core)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = graft.llmdata.BpeMerges.BandN
+    val word = Gen.chooseNum(1, 12)
+      .flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar)).map(_.mkString)
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    checkProp(Prop.forAll(textGen) { text =>
+      // vocab = lexicographic ranks of the text's own token set — the
+      // same construction as TextAnalysis.bpeVocabCore
+      val inverse = bpeChar(text, n).distinct.sorted.toArray
+      val jmap = new java.util.HashMap[UTF8String, Integer]()
+      inverse.zipWithIndex.foreach { case (t, i) =>
+        jmap.put(UTF8String.fromString(t), Integer.valueOf(i))
+      }
+      val ids = graft.functions.BpeUtil.encodeTextIds(
+        UTF8String.fromString(text), n, jmap)
+      graft.functions.BpeUtil.decodeIds(ids, inverse).toString ==
+        text.replace(" ", "")
+    })
+    // a frozen vocab meeting NEW text: UnkId and any out-of-range id
+    // decode to the replacement character, never throw
+    val stray = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(0, graft.functions.BpeUtil.UnkId, 99))
+    assert(graft.functions.BpeUtil.decodeIds(stray, Array("x")).toString ==
+      "x��")
+  }
+
   test("property: bpe_encode_bytes round-trips printable ASCII under the " +
       "space→Ġ map and never merges across pretoken classes") {
     val chunk = Gen.oneOf(
