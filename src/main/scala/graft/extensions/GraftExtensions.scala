@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
 
-import graft.functions.{BpeEncode, BpeEncodeBytes, CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, JaroWinklerSim, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
+import graft.functions.{BpeDecodeBytes, BpeEncode, BpeEncodeBytes, CosineSimilarity, DamerauLevenshtein, DecodedPhash, DotProduct, HammingDistance, HyperplaneLshCode, JaccardSimilarity, JaroWinklerSim, MinHashSignature, PayloadPhash, SimHashBits, StubReencodeExpr, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT cosine_sim(a, b) ...")` works too.
@@ -56,5 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       if (args.length > 1)
         BpeEncodeBytes(args(0), intArg(args(1), "bpe_encode_bytes"))
       else BpeEncodeBytes(args(0)))
+    reg("bpe_decode_bytes", classOf[BpeDecodeBytes],
+      args => BpeDecodeBytes(args(0)))
   }
 }

@@ -104,6 +104,48 @@ object BpeBytesUtil {
     enc
   }
 
+  /** [[encodeText]]'s inverse (tx35 — the byte-level detokenizer):
+    * concatenate tokens in order, unmapping Ġ→space on MAPPED-shape
+    * tokens and passing opaque pretokens through raw. A mapped token's
+    * chars are exactly printable-ASCII-sans-space ∪ {Ġ} (the encoder
+    * mapped every space before merging), and an opaque token always
+    * contains a char outside that set — so the shape test recovers
+    * which rule produced each token, and decode∘encode is the IDENTITY
+    * for any input, spaces included (byte-level tokenizers' defining
+    * property; GPT-2's full 256-entry bijection gives the same
+    * guarantee globally). The one blind spot: a LITERAL U+0120 in the
+    * input decodes as a space — the same out-of-domain caveat as the
+    * char tokenizer's U+001F guard; the full byte map has no such
+    * char, and the fixtures contain none. */
+  def decodeText(tokens: ArrayData): UTF8String = {
+    val n = tokens.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i).toString
+      if (mappedShape(t)) {
+        var j = 0
+        while (j < t.length) {
+          val c = t.charAt(j)
+          sb.append(if (c == GDot) ' ' else c)
+          j += 1
+        }
+      } else sb.append(t)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def mappedShape(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!((c > ' ' && c <= '~') || c == GDot)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Tokenize a whole text under the first-`n`-merges byte table:
     * pretokenize, encode each pretoken, concatenate in order. The
     * pretokenizer's branches cover every character, so the matches tile
@@ -156,4 +198,28 @@ object BpeEncodeBytes {
   /** Default table: the mid-band prefix (see [[graft.llmdata.BpeMergesBytes]]). */
   def apply(child: Expression): BpeEncodeBytes =
     BpeEncodeBytes(child, graft.llmdata.BpeMergesBytes.BandN)
+}
+
+/** `bpe_decode_bytes(tokens)` → string: the byte-level DETOKENIZER —
+  * see [[BpeBytesUtil.decodeText]]. Stateless (no vocab, no table), so
+  * unlike [[BpeDecodeIds]] it is registrable on the SQL surface. */
+case class BpeDecodeBytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_bytes requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode_bytes"
+
+  override def nullSafeEval(tokens: Any): Any =
+    BpeBytesUtil.decodeText(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BpeBytesUtil.decodeText($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeBytes =
+    copy(child = newChild)
 }

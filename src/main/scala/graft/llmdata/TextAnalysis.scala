@@ -1733,6 +1733,63 @@ object TextAnalysis {
        |  CAST(sum(nt - length(expected)) AS BIGINT) AS n_spaces_dropped
        |FROM aud GROUP BY source ORDER BY source""".stripMargin
 
+  /** tx35: BYTE-level detokenizer round-trip — the EXACT identity
+    * (spaces included) that is the byte-level tokenizer's defining
+    * property, vs tx34's space-squashed identity for the whitespace-split
+    * char tokenizer. `bpe_decode_bytes(bpe_encode_bytes(text)) == text`
+    * per document: mapped tokens unmap Ġ→space, opaque pretokens pass
+    * through raw ([[graft.functions.BpeBytesUtil.decodeText]]), so the
+    * round trip is exact for any input without a literal U+0120. The
+    * ledger column `n_spaces_restored` counts the spaces that survived
+    * the trip — the bytes the char-level tokenizer deliberately drops.
+    *
+    * Scale posture: encode∘decode fuse into one scan-side projection
+    * (both native codegen, both stateless), then one combinable
+    * per-source aggregate. Zero joins, zero extra shuffle. */
+  def bpeBytesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.BpeEncodeBytes(
+      org.apache.spark.sql.GraftColumn.expr(col("text")))
+    val decoded = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeDecodeBytes(toks))
+    t(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"),
+        decoded.as("decoded"),
+        col("text").as("expected"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("decoded") === col("expected"), 1L).otherwise(0L))
+          .as("n_roundtrip_exact"),
+        sum(length(col("decoded")).cast(LongType)).as("n_decoded_chars"),
+        sum((length(col("decoded")) -
+          length(translate(col("decoded"), " ", ""))).cast(LongType))
+          .as("n_spaces_restored"))
+      .orderBy(col("source"))
+  }
+
+  /** Twin: decode = strip the chr(31) joiners from the per-doc byte
+    * token stream, then unmap chr(288)=Ġ globally — valid because the
+    * fixture surface is printable ASCII, where every Ġ in the stream is
+    * a mapped space (the Spark side applies the per-token opaque rule;
+    * on this corpus the two coincide — the guard divergence is
+    * documented at [[graft.functions.BpeBytesUtil.decodeText]]). */
+  val bpeBytesRoundtripSql: String =
+    "WITH RECURSIVE " + bpeBytesPerDocCtes("") + ",\n" +
+    """aud AS (
+      |  SELECT d.source,
+      |    COALESCE(replace(replace(p.ts, chr(31), ''), chr(288), ' '), '')
+      |      AS decoded,
+      |    d.text AS expected
+      |  FROM documents d LEFT JOIN per p USING (doc_id)
+      |  WHERE d.text IS NOT NULL)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN decoded = expected THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_roundtrip_exact,
+      |  CAST(sum(length(decoded)) AS BIGINT) AS n_decoded_chars,
+      |  CAST(sum(length(decoded) - length(replace(decoded, ' ', '')))
+      |    AS BIGINT) AS n_spaces_restored
+      |FROM aud GROUP BY source ORDER BY source""".stripMargin
+
   /** tx26's placement CARRYING the materialized id arrays — the feed of
     * the id-level shard payload (cur16 / writeShardFilesWithIds). The id
     * arrays ride the packer's one per-source window shuffle: that IS the
@@ -2349,6 +2406,7 @@ object TextAnalysis {
        |FROM cnt GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx35_bpe_bytes_roundtrip" -> bpeBytesRoundtrip,
     "tx34_bpe_roundtrip" -> bpeRoundtrip,
     "tx33_bpe_ids" -> bpeEncodeIds,
     "tx32_bpe_vocab" -> bpeVocab,
@@ -2385,6 +2443,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx35_bpe_bytes_roundtrip" -> bpeBytesRoundtripSql,
     "tx34_bpe_roundtrip" -> bpeRoundtripSql,
     "tx33_bpe_ids" -> bpeEncodeIdsSql,
     "tx32_bpe_vocab" -> bpeVocabSql,

@@ -80,6 +80,16 @@ class ExtensionsSpec extends AnyFunSuite {
       "hello world payload".getBytes("UTF-8")))
   }
 
+  test("bpe encode/decode are callable from SQL and round-trip on the " +
+      "SQL surface (tx35's registered pair)") {
+    val r = spark.sql(
+      """SELECT bpe_decode_bytes(bpe_encode_bytes('the market was HIGH')) AS rt,
+        |       bpe_decode_bytes(bpe_encode_bytes('a  b', 40)) AS rt2""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "the market was HIGH")
+    assert(r.getString(1) == "a  b", "multi-space runs survive exactly")
+  }
+
   test("minhash_sig rejects a non-literal hash count") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig(array('a'), length('xx'))").collect()

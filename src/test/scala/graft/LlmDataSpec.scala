@@ -1503,6 +1503,33 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx35: the byte-level round trip is the EXACT identity corpus-wide " +
+      "— decoded chars AND restored spaces equal the raw text's") {
+    val rows = graft.llmdata.TextAnalysis.bpeBytesRoundtrip(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.sources.Tables.load(spark, sf(), "documents")
+      .filter($"text".isNotNull).groupBy($"source")
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length($"text").cast("long")).as("nc"),
+        org.apache.spark.sql.functions.sum(
+          (org.apache.spark.sql.functions.length($"text") -
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.translate($"text", " ", "")))
+            .cast("long")).as("nsp"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("nc"), r.getAs[Long]("nsp"))).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_roundtrip_exact") == r.getAs[Long]("n_docs"),
+        s"byte round trip must be exact for every doc of $src")
+      assert(r.getAs[Long]("n_decoded_chars") == raw(src)._1)
+      assert(r.getAs[Long]("n_spaces_restored") == raw(src)._2,
+        "every space must survive the byte-level trip")
+    }
+  }
+
   test("tx28: trained merges are well-formed at sf0.001 — distinct merged " +
       "symbols, every later merge built from earlier vocabulary") {
     val rows = graft.llmdata.TextAnalysis.bpeTrain(spark, sf()).collect()

@@ -848,6 +848,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("tx35: byte-level encode∘decode fuses scan-side like tx34 — no " +
+      "join, both native fns in-plan, one scan, one aggregate") {
+    val p = plan(graft.llmdata.TextAnalysis.bpeBytesRoundtrip(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("Window"))
+    assert(p.contains("bpe_encode_bytes") && p.contains("bpe_decode_bytes"))
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE per-source aggregate: $aggs")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
   test("cur16: id-level shard payload keeps cur13's shape — no join, the " +
       "one placement window (ids ride it), one documents scan, one " +
       "assembly aggregate") {

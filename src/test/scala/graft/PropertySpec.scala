@@ -358,6 +358,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: bpe_decode_bytes ∘ bpe_encode_bytes is the EXACT " +
+      "identity — spaces included — for any text without a literal " +
+      "U+0120, opaque pretokens included (tx35's JVM core)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val chunk = Gen.oneOf(
+      Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaChar)),
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.numChar)),
+      Gen.chooseNum(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("!#$%&()*+,-./:;<=>?@[]^_{}~".toSeq))),
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.const(' '))),
+      // non-ASCII -> opaque pretokens, which must pass through raw
+      Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, Gen.oneOf("é≠ü√".toSeq))))
+    val textGen = Gen.listOf(chunk).map(_.flatten.mkString)
+    checkProp(Prop.forAll(textGen) { text =>
+      val toks = graft.functions.BpeBytesUtil.encodeText(
+        UTF8String.fromString(text), graft.llmdata.BpeMergesBytes.BandN)
+      graft.functions.BpeBytesUtil.decodeText(toks).toString == text
+    })
+    // the documented blind spot, pinned so any behavior change is loud:
+    // a literal U+0120 is an opaque pretoken indistinguishable from a
+    // mapped space at decode time, so it decodes as a space
+    val gd = graft.functions.BpeBytesUtil.encodeText(
+      UTF8String.fromString("aĠb"), graft.llmdata.BpeMergesBytes.BandN)
+    assert(graft.functions.BpeBytesUtil.decodeText(gd).toString == "a b")
+  }
+
   test("bpe_encode_bytes: a pretoken with a byte outside printable ASCII " +
       "is an opaque single token, raw and unmapped (the twin-parity guard)") {
     // ' é≠' pretokenizes as ONE ' ?[^a-zA-Z0-9 ]+' match (leading space +
