@@ -5,10 +5,12 @@ import java.net.URL
 
 import javax.xml.parsers.DocumentBuilderFactory
 
-/** S6/S7 protocol logic — the network-free core of the reference's SOAP
-  * login and auth-failure recovery, implemented so the custom source's
-  * connector seam is complete; only the HTTP transport itself remains
-  * deployment config (no Salesforce reachable from the sandbox).
+/** S6/S7 protocol logic for the reference's SOAP login and auth-failure
+  * recovery — envelope build, response parse, endpoint derivation, the
+  * 401/403 classification, and (r16) the LIVE login POST + the
+  * bearer-token-provider binding that feeds [[BayeuxTransport]], so the
+  * whole connector chain (login → long-poll → bus → micro-batch) runs
+  * over real HTTP (loopback-gated in the sandbox; no SFDC reachable).
   *
   * S7 (`subscriber/.../LoginHelper.java:91-159`): build the partner-API
   * SOAP login envelope, parse the response for sessionId / serverUrl /
@@ -93,6 +95,53 @@ object SfdcAuth {
         Right(LoginResult(sid, url, replayEndpoint(url, version)))
       case _ =>
         Left(LoginFault(text("faultstring").getOrElse("Unable to login")))
+    }
+  }
+
+  /** S7 live wire (r16 — closes the last "deployment config" note): POST
+    * the SOAP login envelope and parse the response, the reference's
+    * `LoginHelper.login(url, user, pass)` over JDK `java.net.http` (the
+    * same no-dependency posture as [[BayeuxTransport]]). Wire shape per
+    * `LoginHelper.java:114-125`: POST to `<host>/services/Soap/u/44.0/`,
+    * `Content-Type: text/xml`, `SOAPAction: ''`, `PrettyPrint: Yes`.
+    * Returns Right(sessionId + serverUrl + derived replay endpoint) or
+    * Left(faultstring) — the parse and endpoint derivation are the
+    * already-gated [[parseLoginResponse]]. */
+  def login(loginHost: java.net.URI, username: String, password: String,
+            version: String = DefaultVersion): Either[LoginFault, LoginResult] = {
+    val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val req = java.net.http.HttpRequest
+      .newBuilder(loginHost.resolve(SoapUri))
+      .header("Content-Type", "text/xml")
+      .header("SOAPAction", "''")
+      .header("PrettyPrint", "Yes")
+      .POST(java.net.http.HttpRequest.BodyPublishers
+        .ofString(loginEnvelope(username, password)))
+      .build()
+    val resp = http.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    parseLoginResponse(resp.body(), version)
+  }
+
+  /** The reference's bearer-token provider contract
+    * (`EmpConnector.java:165-173`, `example/BearerTokenProvider.java`):
+    * a `Boolean => String` that returns the cached session id and
+    * RE-LOGINS when called with `force = true` — exactly what
+    * [[BayeuxTransport]] takes. Throws the fault on a failed login (the
+    * transport's next cycle retries through its error path). */
+  def tokenProvider(loginHost: java.net.URI, username: String,
+                    password: String,
+                    version: String = DefaultVersion): Boolean => String = {
+    val cached = new java.util.concurrent.atomic.AtomicReference[String](null)
+    force => {
+      if (force || cached.get() == null)
+        login(loginHost, username, password, version) match {
+          case Right(r) => cached.set(r.sessionId)
+          case Left(f) => throw new IllegalStateException(
+            s"Unable to login: ${f.faultstring}")
+        }
+      cached.get()
     }
   }
 

@@ -122,9 +122,39 @@ class BayeuxTransportSpec extends SparkSpec {
       x.getResponseBody.write(bytes)
       x.close()
     })
+    // ---- S7 live wire: the SOAP login endpoint on the same host, so the
+    // serverUrl in the response derives the replay endpoint back onto
+    // this fixture's /cometd/43.0 context (the reference's own flow)
+    @volatile var soapPassword = "pw-1"
+    @volatile var soapSessionId = "tok-1"
+    val loginCount = new AtomicInteger()
+    server.createContext("/services/Soap/u/44.0/", (x: HttpExchange) => {
+      val req = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      loginCount.incrementAndGet()
+      val serverUrl =
+        s"http://127.0.0.1:${server.getAddress.getPort}/services/Soap/u/44.0/00D"
+      val body =
+        if (req.contains(s"<urn:password>$soapPassword</urn:password>"))
+          s"""<soapenv:Envelope xmlns:soapenv="http://schemas.xmlsoap.org/soap/envelope/">
+             |<soapenv:Body><loginResponse xmlns="urn:partner.soap.sforce.com"><result>
+             |<sessionId>$soapSessionId</sessionId>
+             |<serverUrl>$serverUrl</serverUrl>
+             |</result></loginResponse></soapenv:Body></soapenv:Envelope>""".stripMargin
+        else
+          """<soapenv:Envelope xmlns:soapenv="http://schemas.xmlsoap.org/soap/envelope/">
+            |<soapenv:Body><soapenv:Fault><faultcode>INVALID_LOGIN</faultcode>
+            |<faultstring>INVALID_LOGIN: Invalid username, password.</faultstring>
+            |</soapenv:Fault></soapenv:Body></soapenv:Envelope>""".stripMargin
+      val bytes = body.getBytes("UTF-8")
+      x.getResponseHeaders.set("Content-Type", "text/xml")
+      x.sendResponseHeaders(200, bytes.length)
+      x.getResponseBody.write(bytes)
+      x.close()
+    })
     server.start()
     def endpoint: URI =
       URI.create(s"http://127.0.0.1:${server.getAddress.getPort}/cometd/43.0")
+    def host: URI = URI.create(s"http://127.0.0.1:${server.getAddress.getPort}")
     def stop(): Unit = server.stop(0)
   }
 
@@ -253,6 +283,50 @@ class BayeuxTransportSpec extends SparkSpec {
       srv.publish(topic, quoted("e1"))
       assert(t.pollOnce() == 1)
       assert(forced.get() == 1)
+    } finally srv.stop()
+  }
+
+  test("S7 live wire: the SOAP login POST round-trips (success → " +
+      "sessionId + derived replay endpoint; bad credentials → the fault)") {
+    val srv = new FakeBayeuxServer
+    try {
+      val ok = graft.sources.SfdcAuth.login(srv.host, "u@example.com", "pw-1")
+      assert(ok.isRight)
+      val r = ok.toOption.get
+      assert(r.sessionId == "tok-1")
+      assert(r.replayEndpoint == srv.endpoint.toString,
+        "the replay endpoint derived from serverUrl must land on /cometd/43.0")
+      val bad = graft.sources.SfdcAuth.login(srv.host, "u@example.com", "wrong")
+      assert(bad.isLeft)
+      assert(bad.swap.toOption.get.faultstring.startsWith("INVALID_LOGIN"))
+    } finally srv.stop()
+  }
+
+  test("full connector chain, live: login → tokenProvider → transport at " +
+      "the DERIVED endpoint → events; session expiry re-logins exactly " +
+      "once and the stream resumes (the whole reference loop over HTTP)") {
+    val srv = new FakeBayeuxServer
+    try {
+      val topic = "/data/FullChain"
+      (1 to 2).foreach(i => srv.publish(topic, quoted(s"e$i")))
+      val login = graft.sources.SfdcAuth.login(srv.host, "u@example.com", "pw-1")
+        .toOption.get
+      val provider = graft.sources.SfdcAuth.tokenProvider(
+        srv.host, "u@example.com", "pw-1")
+      val got = mutable.ArrayBuffer.empty[String]
+      val t = new BayeuxTransport(URI.create(login.replayEndpoint), provider,
+        (_, data) => got += om.readTree(data).path("payload").asText())
+      t.subscribeEarliest(topic)
+      assert(t.pollOnce() == 2)
+      val loginsBefore = srv.loginCount.get()
+      // the session expires server-side; the next login must mint sid-2
+      srv.validToken = "tok-2"
+      srv.soapSessionId = "tok-2"
+      srv.publish(topic, quoted("e3"))
+      assert(t.pollOnce() == 0, "the 401 poll classifies + recycles")
+      assert(t.pollOnce() == 1, "forced re-login mints the fresh session id")
+      assert(srv.loginCount.get() == loginsBefore + 1, "exactly one re-login")
+      assert(got.toSeq == Seq("e1", "e2", "e3"))
     } finally srv.stop()
   }
 
