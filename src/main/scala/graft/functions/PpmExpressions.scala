@@ -85,6 +85,52 @@ object PpmUtil {
     java.util.Arrays.copyOfRange(b, hd(2), hd(2) + need)
   }
 
+  /** Factor-2 box-downsample, re-encoded as a minimal P6 (mm12 — REAL
+    * image resize through the real codec, upgrading the byte-domain
+    * `Multimodal.resize` truncation tier): output dims ⌈w/2⌉×⌈h/2⌉, each
+    * output channel byte = ⌊mean⌋ of the 2×2 input block (edge blocks
+    * clamp to 1×2/2×1/1×1 for odd dims). Pure integer arithmetic in a
+    * fixed traversal order, so the DuckDB twin reproduces every byte
+    * exactly. Null on malformed input, like [[pixels]]. */
+  def resizeHalf(b: Array[Byte]): Array[Byte] = {
+    val hd = parseHeader(b)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1); val off = hd(2)
+    val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var k = header.length
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        val x0 = 2 * x2; val x1 = math.min(x0 + 1, w - 1)
+        val y0 = 2 * y2; val y1 = math.min(y0 + 1, h - 1)
+        var c = 0
+        while (c < 3) {
+          var sum = 0; var cnt = 0
+          var yy = y0
+          while (yy <= y1) {
+            var xx = x0
+            while (xx <= x1) {
+              sum += b(off + (yy * w + xx) * 3 + c) & 0xff
+              cnt += 1
+              xx += 1
+            }
+            yy += 1
+          }
+          out(k) = (sum / cnt).toByte
+          k += 1
+          c += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
   /** Re-serialize: same pixel plane, different file bytes (a comment line
     * is inserted — the real-codec analogue of the stub's low-nibble
     * rewrite: `pixels(reencode(x)) == pixels(x)` by construction while
@@ -121,6 +167,28 @@ case class PpmPixels(child: Expression) extends UnaryExpression {
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(newChild: Expression): PpmPixels =
+    copy(child = newChild)
+}
+
+/** `ppm_resize_half(payload)` → the box-downsampled P6 file (null if not
+  * valid P6): see [[PpmUtil.resizeHalf]]. */
+case class PpmResizeHalf(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ppm_resize_half requires binary, got ${t.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppm_resize_half"
+  override def nullSafeEval(payload: Any): Any =
+    PpmUtil.resizeHalf(payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PpmUtil.resizeHalf($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PpmResizeHalf =
     copy(child = newChild)
 }
 

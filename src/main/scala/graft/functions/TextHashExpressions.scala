@@ -811,4 +811,6 @@ object TextHashFunctions {
     GraftColumn.of(PpmPixels(GraftColumn.expr(payload)))
   def ppmReencode(payload: Column): Column =
     GraftColumn.of(PpmReencode(GraftColumn.expr(payload)))
+  def ppmResizeHalf(payload: Column): Column =
+    GraftColumn.of(PpmResizeHalf(GraftColumn.expr(payload)))
 }

@@ -1124,7 +1124,83 @@ object Multimodal {
        |    AS patch_share
        |FROM o ORDER BY source, doc_id""".stripMargin
 
+  // -------------- mm12: REAL decoded-domain resize through the P6 codec
+
+  /** mm12: real image RESIZE — the decoded-domain upgrade of mm4's
+    * byte-truncation tier, possible now that mm11 shipped a real codec:
+    * `ppm_resize_half` decodes the P6, box-downsamples the pixel plane to
+    * ⌈w/2⌉×⌈h/2⌉ (each output channel byte = ⌊mean⌋ of its 2×2 input
+    * block, edge blocks clamped — pure integer arithmetic in a fixed
+    * traversal order), and re-encodes a minimal P6. The gate is
+    * per-image and byte-exact: the twin rebuilds the input plane from
+    * first principles (mm11's idiom) and recomputes every output byte in
+    * the hex domain, so a single off-by-one in block geometry, rounding,
+    * or the re-encoded header hash-fails. The query emits the resized
+    * plane via a SECOND decode (`ppm_pixels(ppm_resize_half(content))`),
+    * so decode → resize → encode → decode all sit in one scan-side
+    * projection.
+    *
+    * Scale posture: one documents scan, everything scan-side native
+    * codegen, output is the (small) resized planes themselves — payload
+    * bytes never enter an exchange (the final ORDER BY ships w2·h2·3
+    * bytes per image, a quarter of the input, exactly what a real
+    * thumbnail stage emits). */
+  def ppmResize(spark: SparkSession, dir: String): DataFrame = {
+    val resized = graft.functions.TextHashFunctions.ppmResizeHalf(col("content"))
+    val w = lit(8) + pmod(col("media_id"), lit(8))
+    val h = lit(8) + pmod(floor(col("media_id") / 8), lit(8))
+    ppmMediaTable(spark, dir)
+      .select(col("media_id"),
+        floor((w + 1) / 2).cast(IntegerType).as("out_w"),
+        floor((h + 1) / 2).cast(IntegerType).as("out_h"),
+        octet_length(resized).cast(LongType).as("file_bytes"),
+        lower(hex(graft.functions.TextHashFunctions.ppmPixels(resized)))
+          .as("resized_hex"))
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB oracle for mm12 (the mm11 idiom: no P6 parser in the twin —
+    * the plane is rebuilt from first principles and the box average
+    * recomputed per output byte in the hex-string domain). */
+  val ppmResizeSql: String = {
+    val hx = "'0123456789abcdef'"
+    // one sampled input byte of channel c at pixel (xx, yy), in-lambda
+    def at(xx: String, yy: String) =
+      s"""(strpos($hx, substr(s, (($xx)*3 + ($yy)*w*3 + (k%3))*2 + 1, 1))-1)*16
+         | + (strpos($hx, substr(s, (($xx)*3 + ($yy)*w*3 + (k%3))*2 + 2, 1))-1)""".stripMargin
+    val x0 = "2*((k//3)%w2)"; val x1 = s"least($x0+1, w-1)"
+    val y0 = "2*((k//3)//w2)"; val y1 = s"least($y0+1, h-1)"
+    s"""WITH d AS (SELECT doc_id AS media_id,
+       |    8 + CAST(doc_id % 8 AS INT) AS w,
+       |    8 + CAST((doc_id // 8) % 8 AS INT) AS h,
+       |    lower(hex(encode(text))) AS th,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+       |px AS (SELECT media_id, w, h,
+       |    substr(repeat(th,
+       |      CAST(floor((w*h*3 + nb - 1.0) / nb) AS INT)), 1, w*h*3*2) AS s
+       |  FROM d),
+       |dims AS (SELECT *, (w+1)//2 AS w2, (h+1)//2 AS h2 FROM px)
+       |SELECT media_id,
+       |  CAST(w2 AS INT) AS out_w,
+       |  CAST(h2 AS INT) AS out_h,
+       |  CAST(3 + len(CAST(w2 AS VARCHAR)) + 1 + len(CAST(h2 AS VARCHAR)) + 5
+       |    + w2*h2*3 AS BIGINT) AS file_bytes,
+       |  array_to_string(list_transform(
+       |    list_transform(generate_series(0, w2*h2*3 - 1), k ->
+       |      ((${at(x0, y0)})
+       |       + CASE WHEN $x1 > $x0 THEN ${at(x1, y0)} ELSE 0 END
+       |       + CASE WHEN $y1 > $y0 THEN ${at(x0, y1)} ELSE 0 END
+       |       + CASE WHEN $x1 > $x0 AND $y1 > $y0 THEN ${at(x1, y1)}
+       |         ELSE 0 END)
+       |      // (($x1 - $x0 + 1) * ($y1 - $y0 + 1))),
+       |    v -> substr($hx, v//16 + 1, 1) || substr($hx, v%16 + 1, 1)), '')
+       |    AS resized_hex
+       |FROM dims ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm12_ppm_resize" -> ppmResize,
     "mm11_ppm_decoded" -> ppmDecodedNearDup,
     "mm10_interleaved_packing" -> interleavedPacking,
     "mm9_content_chunks" -> contentChunkCensus,
@@ -1138,6 +1214,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm12_ppm_resize" -> ppmResizeSql,
     "mm11_ppm_decoded" -> ppmDecodedNearDupSql,
     "mm10_interleaved_packing" -> interleavedPackingSql,
     "mm9_content_chunks" -> contentChunkCensusSql,

@@ -261,6 +261,36 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmUtil.reencode("junk".getBytes("US-ASCII")) == null)
   }
 
+  test("mm12: PpmUtil.resizeHalf box-averages the plane with floor " +
+      "rounding and edge clamping, emits a valid half-dims P6, and " +
+      "rejects malformation to null") {
+    import graft.functions.PpmUtil
+    def ppm(header: String, px: Array[Byte]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ px
+    // w=3, h=2 with bytes 0..17: blocks computed by hand —
+    // out(0,0,c) = (c + 3+c + 9+c + 12+c)/4 = 6+c (full 2x2 block);
+    // out(1,0,c) = (6+c + 15+c)/2 = 10+c floor (clamped 1x2 edge block)
+    val in = ppm("P6\n3 2\n255\n", Array.tabulate(18)(_.toByte))
+    val rz = PpmUtil.resizeHalf(in)
+    assert(rz != null)
+    assert(PpmUtil.parseHeader(rz).take(2).toSeq == Seq(2, 1),
+      "odd width 3 resizes to ceil(3/2) = 2")
+    assert(PpmUtil.pixels(rz).toSeq ==
+      Seq[Byte](6, 7, 8, 10, 11, 12))
+    // even dims: pure 2x2 means; floor rounding pinned (255+0+0+0)/4 = 63
+    val px2 = new Array[Byte](2 * 2 * 3)
+    px2(0) = 255.toByte
+    val rz2 = PpmUtil.resizeHalf(ppm("P6\n2 2\n255\n", px2))
+    assert(PpmUtil.pixels(rz2).toSeq == Seq[Byte](63, 0, 0))
+    // a resize of a resize keeps halving (the thumbnail ladder)
+    assert(PpmUtil.parseHeader(PpmUtil.resizeHalf(rz)).take(2).toSeq == Seq(1, 1))
+    // malformed input → null, like the decoder
+    assert(PpmUtil.resizeHalf("junk".getBytes("US-ASCII")) == null)
+    // a re-encoded variant resizes to the identical output file (the
+    // codec seam composed with the resize)
+    assert(PpmUtil.resizeHalf(PpmUtil.reencode(in)).toSeq == rz.toSeq)
+  }
+
   test("mm11: synthesized PPM corpus really decodes through the native " +
       "expression — every payload parses, planes match dims, variants " +
       "decode to the original's plane") {

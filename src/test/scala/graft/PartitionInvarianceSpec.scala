@@ -192,7 +192,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       "cur16_shard_sequences" -> graft.llmdata.Curation.shardSequences _,
       // mm11's capped posting lists rank by sorted id — split order must
       // not change which candidates survive the cap
-      "mm11_ppm_decoded" -> graft.llmdata.Multimodal.ppmDecodedNearDup _)
+      "mm11_ppm_decoded" -> graft.llmdata.Multimodal.ppmDecodedNearDup _,
+      // mm12's per-image resize is a pure map — split layout must not
+      // change a single output byte
+      "mm12_ppm_resize" -> graft.llmdata.Multimodal.ppmResize _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -204,6 +204,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!raw.contains("Exchange"), "payload synthesis must be scan-side")
   }
 
+  test("mm12: decode → resize → encode → decode is ONE scan-side " +
+      "projection — no join, no aggregate, one documents scan, input " +
+      "payload bytes never shuffle") {
+    val p = plan(graft.llmdata.Multimodal.ppmResize(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+    assert(p.contains("ppm_resize_half") && p.contains("ppm_pixels"),
+      "both native codec expressions must be in-plan")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("content")),
+      "input payload bytes must not be a shuffle key")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
   test("tx12: the top-V vocab is the broadcast side of the scoring join") {
     val p = plan(graft.llmdata.TextAnalysis.vocabQuality(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
