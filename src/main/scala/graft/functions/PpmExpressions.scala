@@ -60,9 +60,14 @@ object PpmUtil {
     * malformation (wrong magic, missing fields, maxval != 255, truncated
     * pixel data). The single post-maxval whitespace byte is consumed
     * exactly once per the spec — a comment is NOT allowed there. */
-  def parseHeader(b: Array[Byte]): Array[Int] = {
-    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return null
-    var i = skipWsAndComments(b, 2)
+  def parseHeader(b: Array[Byte]): Array[Int] = parseHeaderAt(b, 0)
+
+  /** [[parseHeader]] starting at `off` — the multi-image form (Netpbm
+    * files may carry images back to back; mm13's frame container). */
+  def parseHeaderAt(b: Array[Byte], off: Int): Array[Int] = {
+    if (b == null || b.length < off + 2 || b(off) != 'P' || b(off + 1) != '6')
+      return null
+    var i = skipWsAndComments(b, off + 2)
     if (i < 0) return null
     val w = parseInt(b, i); if (w == null) return null
     i = skipWsAndComments(b, w(1)); if (i < 0) return null
@@ -75,6 +80,27 @@ object PpmUtil {
     val need = w(0).toLong * h(0).toLong * 3L
     if (w(0) <= 0 || h(0) <= 0 || need > b.length - i) return null
     Array(w(0), h(0), i)
+  }
+
+  /** All frames of a concatenated-P6 stream, decoded: multi-image Netpbm
+    * files are legal (images back to back — the poor man's animation
+    * container, and the real shape of a frames-in-one-blob video
+    * column). Returns the plane per frame in stream order; null if ANY
+    * frame is malformed or bytes trail the last frame (a corrupt
+    * container is rejected whole, the same DLQ-friendly contract as
+    * [[pixels]]). */
+  def framePlanes(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b == null || b.length == 0) return null
+    val out = new java.util.ArrayList[Array[Byte]]()
+    var off = 0
+    while (off < b.length) {
+      val hd = parseHeaderAt(b, off)
+      if (hd == null) return null
+      val need = hd(0) * hd(1) * 3
+      out.add(java.util.Arrays.copyOfRange(b, hd(2), hd(2) + need))
+      off = hd(2) + need
+    }
+    out.toArray(new Array[Array[Byte]](out.size))
   }
 
   /** The decoded pixel plane (width·height·3 raw RGB bytes), or null. */
@@ -189,6 +215,38 @@ case class PpmResizeHalf(child: Expression) extends UnaryExpression {
       if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(newChild: Expression): PpmResizeHalf =
+    copy(child = newChild)
+}
+
+/** `ppm_frame_planes(payload)` → array<binary> of decoded per-frame
+  * pixel planes of a concatenated-P6 stream (null if any frame is
+  * malformed): see [[PpmUtil.framePlanes]]. */
+case class PpmFramePlanes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ppm_frame_planes requires binary, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppm_frame_planes"
+  override def nullSafeEval(payload: Any): Any = {
+    val fs = PpmUtil.framePlanes(payload.asInstanceOf[Array[Byte]])
+    if (fs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      fs.asInstanceOf[Array[AnyRef]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fs = ctx.freshName("frames")
+      s"""
+      byte[][] $fs = graft.functions.PpmUtil.framePlanes($c);
+      if ($fs == null) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $fs); }
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): PpmFramePlanes =
     copy(child = newChild)
 }
 

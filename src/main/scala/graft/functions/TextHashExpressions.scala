@@ -813,4 +813,6 @@ object TextHashFunctions {
     GraftColumn.of(PpmReencode(GraftColumn.expr(payload)))
   def ppmResizeHalf(payload: Column): Column =
     GraftColumn.of(PpmResizeHalf(GraftColumn.expr(payload)))
+  def ppmFramePlanes(payload: Column): Column =
+    GraftColumn.of(PpmFramePlanes(GraftColumn.expr(payload)))
 }

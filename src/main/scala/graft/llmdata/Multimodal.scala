@@ -1199,7 +1199,91 @@ object Multimodal {
        |FROM dims ORDER BY media_id""".stripMargin
   }
 
+  // ---------- mm13: REAL frame-sampling over a concatenated-P6 stream
+
+  /** Deterministic multi-frame P6 stream per document: `nf = 2 + id%3`
+    * frames back to back (multi-image Netpbm is legal — the honest
+    * frames-in-one-blob video-column shape), every frame w×h with
+    * w = 8 + id%8, h = 4 + (id/8)%4, frame f's plane = bytes
+    * [f·need, (f+1)·need) of the repeated doc text — consecutive slices,
+    * so frames differ and the twin rebuilds each from first principles.
+    * Assembled with binary-exact column ops (binary substr + an
+    * `aggregate` fold of binary concat). */
+  private[graft] def ppmAnimTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .withColumn("nf", (lit(2) + pmod(col("doc_id"), lit(3))).cast(IntegerType))
+      .withColumn("w", (lit(8) + pmod(col("doc_id"), lit(8))).cast(IntegerType))
+      .withColumn("h",
+        (lit(4) + pmod(floor(col("doc_id") / 8), lit(4))).cast(IntegerType))
+      .withColumn("need", (col("w") * col("h") * 3).cast(IntegerType))
+      .withColumn("reps",
+        floor((col("nf") * col("need") + octet_length(col("text")) - 1)
+          / octet_length(col("text"))).cast(IntegerType))
+      .withColumn("big", expr("cast(repeat(text, reps) as binary)"))
+      .select(col("doc_id").as("media_id"),
+        expr("""aggregate(
+                  transform(sequence(0, nf - 1), f -> concat(
+                    cast(concat('P6', char(10), cast(w as string), ' ',
+                                cast(h as string), char(10), '255',
+                                char(10)) as binary),
+                    substring(big, f * need + 1, need))),
+                  cast('' as binary), (a, x) -> concat(a, x))""")
+          .as("content"))
+
+  /** mm13: real FRAME-SAMPLING — the decoded-domain upgrade of mm3's
+    * byte-stride tier: `ppm_frame_planes` parses every frame of the
+    * concatenated-P6 container scan-side (sequential header parses, the
+    * real work of frame extraction), then the every-2nd-frame sample is
+    * plain relational algebra on the exploded frames — posexplode +
+    * `frame_idx % 2 = 0` — exactly how a production sampler composes
+    * (decode once, sample declaratively). Gate: per sampled frame,
+    * byte-exact plane hex vs the twin's first-principles slice, plus the
+    * frame count per container.
+    *
+    * Scale posture: one scan; the container parses once per row inside
+    * codegen; the only moved bytes are the SAMPLED planes (the stage's
+    * actual output). Generate(posexplode) is the standard columnar
+    * explode — no payload re-shuffle (ORDER BY ships sampled planes
+    * only, like mm12). */
+  def ppmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val planes = graft.functions.TextHashFunctions.ppmFramePlanes(col("content"))
+    ppmAnimTable(spark, dir)
+      .select(col("media_id"), planes.as("planes"))
+      .select(col("media_id"), size(col("planes")).as("n_frames"),
+        posexplode(col("planes")).as(Seq("frame_idx", "plane")))
+      .filter(pmod(col("frame_idx"), lit(2)) === 0)
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        lower(hex(col("plane"))).as("plane_hex"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB oracle for mm13 (mm11/mm12's idiom: no parser in the twin —
+    * each sampled frame's plane is the first-principles slice of the
+    * repeated text hex). */
+  val ppmFrameSampleSql: String =
+    """WITH d AS (SELECT doc_id AS media_id,
+      |    2 + CAST(doc_id % 3 AS INT) AS nf,
+      |    8 + CAST(doc_id % 8 AS INT) AS w,
+      |    4 + CAST((doc_id // 8) % 4 AS INT) AS h,
+      |    lower(hex(encode(text))) AS th,
+      |    octet_length(encode(text)) AS nb
+      |  FROM documents WHERE text IS NOT NULL AND text <> ''),
+      |big AS (SELECT media_id, nf, w*h*3 AS need,
+      |    repeat(th, CAST(floor((nf*w*h*3 + nb - 1.0) / nb) AS INT)) AS s
+      |  FROM d),
+      |frames AS (SELECT media_id, nf, need, u.f
+      |  FROM big, unnest(range(0, nf)) u(f)
+      |  WHERE u.f % 2 = 0)
+      |SELECT b.media_id,
+      |  CAST(f2.nf AS INT) AS n_frames,
+      |  CAST(f2.f AS INT) AS frame_idx,
+      |  substr(b.s, f2.f * f2.need * 2 + 1, f2.need * 2) AS plane_hex
+      |FROM frames f2 JOIN big b USING (media_id)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm13_ppm_frame_sample" -> ppmFrameSample,
     "mm12_ppm_resize" -> ppmResize,
     "mm11_ppm_decoded" -> ppmDecodedNearDup,
     "mm10_interleaved_packing" -> interleavedPacking,
@@ -1214,6 +1298,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm13_ppm_frame_sample" -> ppmFrameSampleSql,
     "mm12_ppm_resize" -> ppmResizeSql,
     "mm11_ppm_decoded" -> ppmDecodedNearDupSql,
     "mm10_interleaved_packing" -> interleavedPackingSql,

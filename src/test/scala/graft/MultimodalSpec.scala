@@ -291,6 +291,43 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmUtil.resizeHalf(PpmUtil.reencode(in)).toSeq == rz.toSeq)
   }
 
+  test("mm13: framePlanes parses concatenated-P6 streams frame by frame " +
+      "and rejects a corrupt container whole") {
+    import graft.functions.PpmUtil
+    def ppm(header: String, px: Array[Byte]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ px
+    val f1 = Array.tabulate(1 * 2 * 3)(i => (i + 1).toByte)
+    val f2 = Array.tabulate(2 * 1 * 3)(i => (i + 100).toByte)
+    val stream = ppm("P6\n1 2\n255\n", f1) ++ ppm("P6\n# f2\n2 1\n255\n", f2)
+    val fs = PpmUtil.framePlanes(stream)
+    assert(fs != null && fs.length == 2)
+    assert(fs(0).toSeq == f1.toSeq && fs(1).toSeq == f2.toSeq,
+      "frames decode in stream order with per-frame dims")
+    // a single image is a 1-frame stream
+    assert(PpmUtil.framePlanes(ppm("P6\n1 2\n255\n", f1)).length == 1)
+    // corrupt second frame (bad magic) rejects the WHOLE container
+    assert(PpmUtil.framePlanes(
+      ppm("P6\n1 2\n255\n", f1) ++ "P5junk".getBytes("US-ASCII")) == null)
+    // trailing garbage after the last frame rejects too
+    assert(PpmUtil.framePlanes(stream ++ Array[Byte](1)) == null)
+    assert(PpmUtil.framePlanes(Array.empty[Byte]) == null)
+  }
+
+  test("mm13: every synthesized container parses to its designed frame " +
+      "count through the native expression") {
+    import graft.functions.TextHashFunctions.ppmFramePlanes
+    val rows = graft.llmdata.Multimodal.ppmAnimTable(spark, sf())
+      .select($"media_id",
+        size(ppmFramePlanes($"content")).as("nf_parsed"),
+        (lit(2) + pmod($"media_id", lit(3))).cast("int").as("nf_want"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("nf_parsed") == r.getAs[Int]("nf_want"),
+        s"media ${r.get(0)}: frame count")
+    }
+  }
+
   test("mm11: synthesized PPM corpus really decodes through the native " +
       "expression — every payload parses, planes match dims, variants " +
       "decode to the original's plane") {

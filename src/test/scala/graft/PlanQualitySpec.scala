@@ -219,6 +219,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("mm13: the container parses once scan-side; sampling is a filter " +
+      "over the exploded frames — no join, payload bytes never a " +
+      "shuffle key") {
+    val p = plan(graft.llmdata.Multimodal.ppmFrameSample(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(p.contains("ppm_frame_planes"), "the native frame parse in-plan")
+    assert(p.linesIterator.count(_.matches("^\\(\\d+\\) Generate.*")) == 1,
+      "one posexplode of the parsed frames")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("content")),
+      "container bytes must not be a shuffle key")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
   test("tx12: the top-V vocab is the broadcast side of the scoring join") {
     val p = plan(graft.llmdata.TextAnalysis.vocabQuality(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
