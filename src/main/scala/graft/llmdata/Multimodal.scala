@@ -1282,7 +1282,111 @@ object Multimodal {
       |FROM frames f2 JOIN big b USING (media_id)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------- mm14: REAL audio features through a RIFF/WAV-PCM16 codec
+
+  private def byteHex(v: Column): Column =
+    lpad(lower(hex(pmod(v.cast(LongType), lit(256)))), 2, "0")
+  private def le16Hex(v: Column): Column =
+    concat(byteHex(v), byteHex(floor(v / 256)))
+  private def le32Hex(v: Column): Column =
+    concat(byteHex(v), byteHex(floor(v / 256)),
+      byteHex(floor(v / 65536)), byteHex(floor(v / 16777216)))
+
+  /** Four fixed PCM16LE samples prepended to every synthesized wav so
+    * sign handling is really exercised: -32768, 1, -1, 127 (3 sign
+    * changes, |peak| = 32768). */
+  private val WavPreambleHex = "00800100ffff7f00"
+
+  /** Deterministic canonical WAVs from the documents fixture: RIFF/WAVE
+    * with `fmt ` (PCM, mono, 16-bit, rate = 8000 + (id%4)·4000 Hz), a
+    * LIST/INFO metadata chunk of id-dependent size (0–4 payload bytes of
+    * the constant "meta" — the unknown chunk a real parser must SKIP,
+    * not hardcode offset 44 past), and a `data` chunk = the 4-sample
+    * sign preamble + the doc's ASCII bytes as PCM16LE pairs. Assembled
+    * entirely in the hex-string domain and `unhex`ed, so every header
+    * byte (including the LE32 sizes) is column math the twin reproduces. */
+  private[graft] def wavMediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .withColumn("nb", octet_length(col("text")).cast(IntegerType))
+      .withColumn("k", floor(col("nb") / 2).cast(IntegerType))
+      .withColumn("rate",
+        (lit(8000) + pmod(col("doc_id"), lit(4)) * 4000).cast(IntegerType))
+      .withColumn("listPay", (pmod(col("doc_id"), lit(3)) * 2).cast(IntegerType))
+      .withColumn("listSize", (col("listPay") + 4).cast(IntegerType))
+      .withColumn("dataSize", (col("k") * 2 + 8).cast(IntegerType))
+      .withColumn("riffSize",
+        (col("listSize") + col("dataSize") + lit(4 + 24 + 8 + 8))
+          .cast(IntegerType))
+      .select(col("doc_id").as("media_id"),
+        unhex(concat(
+          lit("52494646"), le32Hex(col("riffSize")),          // RIFF....
+          lit("57415645"),                                    // WAVE
+          lit("666d7420"), le32Hex(lit(16)),                  // fmt , 16
+          le16Hex(lit(1)), le16Hex(lit(1)),                   // PCM, mono
+          le32Hex(col("rate")), le32Hex(col("rate") * 2),     // rate, bytes/s
+          le16Hex(lit(2)), le16Hex(lit(16)),                  // align, bits
+          lit("4c495354"), le32Hex(col("listSize")),          // LIST....
+          lit("494e464f"),                                    // INFO
+          lit("6d657461").substr(lit(1), col("listPay") * 2), // "meta" prefix
+          lit("64617461"), le32Hex(col("dataSize")),          // data....
+          lit(WavPreambleHex),
+          lower(hex(col("text").cast(BinaryType)))
+            .substr(lit(1), col("k") * 4))).as("content"))
+
+  /** mm14: real AUDIO feature extraction — `wav_features` walks the RIFF
+    * chunks (validating the container length, skipping the LIST metadata
+    * chunk, honoring the odd-size pad rule, requiring PCM/mono/16-bit)
+    * and folds the PCM16LE stream into the audio-curation trio: energy
+    * (Σv², exact BIGINT), |peak|, and zero-crossing count — the
+    * integer-exact VAD/quality signals an audio pipeline gates on. The
+    * twin recomputes every feature from the text bytes and the fixed
+    * preamble without parsing, so a wrong chunk walk, sign extension, or
+    * sample split hash-fails.
+    *
+    * Scale posture: one scan, the whole parse+fold inside codegen, five
+    * small columns out — payload bytes never move. */
+  def wavAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val f = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.WavFeatures(
+        org.apache.spark.sql.GraftColumn.expr(col("content"))))
+    wavMediaTable(spark, dir)
+      .select(col("media_id"), f.as("f"))
+      .select(col("media_id"), col("f.sample_rate"), col("f.n_samples"),
+        col("f.energy"), col("f.peak_abs"), col("f.zero_crossings"))
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB oracle for mm14 (the first-principles idiom): preamble
+    * features are constants (-32768, 1, -1, 127 → Σv² = 1073757955,
+    * peak 32768, 3 crossings; ASCII samples are always positive so no
+    * further crossings), text-sample energy recomputed per PCM16LE pair
+    * in the hex domain. */
+  val wavAudioFeaturesSql: String = {
+    val hx = "'0123456789abcdef'"
+    def nib(pos: String) = s"(strpos($hx, substr(th, $pos, 1))-1)"
+    // LE pair i: lo = hex chars 4i+1..4i+2, hi = chars 4i+3..4i+4
+    val v = s"(${nib("4*i+1")}*16 + ${nib("4*i+2")}" +
+      s" + 256*(${nib("4*i+3")}*16 + ${nib("4*i+4")}))"
+    s"""WITH d AS (SELECT doc_id AS media_id,
+       |    8000 + CAST(doc_id % 4 AS INT)*4000 AS sample_rate,
+       |    lower(hex(encode(text))) AS th,
+       |    octet_length(encode(text)) // 2 AS k
+       |  FROM documents WHERE text IS NOT NULL AND text <> '')
+       |SELECT media_id,
+       |  sample_rate,
+       |  CAST(4 + k AS INT) AS n_samples,
+       |  CAST(1073757955 + COALESCE(list_aggregate(
+       |    list_transform(generate_series(0, k-1), i ->
+       |      CAST($v AS BIGINT) * CAST($v AS BIGINT)), 'sum'), 0)
+       |    AS BIGINT) AS energy,
+       |  CAST(32768 AS INT) AS peak_abs,
+       |  CAST(3 AS INT) AS zero_crossings
+       |FROM d ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm14_wav_features" -> wavAudioFeatures,
     "mm13_ppm_frame_sample" -> ppmFrameSample,
     "mm12_ppm_resize" -> ppmResize,
     "mm11_ppm_decoded" -> ppmDecodedNearDup,
@@ -1298,6 +1402,7 @@ object Multimodal {
     "mm6_phash_decoded" -> phashDecodedNearDup)
 
   val oracle: Map[String, String] = Map(
+    "mm14_wav_features" -> wavAudioFeaturesSql,
     "mm13_ppm_frame_sample" -> ppmFrameSampleSql,
     "mm12_ppm_resize" -> ppmResizeSql,
     "mm11_ppm_decoded" -> ppmDecodedNearDupSql,

@@ -328,6 +328,67 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm14: WavUtil walks RIFF chunks for real — skips unknown chunks " +
+      "with the odd-size pad rule, validates PCM16 mono, and computes " +
+      "the exact integer feature trio") {
+    import graft.functions.WavUtil
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def fmt(rate: Int, ch: Int = 1, bits: Int = 16) =
+      chunk("fmt ", le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate * 2) ++
+        le16(2) ++ le16(bits))
+    def data(samples: Int*) = chunk("data", samples.toArray.flatMap(le16))
+    def wav(chunks: Array[Byte]*) = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // an ODD-size junk chunk (pad byte required) between fmt and data —
+    // hardcoding offset 44 or ignoring the pad both fail here
+    val junk = chunk("JUNK", Array[Byte](1, 2, 3))
+    val f = WavUtil.features(wav(fmt(8000), junk, data(-32768, 1, -1, 127)))
+    assert(f != null)
+    assert(f.toSeq == Seq[Long](8000, 4, 1073757955L, 32768, 3),
+      s"rate/n/energy/peak/crossings: ${f.toSeq}")
+    // malformation matrix — each rejects to null
+    assert(WavUtil.features(wav(fmt(8000, ch = 2), data(1))) == null, "stereo")
+    assert(WavUtil.features(wav(fmt(8000, bits = 8), data(1))) == null, "8-bit")
+    assert(WavUtil.features(wav(data(1), fmt(8000))) == null, "data before fmt")
+    assert(WavUtil.features(wav(fmt(8000))) == null, "no data chunk")
+    val ok = wav(fmt(8000), data(1, 2))
+    assert(WavUtil.features(ok) != null)
+    assert(WavUtil.features(ok ++ Array[Byte](0)) == null, "trailing garbage")
+    assert(WavUtil.features(ok.dropRight(1)) == null, "truncated data")
+    val badSize = ok.clone(); badSize(4) = (badSize(4) + 1).toByte
+    assert(WavUtil.features(badSize) == null, "RIFF size mismatch")
+  }
+
+  test("mm14: every synthesized WAV container parses through the native " +
+      "expression with the designed sample count and rate") {
+    val rows = graft.llmdata.Multimodal.wavMediaTable(spark, sf())
+      .select($"media_id",
+        org.apache.spark.sql.GraftColumn.of(graft.functions.WavFeatures(
+          org.apache.spark.sql.GraftColumn.expr($"content"))).as("f"))
+      .select($"media_id", $"f.n_samples", $"f.sample_rate", $"f.peak_abs")
+      .collect()
+    assert(rows.nonEmpty)
+    val want = graft.sources.Tables.load(spark, sf(), "documents")
+      .filter($"text".isNotNull && $"text" =!= "")
+      .select($"doc_id",
+        (floor(octet_length($"text") / 2) + 4).cast("int").as("n"),
+        (lit(8000) + pmod($"doc_id", lit(4)) * 4000).cast("int").as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    rows.foreach { r =>
+      val (n, rate) = want(r.getLong(0))
+      assert(r.getInt(1) == n, s"media ${r.get(0)}: sample count")
+      assert(r.getInt(2) == rate)
+      assert(r.getInt(3) == 32768, "the sign preamble's peak")
+    }
+  }
+
   test("mm11: synthesized PPM corpus really decodes through the native " +
       "expression — every payload parses, planes match dims, variants " +
       "decode to the original's plane") {

@@ -196,7 +196,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       // mm12's per-image resize is a pure map — split layout must not
       // change a single output byte
       "mm12_ppm_resize" -> graft.llmdata.Multimodal.ppmResize _,
-      "mm13_ppm_frame_sample" -> graft.llmdata.Multimodal.ppmFrameSample _)
+      "mm13_ppm_frame_sample" -> graft.llmdata.Multimodal.ppmFrameSample _,
+      "mm14_wav_features" -> graft.llmdata.Multimodal.wavAudioFeatures _)
 
   test("oracle-sensitive queries are invariant to input split size") {
     for ((name, fn) <- risky) {

@@ -234,6 +234,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("mm14: the RIFF walk + feature fold is one scan-side projection — " +
+      "no join, no aggregate, payload bytes never a shuffle key") {
+    val p = plan(graft.llmdata.Multimodal.wavAudioFeatures(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+    assert(p.contains("wav_features"), "the native parse in-plan")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("content")),
+      "container bytes must not be a shuffle key")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 1, s"documents scans: $scans")
+  }
+
   test("tx12: the top-V vocab is the broadcast side of the scoring join") {
     val p = plan(graft.llmdata.TextAnalysis.vocabQuality(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
