@@ -2244,6 +2244,123 @@ object TextAnalysis {
        |FROM agg a JOIN rowsrc r USING (domain)
        |ORDER BY domain""".stripMargin
 
+  // ------- tx36: frozen-vocab OOV audit (the UnkId path, finally gated)
+
+  /** tx36: what happens when a FROZEN vocab meets NEW text — the audit a
+    * tokenizer owner runs before pointing a released (merges, vocab)
+    * artifact at an unseen domain. tx33's id-encode contract says a
+    * token outside the vocab maps to [[graft.functions.BpeUtil.UnkId]],
+    * "impossible when vocab and corpus coincide" — this query exercises
+    * the OTHER side of that contract: the documents-derived vocab (the
+    * tx32 artifact) applied to `part_names` and `supplier_names`, whose
+    * Band-table tokens are mostly NOT in the prose vocabulary. Per
+    * domain: token volume, UNK count, and the OOV rate that decides
+    * whether the release needs a retrain before ingesting that shard
+    * (the documents row doubles as the closed-contract control:
+    * `n_oov == 0`, LlmDataSpec-pinned). The twin computes UNK by
+    * MEMBERSHIP (its own Band encode of documents is the vocab set), so
+    * the two engines agree on semantics without sharing ranks.
+    *
+    * Scale posture: tx29's shape exactly — one scan per domain table,
+    * the vocab rides the task binary as the id-encode's reference
+    * object, one combinable per-domain aggregate; no join. */
+  def frozenVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    val domains = Seq(
+      ("documents", t(spark, dir, "documents").select(col("text").as("s"))),
+      ("part_names", t(spark, dir, "part").select(col("p_name").as("s"))),
+      ("supplier_names",
+        t(spark, dir, "supplier").select(col("s_name").as("s"))))
+    val ids = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncodeIds(
+        org.apache.spark.sql.GraftColumn.expr(col("s")),
+        graft.llmdata.BpeMerges.BandN, collectedVocab(spark, dir)))
+    domains.map { case (d, df) =>
+      df.filter(col("s").isNotNull).select(lit(d).as("domain"), col("s"))
+    }.reduce(_.unionAll(_))
+      .select(col("domain"), ids.as("ids"))
+      .select(col("domain"),
+        size(col("ids")).cast(LongType).as("nt"),
+        size(filter(col("ids"), x => x === graft.functions.BpeUtil.UnkId))
+          .cast(LongType).as("nu"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nu")).as("n_oov"))
+      .select(col("domain"), col("n_rows"), col("n_tokens"), col("n_oov"),
+        ratio(col("n_oov"), col("n_tokens")).as("oov_rate"))
+      .orderBy(col("domain"))
+  }
+
+  /** Twin: tx29's union-domain encode under the BAND table (the table
+    * the vocab was built with), UNK decided by membership against the
+    * documents token set. */
+  val frozenVocabOovSql: String =
+    s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES ${bpeMergesValuesOf(BpeMerges.Band)}),
+       |src AS (
+       |  SELECT 'documents' AS domain, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'part_names' AS domain, unnest(string_split(p_name, ' ')) AS w
+       |  FROM part WHERE p_name IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'supplier_names' AS domain, unnest(string_split(s_name, ' ')) AS w
+       |  FROM supplier WHERE s_name IS NOT NULL),
+       |srcw AS (SELECT domain, w FROM src WHERE w <> ''),
+       |rowsrc AS (
+       |  SELECT 'documents' AS domain, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'part_names', CAST(count(*) AS BIGINT) FROM part
+       |  WHERE p_name IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'supplier_names', CAST(count(*) AS BIGINT) FROM supplier
+       |  WHERE s_name IS NOT NULL),
+       |dwords AS (
+       |  SELECT DISTINCT w FROM srcw WHERE strpos(w, chr(31)) = 0),
+       |enc AS (
+       |  SELECT w,
+       |    regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')
+       |      || chr(31) || chr(31) AS s
+       |  FROM dwords
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s,
+       |      chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31),
+       |      chr(31) || p.a || p.b || chr(31)) AS s
+       |  FROM enc e, LATERAL (
+       |    SELECT m.a, m.b FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0
+       |    ORDER BY m.rank LIMIT 1) p),
+       |final AS (
+       |  SELECT w, trim(replace(s, chr(31) || chr(31), chr(31)), chr(31)) AS s
+       |  FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |    WHERE strpos(e.s, chr(31) || m.a || chr(31) || chr(31) || m.b
+       |      || chr(31)) > 0)),
+       |tokw AS (
+       |  SELECT sw.domain, coalesce(f.s, sw.w) AS s
+       |  FROM srcw sw LEFT JOIN final f ON f.w = sw.w),
+       |toks AS (
+       |  SELECT domain, unnest(string_split(s, chr(31))) AS tkn FROM tokw),
+       |vtok AS (
+       |  SELECT DISTINCT tkn AS token FROM toks WHERE domain = 'documents'),
+       |agg AS (
+       |  SELECT t.domain,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov
+       |  FROM toks t LEFT JOIN vtok v ON v.token = t.tkn
+       |  GROUP BY t.domain)
+       |SELECT a.domain, r.n_rows, a.n_tokens, a.n_oov,
+       |  CASE WHEN a.n_tokens = 0 THEN NULL
+       |    ELSE CAST(a.n_oov AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END
+       |    AS oov_rate
+       |FROM agg a JOIN rowsrc r USING (domain)
+       |ORDER BY domain""".stripMargin
+
   // --------- tx30: BYTE-level BPE apply (GPT-2-shaped; tx24's complement)
 
   /** tx30: tx24's encode under the BYTE-level GPT-2-shaped tokenizer —
@@ -2406,6 +2523,7 @@ object TextAnalysis {
        |FROM cnt GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx36_frozen_vocab_oov" -> frozenVocabOov,
     "tx35_bpe_bytes_roundtrip" -> bpeBytesRoundtrip,
     "tx34_bpe_roundtrip" -> bpeRoundtrip,
     "tx33_bpe_ids" -> bpeEncodeIds,
@@ -2443,6 +2561,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx36_frozen_vocab_oov" -> frozenVocabOovSql,
     "tx35_bpe_bytes_roundtrip" -> bpeBytesRoundtripSql,
     "tx34_bpe_roundtrip" -> bpeRoundtripSql,
     "tx33_bpe_ids" -> bpeEncodeIdsSql,

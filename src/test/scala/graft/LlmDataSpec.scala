@@ -1530,6 +1530,24 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx36: the frozen documents vocab is CLOSED on its own corpus " +
+      "(zero OOV) and genuinely open on the name domains — the UnkId " +
+      "contract exercised from both sides") {
+    val rows = graft.llmdata.TextAnalysis.frozenVocabOov(spark, sf())
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(rows.keySet == Set("documents", "part_names", "supplier_names"))
+    assert(rows("documents").getAs[Long]("n_oov") == 0L,
+      "a vocab built over the corpus being encoded can never see UNK")
+    Seq("part_names", "supplier_names").foreach { d =>
+      val r = rows(d)
+      assert(r.getAs[Long]("n_oov") > 0L,
+        s"$d must carry real out-of-vocabulary tokens")
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("oov_rate") ==
+        r.getAs[Long]("n_oov").toDouble / r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("tx28: trained merges are well-formed at sf0.001 — distinct merged " +
       "symbols, every later merge built from earlier vocabulary") {
     val rows = graft.llmdata.TextAnalysis.bpeTrain(spark, sf()).collect()

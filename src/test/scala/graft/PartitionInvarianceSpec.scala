@@ -189,6 +189,7 @@ class PartitionInvarianceSpec extends SparkSpec {
       "tx33_bpe_ids" -> TextAnalysis.bpeEncodeIds _,
       "tx34_bpe_roundtrip" -> TextAnalysis.bpeRoundtrip _,
       "tx35_bpe_bytes_roundtrip" -> TextAnalysis.bpeBytesRoundtrip _,
+      "tx36_frozen_vocab_oov" -> TextAnalysis.frozenVocabOov _,
       "cur16_shard_sequences" -> graft.llmdata.Curation.shardSequences _,
       // mm11's capped posting lists rank by sorted id — split order must
       // not change which candidates survive the cap

@@ -904,6 +904,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans == 1, s"documents scans: $scans")
   }
 
+  test("tx36: the frozen-vocab OOV audit is tx29's shape — no join (the " +
+      "vocab is a plan reference, not a build side), one scan per " +
+      "domain table, one aggregate") {
+    val p = plan(graft.llmdata.TextAnalysis.frozenVocabOov(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    assert(p.contains("bpe_encode_ids"), "the vocab-folded id encode in-plan")
+    val aggs = p.linesIterator.count(_.matches("^\\(\\d+\\) HashAggregate.*"))
+    assert(aggs == 2, s"partial+final of ONE per-domain aggregate: $aggs")
+    val scans = p.linesIterator.count(_.contains("Location"))
+    assert(scans == 3, s"documents + part + supplier scans: $scans")
+  }
+
   test("cur16: id-level shard payload keeps cur13's shape — no join, the " +
       "one placement window (ids ride it), one documents scan, one " +
       "assembly aggregate") {
