@@ -2530,7 +2530,102 @@ object Similarity {
        |FROM m ORDER BY beam, entries, hop""".stripMargin
   }
 
+  // -------------------- ss22: Matryoshka truncated-dim recall audit
+
+  /** Dimension prefixes audited by ss22 — quarter, half, full. Full is
+    * the control tier: its ranking must equal ss1's exactly (recall 1.0
+    * per query), which turns the audit into a cross-engine identity. */
+  private val MrlDims = Seq(16, 32, 64)
+
+  /** ss22: MATRYOSHKA (truncated-dimension) recall audit — the
+    * measurement a deployment runs before serving a dim-prefix of its
+    * embeddings (MRL, Kusupati et al. 2022; the `dimensions` knob on
+    * hosted embedding APIs): search quality when cosine runs over only
+    * the first d components. Per (dim, query): how many of the EXACT
+    * full-dim top-k the prefix-dim ranking retains — ss12's recall
+    * shape, with the index axis replaced by the dimension axis. The
+    * full-dim tier (d = 64) is a built-in control: its ranking is the
+    * exact ranking by construction, so recall = 1.0 per query is part
+    * of the oracle-gated result, and the truncated tiers quantify the
+    * storage/latency ⇄ recall trade (embeddings NOT trained with
+    * matryoshka losses — like this fixture — degrade visibly at d/4;
+    * MRL-trained ones hold, and this operator is how you tell).
+    *
+    * Exactness: prefix cosine is the same native left-fold over sliced
+    * arrays both engines compute in index order (Dedup.cosine's
+    * discipline); hits are integer set intersections; recall one
+    * division of exact BIGINTs.
+    *
+    * Scale posture: truncation is scan-side (`slice` inside the
+    * projection — no data movement beyond ss1's broadcast-query scan);
+    * the audit joins RESULT LISTS only (≤ k rows per query per tier).
+    * At 100 TB the prefix rankings come from the ANN tiers over
+    * truncated vectors and the exact tier runs over a sampled query
+    * set — ss12's argument, unchanged. */
+  def mrlRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(spark, dir).filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"))
+    def prefixTopK(d: Int): DataFrame = {
+      val scored = corpus(spark, dir).crossJoin(broadcast(queriesDf(spark, dir)))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Dedup.cosine(slice(col("q"), 1, d), slice(col("v"), 1, d)).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= AnnTopK)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    MrlDims.map { d =>
+      exact.join(
+        prefixTopK(d).select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(d.toLong).as("dim"), col("query_id"), col("k"), col("hits"),
+          (col("hits").cast(DoubleType) / col("k").cast(DoubleType)).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("dim"), col("query_id"))
+  }
+
+  /** Prefix-dim cosine in the oracle dialect: dot over the first d index
+    * pairs, norms over the d-sliced lists — the same index-ordered
+    * left fold as [[cosSql]], restricted to the prefix. */
+  private def cosSqlDim(a: String, b: String, d: Int): String = {
+    val dot = s"list_reduce(list_transform(generate_series(1,$d), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+    val na = s"sqrt(list_reduce(list_transform($a[1:$d], x -> x*x), (x,y) -> x+y))"
+    val nb = s"sqrt(list_reduce(list_transform($b[1:$d], x -> x*x), (x,y) -> x+y))"
+    s"$dot / ($na * $nb)"
+  }
+
+  val mrlRecallAuditSql: String = {
+    val tiers = MrlDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, e.query_id,
+         |    CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM e LEFT JOIN (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT query_id, vec_id AS neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY ${cosSqlDim("q", "v", d)} DESC, vec_id) AS rank
+         |      FROM c CROSS JOIN qd) t WHERE rank <= $AnnTopK) p
+         |    ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+         |  GROUP BY e.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |qd AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+       |       FROM embeddings WHERE vec_id < $NumQueries),
+       |e AS (SELECT query_id, neighbor_id FROM ($knnBruteForceSql) x
+       |      WHERE rank <= $AnnTopK),
+       |u AS ($tiers)
+       |SELECT dim, query_id, k, hits,
+       |  CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+       |FROM u ORDER BY dim, query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss22_mrl_recall" -> mrlRecallAudit,
     "ss21_graph_serve_sq" -> graphServeSq,
     "ss20_graph_serve_filtered" -> graphServeFiltered,
     "ss19_serve_sweep" -> serveSweep,
@@ -2554,6 +2649,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss22_mrl_recall" -> mrlRecallAuditSql,
     "ss21_graph_serve_sq" -> graphServeSqSql,
     "ss20_graph_serve_filtered" -> graphServeFilteredSql,
     "ss19_serve_sweep" -> serveSweepSql,

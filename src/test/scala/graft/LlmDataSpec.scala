@@ -489,6 +489,30 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@3 = $recall")
   }
 
+  test("ss22: matryoshka audit — full-dim tier is perfect, tiers are complete") {
+    val rows = Similarity.mrlRecallAudit(spark, sf()).collect()
+    val byDim = rows.groupBy(_.getAs[Long]("dim"))
+    assert(byDim.keySet == Set(16L, 32L, 64L))
+    // every tier audits every query with the full k
+    byDim.foreach { case (d, rs) =>
+      assert(rs.length == Similarity.NumQueries, s"dim $d: ${rs.length} queries")
+      assert(rs.forall(_.getAs[Long]("k") == 3L), s"dim $d: k != 3")
+    }
+    // the full-prefix tier IS the exact ranking — recall must be 1.0
+    assert(byDim(64L).forall(_.getAs[Double]("recall") == 1.0),
+      "full-dim control tier lost exact neighbors")
+    // truncation cannot beat the exact ranking it is audited against
+    assert(rows.forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0
+    })
+    // mean recall at half dims should dominate quarter dims on this
+    // fixture (more signal retained); equality allowed
+    def mean(d: Long) = byDim(d).map(_.getAs[Long]("hits")).sum.toDouble /
+      byDim(d).map(_.getAs[Long]("k")).sum
+    assert(mean(32L) >= mean(16L) - 1e-12,
+      s"recall not monotone: d32=${mean(32L)} d16=${mean(16L)}")
+  }
+
   test("ss10: refined-codebook IVF serve meets the unrefined recall gate") {
     val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
