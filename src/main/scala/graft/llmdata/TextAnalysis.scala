@@ -2522,7 +2522,152 @@ object TextAnalysis {
        |    AS byte_to_char_ratio
        |FROM cnt GROUP BY source ORDER BY source""".stripMargin
 
+  // ------ tx37: merge-budget ablation (the vocab-size curve)
+
+  /** Merge-table prefixes for the tx37 curve — quarter/half/¾/full of
+    * the shipped Band table. Level 0 (pure character level) is derived,
+    * not encoded: at zero merges every token is one character, so its
+    * token total IS the char total — the curve's exact anchor. */
+  private val AblationLevels = Seq(
+    BpeMerges.BandN / 4, BpeMerges.BandN / 2,
+    BpeMerges.BandN * 3 / 4, BpeMerges.BandN)
+
+  /** tx37: MERGE-BUDGET ablation — the vocab-size question a tokenizer
+    * owner answers before fixing |V| (vocab-scaling studies ask exactly
+    * this; Gallé 2019 frames BPE quality as compression per merge): the
+    * corpus token total under each PREFIX of the merge table
+    * (0/¼/½/¾/full), with fertility, compression, and the MARGINAL
+    * tokens-saved-per-added-merge between consecutive levels — the
+    * diminishing-returns signal that says where to stop growing the
+    * vocabulary (the curve's knee).
+    *
+    * Exactness: token totals are exact BIGINT sums (BPE tokens
+    * partition each word's characters, so the level-0 anchor equals the
+    * char total by identity, and `n_chars` is level-invariant); every
+    * ratio is ONE division of two exact BIGINTs.
+    *
+    * Scale posture: ONE scan — all four encodes are scan-side native
+    * expressions in the same projection (prefix tables ride the task
+    * binary; the per-JVM word memo makes the 4× encode sublinear in
+    * practice because the vocabulary trick applies per level) — then a
+    * single combinable global aggregate (one row) exploded into the
+    * five curve rows driver-side of the aggregate, costing nothing.
+    * The twin pays four full recursion chains for the same answer —
+    * tx31's argument at 4×. */
+  def bpeMergeAblation(spark: SparkSession, dir: String): DataFrame = {
+    def tk(n: Int) = org.apache.spark.sql.GraftColumn.of(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftColumn.expr(col("text")), n))
+    val perDoc = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast(LongType).as("nw") +:
+        length(array_join(tk(BpeMerges.BandN), "")).cast(LongType).as("nc") +:
+        AblationLevels.zipWithIndex.map { case (l, i) =>
+          size(tk(l)).cast(LongType).as(s"nt$i")
+        }: _*)
+    val totals = perDoc.agg(
+      sum(col("nw")).as("n_words"),
+      sum(col("nc")).as("n_chars") +:
+        AblationLevels.indices.map(i => sum(col(s"nt$i")).as(s"t$i")): _*)
+    // five curve rows out of the single aggregate row: level 0 is the
+    // char anchor; each level's marginal is measured against the
+    // previous level's total
+    val rows = (lit(0L), col("n_chars"), lit(null).cast(DoubleType)) +:
+      AblationLevels.zipWithIndex.map { case (l, i) =>
+        val prevT = if (i == 0) col("n_chars") else col(s"t${i - 1}")
+        val prevL = if (i == 0) 0 else AblationLevels(i - 1)
+        (lit(l.toLong), col(s"t$i"),
+          (prevT - col(s"t$i")).cast(DoubleType) / lit((l - prevL).toDouble))
+      }
+    val curve = array(rows.map { case (nm, nt, marg) =>
+      struct(nm.as("n_merges"), nt.as("n_tokens"), marg.as("marginal"))
+    }: _*)
+    totals.select(col("n_words"), col("n_chars"), explode(curve).as("r"))
+      .select(col("r.n_merges").as("n_merges"),
+        col("r.n_tokens").as("n_tokens"),
+        col("n_words"), col("n_chars"),
+        (col("r.n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("fertility"),
+        (col("n_chars").cast(DoubleType) / col("r.n_tokens").cast(DoubleType))
+          .as("chars_per_token"),
+        col("r.marginal").as("marginal_tokens_per_merge"))
+      .orderBy(col("n_merges"))
+  }
+
+  val bpeMergeAblationSql: String = {
+    // one shared merges table + distinct-word instance counts; one
+    // recursion chain per prefix level, each gated by `m.rank < L`
+    val chains = AblationLevels.zipWithIndex.map { case (l, i) =>
+      s"""enc$i AS (
+         |  SELECT w,
+         |    regexp_replace(w, '(.)', chr(31) || chr(31) || '\\1', 'g')
+         |      || chr(31) || chr(31) AS s
+         |  FROM dwords
+         |  UNION ALL
+         |  SELECT e.w, replace(e.s,
+         |      chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31),
+         |      chr(31) || p.a || p.b || chr(31)) AS s
+         |  FROM enc$i e, LATERAL (
+         |    SELECT m.a, m.b FROM merges m
+         |    WHERE m.rank < $l AND strpos(e.s, chr(31) || m.a || chr(31)
+         |      || chr(31) || m.b || chr(31)) > 0
+         |    ORDER BY m.rank LIMIT 1) p),
+         |fin$i AS (
+         |  SELECT w, trim(replace(s, chr(31) || chr(31), chr(31)), chr(31)) AS s
+         |  FROM enc$i e
+         |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+         |    WHERE m.rank < $l AND strpos(e.s, chr(31) || m.a || chr(31)
+         |      || chr(31) || m.b || chr(31)) > 0)),
+         |tot$i AS (
+         |  SELECT CAST(SUM(wc.cnt * (len(f.s) - len(replace(f.s, chr(31), ''))
+         |    + 1)) AS BIGINT) AS nt
+         |  FROM wc JOIN fin$i f USING (w))""".stripMargin
+    }.mkString(",\n")
+    val levelRows = ("SELECT CAST(0 AS BIGINT) AS n_merges, " +
+      "(SELECT nc FROM base) AS n_tokens, CAST(NULL AS DOUBLE) AS marginal") +:
+      AblationLevels.zipWithIndex.map { case (l, i) =>
+        val prev = if (i == 0) "(SELECT nc FROM base)"
+          else s"(SELECT nt FROM tot${i - 1})"
+        val prevL = if (i == 0) 0 else AblationLevels(i - 1)
+        s"""SELECT CAST($l AS BIGINT) AS n_merges,
+           |  (SELECT nt FROM tot$i) AS n_tokens,
+           |  CAST($prev - (SELECT nt FROM tot$i) AS DOUBLE)
+           |    / CAST(${l - prevL} AS DOUBLE) AS marginal""".stripMargin
+      }
+    // each fragment strips its own margin BEFORE concatenation — a
+    // second stripMargin over the interpolated chains would eat the
+    // leading pipe of `||` continuation lines (see the tx24 note)
+    val head =
+      s"""WITH RECURSIVE merges(rank, a, b) AS (VALUES $bpeMergesValues),
+         |wc AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE text IS NOT NULL)
+         |  WHERE w <> '' AND strpos(w, chr(31)) = 0
+         |  GROUP BY w),
+         |dwords AS (SELECT w FROM wc),
+         |base AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS nw,
+         |    CAST(SUM(cnt * len(w)) AS BIGINT) AS nc
+         |  FROM wc),""".stripMargin
+    val tail =
+      s"""curve AS (${levelRows.mkString("\nUNION ALL\n")})
+         |SELECT n_merges, n_tokens,
+         |  (SELECT nw FROM base) AS n_words,
+         |  (SELECT nc FROM base) AS n_chars,
+         |  CAST(n_tokens AS DOUBLE) / CAST((SELECT nw FROM base) AS DOUBLE)
+         |    AS fertility,
+         |  CAST((SELECT nc FROM base) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    AS chars_per_token,
+         |  marginal AS marginal_tokens_per_merge
+         |FROM curve ORDER BY n_merges""".stripMargin
+    head + "\n" + chains + ",\n" + tail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx37_merge_ablation" -> bpeMergeAblation,
     "tx36_frozen_vocab_oov" -> frozenVocabOov,
     "tx35_bpe_bytes_roundtrip" -> bpeBytesRoundtrip,
     "tx34_bpe_roundtrip" -> bpeRoundtrip,
@@ -2561,6 +2706,7 @@ object TextAnalysis {
     "tx5_fingerprint" -> fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "tx37_merge_ablation" -> bpeMergeAblationSql,
     "tx36_frozen_vocab_oov" -> frozenVocabOovSql,
     "tx35_bpe_bytes_roundtrip" -> bpeBytesRoundtripSql,
     "tx34_bpe_roundtrip" -> bpeRoundtripSql,

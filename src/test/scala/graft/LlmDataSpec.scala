@@ -1572,6 +1572,38 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("tx37: the merge-budget curve is internally consistent — char " +
+      "anchor, strictly fewer tokens per added prefix, every merge window " +
+      "productive") {
+    val rows = graft.llmdata.TextAnalysis.bpeMergeAblation(spark, sf())
+      .collect().sortBy(_.getAs[Long]("n_merges"))
+    assert(rows.length == 5)
+    val (chars, words) =
+      (rows.head.getAs[Long]("n_chars"), rows.head.getAs[Long]("n_words"))
+    // level 0 IS the char level: tokens == chars (the identity anchor)
+    assert(rows.head.getAs[Long]("n_merges") == 0L)
+    assert(rows.head.getAs[Long]("n_tokens") == chars)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("marginal_tokens_per_merge")))
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      // every trained merge fired at least once on its training corpus,
+      // so each prefix window must strictly reduce the token total
+      assert(cur.getAs[Long]("n_tokens") < prev.getAs[Long]("n_tokens"),
+        s"level ${cur.getAs[Long]("n_merges")} saved nothing")
+      assert(cur.getAs[Double]("marginal_tokens_per_merge") > 0.0)
+      // invariants: chars/words are level-independent
+      assert(cur.getAs[Long]("n_chars") == chars)
+      assert(cur.getAs[Long]("n_words") == words)
+      // compression improves monotonically with the merge budget
+      assert(cur.getAs[Double]("chars_per_token") >
+        prev.getAs[Double]("chars_per_token"))
+    }
+    // ratio definitions hold exactly
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") ==
+        r.getAs[Long]("n_tokens").toDouble / words)
+    }
+  }
+
   test("tx28: trained merges are well-formed at sf0.001 — distinct merged " +
       "symbols, every later merge built from earlier vocabulary") {
     val rows = graft.llmdata.TextAnalysis.bpeTrain(spark, sf()).collect()
