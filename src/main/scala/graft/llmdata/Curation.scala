@@ -1281,6 +1281,94 @@ object Curation {
          |FROM y ORDER BY shard, shard_pos""".stripMargin
   }
 
+  // ------------------------------------------------------------ cur17
+
+  /** Epochs the step schedule materializes. */
+  private val ScheduleEpochs = 2
+
+  /** cur17: the TRAINING-STEP schedule — the data-loader contract that
+    * closes the corpus → shards (cur13) → epochs (cur14) chain down to
+    * the unit a trainer actually replays: global step k consumes the
+    * k-th sequence of EVERY shard (one sequence per shard per step — the
+    * rank-per-shard round-robin of a distributed data-parallel loader,
+    * global batch = |shards|). That definition is deliberate: it needs
+    * NO global permutation — each shard is read sequentially in cur13's
+    * seeded within-shard order, and the cross-shard interleave IS the
+    * decorrelation cur14 measures. Per (epoch, step): sequences drawn,
+    * exact token volume, distinct sources touched, and whether the step
+    * is full (tail steps go partial as shorter shards exhaust — the
+    * drain the trainer's last steps actually see; real loaders either
+    * drop or pad them, and this ledger is how you size that choice).
+    * Epoch 1 re-seeds shard assignment AND order (cur13's rule), so the
+    * schedule differs per epoch while staying byte-replayable.
+    *
+    * Exactness: hashes, ranks, counts, and token sums are all exact
+    * integer/string ops — no doubles anywhere.
+    *
+    * Scale posture: reuses the packer's one pass to (source, bin)
+    * aggregates, then per epoch ONE row_number window over |shards|
+    * hash groups (the exact exchange cur13's shard writer pays — no
+    * global sort: the round-robin step index is the WITHIN-shard
+    * position) and one combinable per-step aggregate over ≤ max-shard-
+    * length keys. */
+  def stepSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val bins = packedBins(spark, dir)
+    (0 until ScheduleEpochs).map { e =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"))
+      bins.withColumn("h", epochHash(e))
+        .withColumn("shard", shardOf(col("h")))
+        .withColumn("step", (row_number().over(w) - 1).cast(LongType))
+        .groupBy(col("step"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(lit(e.toLong).as("epoch"), col("step"), col("n_seqs"),
+          col("n_tokens"), col("n_sources"),
+          (col("n_seqs") === lit(NumShards.toLong)).as("is_full"))
+    }.reduce(_ unionByName _).orderBy(col("epoch"), col("step"))
+  }
+
+  val stepScheduleSql: String = {
+    val b = TextAnalysis.PackBudget
+    val epochs = (0 until ScheduleEpochs).map { e =>
+      s"""s$e AS (
+         |  SELECT CAST($e AS BIGINT) AS epoch, CAST(step AS BIGINT) AS step,
+         |    CAST(count(*) AS BIGINT) AS n_seqs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h) - 1
+         |        AS step
+         |    FROM (
+         |      SELECT source, n_tokens, h,
+         |        ('0x' || substr(h, 1, 2))::BIGINT % $NumShards AS shard
+         |      FROM (
+         |        SELECT source, bin, n_tokens,
+         |          md5(source || ':' || CAST(bin AS VARCHAR) || ':epoch$e') AS h
+         |        FROM ov)))
+         |  GROUP BY step)""".stripMargin
+    }.mkString(",\n")
+    TextAnalysis.bpePlacementCtes + ",\n" +
+      s"""placed AS (
+         |  SELECT source, tok_offset, n_bpe,
+         |    CAST(floor(tok_offset / $b) AS BIGINT) AS start_bin,
+         |    CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / $b)
+         |      AS BIGINT) AS end_bin
+         |  FROM o),
+         |ov AS (
+         |  SELECT source, CAST(u.bin AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(least((u.bin + 1) * $b, tok_offset + n_bpe)
+         |      - greatest(u.bin * $b, tok_offset)) AS BIGINT) AS n_tokens
+         |  FROM placed, unnest(range(start_bin, end_bin + 1)) u(bin)
+         |  GROUP BY 1, 2),
+         |$epochs
+         |SELECT epoch, step, n_seqs, n_tokens, n_sources,
+         |  n_seqs = $NumShards AS is_full
+         |FROM (${(0 until ScheduleEpochs).map(e => s"SELECT * FROM s$e")
+            .mkString(" UNION ALL ")})
+         |ORDER BY epoch, step""".stripMargin
+  }
+
   /** The shard FILES behind cur13's manifest — the actual training-data
     * artifact a loader mounts (cur13 emits the per-sequence accounting;
     * this writes the per-segment content map, `partitionBy(shard)`).
@@ -1718,6 +1806,7 @@ object Curation {
        |FROM ledger GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur17_step_schedule" -> stepSchedule,
     "cur16_shard_sequences" -> shardSequences,
     "cur15_crawl_curation" -> crawlCuration,
     "cur14_epoch_shuffle" -> epochShuffleAudit,
@@ -1737,6 +1826,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur17_step_schedule" -> stepScheduleSql,
     "cur16_shard_sequences" -> shardSequencesSql,
     "cur15_crawl_curation" -> crawlCurationSql,
     "cur14_epoch_shuffle" -> epochShuffleAuditSql,

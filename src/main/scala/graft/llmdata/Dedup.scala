@@ -1945,7 +1945,84 @@ object Dedup {
        |ORDER BY c.bands""".stripMargin
   }
 
+  // ------------------------------ exact-copy inflation ledger (dd27)
+
+  /** dd27: per-source EXACT-DUPLICATION inflation ledger — the "how much
+    * of this source's crawl budget is copies" card a corpus owner reads
+    * next to dd19's overlap matrix. Global exact groups (dd1's
+    * content-hash key, keeper = lowest doc_id ACROSS sources) are
+    * attributed back to each source: docs removed by a global exact
+    * dedup, chars those copies hold, the resulting char-inflation factor
+    * (source chars ÷ surviving chars — the multiplier the source's
+    * apparent volume overstates its unique contribution by), and the
+    * share of removals whose KEEPER lives in a different source — the
+    * syndication signal (a mirror inflates itself with someone else's
+    * content; boilerplate inflates within-source). dd1 reports the
+    * corpus-level totals; dd27 is the same ledger made per-source and
+    * attribution-aware, which is what mixture design (cur3) actually
+    * consumes.
+    *
+    * Exactness: counts and char sums are exact BIGINTs off the fixture's
+    * n_chars column; inflation is one division of two exact BIGINTs
+    * (NULL when a source keeps nothing — the all-copies degenerate).
+    *
+    * Scale shape: one groupBy on the 16-byte digest (never the body),
+    * one key-equality join back on the digest, one doc_id join for the
+    * keeper's source, one combinable per-source aggregate over
+    * ≤ |sources| keys. Shuffled rows carry (doc_id, source, digest,
+    * chars) — fixed ~60 bytes/row at any corpus size. */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        col("n_chars").as("chars"))
+    val groups = docs.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val keeperSrc = docs
+      .select(col("doc_id").as("keep_id"), col("source").as("keep_source"))
+    val removedFlag = (col("doc_id") =!= col("keep_id")).cast(LongType)
+    docs.join(groups, "h").join(keeperSrc, "keep_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(removedFlag).as("n_removed"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("chars") * removedFlag).as("chars_removed"),
+        sum(removedFlag *
+          (col("source") =!= col("keep_source")).cast(LongType))
+          .as("cross_source_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("n_chars"), col("chars_removed"), col("cross_source_removed"),
+        when(col("n_chars") === col("chars_removed"), lit(null))
+          .otherwise(col("n_chars").cast(DoubleType) /
+            (col("n_chars") - col("chars_removed")).cast(DoubleType))
+          .as("char_inflation"))
+      .orderBy(col("source"))
+  }
+
+  val dupInflationSql: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h, n_chars AS chars
+      |           FROM documents),
+      |g AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+      |k AS (SELECT doc_id AS keep_id, source AS keep_source FROM d),
+      |j AS (SELECT d.source, d.chars,
+      |        CASE WHEN d.doc_id <> g.keep_id THEN 1 ELSE 0 END AS removed,
+      |        CASE WHEN d.doc_id <> g.keep_id
+      |               AND d.source <> k.keep_source THEN 1 ELSE 0 END AS xsrc
+      |      FROM d JOIN g USING (h) JOIN k USING (keep_id))
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(removed) AS BIGINT) AS n_removed,
+      |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(chars * removed) AS BIGINT) AS chars_removed,
+      |  CAST(SUM(xsrc) AS BIGINT) AS cross_source_removed,
+      |  CASE WHEN SUM(chars) = SUM(chars * removed) THEN NULL
+      |       ELSE CAST(SUM(chars) AS DOUBLE) /
+      |            CAST(SUM(chars) - SUM(chars * removed) AS DOUBLE) END
+      |    AS char_inflation
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd27_dup_inflation" -> dupInflation,
     "dd26_banding_sweep" -> bandingSweep,
     "dd25_lsh_tuning" -> lshTuning,
     "dd24_winnowing" -> winnowingNearDup,
@@ -1974,6 +2051,7 @@ object Dedup {
     "dd7_embedding_neardup" -> embeddingNearDup)
 
   val oracle: Map[String, String] = Map(
+    "dd27_dup_inflation" -> dupInflationSql,
     "dd26_banding_sweep" -> bandingSweepSql,
     "dd25_lsh_tuning" -> lshTuningSql,
     "dd24_winnowing" -> winnowingNearDupSql,

@@ -2624,7 +2624,101 @@ object Similarity {
        |FROM u ORDER BY dim, query_id""".stripMargin
   }
 
+  // -------------------- ss23: Matryoshka funnel (adaptive) retrieval
+
+  /** Funnel stage-1 dimension prefix and shortlist size — the measured
+    * operating point on this non-MRL fixture (DuckDB grid, sf0.001 /
+    * sf0.01): d16 prefixes are too lossy for a small shortlist (recall
+    * 0.53/0.43 at S=50/25) while the HALF prefix holds (d32 × S=50 →
+    * recall@3 0.80/0.77; S=100 → 0.93). The shortlist is deliberately
+    * small relative to the corpus (50 of ≥490, and a CONSTANT as the
+    * corpus grows) — the whole point of the funnel is that stage 2 pays
+    * full-dim cost on a fixed-size candidate set. */
+  private val FunnelDim = 32
+  private val FunnelShortlist = 50
+
+  /** ss23: MATRYOSHKA FUNNEL retrieval — the SERVING pattern ss22's
+    * audit motivates (MRL "adaptive retrieval", Kusupati et al. 2022
+    * §4.3; the shortlist-then-rerank funnel every production vector
+    * store runs): stage 1 ranks the corpus by PREFIX-dim cosine
+    * (d = 32, half the stored vector — 2× less bandwidth per candidate)
+    * and keeps a fixed shortlist; stage 2 reranks ONLY the shortlist at
+    * full dimension and serves top-k. Output is the served list per
+    * query with its full-dim score, a `hit` flag against the exact
+    * full-dim top-k (recall is in-band, ss12's convention), and the
+    * shortlist share actually scored at full dim — the measured funnel
+    * economics. ss22 told you what a prefix RANKING loses end to end
+    * (recall 0.3–0.5 at d/4 on this non-MRL fixture); ss23 shows the
+    * funnel recovering most of it, because stage 1 only has to get the
+    * true neighbors into the top-[[FunnelShortlist]], not the top-3 —
+    * and the constants doc records the measured grid that picked the
+    * half prefix over the quarter.
+    *
+    * Exactness: both stages are the same index-ordered cosine folds as
+    * ss1/ss22, ties broken by neighbor_id; shortlist membership and
+    * hits are integer row-number / set operations — deterministic on
+    * both engines.
+    *
+    * Scale posture: stage 1 is ss1's broadcast-query scan over SLICED
+    * vectors (scan-side `slice`, no extra movement; at 100 TB this
+    * tier is served by the ANN family over truncated vectors — IVF/PQ/
+    * graph all compose, ss12's argument); stage 2 touches exactly
+    * |shortlist| rows per query — a broadcast-size rerank no matter the
+    * corpus size. The funnel is WHY truncated embeddings are stored. */
+  def mrlFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteForce(spark, dir).filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val scored = corpus(spark, dir).crossJoin(broadcast(queriesDf(spark, dir)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(slice(col("q"), 1, FunnelDim), slice(col("v"), 1, FunnelDim))
+          .as("pre_sim"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_sim").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= FunnelShortlist)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val corpusN = corpus(spark, dir)
+      .agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
+    shortlist.withColumn("rank", row_number().over(w2).cast(LongType))
+      .filter(col("rank") <= AnnTopK)
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .crossJoin(broadcast(corpusN))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"),
+        coalesce(col("hit"), lit(0L)).as("hit"),
+        (lit(FunnelShortlist.toDouble) / col("corpus_n")).as("scored_share"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val mrlFunnelSql: String =
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings WHERE vec_id >= $NumQueries),
+       |qd AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+       |       FROM embeddings WHERE vec_id < $NumQueries),
+       |e AS (SELECT query_id, neighbor_id FROM ($knnBruteForceSql) x
+       |      WHERE rank <= $AnnTopK),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_n FROM c),
+       |sl AS (SELECT query_id, neighbor_id, cos_sim FROM (
+       |    SELECT query_id, vec_id AS neighbor_id,
+       |      ${cosSqlDim("q", "v", FunnelDim)} AS pre_sim,
+       |      ${cosSql("q", "v")} AS cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${cosSqlDim("q", "v", FunnelDim)} DESC, vec_id) AS srank
+       |    FROM c CROSS JOIN qd) t WHERE srank <= $FunnelShortlist),
+       |served AS (SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM sl)
+       |SELECT s.query_id, CAST(s.rank AS BIGINT) AS rank, s.neighbor_id, s.cos_sim,
+       |  CAST(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit,
+       |  $FunnelShortlist / n.corpus_n AS scored_share
+       |FROM served s CROSS JOIN n
+       |LEFT JOIN e ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+       |WHERE s.rank <= $AnnTopK ORDER BY s.query_id, s.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss23_mrl_funnel" -> mrlFunnel,
     "ss22_mrl_recall" -> mrlRecallAudit,
     "ss21_graph_serve_sq" -> graphServeSq,
     "ss20_graph_serve_filtered" -> graphServeFiltered,
@@ -2649,6 +2743,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss23_mrl_funnel" -> mrlFunnelSql,
     "ss22_mrl_recall" -> mrlRecallAuditSql,
     "ss21_graph_serve_sq" -> graphServeSqSql,
     "ss20_graph_serve_filtered" -> graphServeFilteredSql,

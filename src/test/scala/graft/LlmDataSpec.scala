@@ -513,6 +513,32 @@ class LlmDataSpec extends SparkSpec {
       s"recall not monotone: d32=${mean(32L)} d16=${mean(16L)}")
   }
 
+  test("ss23: matryoshka funnel — rerank recovers prefix-ranking recall, funnel economics hold") {
+    val rows = Similarity.mrlFunnel(spark, sf()).collect()
+    // every query serves exactly k rows, ranked 1..k
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L), s"query $q ranks")
+    }
+    // funnel recall (hits over all served rows vs exact top-3) must
+    // dominate the RAW d=32 prefix ranking's recall from ss22 — the
+    // rerank stage is the point of the funnel
+    val funnelRecall = rows.map(_.getAs[Long]("hit")).sum.toDouble / rows.length
+    val ss22 = Similarity.mrlRecallAudit(spark, sf()).collect()
+      .filter(_.getAs[Long]("dim") == 32L)
+    val prefixRecall = ss22.map(_.getAs[Long]("hits")).sum.toDouble /
+      ss22.map(_.getAs[Long]("k")).sum
+    assert(funnelRecall >= prefixRecall - 1e-12,
+      s"funnel $funnelRecall below raw prefix ranking $prefixRecall")
+    // the measured operating point: half-dim stage 1 with a 50-deep
+    // shortlist recovers 0.8 of the exact top-3 on this fixture
+    assert(funnelRecall >= 0.7, s"funnel recall@3 = $funnelRecall")
+    // economics: the full-dim stage touched a small fixed share
+    val share = rows.head.getAs[Double]("scored_share")
+    assert(share > 0.0 && share <= 50.0 / 490.0 + 1e-12, s"scored_share $share")
+  }
+
   test("ss10: refined-codebook IVF serve meets the unrefined recall gate") {
     val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -522,6 +548,25 @@ class LlmDataSpec extends SparkSpec {
     // the refined serve must hold ss3's recall floor; Lloyd tightens
     // cells, it must not lose the gate
     assert(recall >= 0.3, s"refined IVF recall@3 = $recall")
+  }
+
+  test("dd27: inflation ledger reconciles with dd1's corpus totals") {
+    val rows = graft.llmdata.Dedup.dupInflation(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // per-source ledgers must sum to dd1's corpus-level exact-dedup card
+    val dd1 = graft.llmdata.Dedup.exactDedup(spark, sf()).collect().head
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == dd1.getAs[Long]("n_docs"))
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == dd1.getAs[Long]("n_removed"))
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs"); val rem = r.getAs[Long]("n_removed")
+      assert(rem >= 0 && rem <= nDocs)
+      assert(r.getAs[Long]("cross_source_removed") <= rem)
+      assert(r.getAs[Long]("chars_removed") <= r.getAs[Long]("n_chars"))
+      // inflation >= 1 whenever the source keeps anything
+      Option(r.getAs[java.lang.Double]("char_inflation")).foreach { inf =>
+        assert(inf >= 1.0 - 1e-12, s"${r.getAs[String]("source")}: inflation $inf")
+      }
+    }
   }
 
   test("dd22: exactly one representative per cluster, and it is the max-quality member") {
@@ -1772,6 +1817,39 @@ class LlmDataSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("shard_pos")).sorted.toSeq ==
         (1L to rs.length).toSeq, s"shard $sh: positions not contiguous")
     }
+  }
+
+  test("cur17: step schedule drains every shard round-robin — totals reconcile " +
+      "with cur13, steps contiguous, fill non-increasing") {
+    val shards = graft.llmdata.Curation.packedShards(spark, sf()).collect()
+    val rows = graft.llmdata.Curation.stepSchedule(spark, sf()).collect()
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.foreach { case (e, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("step"))
+      // contiguous steps from 0
+      assert(sorted.map(_.getAs[Long]("step")).toSeq ==
+        (0L until sorted.length).toSeq, s"epoch $e: steps not contiguous")
+      // every sequence is consumed exactly once per epoch
+      assert(sorted.map(_.getAs[Long]("n_seqs")).sum == shards.length.toLong,
+        s"epoch $e: schedule does not drain the shard set")
+      assert(sorted.map(_.getAs[Long]("n_tokens")).sum ==
+        shards.map(_.getAs[Long]("n_tokens")).sum,
+        s"epoch $e: token volume does not reconcile with cur13")
+      // fill is non-increasing: shards only ever exhaust
+      val seqs = sorted.map(_.getAs[Long]("n_seqs"))
+      assert(seqs.zip(seqs.tail).forall { case (a, b) => a >= b },
+        s"epoch $e: step fill grew — a drained shard came back")
+      sorted.foreach { r =>
+        assert(r.getAs[Boolean]("is_full") == (r.getAs[Long]("n_seqs") == 16L))
+        assert(r.getAs[Long]("n_sources") <= r.getAs[Long]("n_seqs"))
+      }
+    }
+    // epoch 0's step-0 row draws one sequence from every populated shard
+    val e0head = rows.filter(r => r.getAs[Long]("epoch") == 0L &&
+      r.getAs[Long]("step") == 0L).head
+    assert(e0head.getAs[Long]("n_seqs") ==
+      shards.map(_.getAs[Long]("shard")).distinct.length.toLong)
   }
 
   test("cur14: epoch-shuffle audit reconciles epoch 0 with cur13's shards " +
