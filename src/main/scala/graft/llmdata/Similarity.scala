@@ -2717,7 +2717,136 @@ object Similarity {
        |LEFT JOIN e ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
        |WHERE s.rank <= $AnnTopK ORDER BY s.query_id, s.rank""".stripMargin
 
+  // -------------------- ss24: IVF nprobe sweep (the tuning curve)
+
+  /** Probe counts the ss24 sweep measures — the configured operating
+    * point ([[DefaultIvfProbes]] = 4) sits inside the grid so the curve
+    * justifies it the way ss19's sweep justifies the graph serve. */
+  private val IvfSweepProbes = Seq(1, 2, 4, 8)
+
+  /** ss24: IVF NPROBE sweep — the recall ⇄ candidate-volume tuning
+    * curve every FAISS deployment reads before fixing `nprobe` (ss19 is
+    * this measurement for the graph serve; ss24 is it for the IVF
+    * family that ss3/ss7/ss10/ss11 all serve from). For each probe
+    * count P: the exact candidate volume (population of each query's P
+    * nearest cells), recall@3 of the within-candidates cosine ranking
+    * vs the exact top-3, and the mean share of the corpus scored — the
+    * number that says what P buys and what it costs. Probe sets NEST
+    * (cell rank ≤ P), so the whole grid derives from ONE candidate pass
+    * at max(P) with the probe rank attached; levels are prefix filters,
+    * the ss19 lesson (one union + keyed aggregates, not per-level
+    * scalar branches).
+    *
+    * Exactness: probe rank ties break (sim DESC, cell ASC) — ss3's
+    * convention; candidate counts are exact BIGINTs; recall and share
+    * are single divisions of exact integers.
+    *
+    * Scale posture: the corpus is scanned ONCE for cell assignment
+    * (scan-side argmax over codebook literals) and once for candidate
+    * scoring against the broadcast probe set — identical to ss3's serve
+    * plan; the sweep adds only a per-level tag explode over the (tiny)
+    * candidate keys and two combinable aggregates. At 100 TB the curve
+    * runs on a sampled query set (ss12's argument) — it is a tuning
+    * measurement, not a serving path. */
+  def ivfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val exemplars = exemplarsOf(spark, dir)
+    val ex = collectedExemplars(exemplars)
+    require(ex.nonEmpty, "IVF sweep requires a trained codebook")
+    val exact = knnBruteForce(spark, dir).filter(col("rank") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val c = assignCells(corpus(spark, dir), "v", exemplars)
+    val scoredCells = array(ex.zipWithIndex.map { case ((_, cv), i) =>
+      struct((lit(0.0) - Dedup.cosine(col("q"), lit(cv))).as("ns"), lit(i).as("i"))
+    }.toIndexedSeq: _*)
+    val probeCells = transform(slice(array_sort(scoredCells), 1, IvfSweepProbes.max),
+      s => element_at(lit(ex.map(_._1)), s.getField("i") + lit(1)))
+    val q = queriesDf(spark, dir)
+      .select(col("query_id"), col("q"), posexplode(probeCells).as(Seq("p0", "cell")))
+      .withColumn("prank", col("p0") + 1)
+    val cand = c.join(broadcast(q), "cell")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("prank"),
+        Dedup.cosine(col("q"), col("v")).as("cos_sim"))
+    // levels nest, so a candidate at probe rank r belongs to every level
+    // P >= r: tag by exploding the applicable levels — ONE candidate
+    // pass, not a per-level union re-scanning the corpus
+    val levelsArr = array(IvfSweepProbes.map(p => lit(p.toLong)): _*)
+    val tagged = cand.select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+      explode(filter(levelsArr, l => l >= col("prank"))).as("nprobe"))
+    val top3 = tagged.groupBy(col("nprobe"), col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("cos_sim"), col("neighbor_id"), AnnTopK).as("top"))
+      .select(col("nprobe"), col("query_id"), explode(col("top")).as("e"))
+      .select(col("nprobe"), col("query_id"), col("e.id").as("neighbor_id"))
+    // exact is NumQueries*k rows and vols is |levels| rows — bounded by
+    // the audit's own constants at any corpus size, so both broadcast
+    val hits = top3.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits3"))
+    val vols = tagged.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val corpusN = corpus(spark, dir)
+      .agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
+    hits.join(broadcast(vols), "nprobe").crossJoin(broadcast(corpusN))
+      .select(col("nprobe"), col("n_candidates"), col("hits3"),
+        (col("hits3").cast(DoubleType) /
+          lit((NumQueries * AnnTopK).toDouble)).as("recall3"),
+        (col("n_candidates").cast(DoubleType) /
+          (lit(NumQueries.toDouble) * col("corpus_n"))).as("visited_share"),
+        (col("nprobe") === lit(DefaultIvfProbes.toLong)).as("is_configured"))
+      .orderBy(col("nprobe"))
+  }
+
+  val ivfProbeSweepSql: String = {
+    val maxP = IvfSweepProbes.max
+    val levels = IvfSweepProbes.map(p => s"SELECT CAST($p AS BIGINT) AS nprobe")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |$exemplarCteSql,
+       |ca AS (SELECT vec_id, v, cell FROM (
+       |         SELECT e.vec_id, e.v, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS rn
+       |         FROM e CROSS JOIN ex WHERE e.vec_id >= $NumQueries) x WHERE rn = 1),
+       |qa AS (SELECT query_id, q, cell, prank FROM (
+       |         SELECT e.vec_id AS query_id, e.v AS q, ex.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "ex.cv")} DESC, ex.cell) AS prank
+       |         FROM e CROSS JOIN ex WHERE e.vec_id < $NumQueries) x
+       |       WHERE prank <= $maxP),
+       |cand AS (SELECT qa.query_id, ca.vec_id AS neighbor_id, qa.prank,
+       |           ${cosSql("qa.q", "ca.v")} AS cos_sim
+       |         FROM ca JOIN qa USING (cell)),
+       |lv AS ($levels),
+       |tg AS (SELECT lv.nprobe, c.query_id, c.neighbor_id, c.cos_sim
+       |       FROM cand c JOIN lv ON c.prank <= lv.nprobe),
+       |t3 AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |         SELECT nprobe, query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |             ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |         FROM tg) x WHERE rank <= $AnnTopK),
+       |ex3 AS (SELECT query_id, neighbor_id FROM ($knnBruteForceSql) x
+       |        WHERE rank <= $AnnTopK),
+       |h AS (SELECT t3.nprobe,
+       |        CAST(SUM(CASE WHEN ex3.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS hits3
+       |      FROM t3 LEFT JOIN ex3 ON t3.query_id = ex3.query_id
+       |        AND t3.neighbor_id = ex3.neighbor_id
+       |      GROUP BY t3.nprobe),
+       |vv AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |       FROM tg GROUP BY nprobe),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_n FROM ca)
+       |SELECT h.nprobe, vv.n_candidates, h.hits3,
+       |  CAST(h.hits3 AS DOUBLE) / ${(NumQueries * AnnTopK).toDouble} AS recall3,
+       |  CAST(vv.n_candidates AS DOUBLE) / ($NumQueries.0 * n.corpus_n)
+       |    AS visited_share,
+       |  h.nprobe = $DefaultIvfProbes AS is_configured
+       |FROM h JOIN vv USING (nprobe) CROSS JOIN n
+       |ORDER BY h.nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss24_ivf_sweep" -> ivfProbeSweep,
     "ss23_mrl_funnel" -> mrlFunnel,
     "ss22_mrl_recall" -> mrlRecallAudit,
     "ss21_graph_serve_sq" -> graphServeSq,
@@ -2743,6 +2872,7 @@ object Similarity {
     "ss11_ann_filtered" -> annIvfFiltered)
 
   val oracle: Map[String, String] = Map(
+    "ss24_ivf_sweep" -> ivfProbeSweepSql,
     "ss23_mrl_funnel" -> mrlFunnelSql,
     "ss22_mrl_recall" -> mrlRecallAuditSql,
     "ss21_graph_serve_sq" -> graphServeSqSql,

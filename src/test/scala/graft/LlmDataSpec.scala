@@ -539,6 +539,36 @@ class LlmDataSpec extends SparkSpec {
     assert(share > 0.0 && share <= 50.0 / 490.0 + 1e-12, s"scored_share $share")
   }
 
+  test("ss24: nprobe sweep — monotone recall and volume, configured point present") {
+    val rows = Similarity.ivfProbeSweep(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    // candidate volume and recall are monotone non-decreasing in nprobe
+    // (probe sets nest)
+    val byP = rows.sortBy(_.getAs[Long]("nprobe"))
+    val vols = byP.map(_.getAs[Long]("n_candidates"))
+    val recs = byP.map(_.getAs[Double]("recall3"))
+    assert(vols.zip(vols.tail).forall { case (a, b) => a <= b }, s"volumes $vols")
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b + 1e-12 }, s"recalls $recs")
+    // the configured operating point is flagged, and its recall matches
+    // the served ss3 query's recall
+    val conf = byP.filter(_.getAs[Boolean]("is_configured"))
+    assert(conf.length == 1 && conf.head.getAs[Long]("nprobe") == 4L)
+    val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf3 = Similarity.annIvf(spark, sf())
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val servedRecall = (exact3 & ivf3).size.toDouble / exact3.size
+    assert(math.abs(conf.head.getAs[Double]("recall3") - servedRecall) < 1e-9,
+      "sweep's configured row must measure the served plan's recall")
+    // probing every cell is exhaustive search: recall 1.0 when 8 probes
+    // cover all populated cells is NOT guaranteed (16 cells), but shares
+    // must stay in (0, 1]
+    byP.foreach { r =>
+      val s = r.getAs[Double]("visited_share")
+      assert(s > 0.0 && s <= 1.0 + 1e-12)
+    }
+  }
+
   test("ss10: refined-codebook IVF serve meets the unrefined recall gate") {
     val exact3 = Similarity.knnBruteForce(spark, sf()).filter($"rank" <= 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

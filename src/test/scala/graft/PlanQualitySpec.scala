@@ -944,6 +944,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(aggs <= 6, s"three aggregates (bin, epoch-shard, epoch): $aggs")
   }
 
+  test("cur17: step schedule is join-free — per-epoch shard windows only, " +
+      "no global sort before the output ORDER BY") {
+    val p = plan(graft.llmdata.Curation.stepSchedule(spark, sf()))
+    assert(!p.matches("(?s).*\\(\\d+\\) [A-Za-z]*Join.*"), "no join of any kind")
+    // one placement window per epoch branch + one shard-partitioned
+    // rank window per epoch = 4 total; nothing global except the final
+    // presentation sort
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows <= 4, s"windows: $windows")
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans <= 2, s"documents scans (one per epoch branch): $scans")
+  }
+
+  test("ss24: sweep candidates come off ONE corpus scan pair — cell " +
+      "assignment and scoring are scan-side vs broadcast codebook literals") {
+    val p = plan(Similarity.ivfProbeSweep(spark, sf()))
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "probe set must broadcast against the corpus scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for a join")
+  }
+
   test("tx25: synth + extraction are scan-side (one Generate for the " +
       "block explode); no join, no aggregate") {
     val p = plan(graft.llmdata.TextAnalysis.htmlExtract(spark, sf()))
