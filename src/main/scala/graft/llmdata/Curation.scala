@@ -1369,6 +1369,60 @@ object Curation {
          |ORDER BY epoch, step""".stripMargin
   }
 
+  // ------------------------------------------------------------ cur18
+
+  /** cur18: per-shard LICENSE-COMPLIANCE manifest — the audit a trainer
+    * runs before building a permissive-only model from an existing
+    * shard set: for each of cur13's shipped shards, exact token/sequence
+    * volumes split by license tier (cur9's convention: even-indexed
+    * sources are restricted-license, emax 1; odd are permissive, emax 4)
+    * and the restricted-token share. A shard with restricted_frac 0 can
+    * ship into a permissive run as-is; anything else needs re-sharding
+    * or tier-filtered reads — this table is how you see which, without
+    * touching the corpus. Composes cur13's manifest with a scan-free
+    * tier derivation (the tier is a function of the source NAME, so no
+    * join back to documents).
+    *
+    * Exactness: tier split is integer arithmetic on the source index;
+    * token sums are cur13's exact BIGINT fills; restricted_frac is one
+    * division of exact BIGINTs.
+    *
+    * Scale posture: rides cur13's one-pass manifest (the packer window
+    * it already pays); adds one combinable per-shard aggregate over
+    * ≤ |shards| keys. Nothing new touches documents. */
+  def shardLicenseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = expr("CAST(substring(source, 4) AS INT)")
+    val restricted = (srcIdx % 2 === 0).cast(LongType)
+    packedShards(spark, dir)
+      .select(col("shard"), col("n_tokens"), restricted.as("r"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens") * (lit(1L) - col("r"))).as("permissive_tokens"),
+        sum(col("n_tokens") * col("r")).as("restricted_tokens"))
+      .select(col("shard"), col("n_seqs"),
+        col("permissive_tokens"), col("restricted_tokens"),
+        (col("restricted_tokens").cast(DoubleType) /
+          (col("permissive_tokens") + col("restricted_tokens")).cast(DoubleType))
+          .as("restricted_frac"))
+      .orderBy(col("shard"))
+  }
+
+  // assembled by concatenation, NOT one big stripMargin: the embedded
+  // cur13 twin contains `||` concatenations that an outer stripMargin
+  // would mangle (the tx37 lesson)
+  val shardLicenseManifestSql: String =
+    "WITH t AS (SELECT shard, n_tokens,\n" +
+      "  CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0\n" +
+      "       THEN 1 ELSE 0 END AS r\n" +
+      s"  FROM (\n$packedShardsSql\n) m)\n" +
+      """SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(n_tokens * (1 - r)) AS BIGINT) AS permissive_tokens,
+        |  CAST(SUM(n_tokens * r) AS BIGINT) AS restricted_tokens,
+        |  CAST(SUM(n_tokens * r) AS DOUBLE) /
+        |    CAST(SUM(n_tokens * (1 - r)) + SUM(n_tokens * r) AS DOUBLE)
+        |    AS restricted_frac
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+
   /** The shard FILES behind cur13's manifest — the actual training-data
     * artifact a loader mounts (cur13 emits the per-sequence accounting;
     * this writes the per-segment content map, `partitionBy(shard)`).
@@ -1806,6 +1860,7 @@ object Curation {
        |FROM ledger GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur18_shard_licenses" -> shardLicenseManifest,
     "cur17_step_schedule" -> stepSchedule,
     "cur16_shard_sequences" -> shardSequences,
     "cur15_crawl_curation" -> crawlCuration,
@@ -1826,6 +1881,7 @@ object Curation {
     "cur4_leakage_safe_split" -> leakageSafeSplit)
 
   val oracle: Map[String, String] = Map(
+    "cur18_shard_licenses" -> shardLicenseManifestSql,
     "cur17_step_schedule" -> stepScheduleSql,
     "cur16_shard_sequences" -> shardSequencesSql,
     "cur15_crawl_curation" -> crawlCurationSql,

@@ -870,6 +870,103 @@ object TextAnalysis {
        |ORDER BY dd.doc_id""".stripMargin
   }
 
+  // ------------------------- span-level decontamination (tx38)
+
+  /** tx38: SPAN-level decontamination report — dd13 tells you WHICH
+    * documents touch the eval set; this tells you WHERE, and what a
+    * span-excision pass (the Dolma/OLMo decontamination shape: remove
+    * the matched region, keep the document) retains vs dd13's doc-level
+    * drop. Eval side = dd13's holdout convention (doc_id % EvalMod = 0):
+    * its distinct [[SubstrW]]-word window keys form the broadcast match
+    * set; every corpus window whose key appears there marks its
+    * [pos, pos+W−1] interval, and per document the marked intervals
+    * merge into maximal spans (tx16's islands-and-gaps rule). Output per
+    * corpus doc: matched-span count, eval-covered word count and
+    * fraction, and `clean_words` — what survives excision; summed over
+    * contaminated docs, n_words − eval_words is exactly the volume a
+    * doc-level drop overshoots by.
+    *
+    * Scale shape: windows are generated scan-side (tx16's projection);
+    * the eval key set broadcasts (the holdout is ≪ corpus — dd13's
+    * argument); matched starts are a broadcast-hash lookup, and the
+    * interval merge's per-doc window sorts MATCHED starts only. No
+    * self-join, no corpus shuffle beyond the per-doc rollup. Float
+    * parity: eval_frac is one division of two exact BIGINTs. */
+  def spanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").withColumn("_w", words)
+      .select(col("doc_id"), col("_w"),
+        size(col("_w")).cast(LongType).as("n_words"))
+    def windowKeys(df: DataFrame): DataFrame = df
+      .filter(size(col("_w")) >= SubstrW)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("_w")) - (SubstrW - 1)),
+        i => md5(concat_ws(" ", slice(col("_w"), i, lit(SubstrW))))))
+        .as(Seq("pos0", "wk")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("wk"))
+    val isEval = col("doc_id") % Dedup.EvalMod === 0
+    val evalKeys = windowKeys(d.filter(isEval)).select(col("wk")).distinct()
+    val starts = windowKeys(d.filter(!isEval))
+      .join(broadcast(evalKeys), "wk").select(col("doc_id"), col("pos"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (SubstrW - 1))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = starts
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (SubstrW - 1)).as("e"))
+    val perDoc = spans.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_eval_spans"),
+      sum(col("e") - col("s") + 1).as("eval_words"))
+    d.filter(!isEval).select(col("doc_id"), col("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_eval_spans"), lit(0L)).as("n_eval_spans"),
+        coalesce(col("eval_words"), lit(0L)).as("eval_words"),
+        (coalesce(col("eval_words"), lit(0L)).cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("eval_frac"),
+        (col("n_words") - coalesce(col("eval_words"), lit(0L))).as("clean_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanDecontaminateSql: String = {
+    val e = SubstrW - 1
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM d),
+       |i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - $e)) AS pos
+       |       FROM dd WHERE len(w) >= $SubstrW),
+       |keyed AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |            md5(array_to_string(w[pos:pos+$e], ' ')) AS wk FROM i0),
+       |ev AS (SELECT DISTINCT wk FROM keyed WHERE doc_id % ${Dedup.EvalMod} = 0),
+       |starts AS (SELECT doc_id, pos FROM keyed
+       |           WHERE doc_id % ${Dedup.EvalMod} <> 0
+       |             AND wk IN (SELECT wk FROM ev)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN max(pos + $e) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos > max(pos + $e) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM starts),
+       |isl2 AS (SELECT doc_id, pos,
+       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+       |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $e AS e
+       |          FROM isl2 GROUP BY doc_id, island),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_spans,
+       |             CAST(SUM(e - s + 1) AS BIGINT) AS eval_words
+       |           FROM spans GROUP BY doc_id)
+       |SELECT dd.doc_id, dd.n_words,
+       |  coalesce(n_eval_spans, 0) AS n_eval_spans,
+       |  coalesce(eval_words, 0) AS eval_words,
+       |  CAST(coalesce(eval_words, 0) AS DOUBLE) / CAST(dd.n_words AS DOUBLE)
+       |    AS eval_frac,
+       |  dd.n_words - coalesce(eval_words, 0) AS clean_words
+       |FROM dd LEFT JOIN perdoc USING (doc_id)
+       |WHERE dd.doc_id % ${Dedup.EvalMod} <> 0
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   // ------------------------------------------- cross-doc novelty (tx17)
 
   /** Cross-document novelty score (tx17): the fraction of a document's
@@ -2688,6 +2785,7 @@ object TextAnalysis {
     "tx18_bpe_pairs" -> bpePairCounts,
     "tx19_bigram_quality" -> bigramQuality,
     "tx17_novelty" -> noveltyScore,
+    "tx38_span_decontam" -> spanDecontaminate,
     "tx16_dup_spans" -> duplicatedSpans,
     "tx15_quality_classifier" -> classifierScore,
     "tx13_repetition_signals" -> repetitionSignals,
@@ -2727,6 +2825,7 @@ object TextAnalysis {
     "tx18_bpe_pairs" -> bpePairCountsSql,
     "tx19_bigram_quality" -> bigramQualitySql,
     "tx17_novelty" -> noveltyScoreSql,
+    "tx38_span_decontam" -> spanDecontaminateSql,
     "tx16_dup_spans" -> duplicatedSpansSql,
     "tx15_quality_classifier" -> classifierScoreSql,
     "tx13_repetition_signals" -> repetitionSignalsSql,

@@ -1882,6 +1882,45 @@ class LlmDataSpec extends SparkSpec {
       shards.map(_.getAs[Long]("shard")).distinct.length.toLong)
   }
 
+  test("tx38: span decontamination — eval docs excluded, intervals tile, " +
+      "excision ledger reconciles") {
+    val rows = graft.llmdata.TextAnalysis.spanDecontaminate(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 20L != 0L),
+      "the eval holdout must not audit itself")
+    val touched = rows.filter(_.getAs[Long]("n_eval_spans") > 0)
+    assert(touched.nonEmpty, "fixture has eval-overlapping spans; none found")
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      val nw = r.getAs[Long]("n_words"); val ew = r.getAs[Long]("eval_words")
+      val ns = r.getAs[Long]("n_eval_spans")
+      assert(ew >= 0 && ew <= nw)
+      // every merged span covers at least one full 8-word window
+      assert(ew >= 8L * ns || ns == 0L, s"doc ${r.getAs[Long]("doc_id")}: $ew words, $ns spans")
+      assert(r.getAs[Long]("clean_words") == nw - ew,
+        "excision ledger must reconcile: clean + eval == total")
+    }
+  }
+
+  test("cur18: shard license manifest reconciles with cur13 and the cur9 tier rule") {
+    val shards = graft.llmdata.Curation.packedShards(spark, sf()).collect()
+    val rows = graft.llmdata.Curation.shardLicenseManifest(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("shard")).toSet ==
+      shards.map(_.getAs[Long]("shard")).toSet)
+    val bySh = shards.groupBy(_.getAs[Long]("shard"))
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shard"); val members = bySh(sh)
+      assert(r.getAs[Long]("n_seqs") == members.length.toLong)
+      val restricted = members.filter(
+        _.getAs[String]("source").drop(3).toInt % 2 == 0)
+      assert(r.getAs[Long]("restricted_tokens") ==
+        restricted.map(_.getAs[Long]("n_tokens")).sum)
+      assert(r.getAs[Long]("permissive_tokens") + r.getAs[Long]("restricted_tokens") ==
+        members.map(_.getAs[Long]("n_tokens")).sum)
+      val f = r.getAs[Double]("restricted_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("cur14: epoch-shuffle audit reconciles epoch 0 with cur13's shards " +
       "and decorrelation sits near the 1/NumShards chance line") {
     val shards = graft.llmdata.Curation.packedShards(spark, sf()).collect()
