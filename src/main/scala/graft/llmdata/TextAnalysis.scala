@@ -930,7 +930,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val spanDecontaminateSql: String = {
+  // LAZY deliberately: this val references Dedup, whose own init reads
+  // Curation, which reads back into THIS object (htmlExtractCtes, defined
+  // below). An eager val here triggers that cycle before htmlExtractCtes
+  // is assigned and bakes "null" into Curation's SQL twins; deferring to
+  // the oracle-map construction at the end of init breaks the cycle.
+  lazy val spanDecontaminateSql: String = {
     val e = SubstrW - 1
     s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM d),
