@@ -948,16 +948,23 @@ object Curation {
           i => conv(substring(md5(concat_ws(" ",
             element_at(col("_w"), i), element_at(col("_w"), i + 1))), 1, 15), 16, 10)
             .cast(LongType) % DsirBuckets)).as("b"))
-    val rawCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
-    val tgtCnt = feats.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
-    val totals = feats.agg(count(lit(1)).as("t_r"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_t"))
+    // ONE corpus pass builds the whole bucket table (r16 verdict task 4:
+    // the previous rawCnt/tgtCnt/totals trio re-derived the bigram
+    // explode three times): a single groupBy(b) with a conditional count
+    // yields both masses, and the totals come from the B-row result via
+    // a single-partition window — ≤[[DsirBuckets]] rows, control plane,
+    // not a data shuffle (sum(c_r) over all buckets IS t_r because every
+    // feature instance lands in exactly one bucket)
+    val allBuckets = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bucketCnt = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
     // B-row bucket table: every observed bucket, both smoothed masses,
     // ONE quantization of the log-ratio to micro-nats
-    val buckets = rawCnt.join(tgtCnt, Seq("b"), "left")
-      .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
-      .crossJoin(broadcast(totals))
+    val buckets = bucketCnt
+      .withColumn("t_r", sum(col("c_r")).over(allBuckets))
+      .withColumn("t_t", sum(col("c_t")).over(allBuckets))
       .select(col("b"),
         round((log((col("c_t") + 1).cast(DoubleType) /
           (col("t_t") + DsirBuckets).cast(DoubleType)) -
@@ -1496,8 +1503,11 @@ object Curation {
     * assignment and the segment accounting. This closes the
     * tokenize→pack→shard story at the ID level: cur13 ships the
     * manifest, [[writeShardFilesWithIds]] the files, and this query is
-    * the oracle-gated content contract (per-sequence id arrays
-    * hash-compared against the DuckDB twin).
+    * the oracle-gated content contract: each sequence is rendered as
+    * `seq_md5 = md5(array_join(seq_ids, ','))` — a per-sequence content
+    * hash of the exact assembled id stream, scalar-sortable by the
+    * driver comparator (top-level `array<int>` columns break it; r16
+    * verdict task 1). The shard parquet keeps the raw arrays.
     *
     * Plan: the packer's one per-source window (id arrays ride it — the
     * token stream materializing, see [[TextAnalysis.bpePackingIdsCore]]),
@@ -1519,7 +1529,10 @@ object Curation {
           x => x.getField("seg_ids"))).as("seq_ids"))
       .withColumn("shard", shardOf(epochHash(0)))
       .select(col("shard"), col("source"), col("bin"), col("n_docs"),
-        col("n_tokens"), col("seq_ids"))
+        col("n_tokens"),
+        md5(array_join(transform(col("seq_ids"),
+          _.cast(org.apache.spark.sql.types.StringType)), ","))
+          .as("seq_md5"))
       .orderBy(col("source"), col("bin"))
 
   val shardSequencesSql: String = {
@@ -1551,7 +1564,9 @@ object Curation {
          |  source, bin,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(seg_len) AS BIGINT) AS n_tokens,
-         |  flatten(list(seg_ids ORDER BY pos_in_bin, doc_id)) AS seq_ids
+         |  md5(COALESCE(array_to_string(
+         |    flatten(list(seg_ids ORDER BY pos_in_bin, doc_id)), ','), ''))
+         |    AS seq_md5
          |FROM wids GROUP BY source, bin ORDER BY source, bin""".stripMargin
   }
 

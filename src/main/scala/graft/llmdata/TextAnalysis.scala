@@ -1764,14 +1764,23 @@ object TextAnalysis {
 
   /** tx33: per-document token-ID sequences — tx24's apply emitting the
     * INT ids a trainer consumes instead of token strings. Zero-token
-    * documents keep an empty array (they are real corpus rows and the
+    * documents keep an empty sequence (they are real corpus rows and the
     * packer accounts for them). Scan-side; the ONLY movement is the
-    * output itself. */
+    * output itself.
+    *
+    * Gate shape (r16 verdict task 1): the id array is rendered as
+    * `ids_md5 = md5(array_join(ids, ','))` — a per-document CONTENT hash
+    * of the exact sequence, strictly stronger than the previous
+    * rows-only check and scalar-sortable by any harness (top-level
+    * `array<int>` columns break the driver's row comparator). Consumers
+    * who need the raw arrays read the shard parquet
+    * ([[Curation.writeShardFilesWithIds]]), which keeps them. */
   def bpeEncodeIds(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").filter(col("text").isNotNull)
       .select(col("doc_id"), bpeIdsCol(spark, dir).as("ids"))
       .select(col("doc_id"), size(col("ids")).cast(LongType).as("n_ids"),
-        col("ids"))
+        md5(array_join(transform(col("ids"), _.cast(StringType)), ","))
+          .as("ids_md5"))
       .orderBy(col("doc_id"))
 
   /** tx34: detokenizer ROUND-TRIP audit — decode(encode(text)) vs the
@@ -1938,7 +1947,7 @@ object TextAnalysis {
   val bpeEncodeIdsSql: String = bpePerDocCtes + ",\n" + bpeVocabIdsCtes + "\n" +
     s"""SELECT d.doc_id,
        |  CAST(coalesce(len(i.ids), 0) AS BIGINT) AS n_ids,
-       |  COALESCE(i.ids, CAST([] AS INTEGER[])) AS ids
+       |  md5(COALESCE(array_to_string(i.ids, ','), '')) AS ids_md5
        |FROM documents d LEFT JOIN ids i USING (doc_id)
        |WHERE d.text IS NOT NULL
        |ORDER BY doc_id""".stripMargin

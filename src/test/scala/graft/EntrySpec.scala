@@ -28,6 +28,23 @@ class EntrySpec extends SparkSpec {
       "duplicate query name across modules")
   }
 
+  test("gate outputs are scalar atomic columns only — the driver's row " +
+      "comparator cannot sort array/map/struct cells (r16: cur16/tx33)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf()).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar top-level gate columns (render as md5(array_join(..)) " +
+        s"or a joined string instead): ${offenders.mkString(", ")}")
+  }
+
   test("all queries run on sf0.001 and return rows") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, fn) =>
       fn(spark, sf()).count() == 0

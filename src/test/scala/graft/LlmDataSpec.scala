@@ -1804,11 +1804,17 @@ class LlmDataSpec extends SparkSpec {
     assert(gotStreams == wantStreams,
       "assembled shard stream must equal the per-doc id stream per source")
 
-    // cur16's oracle rows agree with the files (same assembly, same shard)
+    // cur16's oracle rows agree with the files (same assembly, same shard):
+    // the gate emits a per-sequence content hash, so compare md5s of the
+    // read-back assembly against seq_md5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
     val cur16 = graft.llmdata.Curation.shardSequences(spark, sf()).collect()
     assert(cur16.map(r => ((r.getAs[String]("source"), r.getAs[Long]("bin")),
-      r.getSeq[Int](5).toSeq)).toMap == assembled,
-      "cur16 sequences must equal the file read-back assembly")
+      r.getAs[String]("seq_md5"))).toMap ==
+      assembled.map { case (k, ids) => k -> md5hex(ids.mkString(",")) },
+      "cur16 sequence hashes must equal the file read-back assembly")
 
     // deterministic rewrite
     val out2 = java.nio.file.Files.createTempDirectory("idshards2").toString + "/sh"

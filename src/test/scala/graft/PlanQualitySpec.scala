@@ -596,11 +596,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans <= 2, s"merged quantiles must not re-scan events: $scans scans")
   }
 
-  test("cur11: the B-row bucket table broadcasts into the feature stream") {
+  test("cur11: the B-row bucket table broadcasts into the feature stream, " +
+      "and the whole table (masses + totals) derives from ONE corpus pass") {
     val p = plan(graft.llmdata.Curation.dsirWeights(spark, sf()))
     assert(p.contains("BroadcastHashJoin"),
       "the 1024-row log-ratio table must broadcast; the corpus never builds a hash side")
-    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly 2 documents scans: bucket build + per-doc rollup (the r16
+    // rawCnt/tgtCnt/totals trio cost 4)
+    val scans = p.linesIterator.filter(_.contains("Location"))
+      .count(_.contains("documents.parquet"))
+    assert(scans == 2, s"bucket build + per-doc rollup only: $scans scans")
+    // the one Window is the totals rollup over the ≤1024-row bucket
+    // table — control plane, not a corpus shuffle
+    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
+    assert(windows == 1, s"only the B-row totals window: $windows")
   }
 
   test("dd24: fingerprint derivation is scan-side; candidates off capped " +

@@ -19,6 +19,14 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+class NonScalarCell(Exception):
+    """The driver's pandas comparator dies sorting rows that contain
+    list/dict/ndarray cells (r16: cur16/tx33, ``TypeError: unhashable
+    type: 'numpy.ndarray'``).  str(v) canonicalization here would accept
+    output shapes the driver rejects, so FAIL them locally too: gate
+    outputs must be scalar atomic columns."""
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -26,6 +34,12 @@ def canon(rows, cols):
         rr = []
         for i in order:
             v = r[i]
+            if isinstance(v, (list, tuple, dict, set)) or type(v).__module__ == "numpy":
+                raise NonScalarCell(
+                    f"non-scalar cell in column '{cols[i]}' "
+                    f"({type(v).__name__}): the driver comparator cannot "
+                    f"sort this — render arrays as md5(array_join(..)) or "
+                    f"a joined string")
             if isinstance(v, float) and math.isnan(v):
                 v = "NaN"
             rr.append(str(v))
@@ -60,8 +74,13 @@ def main():
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        oc, orr = canon(orows, ocols)
-        sc, srr = canon(srows, scols)
+        try:
+            oc, orr = canon(orows, ocols)
+            sc, srr = canon(srows, scols)
+        except NonScalarCell as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if oc != sc:
             print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
             n_fail += 1
