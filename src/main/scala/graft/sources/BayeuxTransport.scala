@@ -68,13 +68,12 @@ final class BayeuxTransport(
     endpoint: URI,
     tokenProvider: Boolean => String,
     consumer: (String, String) => Unit,
-    pollTimeout: Duration = Duration.ofSeconds(110),
-    maxBufferBytes: Int = 1 << 30) {
+    params: BayeuxTransport.Parameters = BayeuxTransport.Parameters()) {
 
   import BayeuxTransport._
 
   private val http = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(10)).build()
+    .connectTimeout(params.connectTimeout).build()
 
   /** topic (normalized) -> last-seen replay position; seeded with the
     * caller's replayFrom, advanced by every delivered event. This map IS
@@ -136,7 +135,12 @@ final class BayeuxTransport(
         try pollOnce()
         catch { case _: InterruptedException => running.set(false)
                 case scala.util.control.NonFatal(_) => () }
-        val pause = lastAdviceIntervalMs
+        // advice interval paces the loop, but never past the keep-alive
+        // horizon: an idle gap longer than keepAlive would let the
+        // server/intermediaries drop the connection state the next poll
+        // depends on (the reference sizes its HTTP client's idle
+        // timeout from the same knob — BayeuxParameters.java:46-58)
+        val pause = math.min(lastAdviceIntervalMs, params.keepAlive.toMillis)
         if (running.get() && pause > 0) Thread.sleep(pause)
       }
     }, "bayeux-transport")
@@ -156,16 +160,17 @@ final class BayeuxTransport(
 
   private def post(messages: ArrayNode): ArrayNode = {
     val req = HttpRequest.newBuilder(endpoint)
-      .timeout(pollTimeout)
+      .timeout(params.maxNetworkDelay)
       .header("Content-Type", "application/json")
       .header("Authorization", freshToken())
       .POST(HttpRequest.BodyPublishers.ofString(messages.toString))
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
     val body = resp.body()
-    if (body.length > maxBufferBytes)
+    if (body.length > params.maxBufferBytes)
       throw new BayeuxProtocolException(
-        s"response ${body.length} bytes exceeds maxBufferBytes $maxBufferBytes")
+        s"response ${body.length} bytes exceeds maxBufferBytes " +
+          s"${params.maxBufferBytes}")
     mapper.readTree(body) match {
       case a: ArrayNode => a
       case other => throw new BayeuxProtocolException(
@@ -262,6 +267,30 @@ final class BayeuxTransport(
 }
 
 object BayeuxTransport {
+
+  /** Long-poll tuning knobs, defaults matching the reference's
+    * `BayeuxParameters` (`subscriber/.../BayeuxParameters.java:49-81`):
+    *
+    *  - `maxNetworkDelay` — maximum time to wait before considering a
+    *    request to the Bayeux server failed (the long-poll request
+    *    timeout); reference default 900 000 ms (`:79-81`);
+    *  - `maxBufferBytes` — maximum HTTP response size, which may carry
+    *    many Bayeux messages; oversize responses are rejected before
+    *    parsing rather than OOMing the driver; reference default
+    *    1 GiB (`:71-73`);
+    *  - `keepAlive` — the connection keep-alive horizon; the reference
+    *    feeds it to its HTTP client's idle timeout (`:49-58`, 60 min);
+    *    here it caps how long [[BayeuxTransport.start]]'s pacing loop
+    *    will honor a server advice interval, so advice can never idle
+    *    the connection past the keep-alive window;
+    *  - `connectTimeout` — TCP connect timeout (JDK client concern;
+    *    the reference's Jetty client uses its own default). */
+  final case class Parameters(
+      maxNetworkDelay: Duration = Duration.ofMillis(900000L),
+      maxBufferBytes: Int = 1073741824,
+      keepAlive: Duration = Duration.ofMinutes(60),
+      connectTimeout: Duration = Duration.ofSeconds(10))
+
   private[sources] val mapper = new ObjectMapper()
 
   val MetaHandshake = "/meta/handshake"

@@ -32,6 +32,8 @@ class BayeuxTransportSpec extends SparkSpec {
     /** "error" -> `error:"401::.."`; "sfdc" -> ext.sfdc.failureReason. */
     @volatile var authErrorStyle = "error"
     @volatile var oneShotAdvice: String = null
+    /** One-shot response delay (ms) — exercises the maxNetworkDelay knob. */
+    @volatile var oneShotDelayMs: Long = 0L
     private val clientSeq = new AtomicInteger()
     val liveSessions: mutable.Set[String] = mutable.Set.empty[String]
     private val events = mutable.Map.empty[String, mutable.ArrayBuffer[(Long, String)]]
@@ -57,6 +59,9 @@ class BayeuxTransportSpec extends SparkSpec {
     }
 
     server.createContext("/cometd/43.0", (x: HttpExchange) => {
+      if (oneShotDelayMs > 0) {
+        val d = oneShotDelayMs; oneShotDelayMs = 0L; Thread.sleep(d)
+      }
       val req = om.readTree(x.getRequestBody).asInstanceOf[ArrayNode].get(0)
       val channel = req.path("channel").asText()
       val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
@@ -349,6 +354,41 @@ class BayeuxTransportSpec extends SparkSpec {
       import spark.implicits._
       val rows = spark.table("live_wire").as[(Long, String)].collect().sortBy(_._1)
       assert(rows.map(_._2).toSeq == (1 to 4).map(i => s"""{"n":$i}"""))
+    } finally srv.stop()
+  }
+
+  test("tuning knobs: a non-default maxNetworkDelay bounds the long-poll " +
+      "request — a server slower than the knob fails the request " +
+      "(BayeuxParameters.java:79-81's contract)") {
+    val srv = new FakeBayeuxServer
+    try {
+      val t = new BayeuxTransport(srv.endpoint, _ => "tok-1", (_, _) => (),
+        BayeuxTransport.Parameters(
+          maxNetworkDelay = java.time.Duration.ofMillis(250)))
+      t.subscribeEarliest("/data/SlowWire")
+      srv.oneShotDelayMs = 1000L
+      intercept[java.net.http.HttpTimeoutException](t.pollOnce())
+      // the fixture server is single-threaded: let the delayed handler
+      // finish its sleep before the retry, or the retry queues behind it
+      Thread.sleep(1200L)
+      // the knob only bounds the request: once the server responds in
+      // time again, the same transport completes the cycle
+      assert(t.pollOnce() == 0)
+      assert(t.isHandshook)
+    } finally srv.stop()
+  }
+
+  test("tuning knobs: maxBufferBytes rejects an oversize response before " +
+      "parsing (BayeuxParameters.java:71-73's maxBufferSize)") {
+    val srv = new FakeBayeuxServer
+    try {
+      val topic = "/data/FatWire"
+      srv.publish(topic, s"""{"pad":"${"x" * 2048}"}""")
+      val t = new BayeuxTransport(srv.endpoint, _ => "tok-1", (_, _) => (),
+        BayeuxTransport.Parameters(maxBufferBytes = 1024))
+      t.subscribeEarliest(topic)
+      val e = intercept[graft.sources.BayeuxProtocolException](t.pollOnce())
+      assert(e.getMessage.contains("exceeds maxBufferBytes 1024"))
     } finally srv.stop()
   }
 }
