@@ -1408,8 +1408,14 @@ object Curation {
         sum(col("n_tokens") * col("r")).as("restricted_tokens"))
       .select(col("shard"), col("n_seqs"),
         col("permissive_tokens"), col("restricted_tokens"),
-        (col("restricted_tokens").cast(DoubleType) /
-          (col("permissive_tokens") + col("restricted_tokens")).cast(DoubleType))
+        // zero-token shard (all-empty bins) → NULL, not 0/0: Spark's
+        // double division yields NaN where DuckDB yields NULL (r16
+        // advice — unreachable on the fixture, guarded anyway)
+        when(col("permissive_tokens") + col("restricted_tokens") === 0L,
+          lit(null))
+          .otherwise(col("restricted_tokens").cast(DoubleType) /
+            (col("permissive_tokens") + col("restricted_tokens"))
+              .cast(DoubleType))
           .as("restricted_frac"))
       .orderBy(col("shard"))
   }
@@ -1425,9 +1431,10 @@ object Curation {
       """SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
         |  CAST(SUM(n_tokens * (1 - r)) AS BIGINT) AS permissive_tokens,
         |  CAST(SUM(n_tokens * r) AS BIGINT) AS restricted_tokens,
-        |  CAST(SUM(n_tokens * r) AS DOUBLE) /
-        |    CAST(SUM(n_tokens * (1 - r)) + SUM(n_tokens * r) AS DOUBLE)
-        |    AS restricted_frac
+        |  CASE WHEN SUM(n_tokens) = 0 THEN NULL
+        |       ELSE CAST(SUM(n_tokens * r) AS DOUBLE) /
+        |         CAST(SUM(n_tokens * (1 - r)) + SUM(n_tokens * r) AS DOUBLE)
+        |  END AS restricted_frac
         |FROM t GROUP BY shard ORDER BY shard""".stripMargin
 
   /** The shard FILES behind cur13's manifest — the actual training-data

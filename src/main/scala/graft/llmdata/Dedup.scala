@@ -1972,7 +1972,10 @@ object Dedup {
     * ≤ |sources| keys. Shuffled rows carry (doc_id, source, digest,
     * chars) — fixed ~60 bytes/row at any corpus size. */
   def dupInflation(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    // explicit null-text guard (dd1 convention, r16 advice): without it
+    // null-text rows ride on both engines agreeing that null hash keys
+    // drop in the digest join
+    val docs = t(spark, dir, "documents").filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
         col("n_chars").as("chars"))
     val groups = docs.groupBy(col("h"))
@@ -2001,7 +2004,7 @@ object Dedup {
 
   val dupInflationSql: String =
     """WITH d AS (SELECT doc_id, source, md5(text) AS h, n_chars AS chars
-      |           FROM documents),
+      |           FROM documents WHERE text IS NOT NULL),
       |g AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
       |k AS (SELECT doc_id AS keep_id, source AS keep_source FROM d),
       |j AS (SELECT d.source, d.chars,

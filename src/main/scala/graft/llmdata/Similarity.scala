@@ -2681,13 +2681,21 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     val corpusN = corpus(spark, dir)
       .agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
+    // scored_share reports the shortlist rows ACTUALLY reranked at full
+    // dim (a window count over the same query_id partitioning as the
+    // rerank rank — no extra exchange), not the FunnelShortlist
+    // constant: on a corpus (or filtered candidate set) smaller than
+    // the constant the two differ, and the economics column must not
+    // overstate stage-2 work (r16 advice)
     shortlist.withColumn("rank", row_number().over(w2).cast(LongType))
+      .withColumn("n_sl",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))).cast(DoubleType))
       .filter(col("rank") <= AnnTopK)
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .crossJoin(broadcast(corpusN))
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"),
         coalesce(col("hit"), lit(0L)).as("hit"),
-        (lit(FunnelShortlist.toDouble) / col("corpus_n")).as("scored_share"))
+        (col("n_sl") / col("corpus_n")).as("scored_share"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2708,11 +2716,12 @@ object Similarity {
        |    FROM c CROSS JOIN qd) t WHERE srank <= $FunnelShortlist),
        |served AS (SELECT query_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank,
+       |    CAST(COUNT(*) OVER (PARTITION BY query_id) AS DOUBLE) AS n_sl
        |  FROM sl)
        |SELECT s.query_id, CAST(s.rank AS BIGINT) AS rank, s.neighbor_id, s.cos_sim,
        |  CAST(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit,
-       |  $FunnelShortlist / n.corpus_n AS scored_share
+       |  s.n_sl / n.corpus_n AS scored_share
        |FROM served s CROSS JOIN n
        |LEFT JOIN e ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
        |WHERE s.rank <= $AnnTopK ORDER BY s.query_id, s.rank""".stripMargin

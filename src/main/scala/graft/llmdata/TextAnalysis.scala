@@ -893,7 +893,11 @@ object TextAnalysis {
     * self-join, no corpus shuffle beyond the per-doc rollup. Float
     * parity: eval_frac is one division of two exact BIGINTs. */
   def spanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents").withColumn("_w", words)
+    // explicit null-text guard (tx37/tx16 convention, r16 advice): don't
+    // lean on both engines agreeing about null propagation through
+    // split/len/md5
+    val d = t(spark, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("_w", words)
       .select(col("doc_id"), col("_w"),
         size(col("_w")).cast(LongType).as("n_words"))
     def windowKeys(df: DataFrame): DataFrame = df
@@ -937,7 +941,8 @@ object TextAnalysis {
   // the oracle-map construction at the end of init breaks the cycle.
   lazy val spanDecontaminateSql: String = {
     val e = SubstrW - 1
-    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+       |            WHERE text IS NOT NULL),
        |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM d),
        |i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - $e)) AS pos
        |       FROM dd WHERE len(w) >= $SubstrW),

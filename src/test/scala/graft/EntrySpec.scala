@@ -28,6 +28,21 @@ class EntrySpec extends SparkSpec {
       "duplicate query name across modules")
   }
 
+  test("no oracle SQL carries init-cycle artifacts — a lowercase 'null' " +
+      "or '% 0' means an object-initialization cycle interpolated an " +
+      "unassigned constant into a twin (the 7bcaca9 failure mode)") {
+    // legit SQL NULL in the twins is uppercase by convention; a baked
+    // Scala null/0 interpolates lowercase 'null' / '% 0'
+    val bakedNull = "(?<![A-Za-z0-9_])null(?![A-Za-z0-9_])".r
+    val bakedZeroMod = "% 0(?![0-9.])".r
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
+      case (name, sql)
+        if bakedNull.findFirstIn(sql).isDefined ||
+          bakedZeroMod.findFirstIn(sql).isDefined => name
+    }
+    assert(bad.isEmpty, s"oracle SQL with baked null/zero artifacts: $bad")
+  }
+
   test("gate outputs are scalar atomic columns only — the driver's row " +
       "comparator cannot sort array/map/struct cells (r16: cur16/tx33)") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
