@@ -152,7 +152,7 @@ object Curation {
     * corpus and broadcast, so this ledger adds ONE corpus scan + one
     * map-side-combined aggregate on top of work the pipeline already did. */
   def curationNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val isEval = col("doc_id") % Dedup.EvalMod === 0
+    val isEval = col("doc_id") % Constants.EvalMod === 0
     val dupDocs = Dedup.minhashLsh(spark, dir)
       .select(col("doc_b").as("dup_id")).distinct()
     val contaminated = Dedup.decontaminate(spark, dir)
@@ -183,7 +183,7 @@ object Curation {
        |d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
        |      FROM documents),
        |cat AS (SELECT d.doc_id, d.n_tokens,
-       |    CASE WHEN d.doc_id % ${Dedup.EvalMod} = 0 THEN 'eval_holdout'
+       |    CASE WHEN d.doc_id % ${Constants.EvalMod} = 0 THEN 'eval_holdout'
        |         WHEN p.dup_id IS NOT NULL THEN 'removed_neardup'
        |         WHEN c.cont_id IS NOT NULL THEN 'removed_contaminated'
        |         ELSE 'kept' END AS outcome
@@ -334,7 +334,7 @@ object Curation {
       .select(col("doc_id"), col("cluster_size"))
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), size(words).cast(LongType).as("nt"))
-    val isEval = col("doc_id") % Dedup.EvalMod === 0
+    val isEval = col("doc_id") % Constants.EvalMod === 0
     val eff = d.join(sizes, Seq("doc_id"))
       .join(broadcast(contaminated), col("doc_id") === col("cont_id"), "left")
       .select(col("source"), col("nt"), isEval.as("is_eval"),
@@ -368,9 +368,9 @@ object Curation {
        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
        |      FROM documents),
        |eff AS (SELECT d.source, d.nt,
-       |          (d.doc_id % ${Dedup.EvalMod} = 0) AS is_eval,
+       |          (d.doc_id % ${Constants.EvalMod} = 0) AS is_eval,
        |          (c.doc_id IS NOT NULL) AS is_cont,
-       |          CASE WHEN d.doc_id % ${Dedup.EvalMod} = 0 OR c.doc_id IS NOT NULL
+       |          CASE WHEN d.doc_id % ${Constants.EvalMod} = 0 OR c.doc_id IS NOT NULL
        |               THEN 0
        |               ELSE CAST(floor(CAST(d.nt AS DOUBLE) * 1000000.0 /
        |                      CAST(sw.cluster_size AS DOUBLE)) AS BIGINT) END AS eff_micro
@@ -671,8 +671,6 @@ object Curation {
 
   // ----------------------- deterministic shard export plan (cur8)
 
-  private[graft] val NumShards = 16
-
   /** Deterministic training-shard export manifest (cur8): the write-side
     * contract of the pipeline — every document is assigned a shard by
     * content-independent key hash (md5 of doc_id, so re-runs and
@@ -683,16 +681,16 @@ object Curation {
     * shard's contents drifted. All stats are exact integers or min/max of
     * hex strings — no aggregation-order hazard anywhere.
     *
-    * Scale: one documents scan, one combinable aggregate over [[NumShards]]
+    * Scale: one documents scan, one combinable aggregate over [[Constants.NumShards]]
     * keys. The actual shard WRITE at 100 TB is
-    * `repartition(NumShards, shard).write` — the assignment column here is
+    * `repartition(Constants.NumShards, shard).write` — the assignment column here is
     * exactly that partitioning expression, so the manifest and the layout
     * cannot disagree. */
   def shardPlan(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(col("doc_id").cast(StringType))
     t(spark, dir, "documents")
       .select(
-        (conv(substring(h, 1, 2), 16, 10).cast(LongType) % NumShards).as("shard"),
+        (conv(substring(h, 1, 2), 16, 10).cast(LongType) % Constants.NumShards).as("shard"),
         h.as("h"), size(words).cast(LongType).as("nt"), col("n_chars"))
       .groupBy(col("shard"))
       .agg(
@@ -709,7 +707,7 @@ object Curation {
        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
        |             n_chars
        |           FROM documents)
-       |SELECT ('0x' || substr(h, 1, 2))::BIGINT % $NumShards AS shard,
+       |SELECT ('0x' || substr(h, 1, 2))::BIGINT % ${Constants.NumShards} AS shard,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
@@ -929,7 +927,21 @@ object Curation {
     * Scale: the bucket table is B rows regardless of corpus size and
     * BROADCASTS into the feature stream; the corpus crosses exactly one
     * exchange (the doc-key rollup). Refreshing the target re-fits a
-    * B-row table — the corpus is never re-shuffled. */
+    * B-row table — the corpus is never re-shuffled.
+    *
+    * The FITTED bucket table is a model, and serving detaches from
+    * fitting (the codebook idiom — `Similarity.collectedExemplars`,
+    * `TextAnalysis.collectedVocab`): ≤[[DsirBuckets]] rows collect once
+    * per corpus snapshot into [[dsirModelCache]] (control plane), and
+    * every subsequent scoring invocation is ONE corpus pass joining the
+    * cached local table — the shape a production DSIR deployment has,
+    * where the model refits on target refresh, not per scoring run.
+    * Same staleness contract as every SessionCache user. */
+  private val dsirModelCache = new SessionCache[Array[(Long, Long)]](_ => ())
+
+  private[llmdata] def clearDsirModel(spark: SparkSession): Unit =
+    dsirModelCache.clear(spark)
+
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     // transform-then-explode, not explode-then-project: measured at
@@ -962,7 +974,7 @@ object Curation {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
     // B-row bucket table: every observed bucket, both smoothed masses,
     // ONE quantization of the log-ratio to micro-nats
-    val buckets = bucketCnt
+    def fitBuckets(): Array[(Long, Long)] = bucketCnt
       .withColumn("t_r", sum(col("c_r")).over(allBuckets))
       .withColumn("t_t", sum(col("c_t")).over(allBuckets))
       .select(col("b"),
@@ -971,6 +983,10 @@ object Curation {
           log((col("c_r") + 1).cast(DoubleType) /
             (col("t_r") + DsirBuckets).cast(DoubleType))) * lit(1000000.0))
           .cast(LongType).as("lr_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fitted = dsirModelCache.get(spark, s"dsir_buckets:$dir")(fitBuckets())
+    import spark.implicits._
+    val buckets = fitted.toSeq.toDF("b", "lr_micro")
     val perDoc = feats.join(broadcast(buckets), "b")
       .groupBy(col("doc_id"), col("source"), col("lang"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("logw_micro"))
@@ -1202,16 +1218,16 @@ object Curation {
 
   /** cur13: PACKED training-shard export — the last step of the
     * pipeline (tokenize tx24 → pack tx26 → SHUFFLE + SHARD here). The
-    * unit shuffled and sharded is the packed [[TextAnalysis.PackBudget]]
+    * unit shuffled and sharded is the packed [[Constants.PackBudget]]
     * -token SEQUENCE (tx26's bin), NOT the document: shuffling must
     * happen AFTER packing so each context window stays an intact
     * per-source run of documents while consecutive training sequences
     * decorrelate. Each bin gets a seeded md5 rank; shard = first rank
-    * byte mod NumShards (cur8's assignment idiom), within-shard
+    * byte mod Constants.NumShards (cur8's assignment idiom), within-shard
     * position = rank order — a deterministic global permutation (same
     * seed ⇒ byte-identical shards; replayable, partition-stable,
     * rand()-free). Per bin the manifest carries `n_docs` (sequences
-    * crossing it) and `n_tokens` (exact fill: [[TextAnalysis.PackBudget]]
+    * crossing it) and `n_tokens` (exact fill: [[Constants.PackBudget]]
     * for every full bin, the remainder for each source's last — audit
     * that the packer left no holes).
     *
@@ -1219,7 +1235,7 @@ object Curation {
     * placement window (tx26's shuffle) → bin explode (≤ 2 bins/doc
     * typically) → (source, bin) aggregate (satisfied by the window's
     * hash partitioning on source, so NO extra exchange) → shard
-    * row_number window over NumShards groups. No join anywhere: per-bin
+    * row_number window over Constants.NumShards groups. No join anywhere: per-bin
     * token fill is summed from per-doc overlap lengths during the
     * explode instead of joining per-source totals back. At 100 TB the
     * within-shard window is the write-side sort of `partitionBy(shard)`
@@ -1227,7 +1243,7 @@ object Curation {
   /** The packed bins (source, bin, n_docs, n_tokens) — cur13 ranks them
     * into shards; cur14 audits alternate epoch seeds over them. */
   private def packedBins(spark: SparkSession, dir: String): DataFrame = {
-    val budget = lit(TextAnalysis.PackBudget.toLong)
+    val budget = lit(Constants.PackBudget.toLong)
     TextAnalysis.bpePackingCore(spark, dir)
       .select(col("source"), col("tok_offset"), col("n_bpe"),
         explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
@@ -1243,7 +1259,7 @@ object Curation {
     md5(concat_ws(":", col("source"), col("bin"), lit(s"epoch$epoch")))
 
   private[graft] def shardOf(h: Column): Column =
-    conv(substring(h, 1, 2), 16, 10).cast(LongType) % NumShards
+    conv(substring(h, 1, 2), 16, 10).cast(LongType) % Constants.NumShards
 
   def packedShards(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("h"))
@@ -1258,7 +1274,7 @@ object Curation {
   }
 
   val packedShardsSql: String = {
-    val b = TextAnalysis.PackBudget
+    val b = Constants.PackBudget
     TextAnalysis.bpePlacementCtes + ",\n" +
       s"""placed AS (
          |  SELECT source, tok_offset, n_bpe,
@@ -1279,7 +1295,7 @@ object Curation {
          |      AS h
          |  FROM ov),
          |y AS (
-         |  SELECT *, ('0x' || substr(h, 1, 2))::BIGINT % $NumShards AS shard
+         |  SELECT *, ('0x' || substr(h, 1, 2))::BIGINT % ${Constants.NumShards} AS shard
          |  FROM x)
          |SELECT CAST(shard AS BIGINT) AS shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h)
@@ -1330,12 +1346,12 @@ object Curation {
           countDistinct(col("source")).as("n_sources"))
         .select(lit(e.toLong).as("epoch"), col("step"), col("n_seqs"),
           col("n_tokens"), col("n_sources"),
-          (col("n_seqs") === lit(NumShards.toLong)).as("is_full"))
+          (col("n_seqs") === lit(Constants.NumShards.toLong)).as("is_full"))
     }.reduce(_ unionByName _).orderBy(col("epoch"), col("step"))
   }
 
   val stepScheduleSql: String = {
-    val b = TextAnalysis.PackBudget
+    val b = Constants.PackBudget
     val epochs = (0 until ScheduleEpochs).map { e =>
       s"""s$e AS (
          |  SELECT CAST($e AS BIGINT) AS epoch, CAST(step AS BIGINT) AS step,
@@ -1347,7 +1363,7 @@ object Curation {
          |        AS step
          |    FROM (
          |      SELECT source, n_tokens, h,
-         |        ('0x' || substr(h, 1, 2))::BIGINT % $NumShards AS shard
+         |        ('0x' || substr(h, 1, 2))::BIGINT % ${Constants.NumShards} AS shard
          |      FROM (
          |        SELECT source, bin, n_tokens,
          |          md5(source || ':' || CAST(bin AS VARCHAR) || ':epoch$e') AS h
@@ -1370,7 +1386,7 @@ object Curation {
          |  GROUP BY 1, 2),
          |$epochs
          |SELECT epoch, step, n_seqs, n_tokens, n_sources,
-         |  n_seqs = $NumShards AS is_full
+         |  n_seqs = ${Constants.NumShards} AS is_full
          |FROM (${(0 until ScheduleEpochs).map(e => s"SELECT * FROM s$e")
             .mkString(" UNION ALL ")})
          |ORDER BY epoch, step""".stripMargin
@@ -1442,7 +1458,7 @@ object Curation {
     * this writes the per-segment content map, `partitionBy(shard)`).
     * One row per (bin × overlapping document): the document segment that
     * fills `[pos_in_bin, pos_in_bin + seg_len)` of the bin's
-    * [[TextAnalysis.PackBudget]]-token window with the document's tokens
+    * [[Constants.PackBudget]]-token window with the document's tokens
     * `[seg_from, seg_from + seg_len)` — everything a trainer needs to
     * assemble sequences (re-encoding each doc scan-side at read time, or
     * joining a token store by doc_id). Zero-token documents keep their
@@ -1459,7 +1475,7 @@ object Curation {
     * bin and every document exactly once, and that a rewrite is
     * content-identical. */
   def writeShardFiles(spark: SparkSession, dir: String, out: String): Unit = {
-    val budget = lit(TextAnalysis.PackBudget.toLong)
+    val budget = lit(Constants.PackBudget.toLong)
     TextAnalysis.bpePackingCore(spark, dir)
       .select(col("source"), col("doc_id"), col("tok_offset"), col("n_bpe"),
         explode(sequence(col("start_bin"), col("end_bin"))).as("bin"))
@@ -1471,7 +1487,7 @@ object Curation {
         (least((col("bin") + 1L) * budget, col("tok_offset") + col("n_bpe"))
           - greatest(col("bin") * budget, col("tok_offset"))).as("seg_len"))
       .withColumn("shard", shardOf(epochHash(0)))
-      .repartition(NumShards, col("shard"))
+      .repartition(Constants.NumShards, col("shard"))
       .sortWithinPartitions(col("source"), col("bin"), col("pos_in_bin"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
   }
@@ -1481,11 +1497,11 @@ object Curation {
   /** One row per (bin × overlapping document) — [[writeShardFiles]]'s
     * segment map with the MATERIALIZED id slice: `seg_ids` is the
     * document's token-id subarray `[seg_from, seg_from + seg_len)`, so a
-    * trainer assembles the bin's [[TextAnalysis.PackBudget]]-token
+    * trainer assembles the bin's [[Constants.PackBudget]]-token
     * sequence by concatenating `seg_ids` in `pos_in_bin` order — no
     * re-encode, no token-store join. */
   private def shardIdSegments(spark: SparkSession, dir: String): DataFrame = {
-    val budget = lit(TextAnalysis.PackBudget.toLong)
+    val budget = lit(Constants.PackBudget.toLong)
     TextAnalysis.bpePackingIdsCore(spark, dir)
       .select(col("source"), col("doc_id"), col("ids"), col("tok_offset"),
         col("n_bpe"),
@@ -1505,7 +1521,7 @@ object Curation {
   }
 
   /** cur16: the LOADABLE training sequences — per (source, bin), the
-    * assembled [[TextAnalysis.PackBudget]]-length token-ID array (exact
+    * assembled [[Constants.PackBudget]]-length token-ID array (exact
     * fill for every bin but each source's last), with the bin's shard
     * assignment and the segment accounting. This closes the
     * tokenize→pack→shard story at the ID level: cur13 ships the
@@ -1523,7 +1539,7 @@ object Curation {
     * doc_id) is unique per bin, so the sort is deterministic; zero-token
     * documents contribute empty slices at their offset position). The
     * aggregate's group is one training sequence — bounded state
-    * ([[TextAnalysis.PackBudget]] ids), any corpus size. */
+    * ([[Constants.PackBudget]] ids), any corpus size. */
   def shardSequences(spark: SparkSession, dir: String): DataFrame =
     shardIdSegments(spark, dir)
       .groupBy(col("source"), col("bin"))
@@ -1543,7 +1559,7 @@ object Curation {
       .orderBy(col("source"), col("bin"))
 
   val shardSequencesSql: String = {
-    val b = TextAnalysis.PackBudget
+    val b = Constants.PackBudget
     TextAnalysis.bpePlacementCtes + ",\n" + TextAnalysis.bpeVocabIdsCtes + ",\n" +
       s"""placed AS (
          |  SELECT source, doc_id, n_bpe, tok_offset,
@@ -1567,7 +1583,7 @@ object Curation {
          |  FROM segs s LEFT JOIN ids i USING (doc_id))
          |SELECT
          |  CAST(('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR)
-         |    || ':epoch0'), 1, 2))::BIGINT % $NumShards AS BIGINT) AS shard,
+         |    || ':epoch0'), 1, 2))::BIGINT % ${Constants.NumShards} AS BIGINT) AS shard,
          |  source, bin,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(seg_len) AS BIGINT) AS n_tokens,
@@ -1590,14 +1606,14 @@ object Curation {
     * [[writeShardFiles]]; the only delta is the id payload riding the
     * packer's window (the token stream itself — the irreducible bytes of
     * a loadable shard). LlmDataSpec gates: read-back assembles exactly
-    * [[TextAnalysis.PackBudget]]-length sequences for every non-final
+    * [[Constants.PackBudget]]-length sequences for every non-final
     * bin, per-source id streams reconcile with tx33's per-doc arrays,
     * the vocab round-trips, and a rewrite is content-identical. */
   def writeShardFilesWithIds(spark: SparkSession, dir: String,
                              out: String): Unit = {
     shardIdSegments(spark, dir)
       .withColumn("shard", shardOf(epochHash(0)))
-      .repartition(NumShards, col("shard"))
+      .repartition(Constants.NumShards, col("shard"))
       .sortWithinPartitions(col("source"), col("bin"), col("pos_in_bin"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$out/segments")
@@ -1611,10 +1627,10 @@ object Curation {
   /** cur14: multi-epoch SHUFFLE AUDIT over cur13's shard assignment —
     * the two numbers a training-infra owner checks before trusting a
     * seeded shuffle for another epoch: (a) per-epoch shard BALANCE
-    * (min/max token fill across the [[NumShards]] shards — a skewed
+    * (min/max token fill across the [[Constants.NumShards]] shards — a skewed
     * shard is a straggler every step of that epoch) and (b) cross-epoch
     * DECORRELATION (the fraction of sequences landing in the same shard
-    * as the previous epoch — should sit near the 1/[[NumShards]] chance
+    * as the previous epoch — should sit near the 1/[[Constants.NumShards]] chance
     * line; higher means epochs replay the same co-residency and the
     * shuffle isn't buying fresh batch composition). Three epoch seeds
     * (epoch0 = cur13's shipped assignment) in ONE pass.
@@ -1629,7 +1645,7 @@ object Curation {
     * Scale posture: the per-bin flags and all three shard assignments
     * ride the bin aggregate's output (no re-scan, no join); one Generate
     * (3 rows per bin) + two keyed aggregates — the second is over
-    * 3×[[NumShards]] rows. Nothing here touches documents a second
+    * 3×[[Constants.NumShards]] rows. Nothing here touches documents a second
     * time. */
   def epochShuffleAudit(spark: SparkSession, dir: String): DataFrame = {
     val shards = (0 to 2).map(e => shardOf(epochHash(e)))
@@ -1662,11 +1678,11 @@ object Curation {
       // aggregate has no row for it — account for it explicitly instead
       // of letting min() see only the populated shards
       .select(col("epoch"), col("n_bins"),
-        (lit(NumShards) - col("n_hit")).cast(LongType).as("n_empty_shards"),
-        when(col("n_hit") < NumShards, lit(0L))
+        (lit(Constants.NumShards) - col("n_hit")).cast(LongType).as("n_empty_shards"),
+        when(col("n_hit") < Constants.NumShards, lit(0L))
           .otherwise(col("min_hit_tokens")).as("min_shard_tokens"),
         col("max_shard_tokens"),
-        when(col("n_hit") < NumShards, lit(null).cast(DoubleType))
+        when(col("n_hit") < Constants.NumShards, lit(null).cast(DoubleType))
           .otherwise(col("max_shard_tokens").cast(DoubleType)
             / col("min_hit_tokens").cast(DoubleType)).as("imbalance"),
         col("same_shard_prev"),
@@ -1676,10 +1692,10 @@ object Curation {
   }
 
   val epochShuffleAuditSql: String = {
-    val b = TextAnalysis.PackBudget
+    val b = Constants.PackBudget
     def shard(e: Int) =
       s"('0x' || substr(md5(source || ':' || CAST(bin AS VARCHAR) " +
-        s"|| ':epoch$e'), 1, 2))::BIGINT % $NumShards"
+        s"|| ':epoch$e'), 1, 2))::BIGINT % ${Constants.NumShards}"
     TextAnalysis.bpePlacementCtes + ",\n" +
       s"""placed AS (
          |  SELECT source, tok_offset, n_bpe,
@@ -1719,11 +1735,11 @@ object Curation {
          |    CAST(SUM(n_same) AS BIGINT) AS same_shard_prev
          |  FROM pershard GROUP BY 1)
          |SELECT epoch, n_bins,
-         |  CAST($NumShards - n_hit AS BIGINT) AS n_empty_shards,
-         |  CAST(CASE WHEN n_hit < $NumShards THEN 0 ELSE min_hit_tokens END
+         |  CAST(${Constants.NumShards} - n_hit AS BIGINT) AS n_empty_shards,
+         |  CAST(CASE WHEN n_hit < ${Constants.NumShards} THEN 0 ELSE min_hit_tokens END
          |    AS BIGINT) AS min_shard_tokens,
          |  max_shard_tokens,
-         |  CASE WHEN n_hit < $NumShards THEN NULL
+         |  CASE WHEN n_hit < ${Constants.NumShards} THEN NULL
          |    ELSE CAST(max_shard_tokens AS DOUBLE)
          |      / CAST(min_hit_tokens AS DOUBLE) END AS imbalance,
          |  same_shard_prev,

@@ -92,6 +92,7 @@ object Dedup {
     Similarity.clearExemplars(spark)
     Multimodal.clearSignatures(spark)
     TextAnalysis.clearVocab(spark)
+    Curation.clearDsirModel(spark)
   }
 
   /** Exact Jaccard on distinct shingle arrays — native one-pass expression
@@ -1230,9 +1231,6 @@ object Dedup {
 
   // -------------------------------------------------- decontamination
 
-  /** Eval-set slice: every 20th doc plays the held-out benchmark whose
-    * n-grams must not leak into training data. */
-  private[llmdata] val EvalMod = 20
   private val ContaminationThreshold = 0.5
 
   /** Benchmark decontamination (dd13): flag training documents whose
@@ -1248,7 +1246,7 @@ object Dedup {
     * cached shingle table with dd6 ([[gramsOf]]). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val g = gramsOf(spark, dir, 3)
-    val isEval = col("doc_id") % EvalMod === 0
+    val isEval = col("doc_id") % Constants.EvalMod === 0
     val evalGrams = g.filter(isEval)
       .select(explode_outer(col("grams")).as("gram"))
       .filter(col("gram").isNotNull).distinct()
@@ -1273,8 +1271,8 @@ object Dedup {
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |         generate_series(1, greatest(len(w)-2, 0)),
        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
-       |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % $EvalMod = 0),
-       |corp AS (SELECT doc_id, g FROM sh WHERE doc_id % $EvalMod <> 0),
+       |ev AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % ${Constants.EvalMod} = 0),
+       |corp AS (SELECT doc_id, g FROM sh WHERE doc_id % ${Constants.EvalMod} <> 0),
        |cg AS (SELECT doc_id, unnest(g) AS gram FROM corp),
        |shared AS (SELECT doc_id, count(*) AS n_shared FROM cg JOIN ev USING (gram)
        |           GROUP BY doc_id)

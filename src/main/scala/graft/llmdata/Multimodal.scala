@@ -1043,7 +1043,7 @@ object Multimodal {
 
   /** Context-window budget for interleaved sequences — matches the text
     * packer's (tx14/tx26) so the two streams' bins are comparable. */
-  private val SeqBudget = TextAnalysis.PackBudget
+  private val SeqBudget = Constants.PackBudget
 
   /** mm10: INTERLEAVED multimodal sequence packing — the batch-assembly
     * step of multimodal LLM training (LLaVA/Fuyu-style): each document

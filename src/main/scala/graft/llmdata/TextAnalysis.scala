@@ -669,9 +669,6 @@ object TextAnalysis {
 
   // ------------------------------------------- sequence packing (tx14)
 
-  /** Tokens per packed training sequence (the context-window budget). */
-  private[graft] val PackBudget = 256
-
   /** Sequence packing (tx14): pretraining packs documents end-to-end into
     * fixed-size context windows, splitting at window boundaries — the
     * throughput-critical batch-assembly step. Documents are concatenated
@@ -693,8 +690,8 @@ object TextAnalysis {
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("source"), col("doc_id"), col("n_tokens"), col("tok_offset"),
-        floor(col("tok_offset") / PackBudget).as("start_bin"),
-        floor((col("tok_offset") + col("n_tokens") - 1) / PackBudget).as("end_bin"))
+        floor(col("tok_offset") / Constants.PackBudget).as("start_bin"),
+        floor((col("tok_offset") + col("n_tokens") - 1) / Constants.PackBudget).as("end_bin"))
       .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
       .orderBy(col("source"), col("doc_id"))
   }
@@ -708,10 +705,10 @@ object TextAnalysis {
        |    0) AS tok_offset
        |  FROM d)
        |SELECT source, doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
-       |  CAST(floor(tok_offset / $PackBudget) AS BIGINT) AS start_bin,
-       |  CAST(floor((tok_offset + n_tokens - 1) / $PackBudget) AS BIGINT) AS end_bin,
-       |  floor((tok_offset + n_tokens - 1) / $PackBudget) >
-       |    floor(tok_offset / $PackBudget) AS crosses_boundary
+       |  CAST(floor(tok_offset / ${Constants.PackBudget}) AS BIGINT) AS start_bin,
+       |  CAST(floor((tok_offset + n_tokens - 1) / ${Constants.PackBudget}) AS BIGINT) AS end_bin,
+       |  floor((tok_offset + n_tokens - 1) / ${Constants.PackBudget}) >
+       |    floor(tok_offset / ${Constants.PackBudget}) AS crosses_boundary
        |FROM o ORDER BY source, doc_id""".stripMargin
 
   // --------------------------------------- hashed linear classifier (tx15)
@@ -779,13 +776,10 @@ object TextAnalysis {
 
   // --------------------------------- exact-substring duplicated spans (tx16)
 
-  /** Window width (words) for exact-substring duplicate detection. */
-  private val SubstrW = 8
-
   /** Exact-substring duplicated-span report (tx16) — the ExactSubstr dedup
     * shape of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better"), re-expressed relationally: every OVERLAPPING
-    * [[SubstrW]]-word window (stride 1) is keyed by md5; a window VALUE
+    * [[Constants.SubstrW]]-word window (stride 1) is keyed by md5; a window VALUE
     * seen at ≥ 2 locations corpus-wide marks all its occurrences as
     * duplicated; per document, the covered word intervals
     * [pos, pos+W−1] are merged into maximal spans (islands-and-gaps:
@@ -806,24 +800,24 @@ object TextAnalysis {
     val d = t(spark, dir, "documents").withColumn("_w", words)
       .select(col("doc_id"), col("_w"),
         size(col("_w")).cast(LongType).as("n_words"))
-    val inst = d.filter(size(col("_w")) >= SubstrW)
+    val inst = d.filter(size(col("_w")) >= Constants.SubstrW)
       .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("_w")) - (SubstrW - 1)),
-        i => md5(concat_ws(" ", slice(col("_w"), i, lit(SubstrW))))))
+        sequence(lit(1), size(col("_w")) - (Constants.SubstrW - 1)),
+        i => md5(concat_ws(" ", slice(col("_w"), i, lit(Constants.SubstrW))))))
         .as(Seq("pos0", "wk")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("wk"))
     val dup = inst.groupBy(col("wk"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select("wk")
     val starts = inst.join(dup, "wk").select(col("doc_id"), col("pos"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + (SubstrW - 1))
+    val prevEnd = max(col("pos") + (Constants.SubstrW - 1))
       .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
     val spans = starts
       .withColumn("ni",
         when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
       .withColumn("island", sum(col("ni")).over(wOrd))
       .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + (SubstrW - 1)).as("e"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (Constants.SubstrW - 1)).as("e"))
     val perDoc = spans.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_dup_spans"),
       sum(col("e") - col("s") + 1).as("n_dup_words"))
@@ -838,11 +832,11 @@ object TextAnalysis {
   }
 
   val duplicatedSpansSql: String = {
-    val e = SubstrW - 1
+    val e = Constants.SubstrW - 1
     s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM d),
        |i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - $e)) AS pos
-       |       FROM dd WHERE len(w) >= $SubstrW),
+       |       FROM dd WHERE len(w) >= ${Constants.SubstrW}),
        |keyed AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |            md5(array_to_string(w[pos:pos+$e], ' ')) AS wk FROM i0),
        |dup AS (SELECT wk FROM keyed GROUP BY wk HAVING count(*) >= 2),
@@ -877,7 +871,7 @@ object TextAnalysis {
     * span-excision pass (the Dolma/OLMo decontamination shape: remove
     * the matched region, keep the document) retains vs dd13's doc-level
     * drop. Eval side = dd13's holdout convention (doc_id % EvalMod = 0):
-    * its distinct [[SubstrW]]-word window keys form the broadcast match
+    * its distinct [[Constants.SubstrW]]-word window keys form the broadcast match
     * set; every corpus window whose key appears there marks its
     * [pos, pos+W−1] interval, and per document the marked intervals
     * merge into maximal spans (tx16's islands-and-gaps rule). Output per
@@ -901,25 +895,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("_w"),
         size(col("_w")).cast(LongType).as("n_words"))
     def windowKeys(df: DataFrame): DataFrame = df
-      .filter(size(col("_w")) >= SubstrW)
+      .filter(size(col("_w")) >= Constants.SubstrW)
       .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("_w")) - (SubstrW - 1)),
-        i => md5(concat_ws(" ", slice(col("_w"), i, lit(SubstrW))))))
+        sequence(lit(1), size(col("_w")) - (Constants.SubstrW - 1)),
+        i => md5(concat_ws(" ", slice(col("_w"), i, lit(Constants.SubstrW))))))
         .as(Seq("pos0", "wk")))
       .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("wk"))
-    val isEval = col("doc_id") % Dedup.EvalMod === 0
+    val isEval = col("doc_id") % Constants.EvalMod === 0
     val evalKeys = windowKeys(d.filter(isEval)).select(col("wk")).distinct()
     val starts = windowKeys(d.filter(!isEval))
       .join(broadcast(evalKeys), "wk").select(col("doc_id"), col("pos"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + (SubstrW - 1))
+    val prevEnd = max(col("pos") + (Constants.SubstrW - 1))
       .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
     val spans = starts
       .withColumn("ni",
         when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
       .withColumn("island", sum(col("ni")).over(wOrd))
       .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + (SubstrW - 1)).as("e"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (Constants.SubstrW - 1)).as("e"))
     val perDoc = spans.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_eval_spans"),
       sum(col("e") - col("s") + 1).as("eval_words"))
@@ -934,23 +928,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  // LAZY deliberately: this val references Dedup, whose own init reads
-  // Curation, which reads back into THIS object (htmlExtractCtes, defined
-  // below). An eager val here triggers that cycle before htmlExtractCtes
-  // is assigned and bakes "null" into Curation's SQL twins; deferring to
-  // the oracle-map construction at the end of init breaks the cycle.
-  lazy val spanDecontaminateSql: String = {
-    val e = SubstrW - 1
+  // Plain val again: this twin used to reference Dedup.EvalMod, whose
+  // init reads Curation, which reads back into THIS object — a cycle
+  // that forced it lazy (commit 7bcaca9). The shared constants now live
+  // on the dependency-free llmdata.Constants object, so no cross-object
+  // init can run mid-cycle here; EntrySpec's artifact lint guards the
+  // baked-null failure mode regardless.
+  val spanDecontaminateSql: String = {
+    val e = Constants.SubstrW - 1
     s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
        |            WHERE text IS NOT NULL),
        |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w FROM d),
        |i0 AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - $e)) AS pos
-       |       FROM dd WHERE len(w) >= $SubstrW),
+       |       FROM dd WHERE len(w) >= ${Constants.SubstrW}),
        |keyed AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |            md5(array_to_string(w[pos:pos+$e], ' ')) AS wk FROM i0),
-       |ev AS (SELECT DISTINCT wk FROM keyed WHERE doc_id % ${Dedup.EvalMod} = 0),
+       |ev AS (SELECT DISTINCT wk FROM keyed WHERE doc_id % ${Constants.EvalMod} = 0),
        |starts AS (SELECT doc_id, pos FROM keyed
-       |           WHERE doc_id % ${Dedup.EvalMod} <> 0
+       |           WHERE doc_id % ${Constants.EvalMod} <> 0
        |             AND wk IN (SELECT wk FROM ev)),
        |isl AS (SELECT doc_id, pos,
        |    CASE WHEN max(pos + $e) OVER (PARTITION BY doc_id ORDER BY pos
@@ -973,7 +968,7 @@ object TextAnalysis {
        |    AS eval_frac,
        |  dd.n_words - coalesce(eval_words, 0) AS clean_words
        |FROM dd LEFT JOIN perdoc USING (doc_id)
-       |WHERE dd.doc_id % ${Dedup.EvalMod} <> 0
+       |WHERE dd.doc_id % ${Constants.EvalMod} <> 0
        |ORDER BY dd.doc_id""".stripMargin
   }
 
@@ -1613,7 +1608,7 @@ object TextAnalysis {
     * whitespace proxy — closing the loop the r13 verdict opened ("every
     * downstream token count proxies on whitespace"). Same placement
     * algebra as tx14 (per-source running BIGINT offset → start/end bin at
-    * [[PackBudget]] tokens), plus the audit columns the proxy question
+    * [[Constants.PackBudget]] tokens), plus the audit columns the proxy question
     * needs: `n_ws` (the proxy count), `ws_start_bin` (the bin the proxy
     * would have packed this doc into), and `bin_drift = start_bin −
     * ws_start_bin` — the compounding downstream displacement a
@@ -1663,9 +1658,9 @@ object TextAnalysis {
       .withColumn("ws_offset", coalesce(sum(col("n_ws")).over(w), lit(0L)))
       .select(col("source"), col("doc_id"), col("n_bpe"), col("n_ws"),
         col("tok_offset"),
-        startBinCol(col("tok_offset"), PackBudget).as("start_bin"),
-        endBinCol(col("tok_offset"), col("n_bpe"), PackBudget).as("end_bin"),
-        startBinCol(col("ws_offset"), PackBudget).as("ws_start_bin"))
+        startBinCol(col("tok_offset"), Constants.PackBudget).as("start_bin"),
+        endBinCol(col("tok_offset"), col("n_bpe"), Constants.PackBudget).as("end_bin"),
+        startBinCol(col("ws_offset"), Constants.PackBudget).as("ws_start_bin"))
       .withColumn("crosses_boundary", col("end_bin") > col("start_bin"))
       .withColumn("bin_drift", col("start_bin") - col("ws_start_bin"))
   }
@@ -1696,13 +1691,13 @@ object TextAnalysis {
   val bpePackingSql: String = bpePlacementCtes + "\n" +
     s"""SELECT source, doc_id, n_bpe, n_ws,
        |  CAST(tok_offset AS BIGINT) AS tok_offset,
-       |  CAST(floor(tok_offset / $PackBudget) AS BIGINT) AS start_bin,
-       |  CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / $PackBudget)
+       |  CAST(floor(tok_offset / ${Constants.PackBudget}) AS BIGINT) AS start_bin,
+       |  CAST(floor((tok_offset + greatest(n_bpe, 1) - 1) / ${Constants.PackBudget})
        |    AS BIGINT) AS end_bin,
-       |  CAST(floor(ws_offset / $PackBudget) AS BIGINT) AS ws_start_bin,
-       |  floor((tok_offset + greatest(n_bpe, 1) - 1) / $PackBudget) >
-       |    floor(tok_offset / $PackBudget) AS crosses_boundary,
-       |  CAST(floor(tok_offset / $PackBudget) - floor(ws_offset / $PackBudget)
+       |  CAST(floor(ws_offset / ${Constants.PackBudget}) AS BIGINT) AS ws_start_bin,
+       |  floor((tok_offset + greatest(n_bpe, 1) - 1) / ${Constants.PackBudget}) >
+       |    floor(tok_offset / ${Constants.PackBudget}) AS crosses_boundary,
+       |  CAST(floor(tok_offset / ${Constants.PackBudget}) - floor(ws_offset / ${Constants.PackBudget})
        |    AS BIGINT) AS bin_drift
        |FROM o ORDER BY source, doc_id""".stripMargin
 
@@ -1923,8 +1918,8 @@ object TextAnalysis {
       .withColumn("tok_offset", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
       .select(col("source"), col("doc_id"), col("ids"), col("n_bpe"),
         col("tok_offset"),
-        startBinCol(col("tok_offset"), PackBudget).as("start_bin"),
-        endBinCol(col("tok_offset"), col("n_bpe"), PackBudget).as("end_bin"))
+        startBinCol(col("tok_offset"), Constants.PackBudget).as("start_bin"),
+        endBinCol(col("tok_offset"), col("n_bpe"), Constants.PackBudget).as("end_bin"))
   }
 
   /** Twin CTE fragment appending to a chain that contains `tok` (from

@@ -27,7 +27,7 @@ case class PackState(offset: Long, maxDocId: Long)
   * frontier), each is BPE-encoded scan-side ([[graft.functions.BpeEncode]]
   * — the merge table rides in the task binary, streaming or not), and a
   * per-source running token offset carried in keyed state places every
-  * document into the same [[graft.llmdata.TextAnalysis.PackBudget]]-token
+  * document into the same [[graft.llmdata.Constants.PackBudget]]-token
   * bins the batch packer would have chosen. A training-data pipeline runs
   * exactly this shape when the corpus is append-only: pack ON ARRIVAL,
   * never re-pack the history.
@@ -65,7 +65,7 @@ case class PackState(offset: Long, maxDocId: Long)
   */
 object PackingIngest {
 
-  private val Budget: Long = graft.llmdata.TextAnalysis.PackBudget.toLong
+  private val Budget: Long = graft.llmdata.Constants.PackBudget.toLong
 
   /** Scan-side BPE count — identical expression to tx26's. */
   private def countTokens(docs: DataFrame): DataFrame =

@@ -1776,7 +1776,7 @@ class LlmDataSpec extends SparkSpec {
           r.getAs[Long]("doc_id")))
           .flatMap(_.getSeq[Int](6)).toSeq
       }
-    val budget = 256 // TextAnalysis.PackBudget
+    val budget = 256 // Constants.PackBudget
     val lastBin = assembled.keys.groupBy(_._1).map { case (s, ks) =>
       s -> ks.map(_._2).max }
     assembled.foreach { case ((src, bin), ids) =>

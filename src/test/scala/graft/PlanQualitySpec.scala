@@ -596,21 +596,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans <= 2, s"merged quantiles must not re-scan events: $scans scans")
   }
 
-  test("cur11: the B-row bucket table broadcasts into the feature stream, " +
-      "and the whole table (masses + totals) derives from ONE corpus pass") {
+  test("cur11: the fitted B-row bucket model broadcasts into the feature " +
+      "stream as a LOCAL relation — serving is ONE corpus pass (the fit " +
+      "is a separate session-cached control-plane job)") {
     val p = plan(graft.llmdata.Curation.dsirWeights(spark, sf()))
     assert(p.contains("BroadcastHashJoin"),
       "the 1024-row log-ratio table must broadcast; the corpus never builds a hash side")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // exactly 2 documents scans: bucket build + per-doc rollup (the r16
-    // rawCnt/tgtCnt/totals trio cost 4)
+    // ONE documents scan: the per-doc rollup (the r16 rawCnt/tgtCnt/
+    // totals trio cost 4 scan branches; the fused fit pays 1 more, once
+    // per corpus snapshot, in its own job)
     val scans = p.linesIterator.filter(_.contains("Location"))
       .count(_.contains("documents.parquet"))
-    assert(scans == 2, s"bucket build + per-doc rollup only: $scans scans")
-    // the one Window is the totals rollup over the ≤1024-row bucket
-    // table — control plane, not a corpus shuffle
-    val windows = p.linesIterator.count(_.matches("^\\(\\d+\\) Window.*"))
-    assert(windows == 1, s"only the B-row totals window: $windows")
+    assert(scans == 1, s"per-doc rollup only: $scans scans")
+    assert(!p.contains("Window"), "the totals window lives in the fit job")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      "the model side is the collected local table")
   }
 
   test("dd24: fingerprint derivation is scan-side; candidates off capped " +
