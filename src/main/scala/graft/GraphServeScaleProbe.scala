@@ -136,6 +136,22 @@ object GraphServeScaleProbe {
     for ((beam, entries, hops) <- Seq((9, 2, 10), (16, 4, 8), (24, 8, 10),
         (16, 4, 12), (24, 8, 6), (24, 4, 10), (20, 6, 8)))
       println(retune(spark, "sf0.1x2.5", big, 4990L, beam, entries, hops))
+    // the OTHER lever: the retune grid above holds the build-degree cap
+    // at 20 (where degreeOf saturates for n >= 1024) and widens the
+    // SERVE; here lift the cap to 32 (build degree 24 at 4990), rebuild
+    // the index, and re-serve — measuring whether a denser graph buys
+    // recall back at a narrower frontier than beam-widening alone
+    Similarity.clearExemplars(spark)
+    Similarity.setDegreeCapOverride(spark, big, 32)
+    try
+      for ((beam, entries, hops) <- Seq((9, 2, 6), (9, 2, 10), (16, 4, 8),
+          (16, 4, 10)))
+        println(retune(spark, "sf0.1x2.5-cap32", big, 4990L, beam, entries,
+          hops))
+    finally {
+      Similarity.clearDegreeCapOverride(spark, big)
+      Similarity.clearExemplars(spark)
+    }
     spark.stop()
   }
 }

@@ -1409,8 +1409,38 @@ object Similarity {
     * exact in both engines, where a float log2 could straddle a rounding
     * boundary differently per engine at powers of two. K(1990) = 20,
     * K(490) = 16 on the fixtures. */
-  private[graft] def degreeOf(n: Long): Int =
-    math.min(20, math.max(8, 2 * (63 - java.lang.Long.numberOfLeadingZeros(n))))
+  private[graft] def degreeOf(n: Long): Int = degreeOf(n, DegreeCap)
+
+  private[graft] def degreeOf(n: Long, cap: Int): Int =
+    math.min(cap, math.max(8, 2 * (63 - java.lang.Long.numberOfLeadingZeros(n))))
+
+  /** The build-degree cap. The r17 corpus-scale probe
+    * (`graft.GraphServeScaleProbe`, SCALING.md "Graph-serve corpus-scale
+    * probe") measured this cap as the BINDING constraint past ~2000
+    * vectors: the graph gets relatively sparser as the corpus grows and
+    * the serve must widen its frontier to hold recall. The default (20,
+    * the twins' `least(20, …)`) is correct for the gate fixtures;
+    * [[setDegreeCapOverride]] lets a deployment — and the probe — lift
+    * it per (session, dir) WITHOUT touching oracle-gated builds (no
+    * override ⇒ bit-identical behavior). */
+  private val DegreeCap = 20
+
+  private val degreeCapOverrides =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** Override the build-degree cap for one (session, dir) — callers must
+    * clear the index caches (`clearExemplars`) first if a graph was
+    * already built, or the cached build keeps the old degree. */
+  private[graft] def setDegreeCapOverride(spark: SparkSession, dir: String,
+                                          cap: Int): Unit =
+    degreeCapOverrides.put((spark, dir), cap)
+
+  private[graft] def clearDegreeCapOverride(spark: SparkSession,
+                                            dir: String): Unit =
+    degreeCapOverrides.remove((spark, dir))
+
+  private def degreeCapFor(spark: SparkSession, dir: String): Int =
+    degreeCapOverrides.getOrElse((spark, dir), DegreeCap)
 
   /** Corpus sizes, keyed (session, dir) like every other index cache so
     * the staleness contract is uniform: a corpus rewrite under a cached
@@ -1425,7 +1455,7 @@ object Similarity {
       t(spark, dir, "embeddings").filter(col("vec_id") >= NumQueries).count())
 
   private[graft] def buildDegree(spark: SparkSession, dir: String): Int =
-    degreeOf(corpusCount(spark, dir))
+    degreeOf(corpusCount(spark, dir), degreeCapFor(spark, dir))
 
   /** The twin's rendering of [[buildDegree]]: `deg(k)`. */
   private val degCteSql: String =

@@ -2966,4 +2966,23 @@ class LlmDataSpec extends SparkSpec {
                     else if (dup) "rejected_dup" else "admitted_after_check"))
     }
   }
+
+  test("graph build-degree cap: 2·log2 n under the cap, override is " +
+      "per-(session, dir) and bit-identical off (the r17 scale-probe " +
+      "lever — SCALING.md 'Graph-serve corpus-scale probe')") {
+    import graft.llmdata.Similarity
+    // the formula and where the default cap binds
+    assert(Similarity.degreeOf(490L) == 16)
+    assert(Similarity.degreeOf(1990L) == 20)
+    assert(Similarity.degreeOf(4990L) == 20, "default cap binds at 4990")
+    assert(Similarity.degreeOf(4990L, 32) == 24, "lifted cap frees 2*log2 n")
+    assert(Similarity.degreeOf(3L) == 8, "floor holds")
+    // override changes ONLY the overridden dir, and clearing restores
+    val d = sf()
+    val base = Similarity.buildDegree(spark, d)
+    Similarity.setDegreeCapOverride(spark, d, 4)
+    try assert(Similarity.buildDegree(spark, d) == 4)
+    finally Similarity.clearDegreeCapOverride(spark, d)
+    assert(Similarity.buildDegree(spark, d) == base)
+  }
 }
