@@ -323,6 +323,28 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (lineWith(qs) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // INVOCATION ARCHIVE (r17 verdict task 3): the committed repo
+    // sidecars used to be whichever invocation ran LAST, and r17's last
+    // window was its hottest — the round-over-round ratio record
+    // absorbed host weather as a phantom regression. Each invocation now
+    // also lands under bench_archive/<epoch-secs>/ (BENCH_FULL + the
+    // per-run maps), and `tools/select_bench.py` promotes the invocation
+    // whose FRESH CDC probe (already stamped on every line as
+    // cdc_pipeline_events_per_sec — the window fingerprint the noise
+    // protocol reads) is nearest the reference fingerprint to the
+    // committed BENCH_FULL/BENCH_RUNS/BENCH_LINE sidecars. The archive
+    // is a measurement log, not a round artifact — gitignored.
+    try {
+      val stamp = (System.currentTimeMillis() / 1000L).toString
+      val archDir = java.nio.file.Paths.get("bench_archive", stamp)
+      java.nio.file.Files.createDirectories(archDir)
+      java.nio.file.Files.write(archDir.resolve("BENCH_FULL.json"),
+        (lineWith(qs) + "\n").getBytes("UTF-8"))
+      val runs = java.nio.file.Paths.get("BENCH_RUNS.json")
+      if (java.nio.file.Files.exists(runs))
+        java.nio.file.Files.copy(runs, archDir.resolve("BENCH_RUNS.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 

@@ -45,6 +45,12 @@ object GraphServeScaleProbe {
     val corpus = base.filter(col("vec_id") >= nq)
     val baseN = corpus.count()
     val copies = ((targetCorpus + baseN - 1) / baseN).toInt // synth rounds
+    // copies == 1 would render sequence(1, 0) below — Spark emits the
+    // DESCENDING [1, 0], whose c=0 round duplicates the corpus under the
+    // ORIGINAL vec_ids (the dsirWeights sequence(1,0) trap; r17 ADVICE).
+    // No synthesis needed: the fixture already covers the target.
+    require(copies >= 2,
+      s"targetCorpus=$targetCorpus <= fixture corpus $baseN — use dir as-is")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("label")).orderBy(col("vec_id"))
     val ranked = corpus
@@ -85,22 +91,6 @@ object GraphServeScaleProbe {
     out
   }
 
-  private def measure(spark: SparkSession, label: String,
-                      dir: String): String = {
-    val n = spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") >= 10).count()
-    val t0 = System.nanoTime()
-    val row = Similarity.serveSweep(spark, dir)
-      .filter(col("beam") === 9 && col("entries") === 2 && col("hop") === 6)
-      .collect().head
-    val sec = (System.nanoTime() - t0) / 1e9
-    val recall = row.getAs[Double]("recall3")
-    val visited = row.getAs[Double]("mean_visited")
-    f"""{"corpus":"$label","n":$n,"recall3":$recall%.3f,""" +
-      f""""mean_visited":$visited%.1f,""" +
-      f""""visited_frac":${visited / n}%.4f,"sweep_sec":$sec%.2f}"""
-  }
-
   /** Retune grid at an arbitrary operating point: serve over the built
     * diversified graph at (beam, entries, hops), report recall@3 and
     * mean visited. */
@@ -120,6 +110,24 @@ object GraphServeScaleProbe {
       f""""mean_visited":$mv%.1f,"visited_frac":${mv / n}%.4f}"""
   }
 
+  /** The engine's DEFAULT serve at a dir — no degree-cap override, no
+    * explicit budgets: build degree, beam, and hop depth all come from
+    * the shipped formulas ([[Similarity.degreeOf]] / serveBeamOf /
+    * serveHopsOf). This is the row the r17 verdict asked for: what a
+    * user who just calls graphServe on this corpus actually gets. */
+  private def defaults(spark: SparkSession, label: String, dir: String,
+                       n: Long): String = {
+    val served = Similarity.graphServe(spark, dir).collect()
+    val hits = served.count(_.getAs[Boolean]("in_exact"))
+    val visited = served.map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[Long]("visited_count"))
+      .distinct.map(_._2.toDouble)
+    val mv = visited.sum / visited.length
+    f"""{"corpus":"$label","n":$n,"config":"DEFAULTS",""" +
+      f""""recall3":${hits / 30.0}%.3f,"mean_visited":$mv%.1f,""" +
+      f""""visited_frac":${mv / n}%.4f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]").appName("graph-serve-scale-probe")
@@ -127,31 +135,47 @@ object GraphServeScaleProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(measure(spark, "sf0.001", "/root/testdata/sf0.001"))
-    println(measure(spark, "sf0.1", "/root/testdata/sf0.1"))
-    val big = expandedDir(spark, "/root/testdata/sf0.1", 4990)
-    println(measure(spark, "sf0.1x2.5", big))
-    // the shipped point degraded at 2.5x — find where the serve budget
-    // must move (deeper/wider) to restore recall, and what it costs
-    for ((beam, entries, hops) <- Seq((9, 2, 10), (16, 4, 8), (24, 8, 10),
-        (16, 4, 12), (24, 8, 6), (24, 4, 10), (20, 6, 8)))
-      println(retune(spark, "sf0.1x2.5", big, 4990L, beam, entries, hops))
-    // the OTHER lever: the retune grid above holds the build-degree cap
-    // at 20 (where degreeOf saturates for n >= 1024) and widens the
-    // SERVE; here lift the cap to 32 (build degree 24 at 4990), rebuild
-    // the index, and re-serve — measuring whether a denser graph buys
-    // recall back at a narrower frontier than beam-widening alone
-    Similarity.clearExemplars(spark)
-    Similarity.setDegreeCapOverride(spark, big, 32)
-    try
-      for ((beam, entries, hops) <- Seq((9, 2, 6), (9, 2, 10), (16, 4, 8),
-          (16, 4, 10)))
-        println(retune(spark, "sf0.1x2.5-cap32", big, 4990L, beam, entries,
-          hops))
-    finally {
-      Similarity.clearDegreeCapOverride(spark, big)
+    // ad-hoc grid mode: each arg is "n:beam:entries:hops" — retune rows
+    // only, over the expanded corpus for n (or the fixture when n fits)
+    if (args.nonEmpty) {
+      // expand each target corpus ONCE per run: re-writing the parquet
+      // under a dir the session has cached plans against yanks part
+      // files out from under the uncheckpointed readers (the audit-tier
+      // exact join reads the corpus live)
+      val dirs = scala.collection.mutable.Map.empty[Int, String]
+      args.foreach { a =>
+        val Array(n, beam, entries, hops) = a.split(":").map(_.toInt)
+        val d = dirs.getOrElseUpdate(n,
+          if (n <= 1990) "/root/testdata/sf0.1"
+          else expandedDir(spark, "/root/testdata/sf0.1", n))
+        println(retune(spark, s"n$n", d, n.toLong, beam, entries, hops))
+      }
       Similarity.clearExemplars(spark)
+      spark.stop()
+      return
     }
+    // r18: the scaled formulas (degree 2·log2 n cap 64; hops slope −4
+    // below the 2048 knee, −2 above, cap 12; entries +2/octave past
+    // 8192; beam 9) are the DEFAULTS — measure what graphServe serves
+    // with NO override at each corpus size, then bracket each formula's
+    // choice at the expanded corpora: one budget notch down must leave
+    // the recall band, confirming the default is the knee and not slack
+    println(defaults(spark, "sf0.001", "/root/testdata/sf0.001", 490L))
+    println(defaults(spark, "sf0.1", "/root/testdata/sf0.1", 1990L))
+    val big = expandedDir(spark, "/root/testdata/sf0.1", 4990)
+    println(defaults(spark, "sf0.1x2.5", big, 4990L)) // = (9, 2, 10)
+    // hop bracket at the default build (degree 24) around scaled 10
+    for ((beam, entries, hops) <- Seq((9, 2, 6), (9, 2, 8), (9, 2, 12)))
+      println(retune(spark, "sf0.1x2.5", big, 4990L, beam, entries, hops))
+    // one more octave (r17 verdict task 5): ~10k vectors, same convex-
+    // mixture synthesis; defaults = degree 26, (9, 4, 11)
+    val huge = expandedDir(spark, "/root/testdata/sf0.1", 9990)
+    println(defaults(spark, "sf0.1x5", huge, 9990L))
+    // the entries ladder at the scaled depth — the fixed 16-medoid
+    // codebook dilution evidence (2 → 0.600, 3 → 0.700, 4 → band)
+    for ((beam, entries, hops) <- Seq((9, 2, 11), (9, 3, 11), (9, 2, 13)))
+      println(retune(spark, "sf0.1x5", huge, 9990L, beam, entries, hops))
+    Similarity.clearExemplars(spark)
     spark.stop()
   }
 }

@@ -29,7 +29,15 @@ object SparkEntry {
       FuzzyMatch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * TWIN-AUTHORING CONVENTION (EntrySpec-linted): SQL NULL is written
+    * UPPERCASE in every twin — a lowercase standalone `null` is reserved
+    * as the signature of a Scala `null` interpolated by an
+    * object-initialization cycle (the 7bcaca9 failure mode), and the
+    * lint reds on it. Likewise literal `% 0` (a baked unassigned Int).
+    * Outputs are scalar atomic columns only; render sequences as
+    * `md5(array_join(...))` content hashes. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Multimodal.oracle ++ EventsAnalytics.oracle ++

@@ -1414,23 +1414,36 @@ object Similarity {
   private[graft] def degreeOf(n: Long, cap: Int): Int =
     math.min(cap, math.max(8, 2 * (63 - java.lang.Long.numberOfLeadingZeros(n))))
 
-  /** The build-degree cap. The r17 corpus-scale probe
+  /** The build-degree cap — 64 since r18, so `2·log2 n` is the effective
+    * default degree everywhere the fixtures (and any corpus below ~4
+    * billion vectors) can reach. The r17 corpus-scale probe
     * (`graft.GraphServeScaleProbe`, SCALING.md "Graph-serve corpus-scale
-    * probe") measured this cap as the BINDING constraint past ~2000
-    * vectors: the graph gets relatively sparser as the corpus grows and
-    * the serve must widen its frontier to hold recall. The default (20,
-    * the twins' `least(20, …)`) is correct for the gate fixtures;
-    * [[setDegreeCapOverride]] lets a deployment — and the probe — lift
-    * it per (session, dir) WITHOUT touching oracle-gated builds (no
-    * override ⇒ bit-identical behavior). */
-  private val DegreeCap = 20
+    * probe") measured the OLD cap of 20 as the BINDING constraint past
+    * ~2000 vectors: `min(20, 2·log2 n)` saturates at n ≥ 1024, the graph
+    * gets relatively sparser as the corpus grows, and serve recall at the
+    * shipped operating point collapsed to 0.300 at 4990 vectors — while
+    * the uncapped degree (24 there) restored iso-recall 0.767 at the
+    * SHIPPED beam with the LOWEST visited fraction measured (17.7%).
+    * Denser graph beats wider frontier, so the default now follows the
+    * measurement; 64 is HNSW's published upper build-degree band (M ≤ 64
+    * at 1e8+ vectors) and binds only past n ≈ 2^32. Gate corpora (490,
+    * 1990) build at 16/20 under EITHER cap — bit-identical oracle
+    * builds; the twins render the same `least(64, …)`.
+    * [[setDegreeCapOverride]] still lets a deployment — and the probe —
+    * PIN a different cap per (session, dir) without touching gated
+    * builds (no override ⇒ default behavior). */
+  private val DegreeCap = 64
 
   private val degreeCapOverrides =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
 
   /** Override the build-degree cap for one (session, dir) — callers must
     * clear the index caches (`clearExemplars`) first if a graph was
-    * already built, or the cached build keeps the old degree. */
+    * already built, or the cached build keeps the old degree. PROBE /
+    * DEPLOYMENT PINNING ONLY: the SQL twins always render the default
+    * `least($DegreeCap, …)`, so an override left set on an oracle-gated
+    * dir breaks Spark/DuckDB parity BY DESIGN (the gate would catch it);
+    * never set one on a dir a gated query will read. */
   private[graft] def setDegreeCapOverride(spark: SparkSession, dir: String,
                                           cap: Int): Unit =
     degreeCapOverrides.put((spark, dir), cap)
@@ -1439,8 +1452,14 @@ object Similarity {
                                             dir: String): Unit =
     degreeCapOverrides.remove((spark, dir))
 
-  private def degreeCapFor(spark: SparkSession, dir: String): Int =
+  private def degreeCapFor(spark: SparkSession, dir: String): Int = {
+    // sweep overrides of stopped sessions (the SessionCache discipline —
+    // r17 ADVICE: this map used to be the one session-keyed store that
+    // never evicted)
+    degreeCapOverrides.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(degreeCapOverrides.remove)
     degreeCapOverrides.getOrElse((spark, dir), DegreeCap)
+  }
 
   /** Corpus sizes, keyed (session, dir) like every other index cache so
     * the staleness contract is uniform: a corpus rewrite under a cached
@@ -1457,9 +1476,11 @@ object Similarity {
   private[graft] def buildDegree(spark: SparkSession, dir: String): Int =
     degreeOf(corpusCount(spark, dir), degreeCapFor(spark, dir))
 
-  /** The twin's rendering of [[buildDegree]]: `deg(k)`. */
+  /** The twin's rendering of [[buildDegree]]: `deg(k)`. Interpolates
+    * [[DegreeCap]] so the engine's default and the twin cannot drift
+    * (overrides are probe-only — see [[setDegreeCapOverride]]). */
   private val degCteSql: String =
-    s"""deg AS (SELECT least(20, greatest(8,
+    s"""deg AS (SELECT least($DegreeCap, greatest(8,
        |          2 * (length(bin(CAST(count(*) AS BIGINT))) - 1))) AS k
        |        FROM embeddings WHERE vec_id >= $NumQueries)""".stripMargin
 
@@ -1853,7 +1874,7 @@ object Similarity {
              "SELECT src_id, neighbor_id FROM gd1")}),
        |eD AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |       FROM embeddings),
-       |dg AS (SELECT least(20, greatest(8,
+       |dg AS (SELECT least($DegreeCap, greatest(8,
        |          2 * (length(bin(CAST(count(*) AS BIGINT))) - 1))) AS k
        |       FROM embeddings WHERE vec_id >= $NumQueries),
        |occ AS (SELECT DISTINCT b.src_id, c.neighbor_id
@@ -1883,24 +1904,81 @@ object Similarity {
     * search / HNSW's ef parameter). */
   private val ServeBeam = 9
 
-  /** Serve hop budget scales with the corpus — hops(n) = clamp(⌊log2 n⌋
-    * − 4, 2, [[MaxServeHops]]): 4 at the 490-vector fixtures, 6 at
-    * 1 990 (r16: was −6 / depth 4; the hop-depth sweep below moved the
-    * slope). A FIXED depth cannot satisfy both ends: the depth that
-    * reaches the recall band at 2 000 vectors walks half of a 500-vector
-    * corpus (measured in the ss19 sweep — the serve-effort analogue of
-    * the [[degreeOf]] lesson). Work per query is O(hops·beam·degree) —
-    * logarithmic in corpus size, which is the entire point of paying for
-    * the graph build. The [[MaxServeHops]] cap is the twin's static
-    * unroll depth (hops beyond the scaled count are data-gated no-ops in
-    * the twin); raise both together for corpora past ~a million
-    * vectors. */
-  private[graft] def serveHopsOf(n: Long): Int =
-    math.min(MaxServeHops,
-      math.max(2, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 4))
+  /** Serve beam budget as a FUNCTION of corpus size — deliberately
+    * CONSTANT (= [[ServeBeam]]), and documented as such next to the two
+    * budgets that do scale ([[degreeOf]], [[serveHopsOf]]), because the
+    * r17 corpus-scale probe measured it: once build degree follows
+    * 2·log2 n (see [[degreeOf]]), beam 9 holds the iso-recall band at
+    * every corpus size probed (0.833 @ 490/deg 16, 0.800 @ 1990/deg 20,
+    * 0.767 @ 4990/deg 24 — SCALING.md part 2), and the iso-recall
+    * visited fraction FALLS monotonically (59.6% → 23.3% → 17.7%). The
+    * cap-20 retune grid shows the counterfactual: with degree frozen the
+    * beam must grow ~linearly in n/2^10 (beam 24 × entries 8 at 4990)
+    * and the visited fraction plateaus at ~23% instead of falling —
+    * i.e. beam-widening is the EXPENSIVE substitute for the degree the
+    * build should have had. Spec-pinned with the (degree, beam, hops)
+    * triple at the probe corpora (LlmDataSpec). */
+  private[graft] def serveBeamOf(n: Long): Int = ServeBeam
 
-  /** The twin's unrolled hop depth (and the ss19 sweep's measured
-    * depth). */
+  /** Serve hop budget scales with the corpus, with a MEASURED knee at
+    * n = 2048: hops(n) = ⌊log2 n⌋ − 4 below it (4 at the 490-vector
+    * fixtures, 6 at 1 990 — the gate-pinned slope the ss19 sweep set)
+    * and ⌊log2 n⌋ − 2 above (10 at the probe's 4990, 11 at 9990),
+    * clamped to [2, [[ServeHopsCap]]]. A FIXED depth cannot satisfy
+    * both ends: the depth that reaches the recall band at 2 000 vectors
+    * walks half of a 500-vector corpus (ss19 sweep — the serve-effort
+    * analogue of the [[degreeOf]] lesson). The knee is r18's probe
+    * finding: at the −4 slope the 4990-vector corpus serves 0.667 at
+    * its scaled 8 hops even on the degree-24 graph, while −2 (10 hops)
+    * restores the 0.77 band at 17.7% visited — and the same slope holds
+    * at 9990 (11 hops, 0.767 at 10.0% visited, with [[serveEntriesOf]]
+    * scaled). 2048 is where the OLD degree cap saturated: past it the
+    * per-hop similarity gain flattens (degree grows only with log n
+    * while cluster diameters keep growing in the mixture geometry), so
+    * the walk needs proportionally more hops per octave. Work per query
+    * stays O(hops·beam·degree) — logarithmic in corpus size, which is
+    * the entire point of paying for the graph build. */
+  private[graft] def serveHopsOf(n: Long): Int = {
+    val lg = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    math.min(ServeHopsCap, math.max(2, lg - (if (n < 2048L) 4 else 2)))
+  }
+
+  /** Entry-point budget scales +2 per octave past n = 8192:
+    * max([[ServeEntries]], 2·(⌊log2 n⌋ − 11)), capped at the codebook
+    * size — 2 everywhere the oracle gate runs (and at the 4990 probe
+    * corpus, where 2 entries serve 0.767), 4 at 9990. WHY entries must
+    * grow at all on a flat graph: the entry candidates are the
+    * [[exemplarsOf]] IVF medoids, and the correctness battery pins that
+    * codebook at k = 16 cells regardless of corpus size — so each
+    * medoid covers n/16 vectors and entry QUALITY degrades as the
+    * corpus grows. HNSW pays this cost with its layer hierarchy (one
+    * entry descended through ~log n layers); a flat graph pays with
+    * ~log n entry points. Measured at 9990 with hops fixed at the
+    * scaled 11: entries 2 → recall 0.600, entries 3 → 0.700, entries 4
+    * → 0.767 (the band) at 10.0% visited. A production deployment that
+    * sizes ivfK ∝ √n (the FAISS rule) restores per-entry quality and
+    * can hold entries at 2 — this formula is the compensator at the
+    * gate-pinned codebook. */
+  private[graft] def serveEntriesOf(n: Long): Int =
+    math.min(DefaultIvfK, math.max(ServeEntries,
+      2 * ((63 - java.lang.Long.numberOfLeadingZeros(n)) - 11)))
+
+  /** Engine-side hop-budget safety cap (binds only past n = 2^16
+    * vectors; a deployment at 1e8+ vectors raises it with the twin
+    * unroll — HNSW walks ~log n hops there too). Distinct from
+    * [[MaxServeHops]] since r18: the scaled hop count must keep growing
+    * past the gate corpora (the 4990-vector probe needs 8 hops at the
+    * shipped beam) without forcing the SQL twins to unroll deeper. */
+  private val ServeHopsCap = 12
+
+  /** The twin's static unrolled hop depth (and the ss19 sweep's measured
+    * depth). Covers every corpus the oracle gate runs (hops(n) ≤ 6 ⇔
+    * n < 2^11 = 2048; the fixtures are 490 and 1990): beyond the scaled
+    * count the unrolled hops are data-gated no-ops in the twin. A twin
+    * gating a corpus past 2048 vectors must raise this together with
+    * re-timing — the ENGINE's serve keeps scaling to [[ServeHopsCap]]
+    * regardless, which is the production behavior the r17 probe
+    * validated. */
   private val MaxServeHops = 6
 
   /** Entry-point fan-out: the traversal starts from the
@@ -1982,11 +2060,18 @@ object Similarity {
                           beam: Int, entries: Int): Seq[DataFrame] =
     serveStatesCache.get(spark, s"$dir#b${beam}e$entries")(
       serveVisitedByHop(spark, dir, serveAdjacency(spark, dir),
-        beam, entries, MaxServeHops))
+        beam, entries,
+        // the ss19 sweep reads every prefix to MaxServeHops; a corpus
+        // past 2048 vectors needs the deeper scaled states too (r18 —
+        // hops keep scaling past the twin unroll, see ServeHopsCap).
+        // Gate corpora: max(6, ≤6) = 6, bit-identical to r17.
+        math.max(MaxServeHops, serveHops(spark, dir))))
 
-  private def standardVisited(spark: SparkSession, dir: String): DataFrame =
-    serveStates(spark, dir, ServeBeam, ServeEntries)(
+  private def standardVisited(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusCount(spark, dir)
+    serveStates(spark, dir, serveBeamOf(n), serveEntriesOf(n))(
       serveHops(spark, dir) - 1)
+  }
 
   private def serveHops(spark: SparkSession, dir: String): Int =
     serveHopsOf(corpusCount(spark, dir))
@@ -2046,7 +2131,8 @@ object Similarity {
     serveCore(spark, dir,
       undirected(current.select(col("src_id"), col("neighbor_id")))
         .localCheckpoint(),
-      ServeBeam, serveHops(spark, dir), ServeEntries)
+      serveBeamOf(corpusCount(spark, dir)), serveHops(spark, dir),
+      serveEntriesOf(corpusCount(spark, dir)))
   }
 
   /** One bounded traversal at (beam, entries) to `hops` depth, returning
@@ -2296,11 +2382,12 @@ object Similarity {
       .select(col("cell").as("node_id"))
     val entry = sqOf(q.select(col("query_id")).crossJoin(broadcast(exCells)))
       .withColumn("rn", row_number().over(entW))
-      .filter(col("rn") <= ServeEntries).drop("rn")
+      .filter(col("rn") <= serveEntriesOf(corpusCount(spark, dir))).drop("rn")
     // the SQ-scored walk caches per (session, dir) like ss17's exact
     // walk — one traversal per battery, assemblies re-read it
     val visited = sqVisitedCache.get(spark, dir)(
-      serveWalk(entry, serveAdjacency(spark, dir), ServeBeam,
+      serveWalk(entry, serveAdjacency(spark, dir),
+        serveBeamOf(corpusCount(spark, dir)),
         serveHops(spark, dir), sqOf).last)
     val vis = visited.groupBy(col("query_id"))
       .agg(count(lit(1)).as("visited_count"))

@@ -364,16 +364,24 @@ class BayeuxTransportSpec extends SparkSpec {
     try {
       val t = new BayeuxTransport(srv.endpoint, _ => "tok-1", (_, _) => (),
         BayeuxTransport.Parameters(
-          maxNetworkDelay = java.time.Duration.ofMillis(250)))
+          maxNetworkDelay = java.time.Duration.ofMillis(100)))
       t.subscribeEarliest("/data/SlowWire")
-      srv.oneShotDelayMs = 1000L
+      // 100 ms knob vs a 3 s server stall: a CI-load hiccup cannot close
+      // a 30x margin in either direction (r17 ADVICE — the old 250 ms vs
+      // 1 s pair could flake both ways)
+      srv.oneShotDelayMs = 3000L
       intercept[java.net.http.HttpTimeoutException](t.pollOnce())
-      // the fixture server is single-threaded: let the delayed handler
-      // finish its sleep before the retry, or the retry queues behind it
-      Thread.sleep(1200L)
       // the knob only bounds the request: once the server responds in
-      // time again, the same transport completes the cycle
-      assert(t.pollOnce() == 0)
+      // time again, the same transport completes the cycle. The fixture
+      // server is single-threaded, so retries queue behind the delayed
+      // handler until its sleep drains — poll for recovery instead of
+      // guessing the drain time with a fixed sleep.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var recovered = false
+      while (!recovered && System.nanoTime() < deadline)
+        try { assert(t.pollOnce() == 0); recovered = true }
+        catch { case _: java.net.http.HttpTimeoutException => Thread.sleep(100L) }
+      assert(recovered, "transport never recovered after the server sped up")
       assert(t.isHandshook)
     } finally srv.stop()
   }

@@ -2967,16 +2967,21 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
-  test("graph build-degree cap: 2·log2 n under the cap, override is " +
-      "per-(session, dir) and bit-identical off (the r17 scale-probe " +
-      "lever — SCALING.md 'Graph-serve corpus-scale probe')") {
+  test("graph build-degree scaling: 2·log2 n IS the default past the old " +
+      "cap (r18 — the r17 probe's measured-superior configuration), " +
+      "override is per-(session, dir) and bit-identical off") {
     import graft.llmdata.Similarity
-    // the formula and where the default cap binds
+    // the formula: gate corpora unchanged (16/20 — bit-identical oracle
+    // builds), and the old cap-20 knee is GONE by default: 4990 vectors
+    // now build at 24, the configuration the r17 probe measured at
+    // recall 0.767 / 17.7% visited vs the old default's 0.300
     assert(Similarity.degreeOf(490L) == 16)
     assert(Similarity.degreeOf(1990L) == 20)
-    assert(Similarity.degreeOf(4990L) == 20, "default cap binds at 4990")
-    assert(Similarity.degreeOf(4990L, 32) == 24, "lifted cap frees 2*log2 n")
+    assert(Similarity.degreeOf(4990L) == 24, "2*log2 n unclamped at 4990")
+    assert(Similarity.degreeOf(9990L) == 26)
+    assert(Similarity.degreeOf(4990L, 20) == 20, "the pre-r18 default, pinnable")
     assert(Similarity.degreeOf(3L) == 8, "floor holds")
+    assert(Similarity.degreeOf(Long.MaxValue / 2) == 64, "the new cap binds")
     // override changes ONLY the overridden dir, and clearing restores
     val d = sf()
     val base = Similarity.buildDegree(spark, d)
@@ -2984,5 +2989,32 @@ class LlmDataSpec extends SparkSpec {
     try assert(Similarity.buildDegree(spark, d) == 4)
     finally Similarity.clearDegreeCapOverride(spark, d)
     assert(Similarity.buildDegree(spark, d) == base)
+  }
+
+  test("serve-budget scaling (degree, beam, entries, hops) at the probe " +
+      "corpora: degree/hops/entries scale with log n, beam is the " +
+      "measured constant (SCALING.md 'Graph-serve corpus-scale probe')") {
+    import graft.llmdata.Similarity
+    def budget(n: Long) =
+      (Similarity.degreeOf(n), Similarity.serveBeamOf(n),
+        Similarity.serveEntriesOf(n), Similarity.serveHopsOf(n))
+    // the three r17 probe corpora plus the r18 octave extension, each
+    // pinned at its measured iso-recall point: build degree 2·log2 n;
+    // hop depth log2 n − 4 below the 2048 knee (gate corpora — oracle
+    // outputs unchanged) and log2 n − 2 above; entries +2/octave past
+    // 8192 (the fixed 16-medoid entry codebook dilutes with n); beam
+    // stays 9 — the probe measured beam-widening as the strictly worse
+    // substitute for build degree (iso-recall at beam 24×entries 8
+    // costs 22.9% visited vs 17.7% at the shipped beam on the denser
+    // graph)
+    assert(budget(490L) == ((16, 9, 2, 4)))
+    assert(budget(1990L) == ((20, 9, 2, 6)))
+    assert(budget(4990L) == ((24, 9, 2, 10)))
+    assert(budget(9990L) == ((26, 9, 4, 11)))
+    // gate corpora sit under the twins' static 6-hop unroll; the engine
+    // keeps scaling to the documented caps (hop cap 12; entries capped
+    // at the codebook size)
+    assert(Similarity.serveHopsOf(1L << 20) == 12, "engine hop cap")
+    assert(Similarity.serveEntriesOf(1L << 30) == 16, "entries cap = ivfK")
   }
 }
