@@ -204,10 +204,14 @@ object Bench {
       case c => c.toString
     } + "\""
     // per-run per-query sidecar: the cross-run evidence the round-over-
-    // round regression adjudication protocol reads (SURVEY §9)
-    try {
+    // round regression adjudication protocol reads (SURVEY §9). The
+    // string is kept in scope so the invocation ARCHIVE below writes the
+    // SAME content directly — copying the root file there could pair a
+    // fresh BENCH_FULL with a STALE runs map if this root write failed
+    // but a prior invocation's file survived (r18 ADVICE).
+    val runsJson: String = {
       def msj(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-      val runsJson = allRuns.map { case (r, errs) =>
+      allRuns.map { case (r, errs) =>
         val qpart = r.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${msj(v)}""" }
           .mkString(",")
         val epart =
@@ -216,9 +220,10 @@ object Bench {
             .map { case (k, v) => s""""_err_$k":${jq(v)}""" }.mkString(",", ",", "")
         s"{$qpart$epart}"
       }.mkString("[", ",", "]")
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
-        (runsJson + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
+      (runsJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
 
     // the per-family release above already ran after the last family, so
     // the post-battery probe measures the pipeline, not leftover storage
@@ -291,8 +296,15 @@ object Bench {
     // KEY ORDER IS LOAD-BEARING: the driver keeps only the tail of this
     // line, so boilerplate leads and value+queries close it; the complete
     // line also lands in BENCH_FULL.json.
+    // the invocation's archive directory name, stamped INTO the line so a
+    // committed BENCH_LINE/BENCH_FULL can always be traced back to its
+    // bench_archive/<stamp>/ sidecars (r18 verdict task: selection audit).
+    // Milliseconds, not seconds — two invocations finishing in the same
+    // second must not silently overwrite each other's archive (r18 ADVICE).
+    val archiveStamp = System.currentTimeMillis().toString
     def lineWith(queriesJson: String, unitJson: String = "\"sec\""): String =
-      s"""{"metric":"total","unit":"sec","errors":$errs,""" +
+      s"""{"metric":"total","unit":"sec","archive_stamp":"$archiveStamp",""" +
+      s""""errors":$errs,""" +
       latencyJson("cdc_lat5k", lat5k) + latencyJson("cdc_lat25k", lat25k) +
       s""""cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +
       s""""cdc_pipeline_events_per_sec_marginal":${ms(epsMarginal)},""" +
@@ -335,15 +347,15 @@ object Bench {
     // committed BENCH_FULL/BENCH_RUNS/BENCH_LINE sidecars. The archive
     // is a measurement log, not a round artifact — gitignored.
     try {
-      val stamp = (System.currentTimeMillis() / 1000L).toString
-      val archDir = java.nio.file.Paths.get("bench_archive", stamp)
+      val archDir = java.nio.file.Paths.get("bench_archive", archiveStamp)
       java.nio.file.Files.createDirectories(archDir)
       java.nio.file.Files.write(archDir.resolve("BENCH_FULL.json"),
         (lineWith(qs) + "\n").getBytes("UTF-8"))
-      val runs = java.nio.file.Paths.get("BENCH_RUNS.json")
-      if (java.nio.file.Files.exists(runs))
-        java.nio.file.Files.copy(runs, archDir.resolve("BENCH_RUNS.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // write the runs map directly — never copy the root file, which can
+      // be a STALE survivor of a prior invocation if this one's root
+      // write failed (r18 ADVICE)
+      java.nio.file.Files.write(archDir.resolve("BENCH_RUNS.json"),
+        (runsJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -1978,7 +1978,9 @@ object Similarity {
     * gating a corpus past 2048 vectors must raise this together with
     * re-timing — the ENGINE's serve keeps scaling to [[ServeHopsCap]]
     * regardless, which is the production behavior the r17 probe
-    * validated. */
+    * validated. ENFORCED since r19: the gated builders throw when the
+    * scaled budgets outgrow this unroll (see `gatedGraph`), so a larger
+    * gate fixture fails loudly at the formula, not as a hash mismatch. */
   private val MaxServeHops = 6
 
   /** Entry-point fan-out: the traversal starts from the
@@ -2971,16 +2973,54 @@ object Similarity {
        |ORDER BY h.nprobe""".stripMargin
   }
 
+  /** Oracle-gate parity guard (r18 ADVICE + r18 verdict task 6): the
+    * ss16–ss21 twins render the DEFAULT degree formula and statically
+    * unroll [[MaxServeHops]] hops at [[ServeEntries]] entry points, so a
+    * gated invocation must run exactly those defaults. The gated builders
+    * THROW on violation (the documented builder's-choice; silent ignore
+    * would hide a half-applied probe session) — fail loudly AT THE
+    * FORMULA, not as a downstream hash mismatch: a probe override left
+    * set on the dir, or a future gate fixture large enough that the
+    * corpus-scaled budgets outgrow the twin's static unroll, both surface
+    * here by name instead of as an inscrutable oracle diff. */
+  private def gatedGraph(name: String, serve: Boolean)(
+      f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      if (degreeCapOverrides.contains((spark, dir)))
+        throw new IllegalStateException(
+          s"$name is oracle-gated but a degree-cap override is set on " +
+          s"$dir — overrides are probe/deployment pinning only " +
+          "(clearDegreeCapOverride first, or serve via graphServeOver)")
+      if (serve) {
+        val n = corpusCount(spark, dir)
+        val (h, e) = (serveHopsOf(n), serveEntriesOf(n))
+        if (h > MaxServeHops || e != ServeEntries)
+          throw new IllegalStateException(
+            s"$name is oracle-gated but $dir has corpus n=$n, whose " +
+            s"corpus-scaled serve budgets (hops $h, entries $e) exceed " +
+            s"the twin's static unroll ($MaxServeHops hops, " +
+            s"$ServeEntries entries) — raise MaxServeHops/the entry " +
+            "unroll in the twin SQL and re-time the baseline")
+      }
+      f(spark, dir)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss24_ivf_sweep" -> ivfProbeSweep,
     "ss23_mrl_funnel" -> mrlFunnel,
     "ss22_mrl_recall" -> mrlRecallAudit,
-    "ss21_graph_serve_sq" -> graphServeSq,
-    "ss20_graph_serve_filtered" -> graphServeFiltered,
-    "ss19_serve_sweep" -> serveSweep,
-    "ss18_graph_diversify" -> graphDiversify,
-    "ss17_graph_serve" -> graphServe,
-    "ss16_knn_descent" -> knnGraphDescent,
+    "ss21_graph_serve_sq" -> gatedGraph("ss21_graph_serve_sq",
+      serve = true)(graphServeSq),
+    "ss20_graph_serve_filtered" -> gatedGraph("ss20_graph_serve_filtered",
+      serve = true)(graphServeFiltered),
+    "ss19_serve_sweep" -> gatedGraph("ss19_serve_sweep",
+      serve = true)(serveSweep),
+    "ss18_graph_diversify" -> gatedGraph("ss18_graph_diversify",
+      serve = false)(graphDiversify),
+    "ss17_graph_serve" -> gatedGraph("ss17_graph_serve",
+      serve = true)(graphServe),
+    "ss16_knn_descent" -> gatedGraph("ss16_knn_descent",
+      serve = false)(knnGraphDescent),
     "ss15_hard_negatives" -> hardNegativeMining,
     "ss14_cluster_quality" -> clusterQuality,
     "ss13_mips_augmented" -> mipsAugmented,

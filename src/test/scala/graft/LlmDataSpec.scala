@@ -3017,4 +3017,31 @@ class LlmDataSpec extends SparkSpec {
     assert(Similarity.serveHopsOf(1L << 20) == 12, "engine hop cap")
     assert(Similarity.serveEntriesOf(1L << 30) == 16, "entries cap = ivfK")
   }
+
+  test("gated-graph parity guard (r18 verdict task 6 + ADVICE): a " +
+      "degree-cap override left set on an oracle-gated dir makes the " +
+      "gated builder THROW at the formula instead of hash-mismatching " +
+      "downstream; the fixture corpora sit inside the twins' static " +
+      "serve unroll") {
+    import graft.llmdata.Similarity
+    val d = sf()
+    Similarity.setDegreeCapOverride(spark, d, 4)
+    try {
+      val e = intercept[IllegalStateException](
+        Similarity.queries("ss16_knn_descent")(spark, d))
+      assert(e.getMessage.contains("override"), e.getMessage)
+      val e2 = intercept[IllegalStateException](
+        Similarity.queries("ss17_graph_serve")(spark, d))
+      assert(e2.getMessage.contains("override"), e2.getMessage)
+    } finally Similarity.clearDegreeCapOverride(spark, d)
+    // the r18 ADVICE assertion: every dir the oracle gate (sf0.001/sf0.01
+    // at 490 corpus vectors, sf0.1 at 1990) can read satisfies
+    // hops ≤ 6 (the twin unroll) and entries == 2 at the DEFAULT
+    // formulas — the runtime guard above enforces the same contract for
+    // any future, larger gate fixture
+    for (n <- Seq(490L, 990L, 1990L)) {
+      assert(Similarity.serveHopsOf(n) <= 6, s"n=$n outgrew the twin unroll")
+      assert(Similarity.serveEntriesOf(n) == 2, s"n=$n entries formula moved")
+    }
+  }
 }

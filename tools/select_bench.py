@@ -64,6 +64,15 @@ def main():
     ap.add_argument("--sf", default="sf0.1",
                     help="scale-factor basename the committed artifact "
                          "must have measured (default sf0.1)")
+    ap.add_argument("--max-dist", type=float, default=0.10,
+                    help="refuse to promote when even the nearest probe is "
+                         "further than this fraction from the fingerprint "
+                         "(default 0.10 — the noise protocol's ~10%% "
+                         "comparability band)")
+    ap.add_argument("--force", action="store_true",
+                    help="promote past --max-dist anyway (records a "
+                         "probe-mismatched window; do not use for the "
+                         "committed round artifact)")
     args = ap.parse_args()
 
     archive = ROOT / "bench_archive"
@@ -94,6 +103,13 @@ def main():
               f"ratio={i['ratio']:.3f}, queries={i['n_queries']}, "
               f"errors={i['errors']}{mark}")
 
+    if args.apply and best_d > args.max_dist and not args.force:
+        sys.exit(f"REFUSED: nearest probe is {best_d*100:.1f}% from the "
+                 f"{args.fingerprint:.0f} ev/s fingerprint (> "
+                 f"{args.max_dist*100:.0f}%) — every archived window is "
+                 "probe-mismatched. Re-run graft.Bench in a quieter window "
+                 "(or pass --force to promote a mismatched one, which the "
+                 "round record must then disclose).")
     if args.apply:
         shutil.copy(pick["dir"] / "BENCH_FULL.json", ROOT / "BENCH_FULL.json")
         shutil.copy(pick["dir"] / "BENCH_FULL.json", ROOT / "BENCH_LINE.json")
