@@ -1,34 +1,47 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.llmdata.Similarity
+import graft.llmdata.{Dedup, Similarity}
 
-/** r16 verdict task 6: MEASURE (don't assert) that the graph-ANN serve's
-  * visited FRACTION falls with corpus size at the shipped operating
-  * point (beam 9, entries 2, 6 hops — the ss17/ss19 setting).
+/** r16 verdict task 6 (extended r17–r19): MEASURE (don't assert) that the
+  * graph-ANN serve's visited FRACTION falls with corpus size at the
+  * shipped corpus-scaled budgets, and that each budget formula's choice
+  * is the knee (one notch down leaves the recall band) rather than slack.
   *
   * Corpora: the real sf0.001 (490 corpus vectors) and sf0.1 (1990)
-  * embedding fixtures as-is, plus a 4990-vector expansion of sf0.1. The
-  * expansion keeps the fixture's 1990 corpus vectors and synthesizes the
-  * remainder as CONVEX MIXTURES of same-label vector pairs (partner =
-  * label-local rank shifted by the copy index; mix weight hash-derived
-  * in [0.35, 0.65]) — new points that lie ON the fixture's cluster
-  * manifold without being near-duplicates of any single vector.
+  * embedding fixtures as-is, plus expansions of sf0.1 at 4990 / 9990 /
+  * 19990 (r19 adds the fourth octave — the serveEntriesOf +2/octave
+  * slope was anchored by a single post-knee corpus). The expansion keeps
+  * the fixture's 1990 corpus vectors and synthesizes the remainder as
+  * CONVEX MIXTURES of same-label vector pairs (partner = label-local
+  * rank shifted by the copy index; mix weight hash-derived in
+  * [0.35, 0.65]) — new points that lie ON the fixture's cluster manifold
+  * without being near-duplicates of any single vector.
   * (Replicate-with-small-jitter was measured first and REJECTED: it
   * turns each query's exact top-3 into three near-identical copies of
   * one point — an adversarial geometry that confounds the scaling
   * question with a duplicate-clump pathology; recall@3 read 0.333 for
-  * that reason alone.) The 10 query vectors are the fixture's own,
-  * unchanged, so recall@3 is against each corpus's exact brute-force
-  * top-3.
+  * that reason alone.)
   *
-  * Output: one line per corpus size with recall@3, mean visited nodes,
-  * and visited fraction — the SCALING.md ss19 evidence row. The claim
-  * under test: mean_visited grows sublinearly in corpus size (beam-
-  * bounded frontier), so visited/corpus falls.
+  * QUERY FIXTURE (r18 verdict task 2): 10 fixture queries give recall@3
+  * granularity 1/30 = 0.033 — every knee adjudication rode 1–2 query
+  * deltas. The probe now serves 30 queries: the fixture's own 10 plus 20
+  * synthesized the same way the corpus expansion synthesizes points
+  * (convex blend of a fixture query with a same-label corpus vector,
+  * hash-chosen partner and weight) — in-distribution queries that are
+  * not near-duplicates of any single corpus point. Granularity 1/90 =
+  * 0.011. The CORPUS synthesis is unchanged, so rows stay comparable
+  * with the r17/r18 record; the 10-query real-graphServe rows are still
+  * printed as the bridge (config "DEFAULTS").
+  *
+  * Output: one JSON line per (corpus, setting) with recall@3, mean
+  * visited nodes, and visited fraction over the dir's ACTUAL corpus
+  * count (r18 ADVICE: the grid mode used to divide by the caller's n
+  * even when the dir was smaller) — the SCALING.md evidence rows.
   */
 object GraphServeScaleProbe {
 
@@ -51,13 +64,11 @@ object GraphServeScaleProbe {
     // No synthesis needed: the fixture already covers the target.
     require(copies >= 2,
       s"targetCorpus=$targetCorpus <= fixture corpus $baseN — use dir as-is")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("label")).orderBy(col("vec_id"))
+    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     val ranked = corpus
       .withColumn("r", row_number().over(w).cast(LongType) - 1)
       .withColumn("nl", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("label")))
-        .cast(LongType))
+        Window.partitionBy(col("label"))).cast(LongType))
     val a = ranked.select(col("label"), col("r"), col("nl"),
       col("vec_id"), col("embedding"))
     val b = ranked.select(col("label"), col("r").as("rb"),
@@ -91,41 +102,108 @@ object GraphServeScaleProbe {
     out
   }
 
-  /** Retune grid at an arbitrary operating point: serve over the built
-    * diversified graph at (beam, entries, hops), report recall@3 and
-    * mean visited. */
-  private def retune(spark: SparkSession, label: String, dir: String,
-                     n: Long, beam: Int, entries: Int, hops: Int): String = {
-    val edges = Similarity.graphDiversify(spark, dir)
-      .select(col("src_id"), col("neighbor_id"))
-    val served = Similarity.graphServeOver(spark, dir, edges,
-      beam = beam, hops = hops, entries = entries).collect()
+  /** The dir's ACTUAL corpus count (vec_id ≥ NumQueries) — every
+    * visited_frac divides by this, never by a caller-passed target
+    * (r18 ADVICE: grid mode reported fractions over the wrong n when the
+    * requested size fell back to a fixture). Cached per dir. */
+  private val corpusNs = scala.collection.mutable.Map.empty[String, Long]
+  private def corpusN(spark: SparkSession, dir: String): Long =
+    corpusNs.getOrElseUpdate(dir,
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") >= Similarity.NumQueries).count())
+
+  /** The ≥30-query probe fixture for `dir`: the fixture's own 10 queries
+    * (query_id 0–9, unchanged) plus `extra` synthesized ones (query_id
+    * 1000000+i — disjoint from every corpus vec_id): query i blends
+    * fixture query (i mod 10) with a hash-chosen same-label CORPUS
+    * vector of the BASE fixture at a hash-derived weight in
+    * [0.30, 0.70] — the corpus-expansion synthesis applied to queries,
+    * so the extra queries are in-distribution without duplicating any
+    * single point. Built from the BASE fixture dir, so the same 30
+    * queries probe every expansion of it (corpora are supersets). */
+  private def probeQueries(spark: SparkSession, dir: String,
+                           extra: Int): DataFrame = {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nq = Similarity.NumQueries
+    val q0 = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").cast(LongType).as("query_id"),
+        Dedup.vecD(col("embedding")).as("q"), col("label"))
+    val w = Window.partitionBy(col("lbl")).orderBy(col("vec_id"))
+    val partners = base.filter(col("vec_id") >= nq)
+      .select(col("label").as("lbl"), col("vec_id"),
+        Dedup.vecD(col("embedding")).as("pv"))
+      .withColumn("r", row_number().over(w).cast(LongType) - 1)
+      .withColumn("nl", count(lit(1)).over(
+        Window.partitionBy(col("lbl"))).cast(LongType))
+    val ids = spark.range(extra).select(
+      (lit(1000000L) + col("id")).as("query_id"),
+      (col("id") % nq).cast(LongType).as("qb"),
+      pmod(col("id") * lit(JitterHash) + lit(17L), lit(999983L)).as("pr"),
+      (lit(0.30) + pmod(col("id") * lit(7919L), lit(41L)).cast("double")
+        / lit(100.0)).as("mw"))
+    val blended = ids
+      .join(q0.select(col("query_id").as("qb"), col("q").as("bq"),
+        col("label").as("lbl")), "qb")
+      .join(partners, Seq("lbl"))
+      .filter(pmod(col("pr"), col("nl")) === col("r"))
+      .select(col("query_id"),
+        zip_with(col("bq"), col("pv"),
+          (x, y) => x * col("mw") + y * (lit(1.0) - col("mw"))).as("q"))
+    q0.select(col("query_id"), col("q"))
+      .union(blended)
+      .localCheckpoint()
+  }
+
+  /** One measured row: serve the query frame over dir's DEFAULT-built
+    * cached adjacency at (beam, entries, hops) via the shared serveWalk,
+    * audit against the frame's exact brute-force top-3. */
+  private def evalRow(spark: SparkSession, label: String, dir: String,
+                      q: DataFrame, beam: Int, entries: Int, hops: Int,
+                      config: String): String = {
+    val n = corpusN(spark, dir)
+    val served = Similarity.serveProbeEval(spark, dir, q, beam, entries,
+      hops).collect()
+    val nQ = served.map(_.getAs[Long]("query_id")).distinct.length
     val hits = served.count(_.getAs[Boolean]("in_exact"))
     val visited = served.map(r =>
       r.getAs[Long]("query_id") -> r.getAs[Long]("visited_count"))
       .distinct.map(_._2.toDouble)
     val mv = visited.sum / visited.length
-    f"""{"corpus":"$label","n":$n,"beam":$beam,"entries":$entries,""" +
-      f""""hops":$hops,"recall3":${hits / 30.0}%.3f,""" +
+    f"""{"corpus":"$label","n":$n,"config":"$config","queries":$nQ,""" +
+      f""""beam":$beam,"entries":$entries,"hops":$hops,""" +
+      f""""recall3":${hits.toDouble / (nQ * 3)}%.3f,""" +
       f""""mean_visited":$mv%.1f,"visited_frac":${mv / n}%.4f}"""
   }
 
-  /** The engine's DEFAULT serve at a dir — no degree-cap override, no
-    * explicit budgets: build degree, beam, and hop depth all come from
-    * the shipped formulas ([[Similarity.degreeOf]] / serveBeamOf /
-    * serveHopsOf). This is the row the r17 verdict asked for: what a
-    * user who just calls graphServe on this corpus actually gets. */
-  private def defaults(spark: SparkSession, label: String, dir: String,
-                       n: Long): String = {
+  /** The engine's DEFAULT serve at a dir — the REAL `graphServe` path, no
+    * override, no explicit budgets, the fixture's own 10 queries: what a
+    * user who just calls graphServe on this corpus actually gets. Kept as
+    * the bridge row to the r17/r18 record; the 30-query row at the same
+    * budgets (config "DEFAULTS@30q") is the sharp instrument. */
+  private def defaults(spark: SparkSession, label: String,
+                       dir: String): String = {
+    val n = corpusN(spark, dir)
     val served = Similarity.graphServe(spark, dir).collect()
     val hits = served.count(_.getAs[Boolean]("in_exact"))
     val visited = served.map(r =>
       r.getAs[Long]("query_id") -> r.getAs[Long]("visited_count"))
       .distinct.map(_._2.toDouble)
     val mv = visited.sum / visited.length
-    f"""{"corpus":"$label","n":$n,"config":"DEFAULTS",""" +
+    f"""{"corpus":"$label","n":$n,"config":"DEFAULTS","queries":10,""" +
       f""""recall3":${hits / 30.0}%.3f,"mean_visited":$mv%.1f,""" +
       f""""visited_frac":${mv / n}%.4f}"""
+  }
+
+  /** The formula budgets the default serve path computes for this dir —
+    * entries via the dir's EFFECTIVE codebook size (so an --ivfk pin
+    * reproduces the pinned-codebook compensator, exactly like the
+    * engine's own serve). */
+  private def defaultsRow30(spark: SparkSession, label: String, dir: String,
+                            q: DataFrame): String = {
+    val n = corpusN(spark, dir)
+    evalRow(spark, label, dir, q, Similarity.serveBeamOf(n),
+      Similarity.serveEntriesOf(n, Similarity.ivfK(spark, dir)),
+      Similarity.serveHopsOf(n), "DEFAULTS@30q")
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,46 +213,66 @@ object GraphServeScaleProbe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // ad-hoc grid mode: each arg is "n:beam:entries:hops" — retune rows
-    // only, over the expanded corpus for n (or the fixture when n fits)
-    if (args.nonEmpty) {
+    // optional ivfK pin for A/B rows (r19: the scaled-codebook lever) —
+    // "--ivfk=N" pins spark.graft.ivf.k for the whole run
+    val (ivfkArgs, gridArgs) = args.partition(_.startsWith("--ivfk="))
+    ivfkArgs.lastOption.foreach { a =>
+      spark.conf.set("spark.graft.ivf.k", a.stripPrefix("--ivfk="))
+      println(s"""{"note":"ivfK pinned","k":${a.stripPrefix("--ivfk=")}}""")
+    }
+    val q30base = probeQueries(spark, "/root/testdata/sf0.1", 20)
+    // ad-hoc grid mode: each arg is "n:beam:entries:hops" — evalRow rows
+    // only, over the expanded corpus for n (or the fixture when n fits);
+    // n on the row is the dir's ACTUAL corpus count, not the request
+    if (gridArgs.nonEmpty) {
       // expand each target corpus ONCE per run: re-writing the parquet
       // under a dir the session has cached plans against yanks part
       // files out from under the uncheckpointed readers (the audit-tier
       // exact join reads the corpus live)
       val dirs = scala.collection.mutable.Map.empty[Int, String]
-      args.foreach { a =>
+      gridArgs.foreach { a =>
         val Array(n, beam, entries, hops) = a.split(":").map(_.toInt)
         val d = dirs.getOrElseUpdate(n,
           if (n <= 1990) "/root/testdata/sf0.1"
           else expandedDir(spark, "/root/testdata/sf0.1", n))
-        println(retune(spark, s"n$n", d, n.toLong, beam, entries, hops))
+        println(evalRow(spark, s"req$n", d, q30base, beam, entries, hops,
+          "GRID"))
       }
       Similarity.clearExemplars(spark)
       spark.stop()
       return
     }
-    // r18: the scaled formulas (degree 2·log2 n cap 64; hops slope −4
-    // below the 2048 knee, −2 above, cap 12; entries +2/octave past
-    // 8192; beam 9) are the DEFAULTS — measure what graphServe serves
-    // with NO override at each corpus size, then bracket each formula's
-    // choice at the expanded corpora: one budget notch down must leave
-    // the recall band, confirming the default is the knee and not slack
-    println(defaults(spark, "sf0.001", "/root/testdata/sf0.001", 490L))
-    println(defaults(spark, "sf0.1", "/root/testdata/sf0.1", 1990L))
+    // Part A — the DEFAULT path at every corpus size, both instruments:
+    // the real graphServe (10 fixture queries — the r17/r18 bridge) and
+    // the 30-query frame at the same formula budgets
+    val q30small = probeQueries(spark, "/root/testdata/sf0.001", 20)
+    println(defaults(spark, "sf0.001", "/root/testdata/sf0.001"))
+    println(defaultsRow30(spark, "sf0.001", "/root/testdata/sf0.001", q30small))
+    println(defaults(spark, "sf0.1", "/root/testdata/sf0.1"))
+    println(defaultsRow30(spark, "sf0.1", "/root/testdata/sf0.1", q30base))
+    // Part B — 4990: the r18 hop-knee bracket re-measured at 0.011
+    // granularity (formula: degree 24, (9, 2, 10))
     val big = expandedDir(spark, "/root/testdata/sf0.1", 4990)
-    println(defaults(spark, "sf0.1x2.5", big, 4990L)) // = (9, 2, 10)
-    // hop bracket at the default build (degree 24) around scaled 10
-    for ((beam, entries, hops) <- Seq((9, 2, 6), (9, 2, 8), (9, 2, 12)))
-      println(retune(spark, "sf0.1x2.5", big, 4990L, beam, entries, hops))
-    // one more octave (r17 verdict task 5): ~10k vectors, same convex-
-    // mixture synthesis; defaults = degree 26, (9, 4, 11)
+    println(defaults(spark, "sf0.1x2.5", big))
+    println(defaultsRow30(spark, "sf0.1x2.5", big, q30base))
+    for (hops <- Seq(6, 8, 12))
+      println(evalRow(spark, "sf0.1x2.5", big, q30base, 9, 2, hops, "GRID"))
+    // Part C — 9990: the r18 entries ladder re-measured (formula:
+    // degree 26, (9, 4, 11) at the gate-pinned 16-medoid codebook)
     val huge = expandedDir(spark, "/root/testdata/sf0.1", 9990)
-    println(defaults(spark, "sf0.1x5", huge, 9990L))
-    // the entries ladder at the scaled depth — the fixed 16-medoid
-    // codebook dilution evidence (2 → 0.600, 3 → 0.700, 4 → band)
-    for ((beam, entries, hops) <- Seq((9, 2, 11), (9, 3, 11), (9, 2, 13)))
-      println(retune(spark, "sf0.1x5", huge, 9990L, beam, entries, hops))
+    println(defaults(spark, "sf0.1x5", huge))
+    println(defaultsRow30(spark, "sf0.1x5", huge, q30base))
+    for (entries <- Seq(2, 3, 5))
+      println(evalRow(spark, "sf0.1x5", huge, q30base, 9, entries, 11, "GRID"))
+    // Part D (r18 verdict task 1) — 19990: one more octave for the
+    // serveEntriesOf +2/octave slope (formula predicts degree 28,
+    // (9, 6, 12) at the pinned codebook); the entries ladder 4/5/6/8
+    // shows whether 6 is the knee
+    val huge2 = expandedDir(spark, "/root/testdata/sf0.1", 19990)
+    println(defaults(spark, "sf0.1x10", huge2))
+    println(defaultsRow30(spark, "sf0.1x10", huge2, q30base))
+    for (entries <- Seq(2, 4, 5, 8))
+      println(evalRow(spark, "sf0.1x10", huge2, q30base, 9, entries, 12, "GRID"))
     Similarity.clearExemplars(spark)
     spark.stop()
   }

@@ -187,17 +187,42 @@ object Similarity {
 
   // --------------------------------------------------- IVF coarse quantizer
 
-  /** Codebook size — the number of coarse cells (and of sub-centroids per
-    * PQ subspace). THE scale knob of the whole ANN/semantic-dedup family:
-    * per-cell candidate volume is Σ|cell|², so k must grow with the corpus
-    * (FAISS rule of thumb: k ≈ √n at index-build time). Overridable per
-    * session via `spark.graft.ivf.k`; the DuckDB oracles pin the default,
-    * so CORRECTNESS runs at [[DefaultIvfK]] while a library user sizes k
-    * to the corpus. Deliberately ≠ the fixture's label count (10) so the
-    * quantizer is proven label-free. */
+  /** Codebook FLOOR — the number of coarse cells (and of sub-centroids
+    * per PQ subspace) at and below the gate corpora. THE scale knob of
+    * the whole ANN/semantic-dedup family: per-cell candidate volume is
+    * Σ|cell|², so k must grow with the corpus — see [[ivfKOf]], the
+    * corpus-scaled default since r19. Deliberately ≠ the fixture's label
+    * count (10) so the quantizer is proven label-free. */
   private[llmdata] val DefaultIvfK = 16
 
-  private def ivfK(spark: SparkSession): Int = {
+  /** CORPUS-SCALED codebook size: k(n) = max(16, ⌊√(n ÷ 8)⌋) — the FAISS
+    * √n index-sizing rule, anchored so the knee lands at n = 2048
+    * (⌊√256⌋ = 16), the SAME knee [[serveHopsOf]] measured: gate corpora
+    * (490 and 1990 corpus vectors) and every smaller dir train the
+    * r12–r18 codebook bit-identically, and k grows as √n past it (24 at
+    * the probe's 4990, 35 at 9990, 49 at 19990). WHY √n: SCALING part 3
+    * measured the cost of NOT scaling — with k pinned at 16 each medoid
+    * covers n/16 vectors, per-entry quality dilutes, and the graph
+    * serve's entry budget had to grow +2/octave to compensate
+    * ([[serveEntriesOf]]); √n holds per-cell occupancy at √(8n) so both
+    * the IVF candidate volume (n/k · nprobe per query = √(8n) · nprobe)
+    * and the codebook scan (k per query) grow as √n — the balance point
+    * that minimizes their sum. Integer-exact across engines: n ÷ 8 is
+    * BIGINT division and √ is the one float op that IEEE 754 requires
+    * CORRECTLY ROUNDED (unlike log2, which is why [[degreeOf]] uses bit
+    * length instead), so JVM `math.sqrt` and DuckDB `sqrt` agree on every
+    * integer-valued double and the floor is the same BIGINT on both
+    * sides. The twins interpolate this same formula
+    * ([[ivfKSelectSql]]), so engine and oracle cannot drift.
+    *
+    * `spark.graft.ivf.k` still PINS a session-wide k (deployment /
+    * probe A-B), overriding the formula — the oracles render the
+    * formula, so a pin left set on a gated dir is a parity break the
+    * gate catches (same contract as [[setDegreeCapOverride]]). */
+  private[graft] def ivfKOf(n: Long): Int =
+    math.max(DefaultIvfK, math.sqrt((n / 8).toDouble).toInt)
+
+  private[graft] def ivfK(spark: SparkSession, dir: String): Int = {
     val key = "spark.graft.ivf.k"
     spark.conf.getOption(key).map { s =>
       val k = try s.toInt catch {
@@ -206,8 +231,17 @@ object Similarity {
       }
       require(k >= 1, s"$key must be >= 1, got $k")
       k
-    }.getOrElse(DefaultIvfK)
+    }.getOrElse(ivfKOf(corpusCount(spark, dir)))
   }
+
+  /** The twin's rendering of [[ivfKOf]] as a scalar subquery over the
+    * standard `e(vec_id, v)` embeddings CTE (corpus rows only — the
+    * handful of query rows is excluded from n exactly as
+    * [[corpusCount]] excludes them). */
+  private def ivfKScalarSql: String =
+    s"""(SELECT greatest($DefaultIvfK,
+       |          CAST(floor(sqrt(CAST(count(*) // 8 AS DOUBLE))) AS BIGINT))
+       |        FROM e WHERE vec_id >= $NumQueries)""".stripMargin
 
   /** How many coarse cells a QUERY probes in ss3 (corpus vectors are still
     * single-assigned — the index stays one-cell-per-vector). Multiprobe is
@@ -253,16 +287,23 @@ object Similarity {
         Dedup.vecD(col("embedding")).as("cv"),
         md5(concat(lit("seed:"), col("vec_id").cast(StringType))).as("h"))
       .orderBy(col("h"), col("cell"))
-      .limit(ivfK(spark))
+      .limit(ivfK(spark, dir))
       .select(col("cell"), col("cv"))
   }
 
-  /** The exemplar SELECT — the DuckDB rendering of [[exemplarsOf]] at the
-    * default k (assumes a CTE `e(vec_id, v)` over `embeddings`). */
+  /** The exemplar SELECT — the DuckDB rendering of [[exemplarsOf]]
+    * (assumes a CTE `e(vec_id, v)` over `embeddings`). Since r19 the
+    * LIMIT is the corpus-scaled [[ivfKOf]] rendered as a scalar subquery
+    * (rank ≤ k over the same hash order), so the twin trains the same
+    * codebook as the engine at EVERY corpus size — gate corpora sit
+    * below the 2048 knee and keep the historical 16 rows. */
   private[llmdata] val exemplarSelectSql: String =
-    s"""SELECT vec_id AS cell, v AS cv FROM e
-       |       ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id
-       |       LIMIT $DefaultIvfK""".stripMargin
+    s"""SELECT cell, cv FROM (
+       |         SELECT vec_id AS cell, v AS cv,
+       |           ROW_NUMBER() OVER (ORDER BY
+       |             md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) AS krn
+       |         FROM e) kx
+       |       WHERE krn <= $ivfKScalarSql""".stripMargin
 
   /** The shared `ex` CTE form of [[exemplarSelectSql]]. Referenced by
     * every oracle in the IVF family (ss3/ss5 here — ss6 wraps the SELECT
@@ -638,8 +679,12 @@ object Similarity {
 
   /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqSubDim]];
     * the per-subspace codebook is the hash-sampled IVF exemplar set's
-    * sub-vectors ([[DefaultIvfK]] entries per subspace — deterministic,
-    * shared training with ss3/dd9). */
+    * sub-vectors ([[DefaultIvfK]] entries per subspace at the gate
+    * corpora; tracks [[ivfKOf]] past the 2048 knee — a larger corpus
+    * gets finer sub-codebooks, the same trade FAISS makes by raising
+    * nbits, and both engines derive it from the shared exemplar CTE so
+    * parity holds at any size — deterministic, shared training with
+    * ss3/dd9). */
   private val PqM = 4
   private val PqSubDim = 16
   /** ADC shortlist size per query; the shortlist is exact-rescored and the
@@ -1943,25 +1988,35 @@ object Similarity {
     math.min(ServeHopsCap, math.max(2, lg - (if (n < 2048L) 4 else 2)))
   }
 
-  /** Entry-point budget scales +2 per octave past n = 8192:
-    * max([[ServeEntries]], 2·(⌊log2 n⌋ − 11)), capped at the codebook
-    * size — 2 everywhere the oracle gate runs (and at the 4990 probe
-    * corpus, where 2 entries serve 0.767), 4 at 9990. WHY entries must
-    * grow at all on a flat graph: the entry candidates are the
-    * [[exemplarsOf]] IVF medoids, and the correctness battery pins that
-    * codebook at k = 16 cells regardless of corpus size — so each
-    * medoid covers n/16 vectors and entry QUALITY degrades as the
-    * corpus grows. HNSW pays this cost with its layer hierarchy (one
-    * entry descended through ~log n layers); a flat graph pays with
-    * ~log n entry points. Measured at 9990 with hops fixed at the
-    * scaled 11: entries 2 → recall 0.600, entries 3 → 0.700, entries 4
-    * → 0.767 (the band) at 10.0% visited. A production deployment that
-    * sizes ivfK ∝ √n (the FAISS rule) restores per-entry quality and
-    * can hold entries at 2 — this formula is the compensator at the
-    * gate-pinned codebook. */
+  /** Entry-point budget as a function of corpus size AND codebook size:
+    * max([[ServeEntries]], 2·(⌊log2(n ÷ k)⌋ − 7)), capped at k. The
+    * driver is PER-ENTRY COVERAGE n/k: the entry candidates are the
+    * [[exemplarsOf]] IVF medoids, so each medoid covers n/k vectors and
+    * entry QUALITY degrades as that coverage grows — the walk needs +2
+    * entry points per coverage octave past 512 (n = 8192 at k = 16,
+    * where r18 measured the ladder: entries 2 → recall 0.600, 3 →
+    * 0.700, 4 → 0.767 (the band) at 10.0% visited on the 9990 corpus).
+    * HNSW pays this cost with its layer hierarchy (one entry descended
+    * through ~log n layers); a flat graph pays with ~log coverage entry
+    * points. At k = 16 this is EXACTLY r18's ⌊log2 n⌋ − 11 form
+    * (⌊log2(n ÷ 16)⌋ = ⌊log2 n⌋ − 4 for every n ≥ 16), preserving the
+    * measured compensator for deployments that PIN the codebook; at the
+    * r19 corpus-scaled [[ivfKOf]] default the coverage grows only as
+    * √(8n), so entries stay 2 until n ≈ 2²³ — restoring per-entry
+    * quality via codebook size instead of entry count, the cheaper side
+    * of the trade (k extra scan rows per query vs a whole extra walk
+    * frontier). The 1-arg overload evaluates at the formula default;
+    * the serve path itself passes the dir's EFFECTIVE k so a session
+    * pin gets the matching compensator. */
   private[graft] def serveEntriesOf(n: Long): Int =
-    math.min(DefaultIvfK, math.max(ServeEntries,
-      2 * ((63 - java.lang.Long.numberOfLeadingZeros(n)) - 11)))
+    serveEntriesOf(n, ivfKOf(n))
+
+  private[graft] def serveEntriesOf(n: Long, k: Int): Int = {
+    val coverage = n / math.max(1, k)
+    if (coverage < 1) ServeEntries
+    else math.min(k, math.max(ServeEntries,
+      2 * ((63 - java.lang.Long.numberOfLeadingZeros(coverage)) - 7)))
+  }
 
   /** Engine-side hop-budget safety cap (binds only past n = 2^16
     * vectors; a deployment at 1e8+ vectors raises it with the twin
@@ -2071,8 +2126,8 @@ object Similarity {
 
   private def standardVisited(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(spark, dir)
-    serveStates(spark, dir, serveBeamOf(n), serveEntriesOf(n))(
-      serveHops(spark, dir) - 1)
+    serveStates(spark, dir, serveBeamOf(n),
+      serveEntriesOf(n, ivfK(spark, dir)))(serveHops(spark, dir) - 1)
   }
 
   private def serveHops(spark: SparkSession, dir: String): Int =
@@ -2134,7 +2189,7 @@ object Similarity {
       undirected(current.select(col("src_id"), col("neighbor_id")))
         .localCheckpoint(),
       serveBeamOf(corpusCount(spark, dir)), serveHops(spark, dir),
-      serveEntriesOf(corpusCount(spark, dir)))
+      serveEntriesOf(corpusCount(spark, dir), ivfK(spark, dir)))
   }
 
   /** One bounded traversal at (beam, entries) to `hops` depth, returning
@@ -2237,6 +2292,46 @@ object Similarity {
         col("cos_sim"), coalesce(col("hit"), lit(false)).as("in_exact"),
         col("visited_count"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PROBE-ONLY serve evaluation over an ARBITRARY query frame
+    * `(query_id, q)` — the instrument behind `graft.GraphServeScaleProbe`'s
+    * ≥30-query fixture (r18 verdict task 2: the 10 fixture queries give
+    * recall@3 granularity 0.033, too coarse to adjudicate one-notch knee
+    * brackets). Walks the SAME cached default adjacency and the SAME
+    * [[serveWalk]] the gated ss17 path walks (queries are independent in
+    * the walk — per-query frontiers — so serving 30 queries in one
+    * traversal is exactly 3× the gated serve, not a different algorithm),
+    * then audits against the exact brute-force top-[[AnnTopK]] of the
+    * SAME query frame. Returns one row per served neighbor:
+    * (query_id, neighbor_id, in_exact, visited_count). */
+  private[graft] def serveProbeEval(spark: SparkSession, dir: String,
+                                    q: DataFrame, beam: Int, entries: Int,
+                                    hops: Int): DataFrame = {
+    val qq = q.localCheckpoint()
+    val visited = serveVisitedByHopFrames(corpus(spark, dir), qq,
+      exemplarsOf(spark, dir).filter(col("cell") >= NumQueries),
+      serveAdjacency(spark, dir), beam, entries, hops).last
+    val vis = visited.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("visited_count"))
+    val top = visited.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("score"), col("node_id"), AnnTopK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+    val exW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("neighbor_id"))
+    val exact = corpus(spark, dir).crossJoin(broadcast(qq))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(col("q"), col("v")).as("s"))
+      .withColumn("rn", row_number().over(exW))
+      .filter(col("rn") <= AnnTopK)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    top.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .join(vis, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        coalesce(col("hit"), lit(false)).as("in_exact"),
+        col("visited_count"))
   }
 
   /** Shared serve-twin CTEs: the diversified adjacency (embedding the
@@ -2900,9 +2995,19 @@ object Similarity {
     val levelsArr = array(IvfSweepProbes.map(p => lit(p.toLong)): _*)
     val tagged = cand.select(col("query_id"), col("neighbor_id"), col("cos_sim"),
       explode(filter(levelsArr, l => l >= col("prank"))).as("nprobe"))
-    val top3 = tagged.groupBy(col("nprobe"), col("query_id"))
+    // ONE grouped pass computes BOTH the per-(level, query) top-3 and the
+    // per-(level, query) candidate count, pinned tiny (|levels|·|queries|
+    // rows) so the hits and volume branches below read it instead of
+    // re-executing the candidate scan — r18's plan paid the corpus
+    // candidate pass twice (top3 + vols were separate consumers of
+    // `tagged`) plus a third corpus scan just for corpus_n, which the
+    // session-cached metadata count already knows (r18 verdict task 4)
+    val g1 = tagged.groupBy(col("nprobe"), col("query_id"))
       .agg(graft.functions.TopKByScore.topK(
-        col("cos_sim"), col("neighbor_id"), AnnTopK).as("top"))
+        col("cos_sim"), col("neighbor_id"), AnnTopK).as("top"),
+        count(lit(1)).as("ncand"))
+      .localCheckpoint()
+    val top3 = g1
       .select(col("nprobe"), col("query_id"), explode(col("top")).as("e"))
       .select(col("nprobe"), col("query_id"), col("e.id").as("neighbor_id"))
     // exact is NumQueries*k rows and vols is |levels| rows — bounded by
@@ -2910,16 +3015,15 @@ object Similarity {
     val hits = top3.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("nprobe"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits3"))
-    val vols = tagged.groupBy(col("nprobe"))
-      .agg(count(lit(1)).as("n_candidates"))
-    val corpusN = corpus(spark, dir)
-      .agg(count(lit(1)).cast(DoubleType).as("corpus_n"))
-    hits.join(broadcast(vols), "nprobe").crossJoin(broadcast(corpusN))
+    val vols = g1.groupBy(col("nprobe"))
+      .agg(sum(col("ncand")).as("n_candidates"))
+    val corpusN = corpusCount(spark, dir).toDouble
+    hits.join(broadcast(vols), "nprobe")
       .select(col("nprobe"), col("n_candidates"), col("hits3"),
         (col("hits3").cast(DoubleType) /
           lit((NumQueries * AnnTopK).toDouble)).as("recall3"),
         (col("n_candidates").cast(DoubleType) /
-          (lit(NumQueries.toDouble) * col("corpus_n"))).as("visited_share"),
+          lit(NumQueries.toDouble * corpusN)).as("visited_share"),
         (col("nprobe") === lit(DefaultIvfProbes.toLong)).as("is_configured"))
       .orderBy(col("nprobe"))
   }
