@@ -194,16 +194,14 @@ object GraphServeScaleProbe {
       f""""visited_frac":${mv / n}%.4f}"""
   }
 
-  /** The formula budgets the default serve path computes for this dir —
-    * entries via the dir's EFFECTIVE codebook size (so an --ivfk pin
-    * reproduces the pinned-codebook compensator, exactly like the
-    * engine's own serve). */
+  /** The formula budgets the default serve path computes for n — what
+    * "DEFAULTS@30q" serves at. */
   private def defaultsRow30(spark: SparkSession, label: String, dir: String,
                             q: DataFrame): String = {
     val n = corpusN(spark, dir)
     evalRow(spark, label, dir, q, Similarity.serveBeamOf(n),
-      Similarity.serveEntriesOf(n, Similarity.ivfK(spark, dir)),
-      Similarity.serveHopsOf(n), "DEFAULTS@30q")
+      Similarity.serveEntriesOf(n), Similarity.serveHopsOf(n),
+      "DEFAULTS@30q")
   }
 
   def main(args: Array[String]): Unit = {
@@ -265,9 +263,9 @@ object GraphServeScaleProbe {
     for (entries <- Seq(2, 3, 5))
       println(evalRow(spark, "sf0.1x5", huge, q30base, 9, entries, 11, "GRID"))
     // Part D (r18 verdict task 1) — 19990: one more octave for the
-    // serveEntriesOf +2/octave slope (formula predicts degree 28,
-    // (9, 6, 12) at the pinned codebook); the entries ladder 4/5/6/8
-    // shows whether 6 is the knee
+    // entries question (r18's +2/octave slope predicted 6 here; the
+    // measured ladder read FLAT and the default is now the constant 2 —
+    // see serveEntriesOf); the ladder rows are the evidence
     val huge2 = expandedDir(spark, "/root/testdata/sf0.1", 19990)
     println(defaults(spark, "sf0.1x10", huge2))
     println(defaultsRow30(spark, "sf0.1x10", huge2, q30base))

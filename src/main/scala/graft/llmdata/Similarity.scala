@@ -187,42 +187,35 @@ object Similarity {
 
   // --------------------------------------------------- IVF coarse quantizer
 
-  /** Codebook FLOOR — the number of coarse cells (and of sub-centroids
-    * per PQ subspace) at and below the gate corpora. THE scale knob of
-    * the whole ANN/semantic-dedup family: per-cell candidate volume is
-    * Σ|cell|², so k must grow with the corpus — see [[ivfKOf]], the
-    * corpus-scaled default since r19. Deliberately ≠ the fixture's label
-    * count (10) so the quantizer is proven label-free. */
+  /** Codebook size — the number of coarse cells (and of sub-centroids
+    * per PQ subspace). Overridable per session via `spark.graft.ivf.k`;
+    * the DuckDB oracles pin the default, so CORRECTNESS runs at
+    * [[DefaultIvfK]] while a library user sizes k to the corpus.
+    * Deliberately ≠ the fixture's label count (10) so the quantizer is
+    * proven label-free.
+    *
+    * WHY k does NOT auto-scale with the corpus (r19, measured): the
+    * FAISS √n sizing rule (k = max(16, ⌊√(n ÷ 8)⌋), knee at n = 2048,
+    * twin-rendered as a scalar subquery — sqrt is the one float op IEEE
+    * 754 requires correctly rounded, so both engines agree exactly) was
+    * implemented, gated 208/208 green, and then REJECTED BY MEASUREMENT:
+    * this codebook also SEEDS the NN-descent graph build
+    * ([[corpusSeedGraph]] draws each node's seed candidates cell-
+    * locally), and a √n codebook makes the seeds hyper-local — at the
+    * probe's 19990-vector corpus the k = 49 build served recall@3 0.533
+    * vs 0.767 for the k = 16 build at identical (beam 9, entries 2,
+    * hops 12), 0.622 vs 0.744 at 9990 (30-query fixture, granularity
+    * 0.011); an entries-4 retry recovered only ~0.03, so the loss is
+    * build navigability, not entry quality. One codebook serves two
+    * masters here, and the graph tier is the one the serve path walks.
+    * The measured-future path for the IVF tier at deployment scale is
+    * an ss24-style tuning curve at the target corpus with k AND nprobe
+    * co-scaled (FAISS scales both), served through the session pin —
+    * not a unilateral k default the build pays for. Evidence:
+    * SCALING.md "Graph-serve corpus-scale probe" part 5. */
   private[llmdata] val DefaultIvfK = 16
 
-  /** CORPUS-SCALED codebook size: k(n) = max(16, ⌊√(n ÷ 8)⌋) — the FAISS
-    * √n index-sizing rule, anchored so the knee lands at n = 2048
-    * (⌊√256⌋ = 16), the SAME knee [[serveHopsOf]] measured: gate corpora
-    * (490 and 1990 corpus vectors) and every smaller dir train the
-    * r12–r18 codebook bit-identically, and k grows as √n past it (24 at
-    * the probe's 4990, 35 at 9990, 49 at 19990). WHY √n: SCALING part 3
-    * measured the cost of NOT scaling — with k pinned at 16 each medoid
-    * covers n/16 vectors, per-entry quality dilutes, and the graph
-    * serve's entry budget had to grow +2/octave to compensate
-    * ([[serveEntriesOf]]); √n holds per-cell occupancy at √(8n) so both
-    * the IVF candidate volume (n/k · nprobe per query = √(8n) · nprobe)
-    * and the codebook scan (k per query) grow as √n — the balance point
-    * that minimizes their sum. Integer-exact across engines: n ÷ 8 is
-    * BIGINT division and √ is the one float op that IEEE 754 requires
-    * CORRECTLY ROUNDED (unlike log2, which is why [[degreeOf]] uses bit
-    * length instead), so JVM `math.sqrt` and DuckDB `sqrt` agree on every
-    * integer-valued double and the floor is the same BIGINT on both
-    * sides. The twins interpolate this same formula
-    * ([[ivfKSelectSql]]), so engine and oracle cannot drift.
-    *
-    * `spark.graft.ivf.k` still PINS a session-wide k (deployment /
-    * probe A-B), overriding the formula — the oracles render the
-    * formula, so a pin left set on a gated dir is a parity break the
-    * gate catches (same contract as [[setDegreeCapOverride]]). */
-  private[graft] def ivfKOf(n: Long): Int =
-    math.max(DefaultIvfK, math.sqrt((n / 8).toDouble).toInt)
-
-  private[graft] def ivfK(spark: SparkSession, dir: String): Int = {
+  private[graft] def ivfK(spark: SparkSession): Int = {
     val key = "spark.graft.ivf.k"
     spark.conf.getOption(key).map { s =>
       val k = try s.toInt catch {
@@ -231,17 +224,8 @@ object Similarity {
       }
       require(k >= 1, s"$key must be >= 1, got $k")
       k
-    }.getOrElse(ivfKOf(corpusCount(spark, dir)))
+    }.getOrElse(DefaultIvfK)
   }
-
-  /** The twin's rendering of [[ivfKOf]] as a scalar subquery over the
-    * standard `e(vec_id, v)` embeddings CTE (corpus rows only — the
-    * handful of query rows is excluded from n exactly as
-    * [[corpusCount]] excludes them). */
-  private def ivfKScalarSql: String =
-    s"""(SELECT greatest($DefaultIvfK,
-       |          CAST(floor(sqrt(CAST(count(*) // 8 AS DOUBLE))) AS BIGINT))
-       |        FROM e WHERE vec_id >= $NumQueries)""".stripMargin
 
   /** How many coarse cells a QUERY probes in ss3 (corpus vectors are still
     * single-assigned — the index stays one-cell-per-vector). Multiprobe is
@@ -287,23 +271,16 @@ object Similarity {
         Dedup.vecD(col("embedding")).as("cv"),
         md5(concat(lit("seed:"), col("vec_id").cast(StringType))).as("h"))
       .orderBy(col("h"), col("cell"))
-      .limit(ivfK(spark, dir))
+      .limit(ivfK(spark))
       .select(col("cell"), col("cv"))
   }
 
-  /** The exemplar SELECT — the DuckDB rendering of [[exemplarsOf]]
-    * (assumes a CTE `e(vec_id, v)` over `embeddings`). Since r19 the
-    * LIMIT is the corpus-scaled [[ivfKOf]] rendered as a scalar subquery
-    * (rank ≤ k over the same hash order), so the twin trains the same
-    * codebook as the engine at EVERY corpus size — gate corpora sit
-    * below the 2048 knee and keep the historical 16 rows. */
+  /** The exemplar SELECT — the DuckDB rendering of [[exemplarsOf]] at the
+    * default k (assumes a CTE `e(vec_id, v)` over `embeddings`). */
   private[llmdata] val exemplarSelectSql: String =
-    s"""SELECT cell, cv FROM (
-       |         SELECT vec_id AS cell, v AS cv,
-       |           ROW_NUMBER() OVER (ORDER BY
-       |             md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) AS krn
-       |         FROM e) kx
-       |       WHERE krn <= $ivfKScalarSql""".stripMargin
+    s"""SELECT vec_id AS cell, v AS cv FROM e
+       |       ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id
+       |       LIMIT $DefaultIvfK""".stripMargin
 
   /** The shared `ex` CTE form of [[exemplarSelectSql]]. Referenced by
     * every oracle in the IVF family (ss3/ss5 here — ss6 wraps the SELECT
@@ -679,12 +656,8 @@ object Similarity {
 
   /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqSubDim]];
     * the per-subspace codebook is the hash-sampled IVF exemplar set's
-    * sub-vectors ([[DefaultIvfK]] entries per subspace at the gate
-    * corpora; tracks [[ivfKOf]] past the 2048 knee — a larger corpus
-    * gets finer sub-codebooks, the same trade FAISS makes by raising
-    * nbits, and both engines derive it from the shared exemplar CTE so
-    * parity holds at any size — deterministic, shared training with
-    * ss3/dd9). */
+    * sub-vectors ([[DefaultIvfK]] entries per subspace — deterministic,
+    * shared training with ss3/dd9). */
   private val PqM = 4
   private val PqSubDim = 16
   /** ADC shortlist size per query; the shortlist is exact-rescored and the
@@ -1976,8 +1949,8 @@ object Similarity {
     * finding: at the −4 slope the 4990-vector corpus serves 0.667 at
     * its scaled 8 hops even on the degree-24 graph, while −2 (10 hops)
     * restores the 0.77 band at 17.7% visited — and the same slope holds
-    * at 9990 (11 hops, 0.767 at 10.0% visited, with [[serveEntriesOf]]
-    * scaled). 2048 is where the OLD degree cap saturated: past it the
+    * at 9990 (11 hops, 0.767 at 10.0% visited). 2048 is where the OLD
+    * degree cap saturated: past it the
     * per-hop similarity gain flattens (degree grows only with log n
     * while cluster diameters keep growing in the mixture geometry), so
     * the walk needs proportionally more hops per octave. Work per query
@@ -1988,35 +1961,23 @@ object Similarity {
     math.min(ServeHopsCap, math.max(2, lg - (if (n < 2048L) 4 else 2)))
   }
 
-  /** Entry-point budget as a function of corpus size AND codebook size:
-    * max([[ServeEntries]], 2·(⌊log2(n ÷ k)⌋ − 7)), capped at k. The
-    * driver is PER-ENTRY COVERAGE n/k: the entry candidates are the
-    * [[exemplarsOf]] IVF medoids, so each medoid covers n/k vectors and
-    * entry QUALITY degrades as that coverage grows — the walk needs +2
-    * entry points per coverage octave past 512 (n = 8192 at k = 16,
-    * where r18 measured the ladder: entries 2 → recall 0.600, 3 →
-    * 0.700, 4 → 0.767 (the band) at 10.0% visited on the 9990 corpus).
-    * HNSW pays this cost with its layer hierarchy (one entry descended
-    * through ~log n layers); a flat graph pays with ~log coverage entry
-    * points. At k = 16 this is EXACTLY r18's ⌊log2 n⌋ − 11 form
-    * (⌊log2(n ÷ 16)⌋ = ⌊log2 n⌋ − 4 for every n ≥ 16), preserving the
-    * measured compensator for deployments that PIN the codebook; at the
-    * r19 corpus-scaled [[ivfKOf]] default the coverage grows only as
-    * √(8n), so entries stay 2 until n ≈ 2²³ — restoring per-entry
-    * quality via codebook size instead of entry count, the cheaper side
-    * of the trade (k extra scan rows per query vs a whole extra walk
-    * frontier). The 1-arg overload evaluates at the formula default;
-    * the serve path itself passes the dir's EFFECTIVE k so a session
-    * pin gets the matching compensator. */
-  private[graft] def serveEntriesOf(n: Long): Int =
-    serveEntriesOf(n, ivfKOf(n))
-
-  private[graft] def serveEntriesOf(n: Long, k: Int): Int = {
-    val coverage = n / math.max(1, k)
-    if (coverage < 1) ServeEntries
-    else math.min(k, math.max(ServeEntries,
-      2 * ((63 - java.lang.Long.numberOfLeadingZeros(coverage)) - 7)))
-  }
+  /** Entry-point budget as a function of corpus size — CONSTANT
+    * (= [[ServeEntries]]) since r19, like the beam and for the same
+    * reason: the sharper 30-query probe fixture (granularity 0.011)
+    * measured the entries ladder FLAT at both post-knee corpora —
+    * 9990: entries 2/3/4/5 read 0.744/0.744/0.767/0.711; 19990: entries
+    * 2/4/5/6/8 read 0.767/0.778/0.767/0.778/0.778 — every step within
+    * ~2 pairs (≈1σ of a 90-pair binomial), while visited cost rises
+    * monotonically (5.58% → 6.40% across the 19990 ladder). r18's
+    * +2-per-octave slope past 8192 (anchored on 2 → 0.600 at 9990) was
+    * an artifact of the 10-query instrument's 0.033 granularity and is
+    * corrected in print (SCALING.md part 5); the codebook-dilution
+    * mechanism it assumed is real geometry but its recall effect at
+    * these scales is below measurement noise, and the walk's OWN hops ×
+    * beam budget dominates entry placement once the build degree scales
+    * (2·log2 n — the r18 finding this one rhymes with: budget belongs
+    * in the structure, not the frontier). */
+  private[graft] def serveEntriesOf(n: Long): Int = ServeEntries
 
   /** Engine-side hop-budget safety cap (binds only past n = 2^16
     * vectors; a deployment at 1e8+ vectors raises it with the twin
@@ -2126,8 +2087,8 @@ object Similarity {
 
   private def standardVisited(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(spark, dir)
-    serveStates(spark, dir, serveBeamOf(n),
-      serveEntriesOf(n, ivfK(spark, dir)))(serveHops(spark, dir) - 1)
+    serveStates(spark, dir, serveBeamOf(n), serveEntriesOf(n))(
+      serveHops(spark, dir) - 1)
   }
 
   private def serveHops(spark: SparkSession, dir: String): Int =
@@ -2189,7 +2150,7 @@ object Similarity {
       undirected(current.select(col("src_id"), col("neighbor_id")))
         .localCheckpoint(),
       serveBeamOf(corpusCount(spark, dir)), serveHops(spark, dir),
-      serveEntriesOf(corpusCount(spark, dir), ivfK(spark, dir)))
+      serveEntriesOf(corpusCount(spark, dir)))
   }
 
   /** One bounded traversal at (beam, entries) to `hops` depth, returning

@@ -2992,9 +2992,8 @@ class LlmDataSpec extends SparkSpec {
   }
 
   test("serve-budget scaling (degree, beam, entries, hops) at the probe " +
-      "corpora: degree/hops scale with log n, beam is the measured " +
-      "constant, entries follow per-entry COVERAGE n/k (SCALING.md " +
-      "'Graph-serve corpus-scale probe')") {
+      "corpora: degree/hops scale with log n, beam and entries are the " +
+      "measured constants (SCALING.md 'Graph-serve corpus-scale probe')") {
     import graft.llmdata.Similarity
     def budget(n: Long) =
       (Similarity.degreeOf(n), Similarity.serveBeamOf(n),
@@ -3006,31 +3005,17 @@ class LlmDataSpec extends SparkSpec {
     // probe measured beam-widening as the strictly worse substitute for
     // build degree (iso-recall at beam 24×entries 8 costs 22.9% visited
     // vs 17.7% at the shipped beam on the denser graph). ENTRIES (r19):
-    // with the corpus-scaled ivfK codebook (√(n/8), knee at 2048 —
-    // FAISS's √n sizing) per-entry coverage stays ~√(8n) and the default
-    // holds entries at 2 through every probe corpus; the r18 +2-per-
-    // coverage-octave compensator remains for PINNED codebooks (the
-    // measured 9990@k16 ladder) via the (n, k) overload.
+    // constant 2 like the beam — the 30-query probe fixture (granularity
+    // 0.011) measured the entry ladders FLAT at 9990 AND 19990
+    // (0.744–0.778 across entries 2–8, every step within ~1σ) while
+    // visited cost rises monotonically; r18's +2/octave slope was an
+    // artifact of the 10-query instrument and is corrected in print
+    // (SCALING.md part 5).
     assert(budget(490L) == ((16, 9, 2, 4)))
     assert(budget(1990L) == ((20, 9, 2, 6)))
     assert(budget(4990L) == ((24, 9, 2, 10)))
     assert(budget(9990L) == ((26, 9, 2, 11)))
     assert(budget(19990L) == ((28, 9, 2, 12)))
-    // the corpus-scaled codebook itself: 16 at and below the 2048 knee
-    // (gate corpora bit-identical to r12–r18), √(n/8) past it
-    assert(Similarity.ivfKOf(490L) == 16)
-    assert(Similarity.ivfKOf(1990L) == 16)
-    assert(Similarity.ivfKOf(2048L) == 16, "the knee lands exactly at 2048")
-    assert(Similarity.ivfKOf(4990L) == 24)
-    assert(Similarity.ivfKOf(9990L) == 35)
-    assert(Similarity.ivfKOf(19990L) == 49)
-    // a PINNED 16-medoid codebook still gets r18's measured compensator
-    // (⌊log2(n/16)⌋ − 7 ≡ the old ⌊log2 n⌋ − 11 form): 4 entries at
-    // 9990, 6 at 19990, capped at k when coverage outruns the codebook
-    assert(Similarity.serveEntriesOf(9990L, 16) == 4)
-    assert(Similarity.serveEntriesOf(19990L, 16) == 6)
-    assert(Similarity.serveEntriesOf(1L << 30, 16) == 16,
-      "entries cap = the pinned codebook size")
     // gate corpora sit under the twins' static 6-hop unroll; the engine
     // keeps scaling to the documented caps (hop cap 12)
     assert(Similarity.serveHopsOf(1L << 20) == 12, "engine hop cap")
