@@ -302,8 +302,27 @@ object Bench {
     // Milliseconds, not seconds — two invocations finishing in the same
     // second must not silently overwrite each other's archive (r18 ADVICE).
     val archiveStamp = System.currentTimeMillis().toString
+    // CODE fingerprint (r19): the archive outlives a round on this host,
+    // and probe-nearest selection across rounds can promote sidecars that
+    // measured LAST round's code (observed: an r19 invocation in a hot
+    // window lost to an r18 archive entry). Stamp the git HEAD the
+    // invocation ran under; select_bench.py segments candidates to the
+    // newest invocation's head. Best-effort .git parsing, no subprocess;
+    // a dirty working tree still maps to its HEAD — the selection
+    // protocol's remaining caveat, disclosed in the tool's --help.
+    val gitHead: String = try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git", "HEAD")), "UTF-8").trim
+      if (head.startsWith("ref: ")) {
+        val refPath = java.nio.file.Paths.get(".git", head.drop(5).split("/"): _*)
+        if (java.nio.file.Files.exists(refPath))
+          new String(java.nio.file.Files.readAllBytes(refPath), "UTF-8").trim
+        else "unknown"
+      } else head
+    } catch { case _: Throwable => "unknown" }
     def lineWith(queriesJson: String, unitJson: String = "\"sec\""): String =
       s"""{"metric":"total","unit":"sec","archive_stamp":"$archiveStamp",""" +
+      s""""git_head":${jq(gitHead)},""" +
       s""""errors":$errs,""" +
       latencyJson("cdc_lat5k", lat5k) + latencyJson("cdc_lat25k", lat25k) +
       s""""cdc_pipeline_events_per_sec":${ms(epsFresh)},""" +

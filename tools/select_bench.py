@@ -51,6 +51,7 @@ def load_invocations(archive: Path):
             "ratio": float(line.get("spark_vs_duckdb", -1)),
             "n_queries": len(line.get("queries", {})),
             "errors": len(line.get("errors", {})),
+            "git_head": line.get("git_head", ""),
         })
     return out
 
@@ -73,6 +74,10 @@ def main():
                     help="promote past --max-dist anyway (records a "
                          "probe-mismatched window; do not use for the "
                          "committed round artifact)")
+    ap.add_argument("--all-heads", action="store_true",
+                    help="consider invocations from every git head, not "
+                         "just the newest invocation's (pre-r19 behavior; "
+                         "for inspection only)")
     args = ap.parse_args()
 
     archive = ROOT / "bench_archive"
@@ -81,6 +86,24 @@ def main():
     invs = [i for i in load_invocations(archive) if i["sf"] == args.sf]
     if not invs:
         sys.exit(f"no archived {args.sf} invocations with a probe fingerprint")
+
+    # CODE segmentation (r19): the archive outlives a round, so an old
+    # invocation can be probe-nearest while having measured LAST round's
+    # code. Candidates are restricted to invocations stamped with the
+    # SAME git head as the newest invocation (stamps are millis, so max
+    # stamp = newest); legacy entries without a git_head stamp are
+    # excluded once any stamped entry exists. Caveat: a dirty working
+    # tree still maps to its underlying HEAD — re-run the bench after
+    # committing if the tree changed since the archived invocation.
+    if not args.all_heads:
+        newest = max(invs, key=lambda i: int(i["stamp"]))
+        if newest["git_head"]:
+            same = [i for i in invs if i["git_head"] == newest["git_head"]]
+            dropped = len(invs) - len(same)
+            if dropped:
+                print(f"(code segmentation: {dropped} invocation(s) from "
+                      f"other git heads excluded; --all-heads overrides)")
+            invs = same
 
     # full batteries only: an invocation that lost queries to errors must
     # not win on its artificially low total
