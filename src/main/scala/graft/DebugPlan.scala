@@ -43,6 +43,78 @@ object DebugPlan {
         val full = graft.llmdata.Dedup.ngramJaccard(spark, sfDir)
         time("full")(full.count())
         full.explain("formatted")
+      case "fm1stages" =>
+        import org.apache.spark.sql.functions._
+        val cust = graft.sources.Tables.load(spark, sfDir, "customer")
+        def trigramsOf(c: org.apache.spark.sql.Column) =
+          when(length(c) >= 3,
+            array_distinct(transform(sequence(lit(1), length(c) - 2),
+              i => c.substr(i, lit(3)))))
+            .otherwise(array(c))
+        def corrupt(c: org.apache.spark.sql.Column) =
+          concat_ws("",
+            transform(
+              filter(sequence(lit(1), length(c)), i => i % 7 =!= 0),
+              i => c.substr(i, lit(1))))
+        val base = cust.select(col("c_custkey").as("base_key"),
+          trigramsOf(col("c_name")).as("base_grams"))
+        val probes = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("probe_key"),
+            trigramsOf(corrupt(col("c_name"))).as("probe_grams"))
+        time("probes")(probes.count())
+        time("probes2")(probes.count())
+        val basePost = base.select(col("base_key"), explode(col("base_grams")).as("g"))
+        val rare = basePost.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select(col("g"))
+        val probePost = probes.select(col("probe_key"), explode(col("probe_grams")).as("g"))
+        time("probePost")(probePost.count())
+        val cands = probePost.join(rare, "g").join(basePost, "g")
+          .select(col("probe_key"), col("base_key")).distinct()
+        time("cands")(cands.count())
+        time("cands2")(cands.count())
+        val scored = cands
+          .join(probes, "probe_key").join(base, "base_key")
+          .select(col("probe_key"), col("base_key"),
+            graft.functions.TextHashFunctions
+              .jaccard(col("probe_grams"), col("base_grams")).as("sim"))
+        time("scored")(scored.count())
+        time("scored2")(scored.count())
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_key"))
+          .orderBy(col("sim").desc, col("base_key"))
+        val best = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") === 1)
+          .select(col("probe_key"), col("base_key").as("matched_key"), col("sim"))
+        time("best")(best.count())
+        time("best2")(best.count())
+        time("full")(SparkEntry.queries("fm1_fuzzy_match")(spark, sfDir).count())
+        time("full2")(SparkEntry.queries("fm1_fuzzy_match")(spark, sfDir).count())
+        // fm4's candidate chain (swapCorrupt probes), same blocking shape
+        def swapCorrupt(c: org.apache.spark.sql.Column) =
+          concat_ws("",
+            transform(sequence(lit(1), length(c)), i =>
+              when(i % 6 === 1 && i < length(c), c.substr(i + 1, lit(1)))
+                .when(i % 6 === 2, c.substr(i - 1, lit(1)))
+                .otherwise(c.substr(i, lit(1)))))
+        val probes4 = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("probe_key"),
+            swapCorrupt(col("c_name")).as("probe_name"))
+          .withColumn("probe_grams", trigramsOf(col("probe_name")))
+        val probePost4 = probes4.select(col("probe_key"), explode(col("probe_grams")).as("g"))
+        val cands4 = probePost4.join(rare, "g").join(basePost, "g")
+          .select(col("probe_key"), col("base_key")).distinct()
+        time("cands4")(cands4.count())
+        time("cands4b")(cands4.count())
+        time("fm4full")(SparkEntry.queries("fm4_fuzzy_match_damerau")(spark, sfDir).count())
+        time("fm4full2")(SparkEntry.queries("fm4_fuzzy_match_damerau")(spark, sfDir).count())
+        time("fm1again")(SparkEntry.queries("fm1_fuzzy_match")(spark, sfDir).count())
+        val f1 = SparkEntry.queries("fm1_fuzzy_match")(spark, sfDir)
+        f1.count()
+        println("==== fm1 FINAL PLAN ====")
+        println(f1.queryExecution.executedPlan.toString.take(12000))
+        val f4 = SparkEntry.queries("fm4_fuzzy_match_damerau")(spark, sfDir)
+        f4.count()
+        println("==== fm4 FINAL PLAN ====")
+        println(f4.queryExecution.executedPlan.toString.take(12000))
       case "mm9big" =>
         // the large-payload probe SCALING.md cites: ~1 MB payloads where
         // the O(position) string-substr form measurably never finished —

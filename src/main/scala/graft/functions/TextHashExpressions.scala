@@ -172,13 +172,17 @@ object TextHashUtil {
     * — which interpreted to ~nGrams·w lambda frames and a fresh slice
     * array per window (the dd24 hot path: 10 s → sub-second at sf0.01).
     * Fewer than k words → empty array (callers filter; kept total). */
-  def winnowFps(words: ArrayData, k: Int, w: Int): ArrayData = {
+  /** The k-word gram hashes behind [[winnowFps]] (and, standalone,
+    * [[gramHashes]]): per position, md5 of the space-joined k words,
+    * first 15 hex chars (7 full bytes + the high nibble of the 8th) as a
+    * 60-bit long — bit-identical to
+    * `conv(substring(md5(concat_ws(' ', slice(words, i, k))), 1, 15), 16, 10)
+    * .cast(long)`. Returns an empty array for fewer than k words. */
+  private def gramHashes60(words: ArrayData, k: Int): Array[Long] = {
     val d = md5()
     val nWords = words.numElements()
     val nGrams = nWords - k + 1
-    if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
-    // gram hashes: md5 of the space-joined k words, first 15 hex chars
-    // (7 full bytes + the high nibble of the 8th) as a 60-bit long
+    if (nGrams <= 0) return Array.empty[Long]
     val h = new Array[Long](nGrams)
     val sp = " ".getBytes(StandardCharsets.US_ASCII)
     var i = 0
@@ -199,6 +203,21 @@ object TextHashUtil {
       h(i) = (v << 4) | ((dig(7) >> 4) & 0xfL)
       i += 1
     }
+    h
+  }
+
+  /** Standalone gram-hash array (the [[gramHashes60]] convention) — one
+    * JVM loop per row instead of an interpreted transform evaluating an
+    * md5+conv expression tree per gram (cur11's 10M-bigram feature
+    * stream at sf0.1). */
+  def gramHashes(words: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(gramHashes60(words, k))
+
+  def winnowFps(words: ArrayData, k: Int, w: Int): ArrayData = {
+    val nGrams0 = words.numElements() - k + 1
+    if (nGrams0 <= 0) return new GenericArrayData(Array.empty[Long])
+    val h = gramHashes60(words, k)
+    val nGrams = h.length
     // sliding minimum via monotonic deque (indices, increasing values)
     val nWin = math.max(nGrams - w + 1, 1)
     val deque = new Array[Int](nGrams)
@@ -423,6 +442,65 @@ object TextHashUtil {
       j += 1
     }
     inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** tx15's stub-classifier weight table, precomputed once per JVM: for
+    * bucket b ∈ [0, 4096), w(b) = (first 12 bits of md5("w:" || b)) / 4096
+    * − 0.5 — bit-identical to the per-token column expression it replaces
+    * (integer-valued numerator, /2^12 only shifts the exponent, one
+    * subtraction), just not re-derived via a second md5 per TOKEN. */
+  private lazy val clfWeights: Array[Double] = {
+    val t = new Array[Double](4096)
+    val d = md5()
+    var b = 0
+    while (b < 4096) {
+      val h = d.digest(("w:" + b).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((h(0) & 0xff) << 4) | ((h(1) & 0xff) >>> 4)
+      t(b) = v.toDouble / 4096 - 0.5
+      b += 1
+    }
+    t
+  }
+
+  /** tx15's whole scoring fold as ONE JVM loop: per token, md5 → 12-bit
+    * bucket → table weight, left-fold in index order from 0.0 — the exact
+    * accumulation tree of `aggregate(w, 0.0, (acc, t) -> acc + weight(t))`
+    * with the interpreted lambda (and the second md5 per token) removed.
+    * Returns null (boxed) when any element is null, matching null
+    * propagation through `+`. */
+  def clfTotal(tokens: ArrayData): java.lang.Double = {
+    val n = tokens.numElements()
+    val d = md5()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      val h = d.digest(tokens.getUTF8String(i).getBytes)
+      val b = ((h(0) & 0xff) << 4) | ((h(1) & 0xff) >>> 4)
+      acc += clfWeights(b)
+      i += 1
+    }
+    acc
+  }
+
+  /** Intersection COUNT of two SORTED distinct long arrays by merge walk
+    * — the shared primitive behind [[jaccardSortedLong]], exposed on its
+    * own for verifiers that derive several measures (containment in each
+    * direction, Jaccard) from the one count (dd20). */
+  def interSortedLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
   }
 
   /** Jaccard of two SORTED distinct long arrays by merge walk — no
@@ -720,6 +798,92 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** k-word gram hashes as a native codegen expression — array<long> of
+  * 60-bit md5-prefix hashes (the winnowing convention), one JVM loop per
+  * row. Replaces an interpreted `transform(sequence(...), i -> conv(
+  * substring(md5(concat_ws(' ', ...)), 1, 15), 16, 10))` tree evaluated
+  * per gram (cur11's feature stream). */
+case class GramHashArray(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"gram_hashes$k"
+
+  override def nullSafeEval(words: Any): Any =
+    TextHashUtil.gramHashes(words.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.TextHashUtil.gramHashes($w, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashArray =
+    copy(child = newChild)
+}
+
+/** tx15's classifier fold as a native codegen expression — one JVM loop
+  * per row instead of an interpreted `aggregate` lambda evaluating two
+  * md5 column-expression trees per token (the §7.3 rationale; bit parity
+  * is pinned by the tx15/cur5/cur5b/cur6 oracle hashes, which this
+  * expression feeds unchanged). */
+case class ClfScoreTotal(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"clf_total requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "clf_total"
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextHashUtil.clfTotal(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      java.lang.Double r = graft.functions.TextHashUtil.clfTotal($t);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ClfScoreTotal =
+    copy(child = newChild)
+}
+
+/** Intersection count over SORTED distinct array<long> — the merge-walk
+  * primitive of [[JaccardSortedLong]] returning the raw |A∩B| so a
+  * verifier can derive directed containments AND Jaccard from one walk
+  * (dd20's three `array_intersect` evaluations per pair collapsed to one
+  * codegen call). Inputs MUST be sorted ascending and distinct. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"inter_sorted requires (array<bigint>, array<bigint>), got " +
+        s"${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "inter_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.interSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashUtil.interSortedLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native unrestricted Damerau-Levenshtein distance — the linkage metric
   * that charges an adjacent-character SWAP (the classic hand-entry typo)
   * one edit where plain Levenshtein charges two. Spark ships `levenshtein`
@@ -799,6 +963,12 @@ object TextHashFunctions {
     GraftColumn.of(JaccardSimilarity(GraftColumn.expr(a), GraftColumn.expr(b)))
   def jaccardSorted(a: Column, b: Column): Column =
     GraftColumn.of(JaccardSortedLong(GraftColumn.expr(a), GraftColumn.expr(b)))
+  def interSorted(a: Column, b: Column): Column =
+    GraftColumn.of(IntersectCountSorted(GraftColumn.expr(a), GraftColumn.expr(b)))
+  def clfTotal(tokens: Column): Column =
+    GraftColumn.of(ClfScoreTotal(GraftColumn.expr(tokens)))
+  def gramHashes(words: Column, k: Int): Column =
+    GraftColumn.of(GramHashArray(GraftColumn.expr(words), k))
   def damerau(a: Column, b: Column): Column =
     GraftColumn.of(DamerauLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
   def jaroWinkler(a: Column, b: Column): Column =

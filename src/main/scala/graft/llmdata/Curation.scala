@@ -948,18 +948,22 @@ object Curation {
     // sf0.1, the per-bigram lambda costs LESS (1.2 s) than a Generate
     // that duplicates (doc_id, source, lang, _w) across 10M position
     // rows (1.5 s) — the bigram md5 is cheap relative to the row fanout,
-    // the opposite trade from mm8's per-byte extraction
+    // the opposite trade from mm8's per-byte extraction. r19: the hash
+    // array itself now comes from the native GramHashArray expression
+    // (one JVM loop per row — winnowing's 60-bit md5-prefix convention,
+    // bit-identical to the conv(substring(md5(concat_ws(...)))) tree it
+    // replaces) instead of an interpreted per-gram lambda; only the
+    // cheap % bucketing stays a lambda.
     val feats = docs
       .withColumn("_w", split(col("text"), " "))
-      // mirror the twin's WHERE len(w) >= 2: a 1-word doc would make
-      // sequence(1, 0) emit a DESCENDING [1, 0] and the bigram lambda
-      // would index element_at(_w, 0) — a runtime error, not a no-op
+      // mirror the twin's WHERE len(w) >= 2: a 1-word doc yields no
+      // bigram (GramHashArray returns empty below k words; the filter
+      // keeps the plan aligned with the twin's WHERE)
       .filter(size(col("_w")) >= 2)
       .select(col("doc_id"), col("source"), col("lang"),
-        explode(transform(sequence(lit(1), size(col("_w")) - 1),
-          i => conv(substring(md5(concat_ws(" ",
-            element_at(col("_w"), i), element_at(col("_w"), i + 1))), 1, 15), 16, 10)
-            .cast(LongType) % DsirBuckets)).as("b"))
+        explode(transform(
+          graft.functions.TextHashFunctions.gramHashes(col("_w"), 2),
+          h => h % DsirBuckets)).as("b"))
     // ONE corpus pass builds the whole bucket table (r16 verdict task 4:
     // the previous rawCnt/tgtCnt/totals trio re-derived the bigram
     // explode three times): a single groupBy(b) with a conditional count
@@ -1787,7 +1791,12 @@ object Curation {
           when(col("klass") === "good",
             struct(col("block_idx"), col("clean_text"))))),
           e => e.getField("clean_text")), " ").as("rebuilt"))
-    val rwords = split(col("rebuilt"), " ")
+    // `_rw` MUST be a materialized column, not the split(...) expression
+    // itself: the marker filters and quality terms reference it from
+    // NINE expressions (four of them interpreted lambda filters), and a
+    // non-trivial lambda-referenced expression re-evaluates per reference
+    // — the bigrams() discipline (r19: one split per row, not nine)
+    val rwords = col("_rw")
     def hits(markers: Seq[String]): Column =
       size(filter(rwords, w => markers.map(w === _).reduce(_ || _))).cast(LongType)
     val en = hits(Seq("the", "and", "of", "is"))
@@ -1804,7 +1813,7 @@ object Curation {
     val ndw = size(array_distinct(rwords)).cast(DoubleType)
     val quality =
       least(nw / lit(80.0), lit(1.0)) * lit(0.5) + (ndw / nw) * lit(0.5)
-    val scored = perdoc.select(
+    val scored = perdoc.withColumn("_rw", split(col("rebuilt"), " ")).select(
       col("doc_id"), col("n_blocks"), col("n_good"),
       when(col("n_good") === 0, 0L)
         .otherwise(size(rwords).cast(LongType)).as("n_words"),

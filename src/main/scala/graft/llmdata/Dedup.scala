@@ -86,9 +86,11 @@ object Dedup {
     gramsCache.clear(spark)
     sigCache.clear(spark)
     pairsCache.clear(spark)
+    bandCandsCache.clear(spark)
     ivfPairsCache.clear(spark)
     winnowCache.clear(spark)
     textLabelsCache.clear(spark)
+    embLabelsCache.clear(spark)
     Similarity.clearExemplars(spark)
     Multimodal.clearSignatures(spark)
     TextAnalysis.clearVocab(spark)
@@ -239,8 +241,21 @@ object Dedup {
     cappedBucketPairs(bands.groupBy(col("band"), col("bh"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs")))
 
+  /** The banded candidate-pair set, cached per (session, dir): dd3's
+    * verify AND dd20's containment verify both run over exactly this set,
+    * and without the cache dd20 re-derived the whole band → bucket →
+    * capped-pairs → distinct chain the dd3 pass had already paid for
+    * (r19). Same artifact class as the signature cache feeding it — the
+    * banding index is built once per corpus snapshot. Released with the
+    * other dedup caches via [[uncacheShingles]]. */
+  private val bandCandsCache = SessionCache.persisted()
+
+  private[graft] def bandCandidates(spark: SparkSession, dir: String): DataFrame =
+    bandCandsCache.get(spark, dir)(
+      cappedPairsOfBands(bandedDocs(spark, dir)).persist())
+
   private def minhashLshUncached(spark: SparkSession, dir: String): DataFrame =
-    minhashVerify(spark, dir, cappedPairsOfBands(bandedDocs(spark, dir)))
+    minhashVerify(spark, dir, bandCandidates(spark, dir))
 
   /** dd3's exact-verification stage over an arbitrary candidate-pair set:
     * join both sides' shingle arrays, exact bigram Jaccard, threshold. */
@@ -435,7 +450,14 @@ object Dedup {
     * sorted posting lists, pairs off each list (i<j of a sorted array ⇒
     * doc_a < doc_b) — no band self-join, every bucket bounded by the cap. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(spark, dir)
+    // localCheckpoint: the signature table feeds THREE consumers (block
+    // explode + both verify sides) and each re-ran the full per-token
+    // simhash scan without the pin (r19 plan audit; per-invocation
+    // materialization, not a cross-run cache — mm5 holds its signatures
+    // in a session cache because two queries share them, dd5's are its
+    // own). The pinned frame is one 64-char string per doc.
+    val sh = simhashOf(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("simhash")).localCheckpoint()
     val blocks = sh.select(col("doc_id"),
       posexplode_outer(array((0 until SimHashBlocks).map(b =>
         substring(col("simhash"), b * BlockBits + 1, BlockBits)): _*))
@@ -1077,6 +1099,10 @@ object Dedup {
     * The labels frame is ≪ corpus (only docs in some pair) and already
     * localCheckpoint-materialized — the canonical SessionCache shape. */
   private val textLabelsCache = SessionCache.persisted()
+
+  /** dd14's embedding-component labels, cached per (session, dir) exactly
+    * like [[textMinLabels]] — see [[semanticDedup]]. */
+  private val embLabelsCache = SessionCache.persisted()
   private def textMinLabels(spark: SparkSession, dir: String): DataFrame =
     textLabelsCache.get(spark, dir)(
       minLabelComponents(
@@ -1135,9 +1161,17 @@ object Dedup {
     * diameter-bounded propagation; the final left join is labels (≪
     * corpus) against one embeddings scan. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ivfNearDup(spark, dir)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = minLabelComponents(pairs)
+    // component labels cached per (session, dir) like textMinLabels (the
+    // dd11/dd17 cache): the propagation is a driver LOOP of per-iteration
+    // join+aggregate jobs over the (cached) ivf pair set, and re-running
+    // it per invocation re-paid the whole loop each time (r19: dd14 was
+    // the third-slowest battery query with both of its inputs cached).
+    // "Materialize once per corpus snapshot" — the labels ARE the dedup
+    // ledger a curation run joins against, the same artifact class as the
+    // confirmed-pair cache feeding it. Released via uncacheShingles.
+    val labels = embLabelsCache.get(spark, dir)(
+      minLabelComponents(ivfNearDup(spark, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
     t(spark, dir, "embeddings").select(col("vec_id"))
       .join(labels, col("vec_id") === col("node"), "left")
       .select(col("vec_id"),
@@ -1307,21 +1341,41 @@ object Dedup {
     * Scale: identical shape to dd3 — cached signatures, C(cap,2)-bounded
     * candidates, per-pair verify cost O(|grams|) — no new shuffle. */
   def containmentDup(spark: SparkSession, dir: String): DataFrame =
-    containmentOf(gramsOf(spark, dir, 2), cappedPairsOfBands(bandedDocs(spark, dir)))
+    containmentOf(gramsOf(spark, dir, 2), bandCandidates(spark, dir))
 
   /** The containment verify tier over an explicit (doc_id, grams) frame
-    * and candidate pairs — the testable seam behind dd20. */
+    * and candidate pairs — the testable seam behind dd20. Grams must be
+    * DISTINCT per document (they are: [[bigrams]] applies array_distinct).
+    *
+    * Verification runs on HASHED shingles, dd6's trick: each gram → its
+    * first 15 md5 hex chars as a 60-bit long, sorted ONCE per document —
+    * then ONE codegen merge walk per pair yields |A∩B|, from which both
+    * directed containments AND the Jaccard derive arithmetically
+    * (|A∪B| = |A|+|B|−|A∩B|). The string form evaluated
+    * `array_intersect` (a per-pair hash-set build over string arrays)
+    * plus a separate string-set Jaccard — ~4 set builds per pair on the
+    * ~100k-pair hot path. A 60-bit collision inside one pair's union is
+    * the only way counts could differ (P ≈ 2⁻⁴⁵ per pair), and the
+    * oracle twin hashes identically so parity holds even then. */
   private[graft] def containmentOf(docs: DataFrame, cands: DataFrame): DataFrame = {
-    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
-    val ca = inter.cast(DoubleType) / size(col("grams_a")).cast(DoubleType)
-    val cb = inter.cast(DoubleType) / size(col("grams_b")).cast(DoubleType)
+    val hashed = sort_array(array_distinct(transform(col("grams"),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast(LongType))))
+    val ga = docs.select(col("doc_id").as("doc_a"), hashed.as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), hashed.as("grams_b"))
+    val inter = graft.functions.TextHashFunctions
+      .interSorted(col("grams_a"), col("grams_b"))
+    val na = size(col("grams_a")).cast(LongType)
+    val nb = size(col("grams_b")).cast(LongType)
     cands.join(ga, "doc_a").join(gb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        inter.cast(LongType).as("n_shared"),
-        ca.as("containment_a"), cb.as("containment_b"),
-        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), inter.as("n_shared"),
+        col("grams_a"), col("grams_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / na.cast(DoubleType))
+          .as("containment_a"),
+        (col("n_shared").cast(DoubleType) / nb.cast(DoubleType))
+          .as("containment_b"),
+        (col("n_shared").cast(DoubleType) /
+          (na + nb - col("n_shared")).cast(DoubleType)).as("jaccard"))
       .filter(greatest(col("containment_a"), col("containment_b")) >= ContainmentMin)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1340,14 +1394,17 @@ object Dedup {
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |          FROM capped x JOIN capped y
        |            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |hg AS (SELECT doc_id, list_distinct(list_transform(g,
+       |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS g
+       |       FROM sh),
        |v AS (SELECT doc_a, doc_b,
        |        CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
        |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g) AS containment_a,
        |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(b.g) AS containment_b,
        |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-       |          len(list_distinct(a.g || b.g)) AS jaccard
-       |      FROM cands JOIN sh a ON cands.doc_a = a.doc_id
-       |                 JOIN sh b ON cands.doc_b = b.doc_id)
+       |          (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+       |      FROM cands JOIN hg a ON cands.doc_a = a.doc_id
+       |                 JOIN hg b ON cands.doc_b = b.doc_id)
        |SELECT * FROM v
        |WHERE greatest(containment_a, containment_b) >= $ContainmentMin
        |ORDER BY doc_a, doc_b""".stripMargin

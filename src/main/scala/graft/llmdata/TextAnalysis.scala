@@ -192,11 +192,16 @@ object TextAnalysis {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = docs.groupBy(col("doc_id"), col("term"))
+    // document frequency comes off the tf AGGREGATE, not a second explode
+    // + distinct over the corpus: tf's (doc_id, term) rows ARE the
+    // distinct pairs, so df = count per term over them — r19: this drops
+    // a full term-explode scan and its distinct shuffle; the shared
+    // (doc_id, term) exchange is reused at runtime (AQE stage reuse).
+    val tfAgg = docs.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tc"))
+    val tf = tfAgg
       .withColumn("nw", sum(col("tc")).over(Window.partitionBy(col("doc_id"))))
-    val df_ = docs.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df_ = tfAgg.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus size as a broadcast 1-row aggregate (ev5 pattern) — keeps the
     // whole query one lazy DAG instead of an eager driver-side count() scan
     val n = t(spark, dir, "documents")
@@ -735,14 +740,18 @@ object TextAnalysis {
     * hazard, unlike an explode+SUM rendering). */
   def classifierScore(spark: SparkSession, dir: String): DataFrame = {
     // bucket = first 12 bits of md5(token); weight = first 12 bits of
-    // md5("w:" || bucket) mapped to [-0.5, 0.5)
-    def weight(tok: Column): Column = {
-      val bucket = conv(substring(md5(tok), 1, 3), 16, 10)
-      conv(substring(md5(concat(lit("w:"), bucket)), 1, 3), 16, 10)
-        .cast(DoubleType) / ClfBuckets - 0.5
-    }
+    // md5("w:" || bucket) mapped to [-0.5, 0.5) — as a Column expression:
+    //   conv(substring(md5(concat("w:", conv(substring(md5(tok),1,3),16,10))),1,3),16,10)
+    //     .cast(Double) / ClfBuckets - 0.5
     val nw = size(col("_w"))
-    val total = aggregate(col("_w"), lit(0.0), (acc, t) => acc + weight(t))
+    // the fold runs as the native ClfScoreTotal expression — one codegen
+    // JVM loop per row (1 md5 per token + a precomputed 4096-entry weight
+    // table holding exactly the column expression above) instead of an
+    // interpreted `aggregate` lambda evaluating two md5 expression trees
+    // per token; bit-identical left-fold accumulation (r19 — this fold
+    // was the whole cost of cur5/cur5b/cur6's scored scans: cur5 2.25 s
+    // → 0.34 s, cur5b 3.00 s → 0.57 s isolated at sf0.1).
+    val total = graft.functions.TextHashFunctions.clfTotal(col("_w"))
     t(spark, dir, "documents")
       .withColumn("_w", words)
       .select(

@@ -176,7 +176,14 @@ object CdcQueries {
     val snapshot = t(spark, dir, "customer").select(
       concat(lit("001"), ks).as("Id"),
       col("c_name"), col("c_acctbal"), col("c_mktsegment"))
-    CdcEnrich(changes(spark, dir), snapshot)
+    // localCheckpoint: CdcEnrich consumes the decoded change rows TWICE
+    // (enrichment branch ∪ tombstone branch) and Catalyst does not share
+    // common subtrees, so the whole synth→base64→JSON-decode→explode
+    // chain ran once per branch (r19 plan audit: 3 customer scans → 1).
+    // Batch-fixture-side only — the streaming pipeline's frames can't
+    // (and don't) checkpoint; there the source is consumed once per
+    // micro-batch plan.
+    CdcEnrich(changes(spark, dir).localCheckpoint(), snapshot)
       .select(
         col("attributes.type").as("attr_type"),
         col("Id").as("record_id"),
@@ -220,7 +227,9 @@ object CdcQueries {
     val snapshot = t(spark, dir, "customer").select(
       concat(lit("001"), ks).as("Id"),
       col("c_name"), col("c_acctbal"), col("c_mktsegment"))
-    CdcEnrich(CdcDecode.explodeIds(good), snapshot)
+    // localCheckpoint: two enrich/tombstone branches, one decode (see
+    // routeEnrich)
+    CdcEnrich(CdcDecode.explodeIds(good).localCheckpoint(), snapshot)
       .select(
         col("attributes.type").as("attr_type"),
         col("Id").as("record_id"),
@@ -324,8 +333,10 @@ object CdcQueries {
     val snapshot = t(spark, dir, "customer").select(
       concat(lit("001"), ks).as("Id"),
       col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    // localCheckpoint: two enrich/tombstone branches, one decode (see
+    // routeEnrich)
     graft.streaming.CdcPipeline.toJsonLines(
-      CdcEnrich(changes(spark, dir), snapshot))
+      CdcEnrich(changes(spark, dir).localCheckpoint(), snapshot))
       .select(col("entityName").as("entity_name"), col("value").as("json_line"))
       .orderBy(col("json_line"))
   }
@@ -357,8 +368,13 @@ object CdcQueries {
       .select(base64(to_json(suppEnv).cast(BinaryType)).as("data"))
     val custRaw = synthRaw(t(spark, dir, "customer"), lit("fp_v1"), Seq(custName.as("Name")))
 
+    // localCheckpoint: multiEntity consumes the decoded rows THREE times
+    // (one enrichment branch per entity + the tombstone branch); without
+    // the pin both entities' synth→decode chains ran per branch (r19
+    // plan audit: 8 scans → 2 + the snapshots)
     val decoded = CdcDecode.explodeIds(
       CdcDecode.decodeBase64(custRaw.unionByName(suppRaw), col("data")).drop("data"))
+      .localCheckpoint()
     val custSnap = t(spark, dir, "customer").select(
       concat(lit("001"), ks).as("Id"), col("c_name"), col("c_mktsegment"))
     val suppSnap = t(spark, dir, "supplier").select(
@@ -384,8 +400,12 @@ object CdcQueries {
     val tier = when(k % 2 === 1, concat(lit("T"), (k % 3).cast(StringType)))
     val raw = synthRaw(t(spark, dir, "customer"), fp,
       Seq(custName.as("Name"), tier.as("Tier")))
+    // localCheckpoint: typedBodyEvolving re-types the batch once per
+    // coexisting fingerprint and unions the slices — the decode chain ran
+    // once per fingerprint branch without the pin (r19: 3 scans → 1)
     val decoded = CdcDecode.explodeIds(
       CdcDecode.decodeBase64(raw, col("data")).drop("data"))
+      .localCheckpoint()
     val registry = new EntitySchemaRegistry
     val v1 = StructType(Seq(StructField("Name", StringType)))
     val v2 = StructType(Seq(
@@ -440,8 +460,11 @@ object CdcQueries {
     val suppRaw = t(spark, dir, "supplier")
       .select(base64(to_json(suppEnv).cast(BinaryType)).as("data"))
 
+    // localCheckpoint: one typedBody branch per entity over the same
+    // decoded batch (see schemaEvolution) — 4 scans → 2 without re-decode
     val decoded = CdcDecode.explodeIds(
       CdcDecode.decodeBase64(custRaw.unionByName(suppRaw), col("data")).drop("data"))
+      .localCheckpoint()
     val registry = new EntitySchemaRegistry
     registry.register("Customer", StructType(Seq(
       StructField("Name", StringType), StructField("Code", LongType),

@@ -72,17 +72,21 @@ object FuzzyMatch {
     val cands = probePost.join(rare, "g").join(basePost, "g")
       .select(col("probe_key"), col("base_key")).distinct()
 
-    // verify on the FULL trigram sets; best match per probe
+    // verify on the FULL trigram sets; best match per probe via the
+    // max-struct aggregate (sim DESC, base_key ASC), fm2/fm4/fm5's shape —
+    // r19: the window form paid a per-probe sort where the aggregate
+    // map-side combines to one O(1) state per probe, and its rank filter
+    // also hid the aggregate's key-uniqueness from the optimizer (the
+    // final left join is provably 1:1 off a groupBy, not off a window)
     val scored = cands
       .join(probes, "probe_key").join(base, "base_key")
       .select(col("probe_key"), col("base_key"),
         graft.functions.TextHashFunctions
           .jaccard(col("probe_grams"), col("base_grams")).as("sim"))
-    val w = Window.partitionBy(col("probe_key"))
-      .orderBy(col("sim").desc, col("base_key"))
-    val best = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select(col("probe_key"), col("base_key").as("matched_key"), col("sim"))
+    val best = scored.groupBy(col("probe_key"))
+      .agg(max(struct(col("sim"), (lit(0L) - col("base_key")).as("nb"))).as("m"))
+      .select(col("probe_key"), (lit(0L) - col("m.nb")).as("matched_key"),
+        col("m.sim").as("sim"))
     // a probe whose every trigram is a stop-gram has NO candidates — a
     // linkage run must REPORT it unmatched, not silently drop it
     probes.select(col("probe_key"))
@@ -264,11 +268,14 @@ object FuzzyMatch {
       .join(base.select(col("base_key"), col("base_name")), "base_key")
       .select(col("probe_key"), col("base_key"),
         levenshtein(col("probe_name"), col("base_name")).cast(LongType).as("edit_dist"))
-    val w = Window.partitionBy(col("probe_key"))
-      .orderBy(col("edit_dist"), col("base_key"))
-    val best = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select(col("probe_key"), col("base_key").as("matched_key"), col("edit_dist"))
+    // best match = MIN edit distance (tie → min base key) via fm4's
+    // max-struct over negated values — combinable aggregate, no per-probe
+    // window sort (r19; see fuzzyMatch for the plan rationale)
+    val best = scored.groupBy(col("probe_key"))
+      .agg(max(struct((lit(0L) - col("edit_dist")).as("nd"),
+        (lit(0L) - col("base_key")).as("nb"))).as("m"))
+      .select(col("probe_key"), (lit(0L) - col("m.nb")).as("matched_key"),
+        (lit(0L) - col("m.nd")).as("edit_dist"))
     probes.select(col("probe_key"))
       .join(best, Seq("probe_key"), "left")
       .select(col("probe_key"), col("matched_key"), col("edit_dist"),
@@ -563,18 +570,21 @@ object FuzzyMatch {
         round(graft.functions.TextHashFunctions
           .jaroWinkler(col("probe_name"), col("base_name")) * lit(1000000.0))
           .cast(LongType).as("jw_micro"))
+    // the matched record's descriptor rides INSIDE the max-struct (a
+    // trailing field can never flip the max: (s, nb) is already a total
+    // order) instead of a second base join on matched_key — r19: one
+    // less shuffle join, and the final left join is 1:1 off the
+    // aggregate like fm4/fm5's
     val best = scored.groupBy(col("probe_key"))
       .agg(max(struct(col("jw_micro").as("s"),
-        (lit(0L) - col("base_key")).as("nb"))).as("m"))
+        (lit(0L) - col("base_key")).as("nb"),
+        col("base_name").as("mn"))).as("m"))
       .select(col("probe_key"), (lit(0L) - col("m.nb")).as("matched_key"),
-        col("m.s").as("jw_micro"))
+        col("m.s").as("jw_micro"), col("m.mn").as("matched_name"))
     // correct = the matched record carries the probe's own descriptor
     // (duplicate descriptors tie-break to the min key, fm5's contract)
-    val matchedDesc = base.select(col("base_key").as("matched_key"),
-      col("base_name").as("matched_name"))
     probes.select(col("probe_key"), col("orig_name"))
       .join(best, Seq("probe_key"), "left")
-      .join(matchedDesc, Seq("matched_key"), "left")
       .select(col("probe_key"), col("matched_key"),
         coalesce(col("jw_micro"), lit(0L)).as("jw_micro"),
         coalesce(col("matched_name") === col("orig_name"), lit(false))

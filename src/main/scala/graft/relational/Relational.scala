@@ -390,6 +390,12 @@ object Relational {
     * semantics, expressed as a self-aggregate join so both sides shuffle on
     * l_partkey once — no nested-loop re-evaluation). */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // r19 optimization audit: measured, then left alone — a per-partkey
+    // window rewrite (1 scan, no join) replaced the join-back's REUSED
+    // shuffle stage with a real per-part sort and measured worse
+    // (0.50 s → 0.58 s isolated, sf0.1); the aggregate+join form's two
+    // lineitem subtrees differ above the scan, but the avg side feeds a
+    // broadcast, so only one full shuffle exists either way.
     val l = t(spark, dir, "lineitem")
     val avgQ = l.groupBy(col("l_partkey").as("pk"))
       .agg((money(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
@@ -746,7 +752,13 @@ object Relational {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
     // collapse to (order, supplier, was-ever-late) FIRST — one combinable
     // pass replaces two countDistincts AND gives both consumers the small
-    // pair table instead of re-joining lineitem x orders per branch
+    // pair table instead of re-joining lineitem x orders per branch.
+    // r19 optimization audit: measured, then left alone — the two `pairs`
+    // consumers produce the IDENTICAL (okey, skey) exchange, which AQE's
+    // runtime stage reuse executes once (initial-plan explain shows two
+    // subtrees; the executed plan reuses the shuffle stage); a window
+    // rewrite of perOrder replaced that reused exchange with a real
+    // per-okey sort and measured WORSE (1.27 s → 1.48 s isolated, sf0.1).
     val pairs = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
@@ -801,6 +813,11 @@ object Relational {
     val supp = t(spark, dir, "supplier")
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // r19 optimization audit: measured, then left alone — perPart's two
+    // consumers share one IDENTICAL per-part exchange, which AQE stage
+    // reuse executes once at runtime; a localCheckpoint pin added an
+    // eager materialization job and measured WORSE (0.64 s → 0.87 s
+    // isolated, sf0.1).
     val perPart = t(spark, dir, "lineitem")
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
@@ -835,6 +852,10 @@ object Relational {
     * rounding. One combinable per-supplier aggregate, broadcast 1-row
     * max, no second lineitem pass and no window. */
   def q37TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // r19 optimization audit: measured, then left alone — the revenue
+    // view's two consumers share one identical per-supplier exchange
+    // (AQE stage reuse); a localCheckpoint pin measured worse (0.24 s →
+    // 0.32 s isolated, sf0.1) for the same reason as q36.
     val perSupp = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey"))
@@ -882,9 +903,14 @@ object Relational {
     val ps = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec(col("l_quantity"))).as("q"))
-    val pt = ps.groupBy(col("l_partkey"))
-      .agg(sum(col("q")).as("total"), count(lit(1)).as("n_supps"))
-    val lead = ps.join(pt, "l_partkey")
+    // per-part rollup as a WINDOW over the pair table, not a second
+    // aggregate joined back: Catalyst does not share common subtrees, so
+    // the ps⋈pt form re-ran the lineitem scan + (part, supplier) shuffle
+    // twice and joined the copies (r19 plan audit — one lineitem pass now)
+    val wPart = Window.partitionBy(col("l_partkey"))
+    val lead = ps
+      .withColumn("total", sum(col("q")).over(wPart))
+      .withColumn("n_supps", count(lit(1)).over(wPart))
       .filter(col("q") * col("n_supps") > col("total"))
     lead.join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
