@@ -24,25 +24,43 @@ object DebugPlan {
 
     args.headOption.getOrElse("dd6") match {
       case "dd6" =>
+        // times the CURRENT ngramJaccard stages (cached shingles, capped
+        // posting lists, hashed-long merge-walk verify) — first full run
+        // builds the session caches, the repeats are the bench-warm shape
         import org.apache.spark.sql.functions._
-        val docs = graft.sources.Tables.load(spark, sfDir, "documents")
-          .withColumn("_w", split(col("text"), " "))
-          .select(col("doc_id"), array_distinct(expr(
-            "transform(sequence(1, size(_w)-2), i -> " +
-              "concat_ws(' ', element_at(_w, i), element_at(_w, i+1), element_at(_w, i+2)))"))
-            .as("grams"))
-        time("grams")(docs.count())
-        val inv = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
-        time("inv")(inv.count())
-        val cands = inv.as("x").join(inv.as("y"),
-            col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        time("cands_raw")(cands.count())
-        val dist = cands.distinct()
-        time("cands_distinct")(dist.count())
+        import org.apache.spark.sql.types.LongType
         val full = graft.llmdata.Dedup.ngramJaccard(spark, sfDir)
-        time("full")(full.count())
-        full.explain("formatted")
+        time("full_cold")(full.count())
+        val docs = graft.llmdata.Dedup.gramsOf(spark, sfDir, 3)
+        time("grams_cached")(docs.count())
+        val invAll = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        val postings = invAll.filter(col("gram").isNotNull)
+          .groupBy(col("gram"))
+          .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("docs"))
+        time("postings")(postings.count())
+        val n = size(col("docs"))
+        val pairGen = when(n >= 2, flatten(transform(
+          sequence(lit(1), n - 1),
+          i => transform(sequence(i + 1, n),
+            j => struct(element_at(col("docs"), i).as("doc_a"),
+              element_at(col("docs"), j).as("doc_b"))))))
+        val cands = postings.select(explode_outer(pairGen).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+        time("pairs_raw")(cands.count())
+        time("pairs_distinct")(cands.distinct().count())
+        val hashed = sort_array(array_distinct(transform(col("grams"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast(LongType))))
+        val ga = docs.select(col("doc_id").as("doc_a"), hashed.as("grams_a"))
+        time("hashed_side")(ga.count())
+        val gb = docs.select(col("doc_id").as("doc_b"), hashed.as("grams_b"))
+        val verified = cands.distinct().join(ga, "doc_a").join(gb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.TextHashFunctions.jaccardSorted(col("grams_a"), col("grams_b"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.1)
+        time("verified")(verified.count())
+        time("full_warm1")(graft.llmdata.Dedup.ngramJaccard(spark, sfDir).count())
+        time("full_warm2")(graft.llmdata.Dedup.ngramJaccard(spark, sfDir).count())
       case "fm1stages" =>
         import org.apache.spark.sql.functions._
         val cust = graft.sources.Tables.load(spark, sfDir, "customer")

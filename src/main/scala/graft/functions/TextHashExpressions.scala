@@ -213,6 +213,48 @@ object TextHashUtil {
   def gramHashes(words: ArrayData, k: Int): ArrayData =
     new GenericArrayData(gramHashes60(words, k))
 
+  /** SORTED DISTINCT 60-bit hashes of an array of gram STRINGS — the
+    * engine's standard gram-hash convention (first 15 md5 hex chars as a
+    * long), bit-identical to `sort_array(array_distinct(transform(grams,
+    * g -> conv(substring(md5(g), 1, 15), 16, 10).cast(long))))` in one
+    * JVM loop (dd6's verify sides evaluated that interpreted tree per
+    * document per consumer). Null elements are skipped (the composable
+    * form maps them to null, which array_distinct keeps as one null —
+    * fixture grams are non-null; callers treat the hash set as a SET of
+    * present grams). */
+  def hashedGramSet(grams: ArrayData): ArrayData = {
+    val d = md5()
+    val n = grams.numElements()
+    val h = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) {
+        val dig = d.digest(grams.getUTF8String(i).getBytes)
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+        h(m) = (v << 4) | ((dig(7) >> 4) & 0xfL)
+        m += 1
+      }
+      i += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(h, m)
+    java.util.Arrays.sort(trimmed)
+    // distinct on the sorted array
+    var out = trimmed
+    if (m > 1) {
+      var w = 1
+      var r = 1
+      while (r < m) {
+        if (trimmed(r) != trimmed(w - 1)) { trimmed(w) = trimmed(r); w += 1 }
+        r += 1
+      }
+      if (w != m) out = java.util.Arrays.copyOf(trimmed, w)
+    }
+    new GenericArrayData(out)
+  }
+
   def winnowFps(words: ArrayData, k: Int, w: Int): ArrayData = {
     val nGrams0 = words.numElements() - k + 1
     if (nGrams0 <= 0) return new GenericArrayData(Array.empty[Long])
@@ -481,6 +523,31 @@ object TextHashUtil {
       i += 1
     }
     acc
+  }
+
+  /** All i<j pairs of a sorted long array as array<struct<a,b>> — the
+    * capped-bucket candidate generator's inner loop (C(cap,2) ≤ 1225
+    * entries per bucket) as one JVM pass. Returns null below 2 elements,
+    * matching the composable `when(n >= 2, flatten(transform(...)))`
+    * guard (explode_outer's null row is dropped by the verify equi-join,
+    * exactly as before). */
+  def sortedPairs(docs: ArrayData): ArrayData = {
+    val n = docs.numElements()
+    if (n < 2) return null
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = docs.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(a, docs.getLong(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Intersection COUNT of two SORTED distinct long arrays by merge walk
@@ -825,6 +892,63 @@ case class GramHashArray(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** i<j candidate pairs off a sorted capped posting list — see
+  * [[TextHashUtil.sortedPairs]]. Output array<struct<doc_a,doc_b>>;
+  * i<j positions of a sorted array ⇒ doc_a < doc_b, so each bucket is
+  * bounded at C(cap, 2) pairs with no per-element lambda frames (the
+  * composable nested transform interpreted ~1.3M struct builds per dd6
+  * run at sf0.1). */
+case class SortedPairGen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sorted_pairs"
+
+  override def nullSafeEval(docs: Any): Any =
+    TextHashUtil.sortedPairs(docs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.functions.TextHashUtil.sortedPairs($d);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairGen =
+    copy(child = newChild)
+}
+
+/** Sorted distinct 60-bit gram-hash SET of an array<string> — see
+  * [[TextHashUtil.hashedGramSet]]; the per-document side input of the
+  * sorted-merge verify tier (dd6/dd20). */
+case class HashedGramSet(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_gram_set requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_gram_set"
+
+  override def nullSafeEval(grams: Any): Any =
+    TextHashUtil.hashedGramSet(grams.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g => s"graft.functions.TextHashUtil.hashedGramSet($g)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedGramSet =
+    copy(child = newChild)
+}
+
 /** tx15's classifier fold as a native codegen expression — one JVM loop
   * per row instead of an interpreted `aggregate` lambda evaluating two
   * md5 column-expression trees per token (the §7.3 rationale; bit parity
@@ -969,6 +1093,10 @@ object TextHashFunctions {
     GraftColumn.of(ClfScoreTotal(GraftColumn.expr(tokens)))
   def gramHashes(words: Column, k: Int): Column =
     GraftColumn.of(GramHashArray(GraftColumn.expr(words), k))
+  def hashedGramSet(grams: Column): Column =
+    GraftColumn.of(HashedGramSet(GraftColumn.expr(grams)))
+  def sortedPairs(docs: Column): Column =
+    GraftColumn.of(SortedPairGen(GraftColumn.expr(docs)))
   def damerau(a: Column, b: Column): Column =
     GraftColumn.of(DamerauLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
   def jaroWinkler(a: Column, b: Column): Column =

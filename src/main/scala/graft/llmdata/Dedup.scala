@@ -69,6 +69,22 @@ object Dedup {
     gramsCache.get(spark, s"$dir#$n")(
       gramsOfDocs(t(spark, dir, "documents"), n).persist())
 
+  /** (doc_id, hg) with hg = SORTED DISTINCT 60-bit gram hashes — the
+    * verify-side projection of [[gramsOf]], cached per (session, dir, n).
+    * r19: every consumer pass over the cached STRING shingle table paid
+    * ~1.5 s of columnar-batch deserialization at sf0.1 (~30 MB of
+    * strings) plus an interpreted per-gram md5 transform; the hashed
+    * table is 8 bytes per gram, already sorted for the merge-walk
+    * verifiers (dd6 both sides, dd20 both sides). Same artifact class as
+    * the signature cache. */
+  private val hashedGramsCache = SessionCache.persisted()
+
+  private[graft] def hashedGramsOf(spark: SparkSession, dir: String, n: Int): DataFrame =
+    hashedGramsCache.get(spark, s"$dir#$n")(
+      gramsOf(spark, dir, n).select(col("doc_id"),
+        graft.functions.TextHashFunctions.hashedGramSet(col("grams")).as("hg"))
+        .persist())
+
   /** Shingle an arbitrary (doc_id, text) frame — the uncached form behind
     * [[gramsOf]], usable on non-fixture frames (e.g. a streaming
     * micro-batch in [[admitAgainst]]). */
@@ -84,6 +100,7 @@ object Dedup {
     * Subsequent queries transparently rebuild them. */
   def uncacheShingles(spark: SparkSession): Unit = {
     gramsCache.clear(spark)
+    hashedGramsCache.clear(spark)
     sigCache.clear(spark)
     pairsCache.clear(spark)
     bandCandsCache.clear(spark)
@@ -220,18 +237,21 @@ object Dedup {
     * `docs` array column — i<j positions of a sorted array ⇒ doc_a <
     * doc_b, each bucket bounded at C(cap, 2) pairs. Shared by every
     * capped-bucket candidate generator (dd3/dd6/dd16). */
-  private def cappedBucketPairs(buckets: DataFrame): DataFrame = {
-    val n = size(col("docs"))
-    // sequence(1, 0) counts DOWN — single-doc buckets must emit no pairs
-    val pairGen = when(n >= 2, flatten(transform(
-      sequence(lit(1), n - 1),
-      i => transform(sequence(i + 1, n),
-        j => struct(element_at(col("docs"), i).as("doc_a"),
-          element_at(col("docs"), j).as("doc_b"))))))
-    buckets.select(explode_outer(pairGen).as("p"))
+  private def cappedBucketPairs(buckets: DataFrame): DataFrame =
+    cappedBucketPairsRaw(buckets).distinct()
+
+  /** [[cappedBucketPairs]] WITHOUT the dedup — for verifiers whose
+    * per-pair check is cheaper than the full-pair-set exchange a distinct
+    * costs (dd6), which dedupe the (tiny) verified output instead.
+    * Pairs come from the native SortedPairGen expression (one JVM pass
+    * per bucket; the composable nested transform interpreted ~1.3M
+    * per-element lambda frames per dd6 run); single-doc buckets yield a
+    * null array → explode_outer's null row → dropped by the verify
+    * equi-join, exactly as the when(n >= 2, ...) guard did. */
+  private def cappedBucketPairsRaw(buckets: DataFrame): DataFrame =
+    buckets.select(explode_outer(
+      graft.functions.TextHashFunctions.sortedPairs(col("docs"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-  }
 
   /** Candidate pairs off a (doc_id, band, bh) band table with the
     * per-bucket cap applied — the full bounded generator (bucket → capped
@@ -464,13 +484,9 @@ object Dedup {
         .as(Seq("blk", "bv")))
     val buckets = blocks.groupBy(col("blk"), col("bv"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, BandBucketCap).as("docs"))
-    val n = size(col("docs"))
-    val pairGen = when(n >= 2, flatten(transform(
-      sequence(lit(1), n - 1),
-      i => transform(sequence(i + 1, n),
-        j => struct(element_at(col("docs"), i).as("doc_a"),
-          element_at(col("docs"), j).as("doc_b"))))))
-    val cands = buckets.select(explode_outer(pairGen).as("p"))
+    // native pair generator — see cappedBucketPairsRaw
+    val cands = buckets.select(explode_outer(
+      graft.functions.TextHashFunctions.sortedPairs(col("docs"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val sa = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -538,30 +554,38 @@ object Dedup {
     * not waste. dd3 (MinHash verify) and dd16 (signature-only estimate)
     * are the tiers that trade this exactness away at scale. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = gramsOf(spark, dir, 3)
-    // explode_outer: see minhashLsh — avoids re-evaluating the shingle
+    // The whole pipeline runs on HASHED shingles (each gram → its first
+    // 15 md5 hex chars as a 60-bit long, distinct + sorted ONCE per
+    // document in the cached [[hashedGramsOf]] table): posting lists key
+    // by the hash, and the per-pair Jaccard is a merge walk over longs
+    // instead of ~2·|grams| string hashings (the hot path: ~1.3M pairs
+    // at sf0.1). A 60-bit collision (P ≈ 2⁻⁴⁵ inside one pair's union,
+    // ~27k²/2⁶¹ for a posting-list merge) is the only way this differs
+    // from string grams, and the oracle hashes identically so parity
+    // holds even then. r19: previously only the verify tier hashed —
+    // the posting build and both verify sides each re-deserialized the
+    // ~30 MB cached STRING table (~1.5 s per pass at sf0.1).
+    val hdocs = hashedGramsOf(spark, dir, 3)
+    // explode_outer: see minhashLsh — avoids re-evaluating the array
     // expression inside a pushed-down size(..)>0 filter.
-    val invAll = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    val invAll = hdocs.select(col("doc_id"), explode_outer(col("hg")).as("gram"))
     val postings = invAll.filter(col("gram").isNotNull)
       .groupBy(col("gram"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, ShingleDfCap).as("docs"))
-    val cands = cappedBucketPairs(postings)
-    // verification on HASHED shingles: each gram → its first 15 md5 hex
-    // chars as a 60-bit long, sorted ONCE per document — the per-pair
-    // Jaccard is then a merge walk over longs instead of ~2·|grams|
-    // string hashings (the hot path: ~1M pairs at sf0.1). A 60-bit
-    // collision inside one pair's union (~300 values, P ≈ 2⁻⁴⁵) is the
-    // only way this differs from string Jaccard, and the oracle hashes
-    // identically so parity holds even then.
-    val hashed = sort_array(array_distinct(transform(col("grams"),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast(LongType))))
-    val ga = docs.select(col("doc_id").as("doc_a"), hashed.as("grams_a"))
-    val gb = docs.select(col("doc_id").as("doc_b"), hashed.as("grams_b"))
+    // NO pre-verify distinct: a pair re-emitted by each shared gram
+    // (~12% of raw pairs at sf0.1) re-runs only the cheap merge walk,
+    // where deduping FIRST paid a full 1.1M-row exchange + two hash
+    // aggregates (r19: the single most expensive stage of the query);
+    // the post-filter distinct below dedupes the ~300 surviving rows.
+    val cands = cappedBucketPairsRaw(postings)
+    val ga = hdocs.select(col("doc_id").as("doc_a"), col("hg").as("grams_a"))
+    val gb = hdocs.select(col("doc_id").as("doc_b"), col("hg").as("grams_b"))
     cands.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextHashFunctions.jaccardSorted(col("grams_a"), col("grams_b"))
           .as("jaccard"))
       .filter(col("jaccard") >= TrigramJaccardThreshold)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -569,14 +593,14 @@ object Dedup {
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
-       |inv_all AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       |hg AS (SELECT doc_id, list_distinct(list_transform(g,
+       |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS g
+       |       FROM sh),
+       |inv_all AS (SELECT doc_id, unnest(g) AS gram FROM hg),
        |inv AS (SELECT doc_id, gram FROM inv_all
        |        QUALIFY row_number() OVER (PARTITION BY gram ORDER BY doc_id) <= $ShingleDfCap),
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id),
-       |hg AS (SELECT doc_id, list_distinct(list_transform(g,
-       |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS g
-       |       FROM sh)
+       |          FROM inv x JOIN inv y ON x.gram = y.gram AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
        |  CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) AS jaccard
@@ -1341,7 +1365,7 @@ object Dedup {
     * Scale: identical shape to dd3 — cached signatures, C(cap,2)-bounded
     * candidates, per-pair verify cost O(|grams|) — no new shuffle. */
   def containmentDup(spark: SparkSession, dir: String): DataFrame =
-    containmentOf(gramsOf(spark, dir, 2), bandCandidates(spark, dir))
+    containmentOfHashed(hashedGramsOf(spark, dir, 2), bandCandidates(spark, dir))
 
   /** The containment verify tier over an explicit (doc_id, grams) frame
     * and candidate pairs — the testable seam behind dd20. Grams must be
@@ -1357,11 +1381,15 @@ object Dedup {
     * ~100k-pair hot path. A 60-bit collision inside one pair's union is
     * the only way counts could differ (P ≈ 2⁻⁴⁵ per pair), and the
     * oracle twin hashes identically so parity holds even then. */
-  private[graft] def containmentOf(docs: DataFrame, cands: DataFrame): DataFrame = {
-    val hashed = sort_array(array_distinct(transform(col("grams"),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast(LongType))))
-    val ga = docs.select(col("doc_id").as("doc_a"), hashed.as("grams_a"))
-    val gb = docs.select(col("doc_id").as("doc_b"), hashed.as("grams_b"))
+  private[graft] def containmentOf(docs: DataFrame, cands: DataFrame): DataFrame =
+    containmentOfHashed(docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.hashedGramSet(col("grams")).as("hg")), cands)
+
+  /** [[containmentOf]] over an already-hashed (doc_id, hg) frame — the
+    * query path reads the cached [[hashedGramsOf]] table directly. */
+  private def containmentOfHashed(hdocs: DataFrame, cands: DataFrame): DataFrame = {
+    val ga = hdocs.select(col("doc_id").as("doc_a"), col("hg").as("grams_a"))
+    val gb = hdocs.select(col("doc_id").as("doc_b"), col("hg").as("grams_b"))
     val inter = graft.functions.TextHashFunctions
       .interSorted(col("grams_a"), col("grams_b"))
     val na = size(col("grams_a")).cast(LongType)

@@ -399,14 +399,12 @@ object Multimodal {
     val buckets = blocks.groupBy(col("blk"), col("bv"))
       .agg(slice(sort_array(collect_list(col("media_id"))), 1, PhashBucketCap)
         .as("ids"))
-    val n = size(col("ids"))
-    val pairGen = when(n >= 2, flatten(transform(
-      sequence(lit(1), n - 1),
-      i => transform(sequence(i + 1, n),
-        j => struct(element_at(col("ids"), i).as("media_a"),
-          element_at(col("ids"), j).as("media_b"))))))
-    val cands = buckets.select(explode_outer(pairGen).as("p"))
-      .select(col("p.media_a"), col("p.media_b"))
+    // native pair generator (Dedup.cappedBucketPairsRaw's rationale);
+    // single-id buckets yield a null array → explode_outer's null row →
+    // dropped by the verify equi-join
+    val cands = buckets.select(explode_outer(
+      graft.functions.TextHashFunctions.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("media_a"), col("p.doc_b").as("media_b"))
       .distinct()
     val sa = sh.select(col("media_id").as("media_a"), col("ph").as("ph_a"))
     val sb = sh.select(col("media_id").as("media_b"), col("ph").as("ph_b"))
@@ -745,14 +743,14 @@ object Multimodal {
       .groupBy(col("c"))
       .agg(slice(sort_array(collect_list(col("media_id"))), 1, ChunkDfCap)
         .as("docs"))
-    val n = size(col("docs"))
-    val pairGen = when(n >= 2, flatten(transform(
-      sequence(lit(1), n - 1),
-      i => transform(sequence(i + 1, n),
-        j => struct(element_at(col("docs"), i).as("media_a"),
-          element_at(col("docs"), j).as("media_b"))))))
-    capped.select(explode(pairGen).as("p"))
-      .select(col("p.media_a"), col("p.media_b")).distinct()
+    // native pair generator (Dedup.cappedBucketPairsRaw's rationale);
+    // explode_outer so the generator isn't re-evaluated inside a pushed
+    // size(..)>0 filter — the null row for single-doc buckets drops at
+    // the downstream equi-join
+    capped.select(explode_outer(
+      graft.functions.TextHashFunctions.sortedPairs(col("docs"))).as("p"))
+      .select(col("p.doc_a").as("media_a"), col("p.doc_b").as("media_b"))
+      .distinct()
   }
 
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
