@@ -593,7 +593,7 @@ object Dedup {
     s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM w),
-       |hg AS (SELECT doc_id, list_distinct(list_transform(g,
+       |hg AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(g,
        |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS g
        |       FROM sh),
        |inv_all AS (SELECT doc_id, unnest(g) AS gram FROM hg),
@@ -1422,7 +1422,7 @@ object Dedup {
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |          FROM capped x JOIN capped y
        |            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-       |hg AS (SELECT doc_id, list_distinct(list_transform(g,
+       |hg AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(g,
        |         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS g
        |       FROM sh),
        |v AS (SELECT doc_a, doc_b,
