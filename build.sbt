@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Per-test durations in the report (-oD): the r19 verify gate recorded
+// tests_ok=false with no failing assertion — the ~40-minute suite outran
+// the driver's capture window — so suite wall-clock is now a tracked
+// budget; durations make the sinks visible in every run's log.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

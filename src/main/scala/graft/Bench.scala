@@ -132,18 +132,28 @@ object Bench {
         System.err.println(s"[bench] cache release failed: $e")
       }
     def familyOf(name: String): String = name.takeWhile(!_.isDigit)
-    def batteryOnce(): (Map[String, Double], Map[String, String]) = {
+    def batteryOnce(): (Map[String, Double], Map[String, String], Map[String, Double]) = {
       // PER-RUN errors map (r12 ADVICE): a shared map let a later run's
       // success erase an earlier run's failure record, so a query could
       // vanish from BOTH the queries and errors maps of the committed run
       val errors = scala.collection.mutable.Map.empty[String, String]
+      // per-family warm-up seconds (r19 verdict item 8): the untimed
+      // warm-up pass is where the session caches (shingles, signatures,
+      // band candidates, labels, serve states, ...) are BUILT, and as more
+      // dedup-family work moved behind caches no committed number recorded
+      // what the builds cost. Stamped per run into BENCH_RUNS.json as
+      // "_warmup_<family>" so the warm-serving measurement boundary stays
+      // auditable round over round.
+      val warmups = scala.collection.mutable.Map.empty[String, Double]
       val timedAll = SparkEntry.queries.toSeq.sortBy(_._1)
         .groupBy { case (name, _) => familyOf(name) }
         .toSeq.sortBy(_._1)
-        .flatMap { case (_, fam) =>
+        .flatMap { case (family, fam) =>
+          val w0 = System.nanoTime()
           fam.foreach { case (_, fn) =>
             try fn(spark, sfDir).count() catch { case _: Throwable => () }
           }
+          warmups(family) = (System.nanoTime() - w0) / 1e9
           val timed = fam.flatMap { case (name, fn) =>
             // min-of-3 (see object doc): ambient noise is additive on a
             // warm workload, so the min of three samples is the estimator
@@ -158,7 +168,7 @@ object Bench {
           releaseCaches()
           timed
         }.toMap
-      (timedAll, errors.toMap)
+      (timedAll, errors.toMap, warmups.toMap)
     }
     // best-of-N WHOLE-BATTERY runs (r11 verdict task 8): min-of-3 bounds
     // per-query noise within a run, but a round's COMMITTED artifact was
@@ -188,7 +198,7 @@ object Bench {
     val results: Map[String, Double] =
       unionKeys.map(k => k -> allRuns.flatMap(_._1.get(k)).min).toMap
     val errors = scala.collection.mutable.Map.empty[String, String]
-    allRuns.foreach { case (_, errs) =>
+    allRuns.foreach { case (_, errs, _) =>
       errs.foreach { case (k, v) => if (!unionKeys.contains(k)) errors(k) = v }
     }
     // the stamped range still reports WHOLE-RUN totals (the cross-run
@@ -211,14 +221,19 @@ object Bench {
     // but a prior invocation's file survived (r18 ADVICE).
     val runsJson: String = {
       def msj(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-      allRuns.map { case (r, errs) =>
+      allRuns.map { case (r, errs, warm) =>
         val qpart = r.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${msj(v)}""" }
           .mkString(",")
         val epart =
           if (errs.isEmpty) ""
           else errs.toSeq.sortBy(_._1)
             .map { case (k, v) => s""""_err_$k":${jq(v)}""" }.mkString(",", ",", "")
-        s"{$qpart$epart}"
+        // per-family warm-up (cache-build) seconds — see batteryOnce
+        val wpart =
+          if (warm.isEmpty) ""
+          else warm.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""_warmup_$k":${msj(v)}""" }.mkString(",", ",", "")
+        s"{$qpart$epart$wpart}"
       }.mkString("[", ",", "]")
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
@@ -351,6 +366,26 @@ object Bench {
       (if (duckdbTotal > 0) s""""spark_vs_duckdb":${ms(total / duckdbTotal)},""" else "") +
       s""""value":${ms(total)}}"""
     println(lineWith(qsCompact, "\"centiseconds\""))
+    // FINAL compact scalars-only line (r19 verdict task 1): the driver
+    // keeps only a ~2000-byte TAIL of stdout, and the full line above has
+    // embedded the (now 208-entry, ~1.9 KB) per-query map since ~r09 —
+    // head-truncated JSON is unparseable no matter the field order, so
+    // PERF_r*.json has been empty for ten rounds. This line carries ONLY
+    // the scalars (measured: 2068 chars with the map vs <300 without;
+    // the tail budget after sbt's own "[success]" epilogue is ~1920) so
+    // the LAST JSON line on stdout always parses. Nothing is removed:
+    // the full line still prints first, the lossless per-query map lands
+    // in BENCH_FULL.json and per-run maps in BENCH_RUNS.json (both also
+    // archived per invocation); n_queries/n_errors let a consumer detect
+    // a dropped query without the map.
+    println(
+      s"""{"metric":"total","unit":"sec","compact":true,"archive_stamp":"$archiveStamp",""" +
+      s""""git_head":${jq(gitHead)},"cpus":$cpus,"sf":"$sfDir",""" +
+      s""""queries_file":"BENCH_FULL.json","queries_unit":"sec",""" +
+      s""""n_queries":${results.size},"n_errors":${errors.size},""" +
+      s""""duckdb_total_secs":${ms(duckdbTotal)},""" +
+      (if (duckdbTotal > 0) s""""spark_vs_duckdb":${ms(total / duckdbTotal)},""" else "") +
+      s""""value":${ms(total)}}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (lineWith(qs) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -23,6 +23,37 @@ object DebugPlan {
     }
 
     args.headOption.getOrElse("dd6") match {
+      case "dd6v2" =>
+        // staged breakdown of the CURRENT (r20) hashed pipeline: cached
+        // hashed grams → capped postings → native pair gen → broadcast
+        // doc sides → merge-walk verify
+        import org.apache.spark.sql.functions._
+        val full = graft.llmdata.Dedup.ngramJaccard(spark, sfDir)
+        time("full_cold")(full.count())
+        val hdocs = graft.llmdata.Dedup.hashedGramsOf(spark, sfDir, 3)
+        time("hashed_cached")(hdocs.count())
+        val invAll = hdocs.select(col("doc_id"), explode_outer(col("hg")).as("gram"))
+        time("explode")(invAll.count())
+        val postings = invAll.filter(col("gram").isNotNull)
+          .groupBy(col("gram"))
+          .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("docs"))
+        time("postings")(postings.count())
+        val cands = postings.select(explode_outer(
+          graft.functions.TextHashFunctions.sortedPairs(col("docs"))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+        time("pairs_raw")(cands.count())
+        val ga = broadcast(hdocs.select(col("doc_id").as("doc_a"), col("hg").as("grams_a")))
+        val gb = broadcast(hdocs.select(col("doc_id").as("doc_b"), col("hg").as("grams_b")))
+        val verified = cands.join(ga, "doc_a").join(gb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.TextHashFunctions.jaccardSorted(col("grams_a"), col("grams_b"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.1)
+        time("verified")(verified.count())
+        time("verified_distinct")(verified.distinct().count())
+        time("full_warm1")(graft.llmdata.Dedup.ngramJaccard(spark, sfDir).count())
+        time("full_warm2")(graft.llmdata.Dedup.ngramJaccard(spark, sfDir).count())
+        time("full_warm3")(graft.llmdata.Dedup.ngramJaccard(spark, sfDir).count())
       case "dd6" =>
         // times the CURRENT ngramJaccard stages (cached shingles, capped
         // posting lists, hashed-long merge-walk verify) — first full run

@@ -218,10 +218,12 @@ object TextHashUtil {
     * long), bit-identical to `sort_array(array_distinct(transform(grams,
     * g -> conv(substring(md5(g), 1, 15), 16, 10).cast(long))))` in one
     * JVM loop (dd6's verify sides evaluated that interpreted tree per
-    * document per consumer). Null elements are skipped (the composable
-    * form maps them to null, which array_distinct keeps as one null —
-    * fixture grams are non-null; callers treat the hash set as a SET of
-    * present grams). */
+    * document per consumer). A null ELEMENT throws: the composable form
+    * maps it to null and array_distinct keeps one null, so silently
+    * skipping it here would change set sizes (containment/Jaccard
+    * denominators) for any future caller with null grams — the engine's
+    * gram generators never emit null elements, and a violation must fail
+    * loudly instead of skewing similarity scores (r19 ADVICE). */
   def hashedGramSet(grams: ArrayData): ArrayData = {
     val d = md5()
     val n = grams.numElements()
@@ -229,14 +231,17 @@ object TextHashUtil {
     var m = 0
     var i = 0
     while (i < n) {
-      if (!grams.isNullAt(i)) {
-        val dig = d.digest(grams.getUTF8String(i).getBytes)
-        var v = 0L
-        var b = 0
-        while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
-        h(m) = (v << 4) | ((dig(7) >> 4) & 0xfL)
-        m += 1
-      }
+      if (grams.isNullAt(i))
+        throw new IllegalArgumentException(
+          "hashed_gram_set: null gram element (the composable equivalent " +
+          "keeps one null in the distinct set; this primitive requires " +
+          "non-null grams — fix the gram generator)")
+      val dig = d.digest(grams.getUTF8String(i).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+      h(m) = (v << 4) | ((dig(7) >> 4) & 0xfL)
+      m += 1
       i += 1
     }
     val trimmed = java.util.Arrays.copyOf(h, m)
@@ -909,6 +914,14 @@ case class SortedPairGen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("doc_a", LongType, nullable = false),
     StructField("doc_b", LongType, nullable = false))), containsNull = false)
+  // nullSafeEval returns null for n<2 buckets (the COMMON case) even when
+  // the child is non-nullable (Collect.nullable = false feeds this via
+  // slice∘sort_array∘collect_list) — without this override the expression
+  // would report child.nullable and nullSafeCodeGen's non-nullable branch
+  // would emit `false = true;` (a codegen compile error → silent
+  // interpreted fallback), and IsNull/IsNotNull could mis-fold (r19
+  // ADVICE).
+  override def nullable: Boolean = true
   override def prettyName: String = "sorted_pairs"
 
   override def nullSafeEval(docs: Any): Any =
@@ -963,6 +976,10 @@ case class ClfScoreTotal(child: Expression) extends UnaryExpression {
   }
 
   override def dataType: DataType = DoubleType
+  // clfTotal returns null on a null token element regardless of the
+  // child's nullability — same latent codegen/null-folding mismatch as
+  // SortedPairGen (r19 ADVICE); report nullable unconditionally.
+  override def nullable: Boolean = true
   override def prettyName: String = "clf_total"
 
   override def nullSafeEval(tokens: Any): Any =

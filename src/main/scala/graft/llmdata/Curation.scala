@@ -1080,7 +1080,7 @@ object Curation {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("_w"))
     // (w, w1=prev, w2=prev2) per position, built scan-side; transform's
     // lambda index is 0-based, element_at is 1-based
-    val toks = docs
+    def toksOf(d: DataFrame): DataFrame = d
       .select(col("doc_id"), col("source"),
         explode(transform(col("_w"), (x, i) =>
           struct(x.as("w"),
@@ -1090,6 +1090,20 @@ object Curation {
         col("g.w"), col("g.w1"), col("g.w2"),
         (substring(md5(col("doc_id").cast(StringType)), 1, 1) < "8")
           .as("is_train"))
+    val toks = toksOf(docs)
+    // The SCORE pass repartitions its corpus slice first (r20): the
+    // fixture is one single-row-group parquet file, so the scoring
+    // Generate + model probe + per-doc rollup chain inherited the scan's
+    // ONE partition and ran serial (measured 9 tasks / parallelism 0.7 on
+    // 32 cores). Width derives from the cluster; the cost is one exchange
+    // of the 5k-row document table. The FIT pass deliberately keeps the
+    // scan layout: its groupBy collapses ~2.5M train tokens to ~27k
+    // trigram types IN the partial aggregate, and fragmenting it into 32
+    // partial maps measurably inflates the exchange more than the
+    // parallelism repays at this corpus (A/B: fit-side repartition was a
+    // wash; score-side-only kept the win).
+    val scoreToks = toksOf(
+      docs.repartition(spark.sparkContext.defaultParallelism))
     // ONE aggregate pass over the train stream builds a full-context
     // count cube (null-keyed rows keep the short-context positions); the
     // three model count tables are marginals of the CUBE, not re-scans —
@@ -1129,14 +1143,34 @@ object Curation {
       .when(col("w1").isNotNull, 1).otherwise(0)
     val hit = when(col("s3").isNotNull, 2)
       .when(col("s2").isNotNull, 1).otherwise(0)
-    val scored = toks
-      .join(broadcast(m3.withColumnRenamed("w", "_w3")),
-        col("w2") === col("p2") && col("w1") === col("p1") &&
-          col("w") === col("_w3"), "left")
-      .join(broadcast(m2.withColumnRenamed("w", "_w2c")),
-        col("w1") === col("p") && col("w") === col("_w2c"), "left")
-      .join(broadcast(m1.withColumnRenamed("w", "_w1c")),
-        col("w") === col("_w1c"), "left")
+    // ONE fused broadcast lookup keyed by w (r19 verdict item 7): the
+    // three per-level model tables used to be three separate broadcast
+    // builds + three probe joins per token. All three lookups share the
+    // trailing word w, so the fused table carries, per unigram type, the
+    // unigram surprisal plus a map of its bigram contexts (w1 → s2) and a
+    // map of its trigram contexts ("w2 w1" → s3 — words come from
+    // split(' '), so the space-joined context key is collision-free).
+    // Identical values land in identical columns (s3/s2/s1 as before,
+    // null when the context was unseen — try_element_at returns null on a
+    // missing key under ANSI and non-ANSI alike), so the coalesce chain,
+    // hit/lvl arithmetic, and the oracle twin are untouched. One
+    // broadcast build job instead of three; one stream-side join instead
+    // of three (guide §3.1).
+    val fused = m1
+      .join(m2.groupBy(col("w"))
+        .agg(map_from_entries(collect_list(struct(col("p"), col("s2"))))
+          .as("_m2")), Seq("w"), "left")
+      .join(m3.groupBy(col("w"))
+        .agg(map_from_entries(collect_list(struct(
+          concat(col("p2"), lit(" "), col("p1")), col("s3")))).as("_m3")),
+        Seq("w"), "left")
+      .withColumnRenamed("w", "_w1c")
+    val scored = scoreToks
+      .join(broadcast(fused), col("w") === col("_w1c"), "left")
+      .withColumn("s3", when(col("w2").isNotNull,
+        try_element_at(col("_m3"), concat(col("w2"), lit(" "), col("w1")))))
+      .withColumn("s2", when(col("w1").isNotNull,
+        try_element_at(col("_m2"), col("w1"))))
       .crossJoin(broadcast(oovF))
       .select(col("doc_id"), col("source"), col("is_train"),
         (coalesce(col("s3"), col("s2"), col("s1"), col("s_oov")) +

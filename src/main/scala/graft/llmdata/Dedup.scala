@@ -518,7 +518,7 @@ object Dedup {
 
   // ------------------------------------------------- n-gram Jaccard (exact)
 
-  private val TrigramJaccardThreshold = 0.1
+  private[graft] val TrigramJaccardThreshold = 0.1
 
   /** Posting-list document-frequency cap: per shingle, only the
     * [[ShingleDfCap]] LOWEST doc_ids stay in candidate generation. Without
@@ -530,7 +530,7 @@ object Dedup {
     * capped shingles with each other can still escape — the documented
     * recall trade for bounding the bucket at cap². Mirrored in the oracle
     * (row_number over gram ordered by doc_id). */
-  private val ShingleDfCap = 20
+  private[graft] val ShingleDfCap = 20
 
   /** Exact n-gram Jaccard dedup with inverted-index candidate generation:
     * docs sharing ≥1 trigram shingle are candidates, then the exact
@@ -569,17 +569,40 @@ object Dedup {
     // explode_outer: see minhashLsh — avoids re-evaluating the array
     // expression inside a pushed-down size(..)>0 filter.
     val invAll = hdocs.select(col("doc_id"), explode_outer(col("hg")).as("gram"))
+    // REPARTITION the capped posting lists across the cluster before pair
+    // generation (r20): the stage downstream of this aggregate is the
+    // query's entire hot loop — the C(cap,2) pair explosion plus the
+    // per-pair merge-walk verify, ~50× more compute per byte than the
+    // bytes suggest — and AQE's BYTE-based partition coalescing collapsed
+    // the postings exchange to ~1 partition at gate scale (the whole
+    // verify measured 6 tasks / parallelism 0.8 on 32 cores). The width
+    // derives from the cluster (defaultParallelism), not a constant; the
+    // cost is one exchange of the |grams|-row posting table (27k rows at
+    // sf0.1 — trivial against the serialized verify it unblocks).
     val postings = invAll.filter(col("gram").isNotNull)
       .groupBy(col("gram"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, ShingleDfCap).as("docs"))
+      .repartition(spark.sparkContext.defaultParallelism)
     // NO pre-verify distinct: a pair re-emitted by each shared gram
     // (~12% of raw pairs at sf0.1) re-runs only the cheap merge walk,
     // where deduping FIRST paid a full 1.1M-row exchange + two hash
     // aggregates (r19: the single most expensive stage of the query);
     // the post-filter distinct below dedupes the ~300 surviving rows.
     val cands = cappedBucketPairsRaw(postings)
-    val ga = hdocs.select(col("doc_id").as("doc_a"), col("hg").as("grams_a"))
-    val gb = hdocs.select(col("doc_id").as("doc_b"), col("hg").as("grams_b"))
+    // BROADCAST THE DOC SIDE, STREAM THE PAIRS (r20): left to size
+    // estimates the planner broadcast the ~1.3M-row PAIR stream
+    // (BuildLeft) and streamed the doc table — so the whole merge-walk
+    // verify (the query's hot loop: ~400 long comparisons per pair plus a
+    // ~1.6 KB grams_a copy per matched row) ran at the doc scan's
+    // parallelism, a near-single-partition InMemoryTableScan. With the
+    // doc side pinned as the build side, the pair stream keeps the
+    // postings exchange's partitioning and the verify spreads over every
+    // core (guide §3.1 "broadcast the side that fits" — the pair stream
+    // is always the bigger side: |pairs| ≥ docs·(cap−1)/2 shared grams).
+    val ga = broadcast(
+      hdocs.select(col("doc_id").as("doc_a"), col("hg").as("grams_a")))
+    val gb = broadcast(
+      hdocs.select(col("doc_id").as("doc_b"), col("hg").as("grams_b")))
     cands.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextHashFunctions.jaccardSorted(col("grams_a"), col("grams_b"))
@@ -1461,13 +1484,13 @@ object Dedup {
     *
     * Scale: per iteration one edge join + one combinable sum — the
     * standard Pregel cost; edges are the C(cap,2)-bounded pair set.
-    * Like dd11's [[minLabelComponents]], each iteration's rank frame is
-    * localCheckpoint-materialized: without it the final plan nests
-    * `iters` edge-joins deep, so every downstream stage re-optimizes and
-    * re-executes the whole prefix (r8 bench: dd21 was the slowest query
-    * in the battery at 4.07 s purely from the nested lineage; the
-    * trajectory is unchanged — integer arithmetic is oblivious to where
-    * materialization barriers sit). */
+    * The unrolled lineage is LINEAR (see the body comment): each rank
+    * frame is consumed exactly once, so no per-iteration checkpoint jobs
+    * are needed and the whole trajectory runs as one job chain (the r8
+    * 4.07 s blow-up was the rank frame feeding TWO consumers per level —
+    * 2^iters re-execution — which r8 fixed with an eager checkpoint per
+    * iteration and r20 removes structurally; integer arithmetic is
+    * oblivious to where materialization barriers sit). */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankIterated(spark, dir, PagerankIters)
 
@@ -1480,21 +1503,29 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").distinct().localCheckpoint()
+    // n0 — the STATIC (doc_id, deg, n) node frame — is checkpointed once;
+    // each iteration's new rank joins contribs back to n0, NOT to the
+    // previous rank frame, so r is consumed exactly ONCE per iteration
+    // (deg/n ride in via n0). That makes the unrolled lineage LINEAR —
+    // the r8 4.07 s blow-up came from r feeding both the contrib join and
+    // the rebuild (2^iters re-execution), which the old code fixed with a
+    // localCheckpoint JOB per iteration; consuming r once removes the
+    // need for either (r19 verdict item 9: 3 fixed iterations now run as
+    // one job chain instead of 3 eager checkpoint jobs + the final
+    // action). Integer trajectory unchanged — same joins, same div order.
     val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("doc_id"), col("deg"))
     val nFrame = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nFrame))
-      .select(col("doc_id"), col("deg"), col("n"),
-        expr("1000000 div n").as("r"))
-      .localCheckpoint()
+    val n0 = nodes.crossJoin(broadcast(nFrame)).localCheckpoint()
+    var r = n0.select(col("doc_id"), col("deg"), col("n"),
+      expr("1000000 div n").as("r"))
     for (_ <- 1 to iters) {
       val contribs = edges
         .join(r.select(col("doc_id").as("src"), expr("r div deg").as("c")), "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = r.drop("r").join(contribs, col("doc_id") === col("dst"), "left")
+      r = n0.join(contribs, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"), col("deg"), col("n"),
           expr("(15 * (1000000 div n) + 85 * coalesce(s, 0)) div 100").as("r"))
-        .localCheckpoint()
     }
     r.select(col("doc_id"), col("r").as("pagerank_micro"),
         (col("r").cast(DoubleType) / lit(1e6)).as("pagerank"))

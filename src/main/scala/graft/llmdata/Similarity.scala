@@ -2063,18 +2063,20 @@ object Similarity {
   def graphServe(spark: SparkSession, dir: String): DataFrame =
     serveResult(spark, dir, standardVisited(spark, dir))
 
-  /** ALL cumulative per-hop states of one (beam, entries) traversal to
-    * [[MaxServeHops]] depth, cached per (session, dir, setting): ss17 and
-    * ss20 read prefix `serveHops − 1` of the standard setting's list,
-    * ss19 reads EVERY prefix of every swept setting — so each setting's
+  /** ALL per-hop PIECES of one (beam, entries) traversal to
+    * [[MaxServeHops]] depth (element 0 = entry, element h = hop h's newly
+    * scored nodes — see [[serveWalk]]), cached per (session, dir,
+    * setting): ss17 and ss20 read the standard setting's prefix union,
+    * ss19 reads every prefix of every swept setting — so each setting's
     * hop chain executes once per battery no matter how many consumers
     * measure it (r13 verdict task 2: the sweep used to re-run the
-    * standard walk it shared with ss17). Each state is a flat union of
-    * checkpointed per-hop pieces — nothing to re-analyze on reuse. */
+    * standard walk it shared with ss17). Each piece is checkpointed, so
+    * the cache release actually unpersists the pinned blocks (the old
+    * cumulative-union states were not themselves persisted). */
   private val serveStatesCache = new SessionCache[Seq[DataFrame]](
     _.foreach(_.unpersist(blocking = false)))
 
-  private def serveStates(spark: SparkSession, dir: String,
+  private def servePieces(spark: SparkSession, dir: String,
                           beam: Int, entries: Int): Seq[DataFrame] =
     serveStatesCache.get(spark, s"$dir#b${beam}e$entries")(
       serveVisitedByHop(spark, dir, serveAdjacency(spark, dir),
@@ -2087,8 +2089,9 @@ object Similarity {
 
   private def standardVisited(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusCount(spark, dir)
-    serveStates(spark, dir, serveBeamOf(n), serveEntriesOf(n))(
-      serveHops(spark, dir) - 1)
+    // visited after `serveHops` hops = entry piece + pieces 1..serveHops
+    serveUnion(servePieces(spark, dir, serveBeamOf(n), serveEntriesOf(n))
+      .take(serveHops(spark, dir) + 1))
   }
 
   private def serveHops(spark: SparkSession, dir: String): Int =
@@ -2154,11 +2157,11 @@ object Similarity {
   }
 
   /** One bounded traversal at (beam, entries) to `hops` depth, returning
-    * the CUMULATIVE visited frame (query_id, node_id, score) AFTER each
-    * hop — element h−1 is the state after hop h. Shared by the ss17
-    * serve (which formats only the final state) and the ss19 sweep
-    * (which measures every prefix — a hop-depth sweep costs ONE
-    * traversal, not one per depth). */
+    * the DISJOINT per-hop pieces (see [[serveWalk]]) — the state after
+    * hop h is `serveUnion(pieces.take(h + 1))`. Shared by the ss17 serve
+    * (which formats only the final state) and the ss19 sweep (which
+    * measures every prefix — a hop-depth sweep costs ONE traversal, not
+    * one per depth). */
   private def serveVisitedByHop(spark: SparkSession, dir: String,
                                 undP: DataFrame, beam: Int, entries: Int,
                                 hops: Int): Seq[DataFrame] =
@@ -2197,13 +2200,24 @@ object Similarity {
     * by exact cosine against the corpus scan; ss21 scores them by PQ
     * ADC lookups against the code table (DiskANN's in-memory tier). The
     * `score` callback maps a (query_id, node_id) candidate frame to
-    * (query_id, node_id, score). */
+    * (query_id, node_id, score).
+    *
+    * Returns the DISJOINT per-hop PIECES — element 0 is the checkpointed
+    * entry state, element h the nodes first scored at hop h (the left-anti
+    * against visited makes pieces disjoint by construction). The visited
+    * set after hop h is `serveUnion(pieces.take(h + 1))`. r20: the walk
+    * used to return CUMULATIVE unions per hop, so ss19's 18-state sweep
+    * union held 81 checkpointed-RDD leaves and every aggregate pass over
+    * it ran ~81 tasks each hauling a ~2.5 MB task binary (measured ~25 s
+    * of task time per timed run on ~45k rows); pieces are each read once. */
   private def serveWalk(entry: DataFrame, undP: DataFrame, beam: Int,
                         hops: Int,
                         score: DataFrame => DataFrame): Seq[DataFrame] = {
-    var visited = entry.localCheckpoint()
-    var frontier = visited.select(col("query_id"), col("node_id"))
-    val states = Seq.newBuilder[DataFrame]
+    val entryP = entry.localCheckpoint()
+    var visited = entryP
+    var frontier = entryP.select(col("query_id"), col("node_id"))
+    val pieces = Seq.newBuilder[DataFrame]
+    pieces += entryP
     for (_ <- 1 to hops) {
       // NOTE: no broadcast() hints here — measured WORSE (3.3 s vs 2.0 s
       // per serve): every broadcast of a lazy small frame is its own
@@ -2225,15 +2239,20 @@ object Similarity {
           col("score"), col("node_id"), beam).as("top"))
         .select(col("query_id"), explode(col("top")).as("e"))
         .select(col("query_id"), col("e.id").as("node_id"))
-      states += visited
+      pieces += scored
     }
-    states.result()
+    pieces.result()
   }
+
+  /** Flat union of checkpointed walk pieces — the visited state after
+    * `pieces.size - 1` hops. */
+  private[graft] def serveUnion(pieces: Seq[DataFrame]): DataFrame =
+    pieces.reduce(_.union(_))
 
   private def serveCore(spark: SparkSession, dir: String, undP: DataFrame,
                         beam: Int, hops: Int, entries: Int): DataFrame =
     serveResult(spark, dir,
-      serveVisitedByHop(spark, dir, undP, beam, entries, hops).last)
+      serveUnion(serveVisitedByHop(spark, dir, undP, beam, entries, hops)))
 
   private def serveResult(spark: SparkSession, dir: String,
                           visited: DataFrame): DataFrame = {
@@ -2270,9 +2289,9 @@ object Similarity {
                                     q: DataFrame, beam: Int, entries: Int,
                                     hops: Int): DataFrame = {
     val qq = q.localCheckpoint()
-    val visited = serveVisitedByHopFrames(corpus(spark, dir), qq,
+    val visited = serveUnion(serveVisitedByHopFrames(corpus(spark, dir), qq,
       exemplarsOf(spark, dir).filter(col("cell") >= NumQueries),
-      serveAdjacency(spark, dir), beam, entries, hops).last
+      serveAdjacency(spark, dir), beam, entries, hops))
     val vis = visited.groupBy(col("query_id"))
       .agg(count(lit(1)).as("visited_count"))
     val top = visited.groupBy(col("query_id"))
@@ -2444,9 +2463,9 @@ object Similarity {
     // the SQ-scored walk caches per (session, dir) like ss17's exact
     // walk — one traversal per battery, assemblies re-read it
     val visited = sqVisitedCache.get(spark, dir)(
-      serveWalk(entry, serveAdjacency(spark, dir),
+      serveUnion(serveWalk(entry, serveAdjacency(spark, dir),
         serveBeamOf(corpusCount(spark, dir)),
-        serveHops(spark, dir), sqOf).last)
+        serveHops(spark, dir), sqOf)))
     val vis = visited.groupBy(col("query_id"))
       .agg(count(lit(1)).as("visited_count"))
     val short = visited.groupBy(col("query_id"))
@@ -2640,26 +2659,43 @@ object Similarity {
     // walk ss17/ss20 serve from, so per battery each setting's hop chain
     // runs once, in the family warm-up, on the calling thread (the r13
     // Future fan-out died with the cache: no unbounded Await, no
-    // concurrent first-touch double-build — r13 ADVICE)
+    // concurrent first-touch double-build — r13 ADVICE).
+    //
+    // r20 assembly: each DISJOINT piece p (0 = entry) contributes to the
+    // cumulative state of every hop ≥ max(p, 1), so the per-hop rows come
+    // from ONE read of each piece exploded over its hop range instead of
+    // a union of 18 cumulative states (81 checkpointed leaves, each
+    // scanned per aggregate pass with a ~2.5 MB task binary — measured
+    // ~25 s task time per timed run on ~45k rows). Row-for-row the same
+    // multiset `hop h ⇒ pieces 0..h` as before.
     val tagged = SweepSettings.flatMap { case (beam, entries) =>
-      serveStates(spark, dir, beam, entries).zipWithIndex.map {
-        case (visited, i) =>
-          visited.select(lit(beam.toLong).as("beam"),
-            lit(entries.toLong).as("entries"), lit((i + 1).toLong).as("hop"),
+      servePieces(spark, dir, beam, entries).take(MaxServeHops + 1)
+        .zipWithIndex.map { case (piece, p) =>
+          piece.select(lit(beam.toLong).as("beam"),
+            lit(entries.toLong).as("entries"),
+            explode(sequence(lit(math.max(p, 1).toLong),
+              lit(MaxServeHops.toLong))).as("hop"),
             col("query_id"), col("node_id"), col("score"))
-      }
+        }
     }
-    // ONE union of the (overlapping, tiny) per-prefix visited frames and
-    // TWO keyed aggregates — not 12 separate scalar-aggregate branches,
-    // whose per-stage fixed cost dominated the sweep's final action
+    // ONE union of the disjoint tagged pieces, ONE repartition exchange
+    // (width from the cluster — AQE stage reuse executes the 21-leaf scan
+    // once and both keyed aggregates below read the same compact shuffle
+    // output), and TWO keyed aggregates — not 12 separate scalar-
+    // aggregate branches, whose per-stage fixed cost dominated the
+    // sweep's final action
     val all = tagged.reduce(_.union(_))
+      .repartition(spark.sparkContext.defaultParallelism)
     val keys = Seq(col("beam"), col("entries"), col("hop"))
     val top3 = all.groupBy(keys :+ col("query_id"): _*)
       .agg(graft.functions.TopKByScore.topK(
         col("score"), col("node_id"), AnnTopK).as("top"))
       .select(keys :+ col("query_id") :+ explode(col("top")).as("e"): _*)
       .select(keys :+ col("query_id") :+ col("e.id").as("neighbor_id"): _*)
-    val hits = top3.join(exact, Seq("query_id", "neighbor_id"), "left")
+    // broadcast the exact top-k (|queries|·k rows at any scale) — size
+    // estimation over the window+filter subtree otherwise picks a
+    // shuffle join for a 30-row frame
+    val hits = top3.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
       .groupBy(keys: _*)
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits3"))
     val vis = all.groupBy(keys: _*)

@@ -193,9 +193,9 @@ object AnnIngest {
       graph.select(col("src_id"), col("neighbor_id"))).localCheckpoint()
     val exPrior = ex.join(vectors.select(col("vec_id").as("cell")), "cell")
     val q = newV.select(col("vec_id").as("query_id"), col("v").as("q"))
-    val visited = Similarity.serveVisitedByHopFrames(
+    val visited = Similarity.serveUnion(Similarity.serveVisitedByHopFrames(
       vectors, q, exPrior, undP,
-      beam = 8, entries = 3, hops = Similarity.serveHopsOf(nPrior)).last
+      beam = 8, entries = 3, hops = Similarity.serveHopsOf(nPrior)))
     val found = visited.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.topK(
         col("score"), col("node_id"), r).as("top"))

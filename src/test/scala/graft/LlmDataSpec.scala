@@ -3047,4 +3047,41 @@ class LlmDataSpec extends SparkSpec {
       assert(Similarity.serveEntriesOf(n) == 2, s"n=$n entries formula moved")
     }
   }
+
+  test("dd6: hashed-gram pipeline equals an unhashed string-gram derivation " +
+      "(r19 ADVICE: the oracle twin hashes identically, so a 60-bit gram-hash " +
+      "collision could no longer split engine from oracle — this cross-check " +
+      "re-derives dd6 from the RAW string grams and would catch it)") {
+    val dir = sf() // sf0.001
+    val docs = Dedup.gramsOf(spark, dir, 3)
+    val inv = docs.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val postings = inv.groupBy(col("gram"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, Dedup.ShingleDfCap)
+        .as("docs"))
+    val n = size(col("docs"))
+    val pairGen = when(n >= 2, flatten(transform(
+      sequence(lit(1), n - 1),
+      i => transform(sequence(i + 1, n),
+        j => struct(element_at(col("docs"), i).as("doc_a"),
+          element_at(col("docs"), j).as("doc_b"))))))
+    val cands = postings.select(explode_outer(pairGen).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    val ref = cands.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_distinct(concat(col("grams_a"), col("grams_b")))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= Dedup.TrigramJaccardThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val hashed = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(hashed == ref,
+      s"hashed-gram dd6 diverged from the string-gram derivation: " +
+        s"hashed=${hashed.size} rows, ref=${ref.size} rows")
+  }
 }
